@@ -1,13 +1,112 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.DamerauLevenshtein._
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a DuckDB oracle in `oracleSql` computing the
+  * same result on the same parquet tables (column names, types, and row
+  * order aligned; doubles rounded in-query on both sides).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the reference's auto-complete fuzzy search pipeline
+    * (geo_manager.py:525-619) over the part corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    FuzzySearch.fuzzySearch(spark, "/root/testdata/sf0.001", "smal widget", 20)
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * LLM-pipeline extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational core (SURVEY §2.1-2.7) ---
+    "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
+    "q2_top_orders" -> ((s, d) => Relational.q2TopOrders(s, d)),
+    "q3_revenue_topk" -> ((s, d) => Relational.q3RevenueByCustomer(s, d)),
+    "q4_region_stats" -> ((s, d) => Relational.q4RegionStats(s, d)),
+    "q5_window_top3" -> ((s, d) => Relational.q5TopPerSegment(s, d)),
+    "q6_setop_except" -> ((s, d) => Relational.q6SetOp(s, d)),
+    "q7_anti_join" -> ((s, d) => Relational.q7NoOrders(s, d)),
+    "q8_distinct_agg" -> ((s, d) => Relational.q8DistinctAgg(s, d)),
+    "q9_rollup" -> ((s, d) => Relational.q9Rollup(s, d)),
+    // --- geo pipelines (SURVEY §2.8-2.9) ---
+    "geo_radius_search" -> ((s, d) => RadiusSearch.radiusSearch(s, d, probeId = 7L, radiusMiles = 2000.0, countryExact = true)),
+    "geo_knn" -> ((s, d) => RadiusSearch.knn(s, d, probeId = 7L, k = 15)),
+    "geo_pair_distance" -> ((s, d) => RadiusSearch.pairDistances(s, d, maxId = 40L)),
+    "fuzzy_search" -> ((s, d) => FuzzySearch.fuzzySearch(s, d, "smal widget", 20)),
+    "dl_topk" -> ((s, d) => dlTopK(s, d)),
+    // --- dedup family ---
+    "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d, 0.55)),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "text_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    // --- similarity search ---
+    "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, probeId = 0L, k = 10)),
+    "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(s, d, planes = 8)),
+    // --- text analysis ---
+    "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
+    "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // --- time windows / as-of / semi-structured ---
+    "ev_tumbling" -> ((s, d) => EventOps.tumbling(s, d)),
+    "ev_sliding" -> ((s, d) => EventOps.sliding(s, d)),
+    "ev_session" -> ((s, d) => EventOps.sessions(s, d)),
+    "ev_asof_orders" -> ((s, d) => EventOps.asofOrders(s, d)),
+    "ev_json_extract" -> ((s, d) => EventOps.jsonExtract(s, d)),
+  )
+
+  /** Damerau-Levenshtein showcase: nearest part names to a typo'd query by
+    * the reference's composite geo-DL distance (geo_manager.py:28-32). */
+  private def dlTopK(spark: SparkSession, dir: String): DataFrame =
+    FuzzySearch.corpus(spark, dir)
+      .withColumn("distance",
+        geoDamerauLevenshtein(lit("smal widgets"), col("clean_value")).cast("long"))
+      .select(col("id"), col("value"), col("distance"))
+      .orderBy(col("distance"), col("id"))
+      .limit(15)
+
+  private val dlTopKOracle: String =
+    s"""WITH corpus AS (${FuzzySearch.corpusCte})
+       |SELECT id, value,
+       |       least(damerau_levenshtein(split_part('smal widgets', ',', 1), split_part(clean_value, ',', 1)),
+       |             damerau_levenshtein('smal widgets', clean_value))::BIGINT AS distance
+       |FROM corpus
+       |ORDER BY distance, id
+       |LIMIT 15""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> Relational.q1Oracle,
+    "q2_top_orders" -> Relational.q2Oracle,
+    "q3_revenue_topk" -> Relational.q3Oracle,
+    "q4_region_stats" -> Relational.q4Oracle,
+    "q5_window_top3" -> Relational.q5Oracle,
+    "q6_setop_except" -> Relational.q6Oracle,
+    "q7_anti_join" -> Relational.q7Oracle,
+    "q8_distinct_agg" -> Relational.q8Oracle,
+    "q9_rollup" -> Relational.q9Oracle,
+    "geo_radius_search" -> RadiusSearch.radiusSearchOracle(7L, 2000.0, countryExact = true),
+    "geo_knn" -> RadiusSearch.knnOracle(7L, 15),
+    "geo_pair_distance" -> RadiusSearch.pairDistancesOracle(40L),
+    "fuzzy_search" -> FuzzySearch.fuzzySearchOracle("smal widget", 20),
+    "dl_topk" -> dlTopKOracle,
+    "dedup_exact" -> Dedup.exactDedupOracle,
+    "dedup_jaccard" -> Dedup.jaccardPairsOracle(0.55),
+    "dedup_minhash" -> Dedup.minhashPairsOracle,
+    "text_simhash" -> Dedup.simhashOracle,
+    "ann_cosine_topk" -> Similarity.cosineTopKOracle(0L, 10),
+    "ann_lsh_buckets" -> Similarity.lshBucketsOracle(8),
+    "text_langid" -> TextAnalysis.languageIdOracle,
+    "text_quality" -> TextAnalysis.qualityScoreOracle,
+    "text_fingerprint" -> TextAnalysis.fingerprintOracle,
+    "ev_tumbling" -> EventOps.tumblingOracle,
+    "ev_sliding" -> EventOps.slidingOracle,
+    "ev_session" -> EventOps.sessionsOracle,
+    "ev_asof_orders" -> EventOps.asofOrdersOracle,
+    "ev_json_extract" -> EventOps.jsonExtractOracle,
+  )
 }

@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.oracle.OracleSql
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data-pipeline surface:
+  * exact (hash groupBy), trigram-set Jaccard similarity join with an exact
+  * prefix filter (PPJoin-style candidate pruning — Chaudhuri et al.,
+  * "A Primitive Operator for Similarity Joins", ICDE'06), MinHash+LSH
+  * (Broder '97 shingling; banding per Leskovec/Rajaraman/Ullman MMDS ch.3),
+  * and SimHash (Charikar '02) fingerprints.
+  *
+  * All hashes are the engine's deterministic polynomial hash (oracle parity
+  * — TextFunctions.polyHash), NOT murmur3/xxhash: at cluster scale swap the
+  * constant via config, the plan shape is identical.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact dedup groups: canonical id + multiplicity per normalized text.
+    * Straight hash aggregation — partial (map-side) combine + final agg,
+    * the plan Spark picks for groupBy on a high-cardinality key. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    FuzzySearch.corpus(spark, dir)
+      .groupBy(col("clean_value"))
+      .agg(min(col("id")).as("canonical_id"),
+        count(lit(1)).as("dup_count"))
+      .withColumn("text_hash", md5(col("clean_value")))
+      .select(col("text_hash"), col("clean_value"), col("canonical_id"), col("dup_count"))
+      .orderBy(col("canonical_id"))
+
+  def exactDedupOracle: String =
+    s"""WITH corpus AS (${FuzzySearch.corpusCte})
+       |SELECT md5(clean_value) AS text_hash, clean_value,
+       |       min(id) AS canonical_id, count(*) AS dup_count
+       |FROM corpus GROUP BY clean_value
+       |ORDER BY canonical_id""".stripMargin
+
+  // -------------------------------------------- trigram Jaccard similarity
+
+  /** Near-dup pairs by trigram-set Jaccard >= threshold, via an EXACT
+    * prefix filter: order each record's trigrams by ascending global
+    * document frequency, keep the first (s - ceil(t*s) + 1); any pair with
+    * Jaccard >= t must share a prefix trigram, so the candidate join runs
+    * on the RAREST trigrams only (posting lists stay short at scale, unlike
+    * a naive all-trigram self-join). Verification recomputes exact Jaccard,
+    * so the output is independent of the pruning — which is why a
+    * brute-force DuckDB oracle checks it.
+    */
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    // Run on the exact-dedup canonical corpus (one row per clean_value) —
+    // the realistic exact→fuzzy pipeline order, and it keeps identical-text
+    // groups from flooding the similarity join with jaccard=1.0 pairs.
+    val c = FuzzySearch.corpus(spark, dir)
+      .groupBy(col("clean_value")).agg(min(col("id")).as("id"))
+      .select(col("id"), charNgramSet(col("clean_value"), 3).as("grams"))
+      .filter(size(col("grams")) > 0)
+    // Global trigram document frequency.
+    val df = c.select(col("id"), explode(col("grams")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    // Re-sort each record's grams by (df, gram); take the prefix.
+    val withDf = c.select(col("id"), explode(col("grams")).as("g"))
+      .join(df, "g")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+      .withColumn("setsize", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .withColumn("prefix_len",
+        col("setsize") - ceil(lit(threshold) * col("setsize")) + 1)
+    val prefixes = withDf.filter(col("rank") <= col("prefix_len"))
+      .select(col("id"), col("g"))
+    // Candidate pairs share a prefix trigram.
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Exact verify.
+    val ga = c.select(col("id").as("id_a"), col("grams").as("grams_a"))
+    val gb = c.select(col("id").as("id_b"), col("grams").as("grams_b"))
+    cand.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("shared", size(array_intersect(col("grams_a"), col("grams_b"))).cast("long"))
+      .withColumn("jaccard", round(col("shared").cast("double") /
+        (size(col("grams_a")) + size(col("grams_b")) - col("shared")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force oracle (index self-join, no prefix filter): correct
+    * because verification, not candidate pruning, defines the result. */
+  def jaccardPairsOracle(threshold: Double): String = {
+    val sset = OracleSql.trigramSet("clean_value")
+    s"""WITH corpus AS (${FuzzySearch.corpusCte}),
+       |canon AS (SELECT clean_value, min(id) AS id FROM corpus GROUP BY clean_value),
+       |g AS (SELECT id, $sset AS grams FROM canon WHERE len($sset) > 0),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         len(list_intersect(a.grams, b.grams))::BIGINT AS shared,
+       |         len(a.grams) + len(b.grams) AS total
+       |  FROM g a JOIN g b ON a.id < b.id),
+       |j AS (SELECT id_a, id_b,
+       |             round(shared::DOUBLE / (total - shared)::DOUBLE, 6) AS jaccard
+       |      FROM pairs WHERE shared > 0)
+       |SELECT id_a, id_b, jaccard FROM j
+       |WHERE jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  val MinHashK = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  val ShingleWords = 3
+  /** Permutation params: h_i(x) = (x * A(i) + B(i)) mod HashMod. */
+  def permA(i: Int): Long = 1L + 7919L * (i + 1)
+  def permB(i: Int): Long = (104729L * (i + 1)) % HashMod
+
+  /** MinHash signatures over word-3-shingles of documents.text. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(lower(col("text")))
+    val shingleHashes = array_distinct(transform(
+      wordShingles(toks, ShingleWords), s => polyHash(s)))
+    val sig = array((0 until MinHashK).map { i =>
+      array_min(transform(col("sh"), h => (h * permA(i) + permB(i)) % HashMod))
+    }: _*)
+    d.select(col("doc_id"), shingleHashes.as("sh"))
+      .withColumn("sig", sig)
+      .select(col("doc_id"), col("sig"))
+  }
+
+  /** LSH banding: near-dup candidate pairs from shared band buckets, with
+    * the estimated Jaccard = fraction of agreeing signature positions.
+    * Plan: explode 4 band hashes per doc → shuffle on (band, hash) — the
+    * classic linear-cost near-dup join; no O(n²) stage anywhere. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until Bands).map { b =>
+          polyHashLongs(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))
+        }: _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    pairs.withColumn("est_jaccard",
+        size(filter(sequence(lit(1), lit(MinHashK)),
+          i => element_at(col("sig_a"), i) === element_at(col("sig_b"), i)))
+          .cast("double") / MinHashK.toDouble)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def minhashPairsOracle: String = {
+    val P = HashMod
+    val toks = OracleSql.tokens("lower(text)")
+    val shingles = s"""(CASE WHEN len(tk) <= $ShingleWords THEN [array_to_string(tk, ' ')]
+      | ELSE list_transform(range(1, len(tk) - ${ShingleWords - 2}), i -> array_to_string(tk[i:i+${ShingleWords - 1}], ' '))
+      | END)""".stripMargin.replaceAll("\n", " ")
+    val shHash = s"list_distinct(list_transform(shingles, s -> ${OracleSql.polyHash("s")}))"
+    val sigList = (0 until MinHashK).map { i =>
+      s"list_min(list_transform(sh, h -> (h * ${permA(i)} + ${permB(i)}) % $P))"
+    }.mkString("[", ",\n         ", "]")
+    val bandExprs = (0 until Bands).map { b =>
+      val Seq(m1, m2, m3, m4) = (1 to RowsPerBand).map(r => s"sig[${b * RowsPerBand + r}]")
+      s"((((($m1 * 31 + $m2) % $P) * 31 + $m3) % $P * 31 + $m4) % $P)"
+    }
+    val bandsUnion = bandExprs.zipWithIndex.map { case (e, i) =>
+      s"SELECT doc_id, sig, $i AS band_idx, $e AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),
+       |sh AS (SELECT doc_id, $shingles AS shingles FROM tok),
+       |shh AS (SELECT doc_id, $shHash AS sh FROM sh),
+       |sig AS (SELECT doc_id, $sigList AS sig FROM shh),
+       |bands AS (
+       |  $bandsUnion),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       len(list_filter(range(1, ${MinHashK + 1}), i -> sig_a[i] = sig_b[i]))::DOUBLE / $MinHashK.0 AS est_jaccard
+       |FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  val SimHashBits = 24
+
+  /** SimHash fingerprint per document over word tokens (with multiplicity).
+    * Bit b of the fingerprint is set iff Σ_tokens (±1 by token-hash bit b)
+    * >= 0. Pure array expressions — no explode, no shuffle: a narrow
+    * map-only stage at any scale. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tokHashes = transform(tokens(lower(col("text"))), t => polyHash(t))
+    val bits: Column = (0 until SimHashBits).map { b =>
+      val sumSign = aggregate(col("th"), lit(0L),
+        (acc, h) => acc + (shiftright(h, b) % 2L) * 2L - 1L)
+      when(sumSign >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    d.select(col("doc_id"), tokHashes.as("th"))
+      .select(col("doc_id"), bits.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  def simhashOracle: String = {
+    val toks = OracleSql.tokens("lower(text)")
+    val terms = (0 until SimHashBits).map { b =>
+      s"(CASE WHEN coalesce(list_sum(list_transform(th, h -> ((h >> $b) % 2) * 2 - 1)), 0) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n       + ")
+    s"""WITH tok AS (SELECT doc_id, list_transform($toks, t -> ${OracleSql.polyHash("t")}) AS th FROM documents)
+       |SELECT doc_id,
+       |       ($terms)::BIGINT AS simhash
+       |FROM tok ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-window operators over the `events` table — the batch face of the
+  * engine's streaming surface (the same expressions run under readStream +
+  * withWatermark; see graft.streaming). Tumbling/sliding use Spark's
+  * epoch-aligned `window()`, sessions use `session_window` (gap-merge
+  * semantics: a row extends the session while ts < prev_end = prev_ts+gap).
+  *
+  * Timestamps are second-truncated before session/sliding math so the
+  * DuckDB oracle (which keeps nanosecond precision from parquet) and Spark
+  * (microsecond) agree exactly at window boundaries.
+  *
+  * Boundary semantics (pinned by an sf0.01 case): Spark merges sessions
+  * that TOUCH — an event at exactly prev_ts + gap extends the session — so
+  * the gaps-and-islands oracle breaks only on diff > gap.
+  */
+object EventOps {
+
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong` and
+    * this helper rebuilds a proper (microsecond) timestamp column. `div` is
+    * exact integer division — nanos ~1.7e18 would lose precision through a
+    * double. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else e
+  }
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val tumblingOracle: String =
+    """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+      |       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** Sliding windows: 1 hour long, every 30 minutes (each event lands in
+    * exactly 2 windows). */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 6).as("avg_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("n_events"), col("avg_value"))
+      .orderBy(col("window_start"))
+
+  val slidingOracle: String =
+    """WITH t AS (SELECT (epoch(date_trunc('second', ts))::BIGINT // 1800) * 1800 AS b30, value FROM events),
+      |w AS (SELECT b30 AS window_start, value FROM t
+      |      UNION ALL
+      |      SELECT b30 - 1800 AS window_start, value FROM t)
+      |SELECT window_start, count(*) AS n_events, round(avg(value), 6) AS avg_value
+      |FROM w GROUP BY 1
+      |ORDER BY window_start""".stripMargin
+
+  /** Session windows per user, 10-minute gap, on second-truncated ts. */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("ts2", date_trunc("second", col("ts")))
+      .groupBy(session_window(col("ts2"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionsOracle: String =
+    """WITH e AS (SELECT user_id, epoch(date_trunc('second', ts))::BIGINT AS es, value FROM events),
+      |m AS (SELECT user_id, es, value,
+      |             CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es) > 600
+      |                    OR lag(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
+      |                  THEN 1 ELSE 0 END AS brk
+      |      FROM e),
+      |s AS (SELECT user_id, es, value,
+      |             sum(brk) OVER (PARTITION BY user_id ORDER BY es
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |      FROM m)
+      |SELECT user_id, min(es) AS session_start, count(*) AS n_events,
+      |       round(sum(value), 4) AS sum_value
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** As-of-style enrichment: per event, the user's latest order at-or-before
+    * the event time (count of prior orders + epoch of the latest one).
+    * Equi-join on the user key with the time bound as a join-side range
+    * predicate — Spark plans the equi part as a shuffled hash/SMJ; no
+    * cartesian anywhere. */
+  def asofOrders(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val o = Tables.orders(spark, dir)
+    e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"), "left")
+      .groupBy(e("event_id"))
+      .agg(count(o("o_orderkey")).as("n_prior_orders"),
+        max(unix_timestamp(o("o_orderdate"))).as("last_order_epoch"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofOrdersOracle: String =
+    """SELECT e.event_id,
+      |       count(o.o_orderkey) AS n_prior_orders,
+      |       max(epoch(o.o_orderdate)::BIGINT) AS last_order_epoch
+      |FROM events e LEFT JOIN orders o
+      |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      |GROUP BY e.event_id
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Semi-structured extraction: numeric field `k` from the JSON props. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 6).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  val jsonExtractOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |       round(avg(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)), 6) AS avg_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.DamerauLevenshtein._
+import graft.functions.TextFunctions._
+import graft.oracle.OracleSql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Auto-complete fuzzy search — the reference's flagship pipeline
+  * (geo_manager.py:525-619), re-expressed as one declarative DataFrame plan:
+  *
+  *   query trigrams (literal, with multiplicity)
+  *     ⋈ exploded trigram postings of the corpus        -- candidate gen
+  *     → groupBy(id).count                              -- shared-trigram hits
+  *     → top max(k, 500) by (hits desc, id)             -- the 500-cap
+  *       (geo_manager.py:554/585 — kept as an explicit plan barrier: it is
+  *        observable semantics, comments at :552/:583)
+  *     ⋈ corpus (broadcast)                             -- fetch records
+  *     → score (DL distance, tversky+prefix, population rank)
+  *     → dedup best-score-per-clean_value               -- deterministic
+  *       version of the reference's dict-keying (geo_manager.py:587-588)
+  *     → top-k by score                                 -- TakeOrderedAndProject
+  *
+  * The candidate join broadcasts the tiny query-trigram side; the cap and
+  * final top-k plan as `TakeOrderedAndProject` (no full sort). At 100 TB
+  * the postings explode is the only wide stage and is bucketable by ngram
+  * (SURVEY.md §7.4).
+  *
+  * Corpus is the `part` table dressed as shapes (deterministic population),
+  * so DuckDB can oracle the whole pipeline.
+  */
+object FuzzySearch {
+
+  val DefaultCap = 500
+
+  /** Scala-side mirror of TextFunctions.cleanEntity for the literal query. */
+  def cleanQuery(q: String): String =
+    q.replaceAll("[^0-9a-zA-Z ]+", "").toLowerCase
+
+  /** Scala-side trigrams WITH multiplicity (fuzzy.py:5-6: len<3 → none). */
+  def queryTrigrams(q: String): Seq[String] =
+    if (q.length < 3) Seq.empty else q.sliding(3).toSeq
+
+  /** Fuzzy corpus: part names with a deterministic population column. */
+  def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey").as("id"),
+      col("p_name").as("value"),
+      cleanEntity(col("p_name")).as("clean_value"),
+      (col("p_partkey") * 37L % 1000000L).as("population"))
+
+  val corpusCte: String =
+    s"""SELECT p_partkey AS id, p_name AS value,
+       |       ${OracleSql.clean("p_name")} AS clean_value,
+       |       p_partkey * 37 % 1000000 AS population
+       |FROM part""".stripMargin
+
+  def fuzzySearch(spark: SparkSession, dir: String, query: String,
+                  numResults: Int, cap: Int = DefaultCap): DataFrame = {
+    val q = cleanQuery(query)
+    val qGramsM = queryTrigrams(q)               // with multiplicity
+    val qGramSet = qGramsM.distinct
+    val c = corpus(spark, dir)
+
+    // Candidate generation: query-trigram probe against exploded postings.
+    // One row per (query trigram occurrence, matching id) — count per id ==
+    // the reference's Counter over flattened posting lists
+    // (geo_manager.py:584-586).
+    val qdf = spark.createDataFrame(qGramsM.map(Tuple1(_))).toDF("ngram")
+    val postings = c.select(col("id"), explode(charNgramSet(col("clean_value"), 3)).as("ngram"))
+    val hits = postings.join(broadcast(qdf), "ngram")
+      .groupBy(col("id")).agg(count(lit(1)).as("ngram_hits"))
+    val capped = hits.orderBy(col("ngram_hits").desc, col("id"))
+      .limit(math.max(numResults, cap))
+
+    val qLit = lit(q)
+    val scored = capped.join(c, "id")
+      .withColumn("efs_raw", entityFuzzyScore(qLit, col("clean_value")))
+      .withColumn("distance",
+        geoDamerauLevenshtein(qLit, col("clean_value")).cast("long"))
+      .withColumn("ngram_similarity", round(col("efs_raw"), 6))
+      .withColumn("score",
+        round(geoSearchScore(qLit, col("clean_value"), col("population")), 6))
+
+    // Deterministic dedup: best score (then lowest id) per clean_value —
+    // replaces the reference's unspecified dict-insertion-order "last wins"
+    // (SURVEY.md §2.6).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("clean_value"))
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("value"), col("clean_value"), col("distance"),
+        col("ngram_similarity"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(numResults)
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'${x.replace("'", "''")}'").mkString("[", ", ", "]")
+
+  def fuzzySearchOracle(query: String, numResults: Int, cap: Int = DefaultCap): String = {
+    val q = cleanQuery(query)
+    val qGramsM = sqlList(queryTrigrams(q))
+    val qGramSet = sqlList(queryTrigrams(q).distinct)
+    val qq = q.replace("'", "''")
+    val sset = OracleSql.trigramSet("clean_value")
+    val tv = OracleSql.tversky(qGramSet, sset, 0.85, 0.15)
+    val efs = s"($tv * (1.0 + CASE WHEN starts_with(clean_value, '$qq') THEN 0.15 ELSE 0.0 END))"
+    // Query literal is non-numeric → the postal branch
+    // (geo_manager.py:493-495) constant-folds away; Catalyst does the same
+    // fold on the Spark side.
+    require(!q.matches("^[0-9]+$"), "postal-path oracle not generated here")
+    val dl = s"least(damerau_levenshtein(split_part('$qq', ',', 1), split_part(clean_value, ',', 1)), " +
+      s"damerau_levenshtein('$qq', clean_value))"
+    s"""WITH corpus AS ($corpusCte),
+       |cand AS (
+       |  SELECT id, len(list_filter($qGramsM, g -> list_contains($sset, g)))::BIGINT AS ngram_hits,
+       |         value, clean_value, population
+       |  FROM corpus),
+       |capped AS (
+       |  SELECT * FROM cand WHERE ngram_hits > 0
+       |  QUALIFY row_number() OVER (ORDER BY ngram_hits DESC, id) <= ${math.max(numResults, cap)}),
+       |scored AS (
+       |  SELECT id, value, clean_value, population, $efs AS efs_raw,
+       |         $dl::BIGINT AS distance
+       |  FROM capped),
+       |ranked AS (
+       |  SELECT id, value, clean_value, distance,
+       |         round(efs_raw, 6) AS ngram_similarity,
+       |         round(CASE WHEN population <= 0 OR efs_raw <= 0.65 THEN efs_raw * 0.9
+       |                    ELSE efs_raw * 0.9 + ln(population) * 0.1 END, 6) AS score
+       |  FROM scored),
+       |dedup AS (
+       |  SELECT * FROM ranked
+       |  QUALIFY row_number() OVER (PARTITION BY clean_value ORDER BY score DESC, id) = 1)
+       |SELECT id, value, clean_value, distance, ngram_similarity, score
+       |FROM dedup ORDER BY score DESC, id LIMIT $numResults""".stripMargin
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's geo-shape table (SURVEY.md §1.2/§1.3), derived
+  * deterministically from the driver's `customer` parquet so every geo
+  * operator has a DuckDB-checkable oracle on the same inputs.
+  *
+  * Field semantics mirror the reference record (README.md:81-106):
+  * `id`, `value`, `clean_value`, `latitude`/`longitude`, `population`
+  * (0 == unknown, scoring guard geo_manager.py:499), `is_aggregate`
+  * (bbox-matched in radius search, geo_manager.py:184-188), `area`
+  * (distance normalization, geo_manager.py:397-413), bbox corners,
+  * `country` (country_exact filter, geo_manager.py:269-271), `geo_type`
+  * (display/quote-location branches, geo_manager.py:97-149).
+  *
+  * All derivations are integer-mod arithmetic + one exact double divide,
+  * so Spark and DuckDB produce bit-identical values.
+  */
+object GeoShapes {
+
+  /** Shape table as a DataFrame. Pure projection over the customer scan —
+    * Catalyst prunes/pushes through it. */
+  def shapes(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.select(
+      col("c_custkey").as("id"),
+      col("c_name").as("value"),
+      TextFunctions.cleanEntity(col("c_name")).as("clean_value"),
+      ((col("c_custkey") * 7919L % 17000L) / 100.0 - 85.0).as("latitude"),
+      ((col("c_custkey") * 104729L % 36000L) / 100.0 - 180.0).as("longitude"),
+      (col("c_custkey") * 37L % 1000000L).as("population"),
+      (col("c_custkey") % 10L === 0L).as("is_aggregate"),
+      ((col("c_custkey") % 500L) + 1.0).as("area"),
+      when(col("c_nationkey") % 3 === 0, "US")
+        .when(col("c_nationkey") % 3 === 1, "CA")
+        .otherwise("MX").as("country"),
+      when(col("c_custkey") % 4L === 0L, "City")
+        .when(col("c_custkey") % 4L === 1L, "ZipCode")
+        .when(col("c_custkey") % 4L === 2L, "County")
+        .otherwise("MetroArea").as("geo_type"))
+      .withColumn("ll_latitude", col("latitude") - 0.5)
+      .withColumn("ur_latitude", col("latitude") + 0.5)
+      .withColumn("ll_longitude", col("longitude") - 0.5)
+      .withColumn("ur_longitude", col("longitude") + 0.5)
+  }
+
+  /** The same derivation as a DuckDB CTE body (oracle side). */
+  val oracleCte: String =
+    """SELECT c_custkey AS id,
+      |       c_name AS value,
+      |       lower(regexp_replace(c_name, '[^0-9a-zA-Z ]+', '', 'g')) AS clean_value,
+      |       (c_custkey * 7919 % 17000) / 100.0 - 85.0 AS latitude,
+      |       (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS longitude,
+      |       c_custkey * 37 % 1000000 AS population,
+      |       (c_custkey % 10 = 0) AS is_aggregate,
+      |       (c_custkey % 500) + 1.0 AS area,
+      |       CASE (c_nationkey % 3) WHEN 0 THEN 'US' WHEN 1 THEN 'CA' ELSE 'MX' END AS country,
+      |       CASE (c_custkey % 4) WHEN 0 THEN 'City' WHEN 1 THEN 'ZipCode' WHEN 2 THEN 'County' ELSE 'MetroArea' END AS geo_type,
+      |       (c_custkey * 7919 % 17000) / 100.0 - 85.0 - 0.5 AS ll_latitude,
+      |       (c_custkey * 7919 % 17000) / 100.0 - 85.0 + 0.5 AS ur_latitude,
+      |       (c_custkey * 104729 % 36000) / 100.0 - 180.0 - 0.5 AS ll_longitude,
+      |       (c_custkey * 104729 % 36000) / 100.0 - 180.0 + 0.5 AS ur_longitude
+      |FROM customer""".stripMargin
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.functions.GeoFunctions._
+import graft.oracle.OracleSql
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Radius search — reference geo_manager.py:237-348.
+  *
+  * Semantics: resolve the probe shape, derive lat/lng deltas for the radius
+  * at the probe latitude (geo_manager.py:333-334), then scan shapes:
+  * aggregates match when their bbox CONTAINS the probe point, points match
+  * the cheap bounding-ellipse test (radius_match dispatch,
+  * geo_manager.py:184-215); exact haversine is computed only for enrichment
+  * (full_results=True path, geo_manager.py:300-323), never in the filter.
+  *
+  * Spark shape: single-row probe broadcast → one narrow filter stage over
+  * the shape scan (no shuffle); the ellipse predicate is a plain column
+  * conjunction, so at scale it rides on Parquet min/max pruning when shapes
+  * are written lat-band-partitioned (SURVEY.md §7.4).
+  */
+object RadiusSearch {
+
+  /** Matching shapes with enrichment distance, deterministic order. */
+  def radiusSearch(spark: SparkSession, dir: String, probeId: Long,
+                   radiusMiles: Double, countryExact: Boolean): DataFrame = {
+    val shp = GeoShapes.shapes(spark, dir)
+    val probe = shp.filter(col("id") === probeId)
+      .select(col("latitude").as("p_lat"), col("longitude").as("p_lng"),
+        col("country").as("p_country"))
+    // Loop-invariant delta: pure literal for latitude (geo_manager.py:333),
+    // probe-dependent for longitude (geo_manager.py:334).
+    val latD = lit(radiusMiles / EarthRadiusMiles * (180.0 / math.Pi))
+    val lngD = longitudeDeltaFromMiles(col("p_lat"), lit(radiusMiles))
+    val matches = when(col("is_aggregate"),
+      bboxContains(col("ll_latitude"), col("ur_latitude"),
+        col("ll_longitude"), col("ur_longitude"), col("p_lat"), col("p_lng")))
+      .otherwise(ellipseContains(col("p_lat"), col("p_lng"),
+        col("latitude"), col("longitude"), latD, lngD))
+    val countryOk: Column =
+      if (countryExact) col("country") === col("p_country") else lit(true)
+    shp.crossJoin(broadcast(probe))
+      .filter(matches && countryOk)
+      .select(col("id"), col("geo_type"), col("is_aggregate"), col("country"),
+        round(haversineMiles(col("p_lat"), col("p_lng"),
+          col("latitude"), col("longitude")), 4).as("distance_miles"))
+      .orderBy(col("id"))
+  }
+
+  /** k nearest shapes to the probe by exact haversine (top-k, planned as
+    * TakeOrderedAndProject — no full sort). */
+  def knn(spark: SparkSession, dir: String, probeId: Long, k: Int): DataFrame = {
+    val shp = GeoShapes.shapes(spark, dir)
+    val probe = shp.filter(col("id") === probeId)
+      .select(col("latitude").as("p_lat"), col("longitude").as("p_lng"))
+    shp.filter(col("id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("id"), col("geo_type"),
+        round(haversineMiles(col("p_lat"), col("p_lng"),
+          col("latitude"), col("longitude")), 4).as("distance_miles"))
+      .orderBy(col("distance_miles"), col("id"))
+      .limit(k)
+  }
+
+  /** Pairwise distances with the reference's area normalization —
+    * get_shape_pair_distance (geo_manager.py:368-426), implementing the
+    * INTENDED both-aggregates semantics ((a1+a2)/2, not the
+    * statistics.mean(a, b) crash at geo_manager.py:424).
+    */
+  def pairDistances(spark: SparkSession, dir: String, maxId: Long): DataFrame = {
+    val shp = GeoShapes.shapes(spark, dir).filter(col("id") <= maxId)
+    val a = shp.select(col("id").as("id_a"), col("latitude").as("lat_a"),
+      col("longitude").as("lng_a"), col("is_aggregate").as("agg_a"), col("area").as("area_a"))
+    val b = shp.select(col("id").as("id_b"), col("latitude").as("lat_b"),
+      col("longitude").as("lng_b"), col("is_aggregate").as("agg_b"), col("area").as("area_b"))
+    val dist = round(haversineMiles(col("lat_a"), col("lng_a"), col("lat_b"), col("lng_b")), 4)
+    // Effective area: one aggregate → its area; both → mean (intended
+    // semantics of geo_manager.py:397-426); none → no normalization.
+    val effArea = when(col("agg_a") && col("agg_b"), (col("area_a") + col("area_b")) / 2.0)
+      .when(col("agg_a"), col("area_a"))
+      .when(col("agg_b"), col("area_b"))
+    val norm = when(effArea.isNotNull && effArea >= 10.0,
+      round(col("distance_miles") / log(greatest(effArea, lit(1.0))), 4))
+      .otherwise(col("distance_miles"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("distance_miles", dist)
+      .withColumn("normalized_distance", norm)
+      .select(col("id_a"), col("id_b"), col("distance_miles"), col("normalized_distance"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  def radiusSearchOracle(probeId: Long, radiusMiles: Double, countryExact: Boolean): String = {
+    val latD = s"(${radiusMiles / EarthRadiusMiles * (180.0 / math.Pi)})"
+    val lngD = OracleSql.lngDelta("p.p_lat", radiusMiles)
+    val ellipse = OracleSql.ellipseContains("p.p_lat", "p.p_lng",
+      "s.latitude", "s.longitude", latD, lngD)
+    val country = if (countryExact) "AND s.country = p.p_country" else ""
+    s"""WITH shapes AS (${GeoShapes.oracleCte}),
+       |probe AS (SELECT latitude AS p_lat, longitude AS p_lng, country AS p_country
+       |          FROM shapes WHERE id = $probeId)
+       |SELECT s.id, s.geo_type, s.is_aggregate, s.country,
+       |       round(${OracleSql.haversineMiles("p.p_lat", "p.p_lng", "s.latitude", "s.longitude")}, 4) AS distance_miles
+       |FROM shapes s CROSS JOIN probe p
+       |WHERE (CASE WHEN s.is_aggregate
+       |            THEN p.p_lat BETWEEN s.ll_latitude AND s.ur_latitude
+       |             AND p.p_lng BETWEEN s.ll_longitude AND s.ur_longitude
+       |            ELSE $ellipse END)
+       |  $country
+       |ORDER BY s.id""".stripMargin
+  }
+
+  def knnOracle(probeId: Long, k: Int): String =
+    s"""WITH shapes AS (${GeoShapes.oracleCte}),
+       |probe AS (SELECT latitude AS p_lat, longitude AS p_lng FROM shapes WHERE id = $probeId)
+       |SELECT s.id, s.geo_type,
+       |       round(${OracleSql.haversineMiles("p.p_lat", "p.p_lng", "s.latitude", "s.longitude")}, 4) AS distance_miles
+       |FROM shapes s CROSS JOIN probe p
+       |WHERE s.id <> $probeId
+       |ORDER BY distance_miles, s.id
+       |LIMIT $k""".stripMargin
+
+  def pairDistancesOracle(maxId: Long): String = {
+    val dist = OracleSql.haversineMiles("a.lat_a", "a.lng_a", "b.lat_b", "b.lng_b")
+    s"""WITH shapes AS (${GeoShapes.oracleCte}),
+       |f AS (SELECT * FROM shapes WHERE id <= $maxId),
+       |a AS (SELECT id AS id_a, latitude AS lat_a, longitude AS lng_a, is_aggregate AS agg_a, area AS area_a FROM f),
+       |b AS (SELECT id AS id_b, latitude AS lat_b, longitude AS lng_b, is_aggregate AS agg_b, area AS area_b FROM f),
+       |j AS (SELECT *, round($dist, 4) AS distance_miles,
+       |        CASE WHEN agg_a AND agg_b THEN (area_a + area_b) / 2.0
+       |             WHEN agg_a THEN area_a
+       |             WHEN agg_b THEN area_b END AS eff_area
+       |      FROM a JOIN b ON a.id_a < b.id_b)
+       |SELECT id_a, id_b, distance_miles,
+       |       CASE WHEN eff_area IS NOT NULL AND eff_area >= 10.0
+       |            THEN round(distance_miles / ln(greatest(eff_area, 1.0)), 4)
+       |            ELSE distance_miles END AS normalized_distance
+       |FROM j
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+}

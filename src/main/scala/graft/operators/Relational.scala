@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core — scans, filters+pushdown, joins (broadcast/shuffle/
+  * semi/anti), aggregations (partial+final hash agg), windows, top-k
+  * (TakeOrderedAndProject), set ops, rollup. These are the Spark-native
+  * operators the reference lacks entirely (SURVEY.md §2.3-2.7 map its
+  * dict-hops onto exactly these), exercised on the driver's TPC-H-ish data.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: filtered scan → hash agg. Filter + column pruning
+    * reach the parquet scan (PushedFilters). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       round(avg(l_discount), 6) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Global top-k — plans as TakeOrderedAndProject (no full sort). */
+  def q2TopOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+
+  val q2Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 25""".stripMargin
+
+  /** 3-way join → agg → top-k: revenue per customer. Customer side is
+    * broadcast at test scale; at 100 TB AQE picks SMJ/SHJ on the shuffled
+    * keys — the plan is declarative either way. */
+  def q3RevenueByCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(c("c_custkey"), c("c_name"))
+      .agg(round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q3Oracle: String =
+    """SELECT c_custkey, c_name,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** Broadcast dim joins: customer stats per region. */
+  def q4RegionStats(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(c("c_acctbal")), 4).as("avg_acctbal"),
+        round(sum(c("c_acctbal")), 2).as("sum_acctbal"))
+      .orderBy(r("r_name"))
+  }
+
+  val q4Oracle: String =
+    """SELECT r_name, count(*) AS n_customers,
+      |       round(avg(c_acctbal), 4) AS avg_acctbal,
+      |       round(sum(c_acctbal), 2) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  /** Window: top-3 customers per market segment by balance. */
+  def q5TopPerSegment(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("c_mktsegment"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  val q5Oracle: String =
+    """SELECT c_mktsegment, rnk, c_custkey, c_acctbal
+      |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+      |             row_number() OVER (PARTITION BY c_mktsegment
+      |                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |      FROM customer)
+      |WHERE rnk <= 3
+      |ORDER BY c_mktsegment, rnk""".stripMargin
+
+  /** Set op: customers with a high-value order EXCEPT high-balance ones. */
+  def q6SetOp(spark: SparkSession, dir: String): DataFrame = {
+    val bigSpenders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 100000.0)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val highBal = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 2000.0).select(col("c_custkey"))
+    bigSpenders.except(highBal).orderBy(col("c_custkey"))
+  }
+
+  val q6Oracle: String =
+    """SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000.0
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 2000.0
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Anti join: orders with no lineitems (NOT EXISTS). */
+  def q7NoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q7Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Distinct aggregation: per-supplier distinct parts + ship-days. */
+  def q8DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(date_trunc("day", col("l_shipdate"))).as("n_ship_days"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_suppkey"))
+
+  val q8Oracle: String =
+    """SELECT l_suppkey,
+      |       count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT date_trunc('day', l_shipdate)) AS n_ship_days,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |ORDER BY l_suppkey""".stripMargin
+
+  /** Rollup over region → nation (grouping-set aggregation). Null grouping
+    * keys from the rollup are coalesced to a sentinel on both sides so the
+    * ORDER BY is engine-independent. */
+  def q9Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(r("r_name").as("rn"), n("n_name").as("nn"), c("c_acctbal").as("bal"))
+      .rollup(col("rn"), col("nn"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("bal")), 2).as("sum_acctbal"))
+      .select(coalesce(col("rn"), lit("<all>")).as("region"),
+        coalesce(col("nn"), lit("<all>")).as("nation"),
+        col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  val q9Oracle: String =
+    """SELECT coalesce(r_name, '<all>') AS region,
+      |       coalesce(n_name, '<all>') AS nation,
+      |       count(*) AS n_customers,
+      |       round(sum(c_acctbal), 2) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.oracle.OracleSql
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — language ID (stopword n-gram
+  * heuristic), quality scoring (length/punct/stopword ratios), token
+  * counting, and document fingerprinting (rolling hash).
+  *
+  * Everything is a narrow map-only projection over the parquet scan — no
+  * shuffle at any scale; only the ORDER BY for the deterministic dump sorts.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the heuristic language ID. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "du", "dans", "est", "pour", "au"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(words), t))).cast("long")
+
+  /** Per-doc stopword hits per language + argmax prediction (ties broken by
+    * the fixed language order en, es, de, fr). */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val base = d.select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+    val withHits = Stopwords.foldLeft(base) { case (acc, (lang, words)) =>
+      acc.withColumn(s"${lang}_hits", hitCount(col("tk"), words))
+    }
+    val Seq(en, es, de, fr) = Stopwords.map(l => col(s"${l._1}_hits"))
+    withHits.withColumn("lang_pred",
+        when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("en_hits"), col("es_hits"),
+        col("de_hits"), col("fr_hits"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  def languageIdOracle: String = {
+    val toks = OracleSql.tokens("lower(text)")
+    def hits(words: Seq[String]) = {
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(tk, t -> list_contains($lst, t)))::BIGINT"
+    }
+    val cols = Stopwords.map { case (l, ws) => s"${hits(ws)} AS ${l}_hits" }.mkString(",\n       ")
+    s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),
+       |h AS (SELECT doc_id,
+       |       $cols
+       |FROM tok)
+       |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+       |       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+       |            WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+       |            WHEN de_hits >= fr_hits THEN 'de'
+       |            ELSE 'fr' END AS lang_pred
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality score: token count, mean token length, non-alnum-space ratio,
+    * stopword ratio → weighted score in [0, 1]. All ratios exact-arithmetic
+    * (integer counts / doubles) for oracle parity; rounded to 6 dp. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val base = d.select(col("doc_id"), col("text"),
+      tokens(lower(col("text"))).as("tk"))
+    val nTok = size(col("tk")).cast("long")
+    val charLen = length(col("text")).cast("double")
+    val alnumLen = length(regexp_replace(col("text"), "[^0-9a-zA-Z ]", "")).cast("double")
+    val punctRatio = when(charLen === 0, 0.0).otherwise((charLen - alnumLen) / charLen)
+    val meanTokLen = when(nTok === 0, 0.0)
+      .otherwise(aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok.cast("double"))
+    val stopHits = hitCount(col("tk"), Stopwords.head._2)
+    val stopRatio = when(nTok === 0, 0.0).otherwise(stopHits.cast("double") / nTok.cast("double"))
+    val score = round(
+      lit(0.4) * least(lit(1.0), nTok.cast("double") / 50.0) +
+        lit(0.3) * (lit(1.0) - punctRatio) +
+        lit(0.3) * least(lit(1.0), stopRatio * 5.0), 6)
+    base.select(col("doc_id"), nTok.as("n_tokens"),
+      round(meanTokLen, 6).as("mean_token_len"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      score.as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qualityScoreOracle: String = {
+    val toks = OracleSql.tokens("lower(text)")
+    val en = Stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH tok AS (SELECT doc_id, text, $toks AS tk FROM documents),
+       |m AS (SELECT doc_id,
+       |        len(tk)::BIGINT AS n_tokens,
+       |        length(text)::DOUBLE AS char_len,
+       |        length(regexp_replace(text, '[^0-9a-zA-Z ]', '', 'g'))::DOUBLE AS alnum_len,
+       |        coalesce(list_sum(list_transform(tk, t -> length(t)::BIGINT)), 0)::DOUBLE AS tok_chars,
+       |        len(list_filter(tk, t -> list_contains($en, t)))::BIGINT AS stop_hits
+       |      FROM tok),
+       |r AS (SELECT doc_id, n_tokens,
+       |        CASE WHEN n_tokens = 0 THEN 0.0 ELSE tok_chars / n_tokens::DOUBLE END AS mean_token_len,
+       |        CASE WHEN char_len = 0 THEN 0.0 ELSE (char_len - alnum_len) / char_len END AS punct_ratio,
+       |        CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop_hits::DOUBLE / n_tokens::DOUBLE END AS stopword_ratio
+       |      FROM m)
+       |SELECT doc_id, n_tokens,
+       |       round(mean_token_len, 6) AS mean_token_len,
+       |       round(punct_ratio, 6) AS punct_ratio,
+       |       round(stopword_ratio, 6) AS stopword_ratio,
+       |       round(0.4 * least(1.0, n_tokens::DOUBLE / 50.0)
+       |           + 0.3 * (1.0 - punct_ratio)
+       |           + 0.3 * least(1.0, stopword_ratio * 5.0), 6) AS quality_score
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprint: rolling polynomial hash of the normalized
+    * (cleaned, single-spaced) text — the exact-dedup key at scale. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val norm = array_join(tokens(cleanEntity(col("text"))), " ")
+    d.select(col("doc_id"), polyHash(norm).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  def fingerprintOracle: String = {
+    val norm = s"array_to_string(${OracleSql.tokens(OracleSql.clean("text"))}, ' ')"
+    s"""WITH n AS (SELECT doc_id, $norm AS nt FROM documents)
+       |SELECT doc_id, ${OracleSql.polyHash("nt")} AS fingerprint
+       |FROM n ORDER BY doc_id""".stripMargin
+  }
+}
