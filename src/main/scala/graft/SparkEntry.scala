@@ -37,7 +37,14 @@ object SparkEntry {
     "geo_knn" -> ((s, d) => RadiusSearch.knn(s, d, probeId = 7L, k = 15)),
     "geo_pair_distance" -> ((s, d) => RadiusSearch.pairDistances(s, d, maxId = 40L)),
     "fuzzy_search" -> ((s, d) => FuzzySearch.fuzzySearch(s, d, "smal widget", 20)),
+    "fuzzy_best" -> ((s, d) => FuzzySearch.bestFuzzySearch(s, d, "small widget")),
     "dl_topk" -> ((s, d) => dlTopK(s, d)),
+    // --- shape record projections (SURVEY §2.2) ---
+    "shape_display" -> ((s, d) => ShapeOps.displays(s, d)),
+    "shape_quote_location" -> ((s, d) => ShapeOps.quoteLocations(s, d)),
+    "shape_localtime" -> ((s, d) => ShapeOps.localTimes(s, d)),
+    "shape_batch_lookup" -> ((s, d) => ShapeOps.batchLookup(s, d)),
+    "shape_filters" -> ((s, d) => ShapeOps.filteredShapes(s, d)),
     // --- dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d, 0.55)),
@@ -93,7 +100,13 @@ object SparkEntry {
     "geo_knn" -> RadiusSearch.knnOracle(7L, 15),
     "geo_pair_distance" -> RadiusSearch.pairDistancesOracle(40L),
     "fuzzy_search" -> FuzzySearch.fuzzySearchOracle("smal widget", 20),
+    "fuzzy_best" -> FuzzySearch.bestFuzzySearchOracle("small widget"),
     "dl_topk" -> dlTopKOracle,
+    "shape_display" -> ShapeOps.displaysOracle,
+    "shape_quote_location" -> ShapeOps.quoteLocationsOracle,
+    "shape_localtime" -> ShapeOps.localTimesOracle,
+    "shape_batch_lookup" -> ShapeOps.batchLookupOracle,
+    "shape_filters" -> ShapeOps.filteredShapesOracle,
     "dedup_exact" -> Dedup.exactDedupOracle,
     "dedup_jaccard" -> Dedup.jaccardPairsOracle(0.55),
     "dedup_minhash" -> Dedup.minhashPairsOracle,

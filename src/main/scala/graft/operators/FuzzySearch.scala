@@ -96,6 +96,17 @@ object FuzzySearch {
       .limit(numResults)
   }
 
+  /** best_fuzzy_search (geo_manager.py:503-523): the top-1 result gated by
+    * `score >= threshold` (default .90, geo_manager.py:506) — empty result
+    * when nothing clears the bar. Same plan as fuzzySearch with k=1; the
+    * gate is a post-limit filter (the reference checks only the best row). */
+  def bestFuzzySearch(spark: SparkSession, dir: String, query: String,
+                      threshold: Double = 0.90): DataFrame =
+    fuzzySearch(spark, dir, query, 1).filter(col("score") >= threshold)
+
+  def bestFuzzySearchOracle(query: String, threshold: Double = 0.90): String =
+    s"""SELECT * FROM (${fuzzySearchOracle(query, 1)}) WHERE score >= $threshold"""
+
   // ---------------------------------------------------------------- oracle
 
   private def sqlList(xs: Seq[String]): String =

@@ -15,12 +15,23 @@ import org.apache.spark.sql.functions._
   * (bbox-matched in radius search, geo_manager.py:184-188), `area`
   * (distance normalization, geo_manager.py:397-413), bbox corners,
   * `country` (country_exact filter, geo_manager.py:269-271), `geo_type`
-  * (display/quote-location branches, geo_manager.py:97-149).
+  * (display/quote-location branches, geo_manager.py:97-149),
+  * `reference_code` (hierarchical natural key `<country>__<state>__<name>`,
+  * README.md:71-72), `long_display`/`short_display` (geo_manager.py:137-149),
+  * `state_prov`/`city`/`zip_code` (the `ref_data` struct, README.md:91-94),
+  * `metro_size` (metro quote-location, geo_manager.py:102-108),
+  * `primary_timezone` (nullable IANA tz, geo_manager.py:151-158),
+  * `related_shape_id` (nullable link, README.md:104).
   *
   * All derivations are integer-mod arithmetic + one exact double divide,
   * so Spark and DuckDB produce bit-identical values.
   */
 object GeoShapes {
+
+  /** IANA zones for `primary_timezone`; index id%5, 4 → NULL (the reference
+    * treats a missing tz as naive local time, geo_manager.py:156-158). */
+  val Timezones: Seq[String] = Seq("America/Chicago", "America/New_York",
+    "America/Denver", "America/Los_Angeles")
 
   /** Shape table as a DataFrame. Pure projection over the customer scan —
     * Catalyst prunes/pushes through it. */
@@ -41,11 +52,28 @@ object GeoShapes {
       when(col("c_custkey") % 4L === 0L, "City")
         .when(col("c_custkey") % 4L === 1L, "ZipCode")
         .when(col("c_custkey") % 4L === 2L, "County")
-        .otherwise("MetroArea").as("geo_type"))
+        .otherwise("MetroArea").as("geo_type"),
+      concat(lit("ST"), (col("c_nationkey") % 25L).cast("string")).as("state_prov"),
+      lpad((lit(10000L) + col("c_custkey") % 90000L).cast("string"), 5, "0").as("zip_code"))
       .withColumn("ll_latitude", col("latitude") - 0.5)
       .withColumn("ur_latitude", col("latitude") + 0.5)
       .withColumn("ll_longitude", col("longitude") - 0.5)
       .withColumn("ur_longitude", col("longitude") + 0.5)
+      .withColumn("reference_code",
+        concat(lower(col("country")), lit("__"), lower(col("state_prov")),
+          lit("__"), regexp_replace(col("clean_value"), " ", "_")))
+      .withColumn("short_display", col("value"))
+      .withColumn("long_display",
+        concat(col("value"), lit(", "), col("state_prov"), lit(", "), col("country")))
+      .withColumn("metro_size", when(col("geo_type") === "MetroArea",
+        (col("id") % 100L) + 1L))
+      .withColumn("primary_timezone",
+        when(col("id") % 5L === 0L, Timezones(0))
+          .when(col("id") % 5L === 1L, Timezones(1))
+          .when(col("id") % 5L === 2L, Timezones(2))
+          .when(col("id") % 5L === 3L, Timezones(3)))  // % 5 == 4 → NULL
+      .withColumn("related_shape_id",
+        when(col("id") % 7L =!= 0L, col("id") - col("id") % 7L))  // 1-edge link; NULL every 7th
   }
 
   /** The same derivation as a DuckDB CTE body (oracle side). */
@@ -60,9 +88,21 @@ object GeoShapes {
       |       (c_custkey % 500) + 1.0 AS area,
       |       CASE (c_nationkey % 3) WHEN 0 THEN 'US' WHEN 1 THEN 'CA' ELSE 'MX' END AS country,
       |       CASE (c_custkey % 4) WHEN 0 THEN 'City' WHEN 1 THEN 'ZipCode' WHEN 2 THEN 'County' ELSE 'MetroArea' END AS geo_type,
+      |       'ST' || (c_nationkey % 25)::VARCHAR AS state_prov,
+      |       lpad((10000 + c_custkey % 90000)::VARCHAR, 5, '0') AS zip_code,
       |       (c_custkey * 7919 % 17000) / 100.0 - 85.0 - 0.5 AS ll_latitude,
       |       (c_custkey * 7919 % 17000) / 100.0 - 85.0 + 0.5 AS ur_latitude,
       |       (c_custkey * 104729 % 36000) / 100.0 - 180.0 - 0.5 AS ll_longitude,
-      |       (c_custkey * 104729 % 36000) / 100.0 - 180.0 + 0.5 AS ur_longitude
+      |       (c_custkey * 104729 % 36000) / 100.0 - 180.0 + 0.5 AS ur_longitude,
+      |       lower(CASE (c_nationkey % 3) WHEN 0 THEN 'US' WHEN 1 THEN 'CA' ELSE 'MX' END) ||
+      |         '__' || lower('ST' || (c_nationkey % 25)::VARCHAR) ||
+      |         '__' || replace(lower(regexp_replace(c_name, '[^0-9a-zA-Z ]+', '', 'g')), ' ', '_') AS reference_code,
+      |       c_name AS short_display,
+      |       c_name || ', ' || 'ST' || (c_nationkey % 25)::VARCHAR || ', ' ||
+      |         CASE (c_nationkey % 3) WHEN 0 THEN 'US' WHEN 1 THEN 'CA' ELSE 'MX' END AS long_display,
+      |       CASE WHEN c_custkey % 4 = 3 THEN (c_custkey % 100) + 1 END AS metro_size,
+      |       CASE (c_custkey % 5) WHEN 0 THEN 'America/Chicago' WHEN 1 THEN 'America/New_York'
+      |            WHEN 2 THEN 'America/Denver' WHEN 3 THEN 'America/Los_Angeles' END AS primary_timezone,
+      |       CASE WHEN c_custkey % 7 <> 0 THEN c_custkey // 7 * 7 END AS related_shape_id
       |FROM customer""".stripMargin
 }
