@@ -49,14 +49,19 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d, 0.55)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d, 0.40)),
     "text_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     // --- similarity search ---
     "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, probeId = 0L, k = 10)),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(s, d, planes = 8)),
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, probeId = 7L, k = 10)),
     // --- text analysis ---
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // --- multimodal binary columns ---
+    "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
     // --- time windows / as-of / semi-structured ---
     "ev_tumbling" -> ((s, d) => EventOps.tumbling(s, d)),
     "ev_sliding" -> ((s, d) => EventOps.sliding(s, d)),
@@ -110,12 +115,16 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exactDedupOracle,
     "dedup_jaccard" -> Dedup.jaccardPairsOracle(0.55),
     "dedup_minhash" -> Dedup.minhashPairsOracle,
+    "dedup_embedding" -> Dedup.embeddingNearDupsOracle(0.40),
     "text_simhash" -> Dedup.simhashOracle,
     "ann_cosine_topk" -> Similarity.cosineTopKOracle(0L, 10),
     "ann_lsh_buckets" -> Similarity.lshBucketsOracle(8),
+    "ann_ivf_topk" -> Similarity.ivfTopKOracle(7L, 10),
     "text_langid" -> TextAnalysis.languageIdOracle,
     "text_quality" -> TextAnalysis.qualityScoreOracle,
+    "text_tokens" -> TextAnalysis.tokenCountsOracle,
     "text_fingerprint" -> TextAnalysis.fingerprintOracle,
+    "mm_decode_stats" -> Multimodal.decodeStatsOracle,
     "ev_tumbling" -> EventOps.tumblingOracle,
     "ev_sliding" -> EventOps.slidingOracle,
     "ev_session" -> EventOps.sessionsOracle,

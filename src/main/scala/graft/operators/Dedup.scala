@@ -193,6 +193,39 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ----------------------------------------------- embedding-cosine near-dup
+
+  val EmbDupPlanes = 8
+
+  /** Embedding-cosine near-dup pairs: candidates share an 8-plane LSH
+    * bucket (equi-join — linear, not O(n²)), exact cosine verifies.
+    * The oracle replicates the bucket step because the pruning is
+    * observable semantics here (cross-bucket pairs are by-design missed;
+    * recall is tuned with bands/planes at scale). */
+  def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.lshSignature(col("embedding"), EmbDupPlanes).as("bucket"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim", round(Similarity.cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def embeddingNearDupsOracle(threshold: Double): String =
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |                  ${Similarity.lshSignatureSql("embedding", EmbDupPlanes)} AS bucket
+       |           FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+       |             round(${Similarity.cosineSql("a.embedding", "x.embedding")}, 4) AS cosine_sim
+       |      FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
+       |SELECT id_a, id_b, cosine_sim FROM p
+       |WHERE cosine_sim >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   // -------------------------------------------------------------- SimHash
 
   val SimHashBits = 24

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus a decode/feature-extract stage.
+  *
+  * The media table is derived deterministically from `documents` (payload =
+  * UTF-8 bytes of the text — the container has no media codecs, so bytes
+  * stand in for encoded frames; all driver text is pure ASCII, so the
+  * byte↔char correspondence keeps the DuckDB oracle exact).
+  *
+  * Two execution paths:
+  *  - `decodeStats` — expression-only feature extraction over the binary
+  *    column (byte length, header bytes, md5 checksum): stays inside
+  *    whole-stage codegen, fully oracle-checked;
+  *  - `decodeFeatures` — the real decode plumbing: a typed
+  *    `Dataset[MediaRecord].mapPartitions` with a pluggable `MediaDecoder`
+  *    (per-partition init → streamed batch decode — the JVM shape of
+  *    `mapInPandas`). The bundled decoder is a clearly-marked deterministic
+  *    FAKE (no codec libs in the container); swap `FakeDecoder` for a real
+  *    JNI/FFI decoder at deploy time without touching the plan.
+  */
+object Multimodal {
+
+  /** One media object: opaque encoded payload + typed metadata. */
+  case class MediaRecord(
+      media_id: Long,
+      media_type: String,       // image | audio | video
+      payload: Array[Byte],     // opaque encoded bytes
+      width: Option[Int],       // image/video
+      height: Option[Int],      // image/video
+      sample_rate: Option[Int], // audio
+      n_frames: Option[Int])    // video
+
+  /** Decoded features — what a real decoder would emit per object. */
+  case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      byte_len: Long,
+      mean_byte: Double,        // "loudness"/brightness proxy
+      frame_checksums: Seq[Long]) // per-sampled-frame rolling hashes
+
+  /** Decoder contract: created once per partition (expensive native init
+    * happens here, NOT per record), then streamed over the iterator. */
+  trait MediaDecoder extends Serializable {
+    def decode(r: MediaRecord): MediaFeatures
+  }
+
+  /** Deterministic fake decoder — stands in for the codec libraries this
+    * container lacks. Real byte math over the payload (so the plumbing is
+    * genuinely exercised), no external deps. */
+  object FakeDecoder extends MediaDecoder {
+    val FrameSize = 16
+    def decode(r: MediaRecord): MediaFeatures = {
+      val bytes = r.payload
+      val mean =
+        if (bytes.isEmpty) 0.0
+        else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
+      val checksums = bytes.grouped(FrameSize).take(4).map { frame =>
+        frame.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+      }.toSeq
+      MediaFeatures(r.media_id, r.media_type, bytes.length.toLong, mean, checksums)
+    }
+  }
+
+  /** Media table: documents dressed as media objects. Metadata is
+    * mod-arithmetic over doc_id (deterministic, oracle-replicable). */
+  def media(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3L).cast("int") + 1).as("media_type"),
+        col("text").cast("binary").as("payload"),
+        when(col("doc_id") % 3L =!= 1L, (col("doc_id") % 1920L + 1L).cast("int")).as("width"),
+        when(col("doc_id") % 3L =!= 1L, (col("doc_id") % 1080L + 1L).cast("int")).as("height"),
+        when(col("doc_id") % 3L === 1L,
+          element_at(typedLit(Seq(16000, 44100, 48000)), (col("doc_id") % 3L).cast("int") + 1)).as("sample_rate"),
+        when(col("doc_id") % 3L === 2L, (col("doc_id") % 300L + 1L).cast("int")).as("n_frames"))
+      .as[MediaRecord]
+  }
+
+  /** Expression-only decode stats over the binary payload — codegen'd,
+    * no shuffle, oracle-checked. */
+  def decodeStats(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir).toDF()
+      .select(col("media_id"), col("media_type"),
+        col("width"), col("height"), col("sample_rate"), col("n_frames"),
+        octet_length(col("payload")).cast("long").as("byte_len"),
+        hex(substring(col("payload"), 1, 8)).as("header_hex"),
+        md5(col("payload")).as("checksum"))
+      .orderBy(col("media_id"))
+
+  /** All payload bytes are ASCII text bytes, so the oracle computes the
+    * identical values from the text column. */
+  val decodeStatsOracle: String =
+    """SELECT doc_id AS media_id,
+      |       CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |       CASE WHEN doc_id % 3 <> 1 THEN (doc_id % 1920 + 1)::INT END AS width,
+      |       CASE WHEN doc_id % 3 <> 1 THEN (doc_id % 1080 + 1)::INT END AS height,
+      |       CASE WHEN doc_id % 3 = 1 THEN 44100::INT END AS sample_rate,
+      |       CASE WHEN doc_id % 3 = 2 THEN (doc_id % 300 + 1)::INT END AS n_frames,
+      |       length(text)::BIGINT AS byte_len,
+      |       upper(hex(encode(substring(text, 1, 8)))) AS header_hex,
+      |       md5(text) AS checksum
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** The typed decode pipeline: per-partition decoder init + streamed
+    * decode — the plan a real codec integration uses. Exercised by
+    * ScalaTest (the fake decoder has no SQL equivalent by design). */
+  def decodeFeatures(spark: SparkSession, dir: String,
+                     decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media(spark, dir).mapPartitions { it =>
+      // Per-partition init point: a real decoder opens its native context
+      // here once, not per record.
+      val d = decoder
+      it.map(d.decode)
+    }
+  }
+}

@@ -52,39 +52,117 @@ object Similarity {
        |LIMIT $k""".stripMargin
   }
 
-  /** Scale path: random-hyperplane LSH bucketing. Signature = sign bits of
+  /** Random-hyperplane LSH signature of an embedding column: sign bits of
     * the dot product against `planes` deterministic pseudo-random
     * hyperplanes (components derived from a hash of (plane, dim) — no RNG,
-    * reproducible across runs/engines). Vectors sharing a bucket are
-    * candidates; exact cosine re-ranks. This replaces the O(N) probe scan
-    * with an equi-join on the bucket key.
-    */
-  def lshBuckets(spark: SparkSession, dir: String, planes: Int): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    * reproducible across runs/engines). */
+  def lshSignature(emb: Column, planes: Int): Column = {
     // Pseudo-random plane component for (p, i): centered hash in [-0.5, 0.5).
     def comp(p: Int): Column => Column = i =>
       (pmod(i * 2654435761L + lit(p.toLong) * 40503L + 12345L, lit(1000L)).cast("double") / 1000.0) - 0.5
-    val sig: Column = (0 until planes).map { p =>
+    (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(col("embedding"), sequence(lit(0L), lit(63L)),
+        zip_with(emb, sequence(lit(0L), lit(63L)),
           (x, i) => x.cast("double") * comp(p)(i)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    e.select(col("vec_id"), col("label"), sig.as("bucket"))
-      .orderBy(col("vec_id"))
   }
 
-  def lshBucketsOracle(planes: Int): String = {
+  /** Scale path: LSH bucket per vector. Vectors sharing a bucket are
+    * candidates; exact cosine re-ranks. This replaces the O(N) probe scan
+    * with an equi-join on the bucket key.
+    */
+  def lshBuckets(spark: SparkSession, dir: String, planes: Int): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        lshSignature(col("embedding"), planes).as("bucket"))
+      .orderBy(col("vec_id"))
+
+  /** Oracle fragment: the LSH signature of embedding column `e`. */
+  def lshSignatureSql(e: String, planes: Int): String = {
     def comp(p: Int, i: String) =
       s"((($i * 2654435761 + ${p.toLong * 40503L + 12345L}) % 1000)::DOUBLE / 1000.0 - 0.5)"
     val terms = (0 until planes).map { p =>
-      val proj = s"""list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding) + 1),
-        | i -> embedding[i]::DOUBLE * ${comp(p, "(i - 1)")})), (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", " ")
+      val proj = s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($e) + 1),
+        | i -> $e[i]::DOUBLE * ${comp(p, "(i - 1)")})), (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", " ")
       s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString("\n       + ")
-    s"""SELECT vec_id, label,
-       |       ($terms)::BIGINT AS bucket
-       |FROM embeddings ORDER BY vec_id""".stripMargin
+    }.mkString(" + ")
+    s"($terms)::BIGINT"
   }
+
+  def lshBucketsOracle(planes: Int): String =
+    s"""SELECT vec_id, label,
+       |       ${lshSignatureSql("embedding", planes)} AS bucket
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Oracle fragment: left-to-right fold dot product (matches `dot`). */
+  def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
+       | i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", " ")
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  // ------------------------------------------------------------------- IVF
+
+  /** IVF (inverted-file) ANN — the disk-friendly scale path:
+    *  1. coarse quantizer: every `centroidMod`-th vector is a centroid
+    *     (deterministic; at scale this is a trained k-means codebook — the
+    *     plan shape is identical: a small broadcast dimension);
+    *  2. cell assignment: argmax-cosine centroid per vector, computed as a
+    *     broadcast join + partial `max(struct(cos, -cid))` aggregation
+    *     (map-side combine — one shuffled row per vector, never N×C);
+    *  3. probe: rank centroids by cosine to the probe, keep `nprobe` cells;
+    *  4. exact cosine top-k over ONLY the candidate cells' vectors.
+    * At 100 TB the assignment is computed once at ingest and bucketed by
+    * cell id, so a query touches nprobe/C of the data.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
+              centroidMod: Long = 25L, nprobe: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cent = e.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val assign = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        struct(cosine(col("embedding"), col("cemb")).as("c"),
+          (-col("cid")).as("nc")).as("sc"))
+      .groupBy(col("vec_id")).agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cell"))
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("pemb"))
+    val probeCells = cent.crossJoin(broadcast(probe))
+      .select(col("cid"), cosine(col("cemb"), col("pemb")).as("pc"))
+      .orderBy(col("pc").desc, col("cid")).limit(nprobe)
+      .select(col("cid").as("cell"))
+    val cand = assign.join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= probeId).select("vec_id")
+    e.join(cand, "vec_id").crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("pemb")), 4).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def ivfTopKOracle(probeId: Long, k: Int, centroidMod: Long = 25L,
+                    nprobe: Int = 2): String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |              WHERE vec_id % $centroidMod = 0),
+       |ac AS (SELECT e.vec_id, c.cid,
+       |              ${cosineSql("e.embedding", "c.cemb")} AS ccos
+       |       FROM embeddings e CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, cid AS cell FROM ac
+       |           QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                                      ORDER BY ccos DESC, cid) = 1),
+       |probe AS (SELECT embedding AS pemb FROM embeddings WHERE vec_id = $probeId),
+       |pc AS (SELECT c.cid, ${cosineSql("c.cemb", "p.pemb")} AS pcos
+       |       FROM cent c CROSS JOIN probe p),
+       |cells AS (SELECT cid AS cell FROM pc ORDER BY pcos DESC, cid LIMIT $nprobe),
+       |cand AS (SELECT a.vec_id FROM assign a JOIN cells USING (cell)
+       |         WHERE a.vec_id <> $probeId)
+       |SELECT e.vec_id, e.label,
+       |       round(${cosineSql("e.embedding", "p.pemb")}, 4) AS cosine_sim
+       |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN probe p
+       |ORDER BY cosine_sim DESC, e.vec_id
+       |LIMIT $k""".stripMargin
 }

@@ -116,6 +116,40 @@ object TextAnalysis {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** GPT-2-style pre-tokenizer regex, simplified to the RE2 ∩ Java-regex
+    * common subset: letter runs, digit runs, single non-alnum-non-space. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Token counting: whitespace tokens vs BPE-ish pre-tokenizer pieces,
+    * plus chars-per-piece (the compression-ratio proxy used to estimate
+    * LLM token cost per document). Narrow map-only projection. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val lowered = lower(col("text"))
+    val pieces = regexp_extract_all(lowered, lit(BpePattern), lit(0))
+    val nWs = size(tokens(lowered)).cast("long")
+    val nPieces = size(pieces).cast("long")
+    val pieceChars = aggregate(pieces, lit(0L), (acc, p) => acc + length(p))
+    d.select(col("doc_id"), nWs.as("n_ws_tokens"), nPieces.as("n_bpe_pieces"),
+        when(nPieces === 0, 0.0)
+          .otherwise(round(pieceChars.cast("double") / nPieces.cast("double"), 6))
+          .as("chars_per_piece"))
+      .orderBy(col("doc_id"))
+  }
+
+  def tokenCountsOracle: String = {
+    val toks = OracleSql.tokens("lower(text)")
+    s"""WITH p AS (SELECT doc_id,
+       |             len($toks)::BIGINT AS n_ws_tokens,
+       |             regexp_extract_all(lower(text), '$BpePattern') AS pieces
+       |           FROM documents)
+       |SELECT doc_id, n_ws_tokens, len(pieces)::BIGINT AS n_bpe_pieces,
+       |       CASE WHEN len(pieces) = 0 THEN 0.0
+       |            ELSE round(coalesce(list_sum(list_transform(pieces, x -> length(x)::BIGINT)), 0)::DOUBLE
+       |                       / len(pieces)::DOUBLE, 6) END AS chars_per_piece
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   /** Document fingerprint: rolling polynomial hash of the normalized
     * (cleaned, single-spaced) text — the exact-dedup key at scale. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
