@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming face of the engine (SURVEY.md §2.10). The reference is
+  * request/response-only; the driver's north star adds stream-shaped data
+  * (`events` with `ts`), so the window operators are written once as
+  * DataFrame→DataFrame transforms and run under BOTH `spark.read` (batch,
+  * oracle-checked via graft.operators.EventOps) and `spark.readStream`
+  * (incremental, watermark-bounded state) — the same Catalyst plan modulo
+  * the StateStore exchange.
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour counts per event type with a 2-hour watermark: late
+    * rows beyond the watermark are dropped, on-time aggregation state is
+    * bounded. Works on batch and streaming inputs alike (on batch the
+    * watermark is a no-op, per Spark semantics). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding 1h/30m averages with watermark — same shape, 2 windows/row. */
+  def slidingAvg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("avg_value"))
+
+  // ------------------------------------------------ custom sessionization
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Long, n_events: Int,
+                        sum_value: Double)
+
+  val SessionGapMs: Long = 10 * 60 * 1000L
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * engine's `mapGroupsWithState` surface. Semantics match
+    * `session_window` with a 10-minute gap (boundary-touching rows merge):
+    * a session closes when event time passes lastTs + gap (emitted on the
+    * next batch for that key) or the group's event-time timeout fires.
+    *
+    * State per key is ONE open session (constant memory per user at any
+    * scale); the watermark bounds how long idle state lives.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start / 1000, s.n, s.sum))
+          } else {
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t <= s.lastTs + SessionGapMs =>
+                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1,
+                    sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start / 1000, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + SessionGapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Force-close all open sessions (batch-mode tail flush for tests /
+    * end-of-stream): run sessionize then append whatever state would
+    * eventually time out. Batch runs of flatMapGroupsWithState never time
+    * out, so tests compare sessionize-output + this tail to the batch
+    * session_window result. */
+  def sessionizeBatch(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    // In batch mode every group sees ALL its rows in one call, so open
+    // sessions are exactly the last session per user — emit them directly
+    // by re-running the same fold and keeping the tail.
+    events.groupByKey(_.user_id).flatMapGroups { (userId, rows) =>
+      var cur: Option[SessionState] = None
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t <= s.lastTs + SessionGapMs =>
+            cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1,
+              sum = s.sum + e.value))
+          case Some(s) =>
+            out += SessionOut(userId, s.start / 1000, s.n, s.sum)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach(s => out += SessionOut(userId, s.start / 1000, s.n, s.sum))
+      out.iterator
+    }
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.NgramIndex
+import graft.sources.GeoIngest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** JSON→Parquet ingest (load-time coercions, lat-band layout) and
+  * incremental n-gram index maintenance. */
+class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .appName("ingest-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** The canonical Nashville record from the reference README (:81-106),
+    * with the dump's string-typed lat/lng/bbox. */
+  private val nashvilleJson =
+    """{"value": "Nashville, TN", "clean_value": "nashville tn", "id": 89,
+      |"area": 1362.6, "bbox": {"ll_latitude": "35.9677", "ur_latitude": "36.4054",
+      |"ll_longitude": "-87.0547", "ur_longitude": "-86.5155"},
+      |"geo_type": "City", "latitude": "36.1622", "longitude": "-86.7744",
+      |"ref_data": {"city": "Nashville", "country": "US", "zip_code": null,
+      |"state_prov": "TN", "metro": null, "metro_size": null},
+      |"population": 1313939, "is_zip_code": false, "is_aggregate": false,
+      |"long_display": "Nashville, TN, US", "short_display": "Nashville, TN",
+      |"primary_source": null, "primary_source_id": null,
+      |"reference_code": "us__tn__nashville", "primary_timezone": "America/Chicago",
+      |"related_shape_id": 31408, "is_three_digit_zip_code": false}""".stripMargin.replaceAll("\n", " ")
+
+  private val badCoordJson =
+    """{"value": "Broken", "clean_value": "broken", "id": 90,
+      |"latitude": "not-a-number", "longitude": null,
+      |"bbox": {"ll_latitude": "1.0", "ur_latitude": "x", "ll_longitude": null, "ur_longitude": "4.5"},
+      |"geo_type": "City", "population": 0, "is_aggregate": false}""".stripMargin.replaceAll("\n", " ")
+
+  test("JSON ingest applies the one-time type coercions, null-safely") {
+    val dir = Files.createTempDirectory("geo_ingest").toFile
+    val f = new java.io.File(dir, "shapes.json")
+    Files.write(f.toPath, s"$nashvilleJson\n$badCoordJson\n".getBytes)
+
+    val df = GeoIngest.readJson(spark, f.getAbsolutePath)
+    assert(df.schema("latitude").dataType == DoubleType)
+    assert(df.schema("bbox").dataType.asInstanceOf[StructType]("ll_latitude").dataType == DoubleType)
+
+    val nash = df.filter(col("id") === 89).collect().head
+    assert(nash.getAs[Double]("latitude") == 36.1622)
+    assert(nash.getAs[org.apache.spark.sql.Row]("bbox").getAs[Double]("ur_longitude") == -86.5155)
+    assert(nash.getAs[org.apache.spark.sql.Row]("ref_data").getAs[String]("state_prov") == "TN")
+    assert(nash.getAs[String]("primary_timezone") == "America/Chicago")
+
+    // Malformed numeric strings cast to NULL, not an exception — the
+    // reference's defensive (x or {}).get tolerance (SURVEY §1.2).
+    val bad = df.filter(col("id") === 90).collect().head
+    assert(bad.isNullAt(bad.fieldIndex("latitude")))
+    assert(bad.getAs[org.apache.spark.sql.Row]("bbox").isNullAt(1)) // ur_latitude "x"
+    assert(bad.getAs[org.apache.spark.sql.Row]("bbox").getAs[Double]("ur_longitude") == 4.5)
+  }
+
+  test("materialize writes lat-band-partitioned parquet that round-trips") {
+    val dir = Files.createTempDirectory("geo_mat").toFile
+    val jf = new java.io.File(dir, "shapes.json")
+    Files.write(jf.toPath, s"$nashvilleJson\n".getBytes)
+    val out = new java.io.File(dir, "canonical").getAbsolutePath
+
+    GeoIngest.materialize(GeoIngest.readJson(spark, jf.getAbsolutePath), out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1)
+    // 36.16° N → band floor((36.1622+90)/5.625) = 22 of 32
+    assert(back.select(col("lat_band")).collect().head
+      .getAs[Number](0).longValue == 22L)  // partition col reads back as int
+    // Partition-pruned read path: filtering on the band touches one dir.
+    assert(back.filter(col("lat_band") === 22L).count() == 1)
+  }
+
+  test("incremental add_entity equals full rebuild (postings are a derivation)") {
+    import spark.implicits._
+    val base = Seq((1L, "nashville"), (2L, "nash county")).toDF("id", "clean_value")
+    val extra = Seq((3L, "nashua")).toDF("id", "clean_value")
+
+    val incremental = NgramIndex.addEntities(NgramIndex.postingPairs(base), extra)
+    val full = NgramIndex.postingPairs(base.unionByName(extra))
+    assert(incremental.except(full).count() == 0 && full.except(incremental).count() == 0)
+
+    // Grouped shape: posting list of a shared trigram accumulates ids.
+    val grouped = NgramIndex.postings(base.unionByName(extra)).filter(col("ngram") === "nas")
+      .collect().head.getAs[scala.collection.Seq[Long]]("ids")
+    assert(grouped == Seq(1L, 2L, 3L))
+  }
+}

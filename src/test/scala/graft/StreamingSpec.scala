@@ -1,0 +1,131 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Event, SessionOut}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.sql.Timestamp
+
+/** Structured Streaming surface: the same transforms that pass the batch
+  * oracle run incrementally over a MemoryStream with watermarks and
+  * custom flatMapGroupsWithState sessionization. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .appName("streaming-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Minutes offset from 1970-01-02 — NOT epoch 0: the initial streaming
+    * watermark is 0, and stateful ops drop rows with ts <= watermark, so an
+    * epoch-0 event would silently vanish. */
+  private val Base = 24L * 3600 * 1000
+  private def ts(minute: Int): Timestamp = new Timestamp(Base + minute * 60000L)
+
+  test("streaming tumbling counts match the batch run of the same transform") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("click", ts(5), 1.0), ("click", ts(20), 2.0), ("view", ts(40), 3.0),
+      ("click", ts(65), 4.0), ("view", ts(70), 5.0), ("click", ts(200), 6.0))
+    val stream = MemoryStream[(String, Timestamp, Double)]
+    stream.addData(rows: _*)
+    val sdf = stream.toDF().toDF("event_type", "ts", "value")
+    val q = StreamOps.tumblingCounts(sdf)
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("tumbling_out")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = StreamOps.tumblingCounts(rows.toDF("event_type", "ts", "value"))
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == batch.toSeq)
+    // hour 0: click(n=2)+view, hour 1: click+view, hour 3: click → 5 rows
+    assert(got.length == 5)
+    assert(got.map(_._3).sum == rows.length)
+  }
+
+  test("watermark drops rows later than the threshold in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Timestamp, Double)]
+    val sdf = stream.toDF().toDF("event_type", "ts", "value")
+    val q = StreamOps.tumblingCounts(sdf)
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(("click", ts(30), 1.0))
+      q.processAllAvailable()
+      // Advance watermark far past hour 0: max event time 10h → wm 8h.
+      stream.addData(("click", ts(600), 1.0))
+      q.processAllAvailable()
+      // This row is 9+ hours late — behind the watermark; state for its
+      // window was already finalized and emitted.
+      stream.addData(("late", ts(10), 99.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("wm_out").collect()
+    // Hour-0 window was emitted once (1 row, the on-time click) and the
+    // late row never re-opened it.
+    val hour0 = out.filter(_.getTimestamp(0).getTime == Base)
+    assert(hour0.length == 1)
+    assert(hour0.head.getLong(2) == 1L)
+  }
+
+  test("flatMapGroupsWithState sessionization matches session_window semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // User 1: events at 0, 5, 12 min (gap 10m: 5→12 is 7m, chains) then 40
+    // (breaks). User 2: single event. Boundary case user 3: 0 and exactly
+    // +10m — touching sessions merge.
+    val evs = Seq(
+      Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0), Event(1L, ts(12), 3.0),
+      Event(1L, ts(40), 4.0),
+      Event(2L, ts(7), 5.0),
+      Event(3L, ts(0), 6.0), Event(3L, ts(10), 7.0))
+
+    // Batch reference via the same fold + session_window cross-check.
+    val batchOut = StreamOps.sessionizeBatch(evs.toDS()).collect()
+      .sortBy(s => (s.user_id, s.session_start)).toSeq
+    val sw = evs.toDF("user_id", "ts", "value")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).cast("int").as("n"), sum("value").as("s"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("start"),
+        col("n"), col("s"))
+      .collect().map(r => SessionOut(r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(s => (s.user_id, s.session_start)).toSeq
+    assert(batchOut == sw)
+
+    // Streaming: two micro-batches; a far-future event advances the
+    // watermark so every session times out and flushes.
+    val stream = MemoryStream[Event]
+    val q = StreamOps.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(evs.take(4): _*)
+      q.processAllAvailable()
+      stream.addData(evs.drop(4): _*)
+      q.processAllAvailable()
+      stream.addData(Event(99L, ts(24 * 60), 0.0)) // watermark pusher
+      q.processAllAvailable()
+      stream.addData(Event(99L, ts(48 * 60), 0.0)) // flush the pusher's own session
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamOut = spark.table("sess_out").as[SessionOut].collect()
+      .filter(_.user_id != 99L)
+      .sortBy(s => (s.user_id, s.session_start)).toSeq
+    assert(streamOut == batchOut)
+  }
+}
