@@ -32,14 +32,22 @@ object TextFunctions {
   def cleanEntity(c: Column): Column =
     lower(regexp_replace(c, "[^0-9a-zA-Z ]+", ""))
 
-  /** fuzzy.py:5-6 — character n-grams; `len < n` → empty array. */
-  def charNgrams(c: Column, n: Int): Column =
+  /** fuzzy.py:5-6 — character n-grams; `len < n` → empty array.
+    * Native codegen'd expression (CharNgramsExpr); the composed HOF forms
+    * below are the spec-parity reference. */
+  def charNgrams(c: Column, n: Int): Column = CharNgramsExpr.charNgramsF(c, n)
+
+  /** Distinct character n-grams (the reference scores on q-gram SETS —
+    * `set(ngrams(...))` at fuzzy.py:10-11), first-occurrence order. */
+  def charNgramSet(c: Column, n: Int): Column = CharNgramsExpr.charNgramSetF(c, n)
+
+  /** Composed-HOF reference implementations (interpreted; spec-only). */
+  def charNgramsComposed(c: Column, n: Int): Column =
     when(length(c) < n, array().cast(ArrayType(StringType)))
       .otherwise(transform(sequence(lit(0), length(c) - n), i => c.substr(i + 1, lit(n))))
 
-  /** Distinct character n-grams (the reference scores on q-gram SETS —
-    * `set(ngrams(...))` at fuzzy.py:10-11). */
-  def charNgramSet(c: Column, n: Int): Column = array_distinct(charNgrams(c, n))
+  def charNgramSetComposed(c: Column, n: Int): Column =
+    array_distinct(charNgramsComposed(c, n))
 
   /** fuzzy.py:9-31 — Tversky index over two DISTINCT n-gram arrays.
     * `|A∩B| / (|A∩B| + a·|A\B| + b·|B\A|)`; empty side → 0; 0/0 → 0.

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Vector math over `Array[Float]` embedding columns as native Catalyst
+  * expressions with whole-stage codegen (static kernels, no boxing).
+  *
+  * The composed built-in forms (`aggregate(zip_with(...))` folds) are
+  * semantically identical but evaluate interpreted — one closure call and
+  * ArrayData allocation per element — which made every embedding operator
+  * (cosine top-k, IVF, LSH bucketing, near-dup join) fold-bound. Kernels
+  * fold left-to-right in the same order as both the composed form and the
+  * DuckDB oracle's `list_reduce`, so results are bit-identical.
+  */
+object VectorFunctions {
+
+  /** Σ a_i·b_i with each float widened to double before the multiply —
+    * exactly `aggregate(zip_with(a, b, x*y), 0.0, +)` / the oracle's
+    * list_reduce. */
+  def dotKernel(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** cosine = dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) — the exact
+    * operation order of Similarity.cosine / the oracle. */
+  def cosineKernel(a: ArrayData, b: ArrayData): Double =
+    dotKernel(a, b) / (math.sqrt(dotKernel(a, a)) * math.sqrt(dotKernel(b, b)))
+
+  /** Random-hyperplane LSH signature: bit p set iff
+    * Σ_i x_i · comp(p, i) >= 0, comp(p, i) = centered hash in [-0.5, 0.5)
+    * — exactly Similarity.lshSignature / lshSignatureSql. */
+  def lshKernel(emb: ArrayData, planes: Int): Long = {
+    val n = emb.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val comp = ((i * 2654435761L + p.toLong * 40503L + 12345L) % 1000L).toDouble / 1000.0 - 0.5
+        proj += emb.getFloat(i).toDouble * comp
+        i += 1
+      }
+      if (proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  def dotF(a: Column, b: Column): Column =
+    GraftShim.column(DotProductExpr(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def cosineF(a: Column, b: Column): Column =
+    GraftShim.column(CosineSimExpr(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def lshSignatureF(emb: Column, planes: Int): Column =
+    GraftShim.column(LshSignatureExpr(GraftShim.expression(emb), planes))
+}
+
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vector_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorFunctions.dotKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorFunctions.dotKernel($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorFunctions.cosineKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorFunctions.cosineKernel($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class LshSignatureExpr(child: Expression, planes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lsh_signature"
+  override protected def nullSafeEval(e: Any): Any =
+    VectorFunctions.lshKernel(e.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, e =>
+      s"graft.functions.VectorFunctions.lshKernel($e, $planes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -60,19 +60,22 @@ object Dedup {
       .groupBy(col("clean_value")).agg(min(col("id")).as("id"))
       .select(col("id"), charNgramSet(col("clean_value"), 3).as("grams"))
       .filter(size(col("grams")) > 0)
-    // Global trigram document frequency.
+    // Global trigram document frequency — bounded by the trigram alphabet
+    // (≤ 37³ distinct keys at ANY corpus size) → always broadcastable.
     val df = c.select(col("id"), explode(col("grams")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
     // Re-sort each record's grams by (df, gram); take the prefix.
     val withDf = c.select(col("id"), explode(col("grams")).as("g"))
-      .join(df, "g")
+      .join(broadcast(df), "g")
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
       .withColumn("setsize", count(lit(1)).over(Window.partitionBy(col("id"))))
       .withColumn("prefix_len",
         col("setsize") - ceil(lit(threshold) * col("setsize")) + 1)
+    // One shuffle on the prefix trigram; both self-join sides reuse it.
     val prefixes = withDf.filter(col("rank") <= col("prefix_len"))
       .select(col("id"), col("g"))
+      .repartition(col("g"))
     // Candidate pairs share a prefix trigram.
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
@@ -120,8 +123,20 @@ object Dedup {
   def permA(i: Int): Long = 1L + 7919L * (i + 1)
   def permB(i: Int): Long = (104729L * (i + 1)) % HashMod
 
-  /** MinHash signatures over word-3-shingles of documents.text. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  /** MinHash signatures over word-3-shingles of documents.text — ONE
+    * custom-expression eval per row (tight JVM loops; see
+    * graft.functions.MinHashSignature for why the composed built-in HOF
+    * pipeline was ~30× slower). The composed form lives on in
+    * `minhashSignaturesComposed` as the cross-check. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.MinHashSignature.minhashSignature(
+          lower(col("text")), ShingleWords, MinHashK).as("sig"))
+
+  /** The same signature as composed built-in expressions (the original
+    * formulation; semantics pinned equal by DedupSpec). */
+  def minhashSignaturesComposed(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val toks = tokens(lower(col("text")))
     val shingleHashes = array_distinct(transform(
@@ -136,8 +151,13 @@ object Dedup {
 
   /** LSH banding: near-dup candidate pairs from shared band buckets, with
     * the estimated Jaccard = fraction of agreeing signature positions.
-    * Plan: explode 4 band hashes per doc → shuffle on (band, hash) — the
-    * classic linear-cost near-dup join; no O(n²) stage anywhere. */
+    * Plan: explode 4 band hashes per doc → ONE shuffle on (band, hash) that
+    * both self-join sides consume via ReusedExchange (without the explicit
+    * repartition, each side would recompute the full signature pipeline) —
+    * the classic linear-cost near-dup join; no O(n²) stage anywhere.
+    * est_jaccard is computed before the dedup so `distinct` runs on narrow
+    * (doc_a, doc_b, est) rows instead of dragging two 16-long signature
+    * arrays through the shuffle. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(spark, dir)
     val bands = sigs.select(col("doc_id"), col("sig"),
@@ -145,18 +165,17 @@ object Dedup {
           polyHashLongs(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))
         }: _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
-    val pairs = bands.as("a").join(bands.as("b"),
+      .repartition(col("band_idx"), col("band_hash"))
+    val est = size(filter(sequence(lit(1), lit(MinHashK)),
+      i => element_at(col("a.sig"), i) === element_at(col("b.sig"), i)))
+      .cast("double") / MinHashK.toDouble
+    bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        est.as("est_jaccard"))
       .distinct()
-    pairs.withColumn("est_jaccard",
-        size(filter(sequence(lit(1), lit(MinHashK)),
-          i => element_at(col("sig_a"), i) === element_at(col("sig_b"), i)))
-          .cast("double") / MinHashK.toDouble)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -203,9 +222,12 @@ object Dedup {
     * observable semantics here (cross-bucket pairs are by-design missed;
     * recall is tuned with bands/planes at scale). */
   def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    // One shuffle on the bucket key; both self-join sides consume the same
+    // exchange (ReusedExchange) instead of recomputing signatures twice.
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         Similarity.lshSignature(col("embedding"), EmbDupPlanes).as("bucket"))
+      .repartition(col("bucket"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

@@ -15,15 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double-cast float arrays.
-    * `aggregate` folds left-to-right — the same order the DuckDB oracle
-    * uses — so the result is bit-deterministic across both engines. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product / cosine of two float arrays, as native
+    * codegen'd expressions (graft.functions.VectorFunctions) — the fold
+    * order matches the DuckDB oracle's `list_reduce`, so the result is
+    * bit-deterministic across both engines. The composed built-in forms
+    * are kept below for the parity spec. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dotF(a, b)
+
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorFunctions.cosineF(a, b)
+
+  /** Composed-HOF reference implementations (interpreted; spec-only). */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  def cosineComposed(a: Column, b: Column): Column =
+    dotComposed(a, b) / (sqrt(dotComposed(a, a)) * sqrt(dotComposed(b, b)))
 
   /** Top-k nearest to the probe vector (vec_id = probeId) by cosine. */
   def cosineTopK(spark: SparkSession, dir: String, probeId: Long, k: Int): DataFrame = {
@@ -55,8 +62,13 @@ object Similarity {
   /** Random-hyperplane LSH signature of an embedding column: sign bits of
     * the dot product against `planes` deterministic pseudo-random
     * hyperplanes (components derived from a hash of (plane, dim) — no RNG,
-    * reproducible across runs/engines). */
-  def lshSignature(emb: Column, planes: Int): Column = {
+    * reproducible across runs/engines). Native codegen'd expression; the
+    * composed form is kept for the parity spec. */
+  def lshSignature(emb: Column, planes: Int): Column =
+    graft.functions.VectorFunctions.lshSignatureF(emb, planes)
+
+  /** Composed-HOF reference implementation (interpreted; spec-only). */
+  def lshSignatureComposed(emb: Column, planes: Int): Column = {
     // Pseudo-random plane component for (p, i): centered hash in [-0.5, 0.5).
     def comp(p: Int): Column => Column = i =>
       (pmod(i * 2654435761L + lit(p.toLong) * 40503L + 12345L, lit(1000L)).cast("double") / 1000.0) - 0.5
