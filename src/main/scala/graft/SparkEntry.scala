@@ -34,6 +34,7 @@ object SparkEntry {
     "q9_rollup" -> ((s, d) => Relational.q9Rollup(s, d)),
     // --- geo pipelines (SURVEY §2.8-2.9) ---
     "geo_radius_search" -> ((s, d) => RadiusSearch.radiusSearch(s, d, probeId = 7L, radiusMiles = 2000.0, countryExact = true)),
+    "geo_radius_latlng" -> ((s, d) => RadiusSearch.radiusLatLngSearch(s, d, 35.0, -90.0, 3000.0)),
     "geo_knn" -> ((s, d) => RadiusSearch.knn(s, d, probeId = 7L, k = 15)),
     "geo_pair_distance" -> ((s, d) => RadiusSearch.pairDistances(s, d, maxId = 40L)),
     "fuzzy_search" -> ((s, d) => FuzzySearch.fuzzySearch(s, d, "smal widget", 20)),
@@ -102,6 +103,7 @@ object SparkEntry {
     "q8_distinct_agg" -> Relational.q8Oracle,
     "q9_rollup" -> Relational.q9Oracle,
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(7L, 2000.0, countryExact = true),
+    "geo_radius_latlng" -> RadiusSearch.radiusLatLngSearchOracle(35.0, -90.0, 3000.0),
     "geo_knn" -> RadiusSearch.knnOracle(7L, 15),
     "geo_pair_distance" -> RadiusSearch.pairDistancesOracle(40L),
     "fuzzy_search" -> FuzzySearch.fuzzySearchOracle("smal widget", 20),

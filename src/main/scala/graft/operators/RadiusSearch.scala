@@ -47,6 +47,37 @@ object RadiusSearch {
       .orderBy(col("id"))
   }
 
+  /** radius_lat_lng_search (geo_manager.py:350-366): probe is a raw lat/lng
+    * point (no shape resolve), aggregates are EXCLUDED, matches use the
+    * ellipse test only. Pure narrow filter over the scan — with lat-band
+    * layout (GeoIngest.materialize) the literal deltas prune files. */
+  def radiusLatLngSearch(spark: SparkSession, dir: String, lat: Double,
+                         lng: Double, radiusMiles: Double): DataFrame = {
+    val latD = radiusMiles / EarthRadiusMiles * (180.0 / math.Pi)
+    val lngD = radiusMiles / (EarthRadiusMiles * math.cos(math.toRadians(lat))) * (180.0 / math.Pi)
+    GeoShapes.shapes(spark, dir)
+      .filter(!col("is_aggregate") &&
+        ellipseContains(lit(lat), lit(lng), col("latitude"), col("longitude"),
+          lit(latD), lit(lngD)))
+      .select(col("id"), col("reference_code"), col("latitude"), col("longitude"),
+        round(haversineMiles(lit(lat), lit(lng), col("latitude"), col("longitude")), 4)
+          .as("distance_miles"))
+      .orderBy(col("id"))
+  }
+
+  def radiusLatLngSearchOracle(lat: Double, lng: Double, radiusMiles: Double): String = {
+    val latD = s"(${radiusMiles / EarthRadiusMiles * (180.0 / math.Pi)})"
+    val lngD = s"(${radiusMiles / (EarthRadiusMiles * math.cos(math.toRadians(lat))) * (180.0 / math.Pi)})"
+    val ellipse = OracleSql.ellipseContains(s"($lat)", s"($lng)",
+      "latitude", "longitude", latD, lngD)
+    s"""WITH shapes AS (${GeoShapes.oracleCte})
+       |SELECT id, reference_code, latitude, longitude,
+       |       round(${OracleSql.haversineMiles(s"($lat)", s"($lng)", "latitude", "longitude")}, 4) AS distance_miles
+       |FROM shapes
+       |WHERE NOT is_aggregate AND $ellipse
+       |ORDER BY id""".stripMargin
+  }
+
   /** k nearest shapes to the probe by exact haversine (top-k, planned as
     * TakeOrderedAndProject — no full sort). */
   def knn(spark: SparkSession, dir: String, probeId: Long, k: Int): DataFrame = {

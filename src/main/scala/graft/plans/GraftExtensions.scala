@@ -1,0 +1,79 @@
+package graft.plans
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Engine entry point into Catalyst: registers the native expressions with
+  * the session FunctionRegistry, so SQL users get them as first-class
+  * functions (codegen'd, optimizer-visible — NOT UDFs):
+  *
+  *   spark.sql("SELECT damerau_levenshtein(a, b) FROM t")
+  *   spark.sql("SELECT cosine_similarity(e1, e2) FROM pairs")
+  *   spark.sql("SELECT minhash_signature(lower(text), 3, 16) FROM docs")
+  *
+  * Two activation paths:
+  *  - config: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *  - programmatic: `GraftExtensions.register(spark)` on a live session.
+  *
+  * No custom optimizer Rule or SparkStrategy is registered: every engine
+  * plan compiles to stock physical operators (SURVEY.md §4) — the
+  * extension surface is functions only, which is the honest minimum.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val injections: Seq[(String, ExpressionInfo, FunctionBuilder)] = Seq(
+    ("damerau_levenshtein",
+      info("damerau_levenshtein",
+        "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein edit distance."),
+      (args: Seq[Expression]) => DamerauLevenshteinExpr(args(0), args(1))),
+    ("vector_dot",
+      info("vector_dot", "vector_dot(a, b) - left-to-right fold dot product of float arrays."),
+      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
+    ("cosine_similarity",
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float arrays."),
+      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))),
+    ("lsh_signature",
+      info("lsh_signature",
+        "lsh_signature(emb, planes) - random-hyperplane sign-bit signature."),
+      (args: Seq[Expression]) =>
+        LshSignatureExpr(args(0), intLit(args(1), "planes"))),
+    ("minhash_signature",
+      info("minhash_signature",
+        "minhash_signature(text, k, num_hashes) - MinHash signature over word k-shingles."),
+      (args: Seq[Expression]) =>
+        MinHashSignature(args(0), intLit(args(1), "k"), intLit(args(2), "num_hashes"))),
+    ("char_ngrams",
+      info("char_ngrams", "char_ngrams(s, n) - sliding character n-grams (with multiplicity)."),
+      (args: Seq[Expression]) =>
+        CharNgramsExpr(args(0), intLit(args(1), "n"), distinct = false)),
+    ("char_ngram_set",
+      info("char_ngram_set", "char_ngram_set(s, n) - distinct character n-grams, first-occurrence order."),
+      (args: Seq[Expression]) =>
+        CharNgramsExpr(args(0), intLit(args(1), "n"), distinct = true)))
+
+  /** Programmatic registration on a live session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    injections.foreach { case (name, i, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), i, builder)
+    }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** SQL-registered engine functions: the FunctionRegistry path (config
+  * `spark.sql.extensions=graft.plans.GraftExtensions` uses the same
+  * injections). */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .appName("extensions-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("damerau_levenshtein is callable from SQL and counts transpositions") {
+    val r = spark.sql(
+      "SELECT damerau_levenshtein('ca', 'ac') AS d1, damerau_levenshtein('kitten', 'sitting') AS d2")
+      .collect().head
+    assert(r.getInt(0) == 1) // one transposition (plain levenshtein = 2)
+    assert(r.getInt(1) == 3)
+  }
+
+  test("vector functions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT vector_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+        |       round(cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)), 6) AS c,
+        |       lsh_signature(array(1.0F, 0.0F), 4) AS sig
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getLong(2) >= 0L && r.getLong(2) < 16L)
+  }
+
+  test("text functions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT char_ngrams('banana', 3) AS g,
+        |       char_ngram_set('banana', 3) AS gs,
+        |       minhash_signature('one two three four', 3, 16) AS sig
+        |""".stripMargin).collect().head
+    assert(r.getSeq[String](0) == Seq("ban", "ana", "nan", "ana"))
+    assert(r.getSeq[String](1) == Seq("ban", "ana", "nan"))
+    assert(r.getSeq[Long](2).length == 16)
+  }
+
+  test("non-literal plane count is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT lsh_signature(array(1.0F), length('ab'))").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}

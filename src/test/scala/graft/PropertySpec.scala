@@ -1,0 +1,112 @@
+package graft
+
+import graft.functions.{CharNgramsExpr, DamerauLevenshtein}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the scalar kernels (SURVEY §5): invariants that
+  * hold for ALL inputs, not just the oracle corpus. Pure JVM — no Spark
+  * session needed. (Raw ScalaCheck runner: the scalatestplus bridge is
+  * not in the offline dependency cache.) */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word: Gen[String] = Gen.chooseNum(0, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  private def dl(a: String, b: String): Int =
+    DamerauLevenshtein.distance(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("DL: identity, symmetry, bounds") {
+    check(Prop.forAll(word, word) { (a, b) =>
+      val d = dl(a, b)
+      dl(a, a) == 0 &&
+        d == dl(b, a) &&
+        d >= math.abs(a.length - b.length) &&
+        d <= math.max(a.length, b.length)
+    })
+  }
+
+  test("DL: triangle inequality") {
+    check(Prop.forAll(word, word, word) { (a, b, c) =>
+      dl(a, c) <= dl(a, b) + dl(b, c)
+    })
+  }
+
+  test("DL: single transposition costs 1") {
+    check(Prop.forAll(word, Gen.alphaLowerChar, Gen.alphaLowerChar) { (w, x, y) =>
+      (x == y) || {
+        val a = w + x.toString + y.toString
+        val b = w + y.toString + x.toString
+        dl(a, b) == 1
+      }
+    })
+  }
+
+  test("ngrams: count, width, and set-subset invariants") {
+    check(Prop.forAll(word, Gen.chooseNum(1, 5)) { (s, n) =>
+      val grams = CharNgramsExpr.kernel(UTF8String.fromString(s), n, distinct = false)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString)
+      val set = CharNgramsExpr.kernel(UTF8String.fromString(s), n, distinct = true)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString)
+      val expectedCount = math.max(0, s.length - n + 1)
+      grams.length == expectedCount &&
+        grams.forall(_.length == n) &&
+        set.toSet == grams.toSet &&
+        set.distinct.length == set.length
+    })
+  }
+
+  test("tversky (kernel math): range and empty-side zero") {
+    // Mirror of the expression arithmetic on plain Scala sets.
+    def tv(a: Set[String], b: Set[String], al: Double, be: Double): Double = {
+      val s = al + be
+      val (x, y) = (al / s, be / s)
+      val ia = a.intersect(b).size.toDouble
+      if (a.isEmpty || b.isEmpty) 0.0
+      else {
+        val denom = ia + x * (a.size - ia) + y * (b.size - ia)
+        if (denom == 0.0) 0.0 else ia / denom
+      }
+    }
+    check(Prop.forAll(word, word) { (a, b) =>
+      def grams(s: String) = s.sliding(3).filter(_.length == 3).toSet
+      val t = tv(grams(a), grams(b), 0.85, 0.15)
+      t >= 0.0 && t <= 1.0 && (a != b || grams(a).isEmpty || t == 1.0)
+    })
+  }
+
+  test("ellipse pre-filter contains the exact haversine disk (soundness)") {
+    // For points the reference would return (haversine <= r), the ellipse
+    // test must also pass — the pre-filter may over-approximate but must
+    // not drop true matches. Radii/latitudes away from poles/antimeridian
+    // (the reference shares these caveats, geo_manager.py:191-192).
+    val latGen = Gen.chooseNum(-60.0, 60.0)
+    val lngGen = Gen.chooseNum(-170.0, 170.0)
+    val rGen = Gen.chooseNum(1.0, 500.0)
+    val R = 3958.756
+    check(Prop.forAll(latGen, lngGen, latGen, lngGen, rGen) { (clat, clng, plat, plng, r) =>
+      def hav(lat1: Double, lng1: Double, lat2: Double, lng2: Double): Double = {
+        val dLat = math.toRadians(lat2 - lat1) / 2
+        val dLng = math.toRadians(lng2 - lng1) / 2
+        val a = math.sin(dLat) * math.sin(dLat) +
+          math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+            math.sin(dLng) * math.sin(dLng)
+        2 * R * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+      }
+      val dist = hav(clat, clng, plat, plng)
+      (dist > r * 0.99) || {
+        val latD = r / R * (180.0 / math.Pi)
+        val lngD = r / (R * math.cos(math.toRadians(clat))) * (180.0 / math.Pi)
+        val x = (plat - clat) / latD
+        val y = (plng - clng) / lngD
+        x * x + y * y < 1.0
+      }
+    })
+  }
+}
