@@ -32,6 +32,7 @@ object SparkEntry {
     "q7_anti_join" -> ((s, d) => Relational.q7NoOrders(s, d)),
     "q8_distinct_agg" -> ((s, d) => Relational.q8DistinctAgg(s, d)),
     "q9_rollup" -> ((s, d) => Relational.q9Rollup(s, d)),
+    "q10_cube" -> ((s, d) => Relational.q10Cube(s, d)),
     // --- geo pipelines (SURVEY §2.8-2.9) ---
     "geo_radius_search" -> ((s, d) => RadiusSearch.radiusSearch(s, d, probeId = 7L, radiusMiles = 2000.0, countryExact = true)),
     "geo_radius_latlng" -> ((s, d) => RadiusSearch.radiusLatLngSearch(s, d, 35.0, -90.0, 3000.0)),
@@ -102,6 +103,7 @@ object SparkEntry {
     "q7_anti_join" -> Relational.q7Oracle,
     "q8_distinct_agg" -> Relational.q8Oracle,
     "q9_rollup" -> Relational.q9Oracle,
+    "q10_cube" -> Relational.q10Oracle,
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(7L, 2000.0, countryExact = true),
     "geo_radius_latlng" -> RadiusSearch.radiusLatLngSearchOracle(35.0, -90.0, 3000.0),
     "geo_knn" -> RadiusSearch.knnOracle(7L, 15),

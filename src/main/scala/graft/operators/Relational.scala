@@ -202,4 +202,26 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY region, nation""".stripMargin
+
+  /** CUBE over (orderpriority, orderstatus) — the full grouping-sets
+    * lattice (Spark Expand: one pass over the scan produces all 4
+    * grouping combinations, then one hash agg; no per-set rescans). */
+  def q10Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("priority"), col("status"))
+
+  val q10Oracle: String =
+    """SELECT coalesce(o_orderpriority, '<all>') AS priority,
+      |       coalesce(o_orderstatus, '<all>') AS status,
+      |       count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
 }
