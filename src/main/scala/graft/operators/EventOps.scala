@@ -53,7 +53,13 @@ object EventOps {
   def sliding(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
-      .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 6).as("avg_value"))
+      // value is 2dp data: averages land exactly on rounding half-
+      // boundaries, where the ulp-level double-sum-order difference between
+      // Spark's parallel partial aggs and DuckDB flips the rounded digit.
+      // Exact decimal sum → one double division → identical everywhere.
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("avg_value"))
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("n_events"), col("avg_value"))
       .orderBy(col("window_start"))
@@ -63,7 +69,8 @@ object EventOps {
       |w AS (SELECT b30 AS window_start, value FROM t
       |      UNION ALL
       |      SELECT b30 - 1800 AS window_start, value FROM t)
-      |SELECT window_start, count(*) AS n_events, round(avg(value), 6) AS avg_value
+      |SELECT window_start, count(*) AS n_events,
+      |       round(sum(value::DECIMAL(18,2))::DOUBLE / count(*)::DOUBLE, 4) AS avg_value
       |FROM w GROUP BY 1
       |ORDER BY window_start""".stripMargin
 
