@@ -53,13 +53,14 @@ object EventOps {
   def sliding(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
-      // value is 2dp data: averages land exactly on rounding half-
-      // boundaries, where the ulp-level double-sum-order difference between
-      // Spark's parallel partial aggs and DuckDB flips the rounded digit.
-      // Exact decimal sum → one double division → identical everywhere.
+      // value is 2dp data: averages land exactly on decimal half-
+      // boundaries, where Spark's round (HALF_UP on the decimal string)
+      // and DuckDB's (on the binary double) disagree. Exact decimal sum →
+      // one double division gives a bit-identical UNROUNDED result on both
+      // engines, so no round is applied at all.
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,2)")).cast("double") /
-          count(lit(1)).cast("double"), 4).as("avg_value"))
+        (sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_value"))
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("n_events"), col("avg_value"))
       .orderBy(col("window_start"))
@@ -70,7 +71,7 @@ object EventOps {
       |      UNION ALL
       |      SELECT b30 - 1800 AS window_start, value FROM t)
       |SELECT window_start, count(*) AS n_events,
-      |       round(sum(value::DECIMAL(18,2))::DOUBLE / count(*)::DOUBLE, 4) AS avg_value
+      |       sum(value::DECIMAL(18,2))::DOUBLE / count(*)::DOUBLE AS avg_value
       |FROM w GROUP BY 1
       |ORDER BY window_start""".stripMargin
 
@@ -130,14 +131,16 @@ object EventOps {
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))
+      // k is integral: the long sum is exact, so the unrounded division is
+      // bit-identical on both engines (see sliding for the rounding trap).
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
-        round(avg(col("k")), 6).as("avg_k"))
+        (sum(col("k")).cast("double") / count(lit(1)).cast("double")).as("avg_k"))
       .orderBy(col("event_type"))
 
   val jsonExtractOracle: String =
     """SELECT event_type, count(*) AS n,
       |       CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-      |       round(avg(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)), 6) AS avg_k
+      |       sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))::DOUBLE / count(*)::DOUBLE AS avg_k
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin

@@ -23,11 +23,14 @@ object Relational {
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        // exact decimal sum → one double division: 2dp data averages sit
-        // on rounding half-boundaries (see EventOps.sliding).
-        round(sum(col("l_discount").cast("decimal(18,2)")).cast("double") /
-          count(lit(1)).cast("double"), 6).as("avg_disc"),
+        // Unrounded averages: quantities are integral (exact double sums)
+        // and discounts sum exactly as DECIMAL — both divisions are then
+        // bit-identical across engines, while round() itself diverges on
+        // decimal half-boundaries (see EventOps.sliding).
+        (sum(col("l_quantity")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"),
+        (sum(col("l_discount").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -36,8 +39,8 @@ object Relational {
       |       round(sum(l_quantity), 2) AS sum_qty,
       |       round(sum(l_extendedprice), 2) AS sum_base_price,
       |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |       round(avg(l_quantity), 4) AS avg_qty,
-      |       round(sum(l_discount::DECIMAL(18,2))::DOUBLE / count(*)::DOUBLE, 6) AS avg_disc,
+      |       sum(l_quantity)::DOUBLE / count(*)::DOUBLE AS avg_qty,
+      |       sum(l_discount::DECIMAL(18,2))::DOUBLE / count(*)::DOUBLE AS avg_disc,
       |       count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
