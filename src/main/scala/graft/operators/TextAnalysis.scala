@@ -64,8 +64,11 @@ object TextAnalysis {
   }
 
   /** Quality score: token count, mean token length, non-alnum-space ratio,
-    * stopword ratio → weighted score in [0, 1]. All ratios exact-arithmetic
-    * (integer counts / doubles) for oracle parity; rounded to 6 dp. */
+    * stopword ratio → weighted score in [0, 1]. All values are UNROUNDED:
+    * each is per-row arithmetic over exact integer counts in the same
+    * operation order on both engines → bit-identical doubles, whereas
+    * round() itself diverges on decimal half-boundaries (int/2^k ratios
+    * like 63/128 terminate with a '5' digit — see EventOps.sliding). */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val base = d.select(col("doc_id"), col("text"),
@@ -78,14 +81,14 @@ object TextAnalysis {
       .otherwise(aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok.cast("double"))
     val stopHits = hitCount(col("tk"), Stopwords.head._2)
     val stopRatio = when(nTok === 0, 0.0).otherwise(stopHits.cast("double") / nTok.cast("double"))
-    val score = round(
+    val score =
       lit(0.4) * least(lit(1.0), nTok.cast("double") / 50.0) +
         lit(0.3) * (lit(1.0) - punctRatio) +
-        lit(0.3) * least(lit(1.0), stopRatio * 5.0), 6)
+        lit(0.3) * least(lit(1.0), stopRatio * 5.0)
     base.select(col("doc_id"), nTok.as("n_tokens"),
-      round(meanTokLen, 6).as("mean_token_len"),
-      round(punctRatio, 6).as("punct_ratio"),
-      round(stopRatio, 6).as("stopword_ratio"),
+      meanTokLen.as("mean_token_len"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
       score.as("quality_score"))
       .orderBy(col("doc_id"))
   }
@@ -107,12 +110,12 @@ object TextAnalysis {
        |        CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop_hits::DOUBLE / n_tokens::DOUBLE END AS stopword_ratio
        |      FROM m)
        |SELECT doc_id, n_tokens,
-       |       round(mean_token_len, 6) AS mean_token_len,
-       |       round(punct_ratio, 6) AS punct_ratio,
-       |       round(stopword_ratio, 6) AS stopword_ratio,
-       |       round(0.4 * least(1.0, n_tokens::DOUBLE / 50.0)
+       |       mean_token_len,
+       |       punct_ratio,
+       |       stopword_ratio,
+       |       0.4 * least(1.0, n_tokens::DOUBLE / 50.0)
        |           + 0.3 * (1.0 - punct_ratio)
-       |           + 0.3 * least(1.0, stopword_ratio * 5.0), 6) AS quality_score
+       |           + 0.3 * least(1.0, stopword_ratio * 5.0) AS quality_score
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
@@ -130,9 +133,11 @@ object TextAnalysis {
     val nWs = size(tokens(lowered)).cast("long")
     val nPieces = size(pieces).cast("long")
     val pieceChars = aggregate(pieces, lit(0L), (acc, p) => acc + length(p))
+    // Unrounded: int/int division, bit-identical on both engines (round()
+    // diverges on the half-boundaries int/2^k ratios land on).
     d.select(col("doc_id"), nWs.as("n_ws_tokens"), nPieces.as("n_bpe_pieces"),
         when(nPieces === 0, 0.0)
-          .otherwise(round(pieceChars.cast("double") / nPieces.cast("double"), 6))
+          .otherwise(pieceChars.cast("double") / nPieces.cast("double"))
           .as("chars_per_piece"))
       .orderBy(col("doc_id"))
   }
@@ -145,8 +150,8 @@ object TextAnalysis {
        |           FROM documents)
        |SELECT doc_id, n_ws_tokens, len(pieces)::BIGINT AS n_bpe_pieces,
        |       CASE WHEN len(pieces) = 0 THEN 0.0
-       |            ELSE round(coalesce(list_sum(list_transform(pieces, x -> length(x)::BIGINT)), 0)::DOUBLE
-       |                       / len(pieces)::DOUBLE, 6) END AS chars_per_piece
+       |            ELSE coalesce(list_sum(list_transform(pieces, x -> length(x)::BIGINT)), 0)::DOUBLE
+       |                 / len(pieces)::DOUBLE END AS chars_per_piece
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
