@@ -155,6 +155,59 @@ object TextAnalysis {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus term statistics: top-k terms by document frequency (with total
+    * term frequency as tiebreak context). The classic corpus-stats job:
+    * explode → two-level agg with map-side combine → TakeOrderedAndProject.
+    * Deterministic order: df desc, tf desc, term. */
+  def termDfTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("tf").desc, col("term"))
+      .limit(k)
+  }
+
+  def termDfTopKOracle(k: Int): String = {
+    val toks = OracleSql.tokens("lower(text)")
+    s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents)
+       |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+       |FROM t GROUP BY term
+       |ORDER BY df DESC, tf DESC, term
+       |LIMIT $k""".stripMargin
+  }
+
+  /** PII-shaped masking: emails, URLs, and long digit runs replaced by
+    * typed placeholder tokens; reports per-doc hit counts. Pure regex
+    * projection (RE2 ∩ Java common subset), narrow at any scale. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val LongNumRe = "[0-9]{7,}"
+
+  def piiMask(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val masked = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      UrlRe, "<URL>"), EmailRe, "<EMAIL>"), LongNumRe, "<NUM>")
+    d.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(LongNumRe), lit(0))).cast("long").as("n_longnums"),
+        md5(masked).as("masked_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiMaskOracle: String = {
+    // Same regexes; DuckDB needs 'g' for global replace.
+    val masked = s"regexp_replace(regexp_replace(regexp_replace(text, " +
+      s"'$UrlRe', '<URL>', 'g'), '$EmailRe', '<EMAIL>', 'g'), '$LongNumRe', '<NUM>', 'g')"
+    s"""SELECT doc_id,
+       |       len(regexp_extract_all(text, '$UrlRe'))::BIGINT AS n_urls,
+       |       len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_emails,
+       |       len(regexp_extract_all(text, '$LongNumRe'))::BIGINT AS n_longnums,
+       |       md5($masked) AS masked_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Document fingerprint: rolling polynomial hash of the normalized
     * (cleaned, single-spaced) text — the exact-dedup key at scale. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
