@@ -62,7 +62,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
-    "text_tf_topk" -> ((s, d) => TextAnalysis.termDfTopK(s, d, 50)),
+    "text_tf_topk" -> ((s, d) => TextAnalysis.termDfTopK(s, d, TextAnalysis.TermTopK)),
     "text_pii_mask" -> ((s, d) => TextAnalysis.piiMask(s, d)),
     // --- multimodal binary columns ---
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
@@ -130,7 +130,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualityScoreOracle,
     "text_tokens" -> TextAnalysis.tokenCountsOracle,
     "text_fingerprint" -> TextAnalysis.fingerprintOracle,
-    "text_tf_topk" -> TextAnalysis.termDfTopKOracle(50),
+    "text_tf_topk" -> TextAnalysis.termDfTopKOracle(TextAnalysis.TermTopK),
     "text_pii_mask" -> TextAnalysis.piiMaskOracle,
     "mm_decode_stats" -> Multimodal.decodeStatsOracle,
     "ev_tumbling" -> EventOps.tumblingOracle,

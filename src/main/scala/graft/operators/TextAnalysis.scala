@@ -155,6 +155,12 @@ object TextAnalysis {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  /** Default k for termDfTopK — ONE definition feeding both the Spark
+    * query and the oracle registration. Below the corpus vocabulary size
+    * (31 distinct terms in the driver corpus) so the LIMIT truncation and
+    * its tiebreak ordering are actually exercised by the gate. */
+  val TermTopK = 20
+
   /** Corpus term statistics: top-k terms by document frequency (with total
     * term frequency as tiebreak context). The classic corpus-stats job:
     * explode → two-level agg with map-side combine → TakeOrderedAndProject.
@@ -179,33 +185,49 @@ object TextAnalysis {
 
   /** PII-shaped masking: emails, URLs, and long digit runs replaced by
     * typed placeholder tokens; reports per-doc hit counts. Pure regex
-    * projection (RE2 ∩ Java common subset), narrow at any scale. */
+    * projection (RE2 ∩ Java common subset — note the explicit whitespace
+    * class in UrlRe: Java `\s` includes \x0B, RE2's does not), narrow at
+    * any scale.
+    *
+    * The driver corpus contains no PII-shaped substrings (verified: zero
+    * URL/email/digit matches at every sf), which would make the oracle
+    * check vacuous — so the operator runs on `text` DECORATED with
+    * deterministic doc_id-derived PII on both engines, making the
+    * count/mask/replace-order parity real. */
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-  val UrlRe = "https?://[^\\s]+"
+  val UrlRe = "https?://[^ \\t\\n\\x0B\\f\\r]+"
   val LongNumRe = "[0-9]{7,}"
 
   def piiMask(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val masked = regexp_replace(regexp_replace(regexp_replace(col("text"),
+    val decorated = concat(col("text"),
+      lit(" user"), col("doc_id"), lit("@example.com"),
+      lit(" http://ex.com/d/"), col("doc_id"),
+      lit(" id "), (col("doc_id") * 1234567L + 10000000L).cast("string"))
+    val masked = regexp_replace(regexp_replace(regexp_replace(decorated,
       UrlRe, "<URL>"), EmailRe, "<EMAIL>"), LongNumRe, "<NUM>")
     d.select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).cast("long").as("n_urls"),
-        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(LongNumRe), lit(0))).cast("long").as("n_longnums"),
+        size(regexp_extract_all(decorated, lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(decorated, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(decorated, lit(LongNumRe), lit(0))).cast("long").as("n_longnums"),
         md5(masked).as("masked_md5"))
       .orderBy(col("doc_id"))
   }
 
   val piiMaskOracle: String = {
+    val dec = "text || ' user' || doc_id::VARCHAR || '@example.com'" +
+      " || ' http://ex.com/d/' || doc_id::VARCHAR" +
+      " || ' id ' || (doc_id * 1234567 + 10000000)::VARCHAR"
     // Same regexes; DuckDB needs 'g' for global replace.
-    val masked = s"regexp_replace(regexp_replace(regexp_replace(text, " +
+    val masked = s"regexp_replace(regexp_replace(regexp_replace(dec, " +
       s"'$UrlRe', '<URL>', 'g'), '$EmailRe', '<EMAIL>', 'g'), '$LongNumRe', '<NUM>', 'g')"
-    s"""SELECT doc_id,
-       |       len(regexp_extract_all(text, '$UrlRe'))::BIGINT AS n_urls,
-       |       len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_emails,
-       |       len(regexp_extract_all(text, '$LongNumRe'))::BIGINT AS n_longnums,
+    s"""WITH d AS (SELECT doc_id, $dec AS dec FROM documents)
+       |SELECT doc_id,
+       |       len(regexp_extract_all(dec, '$UrlRe'))::BIGINT AS n_urls,
+       |       len(regexp_extract_all(dec, '$EmailRe'))::BIGINT AS n_emails,
+       |       len(regexp_extract_all(dec, '$LongNumRe'))::BIGINT AS n_longnums,
        |       md5($masked) AS masked_md5
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |FROM d ORDER BY doc_id""".stripMargin
   }
 
   /** Document fingerprint: rolling polynomial hash of the normalized
