@@ -44,8 +44,8 @@ case class MinHashSignature(child: Expression, k: Int, numHashes: Int)
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
     // Whitespace tokenization of the trimmed string (tokens() semantics:
-    // split \s+, drop empties).
-    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    // split on TextFunctions.WsClass runs, drop empties).
+    val toks = text.trim.split(TextFunctions.WsClass + "+").filter(_.nonEmpty)
 
     // Rolling hash of each k-shingle, deduped.
     val seen = new java.util.HashSet[Long]()

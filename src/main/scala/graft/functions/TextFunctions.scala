@@ -90,9 +90,14 @@ object TextFunctions {
       .otherwise(base * 0.9 + log(population) * 0.1)
   }
 
+  /** Explicit whitespace class, identical under Java regex and RE2 —
+    * bare `\s` is NOT (Java's includes \x0B, RE2's does not), which would
+    * silently diverge every token-derived operator from the oracle. */
+  val WsClass = "[ \\t\\n\\x0B\\f\\r]"
+
   /** Whitespace tokenization of trimmed text; empty/blank → empty array. */
   def tokens(c: Column): Column =
-    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+    filter(split(trim(c), WsClass + "+"), t => length(t) > 0)
 
   /** Deterministic polynomial rolling hash of a string:
     * fold over code points, `h = (h*31 + code) mod 1000000007`.

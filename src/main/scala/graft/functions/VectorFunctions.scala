@@ -21,9 +21,12 @@ object VectorFunctions {
 
   /** Σ a_i·b_i with each float widened to double before the multiply —
     * exactly `aggregate(zip_with(a, b, x*y), 0.0, +)` / the oracle's
-    * list_reduce. */
+    * list_reduce. Callers must pre-check equal lengths (the expressions
+    * return NULL for ragged inputs — zip_with pads with null and poisons
+    * the fold, and DuckDB indexes past the end to NULL; a truncated dot
+    * product would be a plausible-looking wrong answer instead). */
   def dotKernel(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -69,30 +72,52 @@ object VectorFunctions {
     GraftShim.column(LshSignatureExpr(GraftShim.expression(emb), planes))
 }
 
+/** Ragged inputs (len(a) != len(b)) evaluate to NULL — matching the
+  * composed zip_with form (null-padded fold → null) and the DuckDB oracle
+  * (index past the end → NULL). */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override def prettyName: String = "vector_dot"
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorFunctions.dotKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else {
+      val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (aa.numElements() != bb.numElements()) null
+      else VectorFunctions.dotKernel(aa, bb)
+    }
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorFunctions.dotKernel($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.functions.VectorFunctions.dotKernel($a, $b); }""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
+/** Ragged inputs → NULL (see DotProductExpr). */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorFunctions.cosineKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else {
+      val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (aa.numElements() != bb.numElements()) null
+      else VectorFunctions.cosineKernel(aa, bb)
+    }
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorFunctions.cosineKernel($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.functions.VectorFunctions.cosineKernel($a, $b); }""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -70,8 +70,13 @@ object Dedup {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
       .withColumn("setsize", count(lit(1)).over(Window.partitionBy(col("id"))))
+      // -1e-9 slop: double rounding can push t*s just ABOVE the true
+      // rational (0.55*100 = 55.000000000000007 → ceil 56), shortening the
+      // prefix and silently dropping true pairs. Under-rounding merely
+      // lengthens the prefix (more candidates) — recall-safe because the
+      // exact-verify step defines the result.
       .withColumn("prefix_len",
-        col("setsize") - ceil(lit(threshold) * col("setsize")) + 1)
+        col("setsize") - ceil(lit(threshold) * col("setsize") - 1e-9) + 1)
     // One shuffle on the prefix trigram; both self-join sides reuse it.
     val prefixes = withDf.filter(col("rank") <= col("prefix_len"))
       .select(col("id"), col("g"))
@@ -232,7 +237,9 @@ object Dedup {
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("cosine_sim", round(Similarity.cosine(col("emb_a"), col("emb_b")), 4))
-      .filter(col("cosine_sim") >= threshold)
+      // NaN guard (zero-magnitude embedding → 0/0): Spark orders NaN out of
+      // >=, DuckDB orders NaN above all values — exclude explicitly on both.
+      .filter(col("cosine_sim") >= threshold && !isnan(col("cosine_sim")))
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -245,7 +252,7 @@ object Dedup {
        |             round(${Similarity.cosineSql("a.embedding", "x.embedding")}, 4) AS cosine_sim
        |      FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
        |SELECT id_a, id_b, cosine_sim FROM p
-       |WHERE cosine_sim >= $threshold
+       |WHERE cosine_sim >= $threshold AND NOT isnan(cosine_sim)
        |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------- SimHash

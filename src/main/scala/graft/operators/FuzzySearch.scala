@@ -59,16 +59,16 @@ object FuzzySearch {
   def fuzzySearch(spark: SparkSession, dir: String, query: String,
                   numResults: Int, cap: Int = DefaultCap): DataFrame = {
     val q = cleanQuery(query)
-    val qGramsM = queryTrigrams(q)               // with multiplicity
-    val qGramSet = qGramsM.distinct
+    // Multiplicity sides per the reference: query trigrams are DEDUPED
+    // (dict-comprehension keys, geo_manager.py:582) while posting lists
+    // keep one entry per trigram OCCURRENCE in the record (add_entity
+    // appends per occurrence, geo_manager.py:470-476) — so ngram_hits ==
+    // Counter over flattened posting lists (geo_manager.py:584-586).
+    val qGramSet = queryTrigrams(q).distinct
     val c = corpus(spark, dir)
 
-    // Candidate generation: query-trigram probe against exploded postings.
-    // One row per (query trigram occurrence, matching id) — count per id ==
-    // the reference's Counter over flattened posting lists
-    // (geo_manager.py:584-586).
-    val qdf = spark.createDataFrame(qGramsM.map(Tuple1(_))).toDF("ngram")
-    val postings = c.select(col("id"), explode(charNgramSet(col("clean_value"), 3)).as("ngram"))
+    val qdf = spark.createDataFrame(qGramSet.map(Tuple1(_))).toDF("ngram")
+    val postings = c.select(col("id"), explode(charNgrams(col("clean_value"), 3)).as("ngram"))
     val hits = postings.join(broadcast(qdf), "ngram")
       .groupBy(col("id")).agg(count(lit(1)).as("ngram_hits"))
     val capped = hits.orderBy(col("ngram_hits").desc, col("id"))
@@ -114,7 +114,6 @@ object FuzzySearch {
 
   def fuzzySearchOracle(query: String, numResults: Int, cap: Int = DefaultCap): String = {
     val q = cleanQuery(query)
-    val qGramsM = sqlList(queryTrigrams(q))
     val qGramSet = sqlList(queryTrigrams(q).distinct)
     val qq = q.replace("'", "''")
     val sset = OracleSql.trigramSet("clean_value")
@@ -128,7 +127,7 @@ object FuzzySearch {
       s"damerau_levenshtein('$qq', clean_value))"
     s"""WITH corpus AS ($corpusCte),
        |cand AS (
-       |  SELECT id, len(list_filter($qGramsM, g -> list_contains($sset, g)))::BIGINT AS ngram_hits,
+       |  SELECT id, len(list_filter(${OracleSql.trigrams("clean_value")}, g -> list_contains($qGramSet, g)))::BIGINT AS ngram_hits,
        |         value, clean_value, population
        |  FROM corpus),
        |capped AS (

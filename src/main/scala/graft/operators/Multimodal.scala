@@ -79,7 +79,11 @@ object Multimodal {
         when(col("doc_id") % 3L =!= 1L, (col("doc_id") % 1920L + 1L).cast("int")).as("width"),
         when(col("doc_id") % 3L =!= 1L, (col("doc_id") % 1080L + 1L).cast("int")).as("height"),
         when(col("doc_id") % 3L === 1L,
-          element_at(typedLit(Seq(16000, 44100, 48000)), (col("doc_id") % 3L).cast("int") + 1)).as("sample_rate"),
+          element_at(typedLit(Seq(16000, 44100, 48000)),
+            // index from a DIFFERENT modulus than the audio guard, so all
+            // three rates actually occur; (doc_id-1)/3 is exact integer
+            // division here (doc_id % 3 == 1)
+            (((col("doc_id") - 1L) / 3.0).cast("long") % 3L).cast("int") + 1)).as("sample_rate"),
         when(col("doc_id") % 3L === 2L, (col("doc_id") % 300L + 1L).cast("int")).as("n_frames"))
       .as[MediaRecord]
   }
@@ -102,7 +106,8 @@ object Multimodal {
       |       CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
       |       CASE WHEN doc_id % 3 <> 1 THEN (doc_id % 1920 + 1)::INT END AS width,
       |       CASE WHEN doc_id % 3 <> 1 THEN (doc_id % 1080 + 1)::INT END AS height,
-      |       CASE WHEN doc_id % 3 = 1 THEN 44100::INT END AS sample_rate,
+      |       CASE WHEN doc_id % 3 = 1 THEN
+      |         (CASE ((doc_id - 1) // 3 % 3) WHEN 0 THEN 16000 WHEN 1 THEN 44100 ELSE 48000 END)::INT END AS sample_rate,
       |       CASE WHEN doc_id % 3 = 2 THEN (doc_id % 300 + 1)::INT END AS n_frames,
       |       length(text)::BIGINT AS byte_len,
       |       upper(hex(encode(substring(text, 1, 8)))) AS header_hex,

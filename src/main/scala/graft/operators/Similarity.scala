@@ -74,7 +74,7 @@ object Similarity {
       (pmod(i * 2654435761L + lit(p.toLong) * 40503L + 12345L, lit(1000L)).cast("double") / 1000.0) - 0.5
     (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(emb, sequence(lit(0L), lit(63L)),
+        zip_with(emb, sequence(lit(0L), size(emb).cast("long") - 1L),
           (x, i) => x.cast("double") * comp(p)(i)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))

@@ -120,8 +120,9 @@ object TextAnalysis {
   }
 
   /** GPT-2-style pre-tokenizer regex, simplified to the RE2 ∩ Java-regex
-    * common subset: letter runs, digit runs, single non-alnum-non-space. */
-  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    * common subset: letter runs, digit runs, single non-alnum-non-space
+    * (explicit whitespace class — Java/RE2 `\s` disagree on \x0B). */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
 
   /** Token counting: whitespace tokens vs BPE-ish pre-tokenizer pieces,
     * plus chars-per-piece (the compression-ratio proxy used to estimate

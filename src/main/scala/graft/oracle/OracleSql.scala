@@ -68,9 +68,10 @@ object OracleSql {
     s"($x * $x + $y * $y < 1)"
   }
 
-  /** Whitespace tokens of trimmed lowered text. */
+  /** Whitespace tokens of trimmed lowered text — explicit class, see
+    * TextFunctions.WsClass (Java vs RE2 `\s` divergence on \x0B). */
   def tokens(e: String): String =
-    s"list_filter(string_split_regex(trim($e), '\\s+'), t -> length(t) > 0)"
+    s"list_filter(string_split_regex(trim($e), '[ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0)"
 
   /** Polynomial rolling hash of a string expr — mirrors
     * TextFunctions.polyHash: fold (acc*31 + code) mod 1e9+7 over code

@@ -82,7 +82,13 @@ object GeoIngest {
     * Parquet min/max on latitude (SURVEY.md §7.4). */
   def materialize(df: DataFrame, outPath: String, latBands: Int = 32): Unit =
     df.withColumn("lat_band",
-        floor((coalesce(col("latitude"), lit(0.0)) + 90.0) / (180.0 / latBands)))
+        // NULL latitude → dedicated band -1 (NOT folded into the equator
+        // band, which would poison that band's min/max pruning stats);
+        // latitude 90.0 clamps into the top band instead of a 1-row
+        // out-of-range band latBands.
+        when(col("latitude").isNull, lit(-1L))
+          .otherwise(least(floor((col("latitude") + 90.0) / (180.0 / latBands)),
+            lit(latBands - 1L))))
       .repartition(col("lat_band"))
       .write.mode("overwrite")
       .partitionBy("lat_band")
