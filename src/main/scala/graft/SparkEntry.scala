@@ -38,6 +38,8 @@ object SparkEntry {
     "geo_radius_latlng" -> ((s, d) => RadiusSearch.radiusLatLngSearch(s, d, 35.0, -90.0, 3000.0)),
     "geo_knn" -> ((s, d) => RadiusSearch.knn(s, d, probeId = 7L, k = 15)),
     "geo_pair_distance" -> ((s, d) => RadiusSearch.pairDistances(s, d, maxId = 40L)),
+    "geo_pair_sentinel" -> ((s, d) => RadiusSearch.pairDistanceSentinel(s, d,
+      Seq(1L, 5L, 999999999L, 7L, 888888888L), targetId = 7L)),
     "fuzzy_search" -> ((s, d) => FuzzySearch.fuzzySearch(s, d, "smal widget", 20)),
     "fuzzy_best" -> ((s, d) => FuzzySearch.bestFuzzySearch(s, d, "small widget")),
     "dl_topk" -> ((s, d) => dlTopK(s, d)),
@@ -52,6 +54,7 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d, 0.55)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d, 0.40)),
+    "dedup_pipeline" -> ((s, d) => Dedup.dedupPipeline(s, d)),
     "text_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     // --- similarity search ---
     "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, probeId = 0L, k = 10)),
@@ -110,6 +113,8 @@ object SparkEntry {
     "geo_radius_latlng" -> RadiusSearch.radiusLatLngSearchOracle(35.0, -90.0, 3000.0),
     "geo_knn" -> RadiusSearch.knnOracle(7L, 15),
     "geo_pair_distance" -> RadiusSearch.pairDistancesOracle(40L),
+    "geo_pair_sentinel" -> RadiusSearch.pairDistanceSentinelOracle(
+      Seq(1L, 5L, 999999999L, 7L, 888888888L), 7L),
     "fuzzy_search" -> FuzzySearch.fuzzySearchOracle("smal widget", 20),
     "fuzzy_best" -> FuzzySearch.bestFuzzySearchOracle("small widget"),
     "dl_topk" -> dlTopKOracle,
@@ -122,6 +127,7 @@ object SparkEntry {
     "dedup_jaccard" -> Dedup.jaccardPairsOracle(0.55),
     "dedup_minhash" -> Dedup.minhashPairsOracle,
     "dedup_embedding" -> Dedup.embeddingNearDupsOracle(0.40),
+    "dedup_pipeline" -> Dedup.dedupPipelineOracle,
     "text_simhash" -> Dedup.simhashOracle,
     "ann_cosine_topk" -> Similarity.cosineTopKOracle(0L, 10),
     "ann_lsh_buckets" -> Similarity.lshBucketsOracle(8),

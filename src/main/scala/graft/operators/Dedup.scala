@@ -255,6 +255,50 @@ object Dedup {
        |WHERE cosine_sim >= $threshold AND NOT isnan(cosine_sim)
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------- end-to-end dedup pipeline
+
+  val PipelineEstThreshold = 0.5
+
+  /** The composite training-data dedup pass, one declarative plan:
+    *  1. exact canonicalization on the normalized text (min doc_id wins);
+    *  2. MinHash-LSH near-dup pairs (est jaccard >= threshold);
+    *  3. per doc, canonical = least(self, exact canon, min near-dup
+    *     partner) — single-pass canonicalization (one hop, NOT transitive
+    *     closure: chains canonicalize over repeated passes, the standard
+    *     trade at corpus scale where each pass is one linear job).
+    * Output: every doc with its canonical id and whether it survives. */
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val norm = array_join(tokens(cleanEntity(col("text"))), " ")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), norm.as("norm"))
+    val exact = docs.groupBy(col("norm")).agg(min(col("doc_id")).as("exact_canon"))
+    val withExact = docs.join(exact, "norm").select(col("doc_id"), col("exact_canon"))
+    val nearMin = minhashPairs(spark, dir)
+      .filter(col("est_jaccard") >= PipelineEstThreshold)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("near_canon"))
+    withExact.join(nearMin, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_canon"), col("near_canon"),
+        least(col("doc_id"), col("exact_canon"),
+          coalesce(col("near_canon"), col("doc_id"))).as("canonical_id"))
+      .withColumn("is_canonical", col("canonical_id") === col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupPipelineOracle: String = {
+    val norm = s"array_to_string(${graft.oracle.OracleSql.tokens(graft.oracle.OracleSql.clean("text"))}, ' ')"
+    s"""WITH mp AS ($minhashPairsOracle),
+       |n AS (SELECT doc_id, $norm AS norm FROM documents),
+       |e AS (SELECT norm, min(doc_id) AS exact_canon FROM n GROUP BY norm),
+       |we AS (SELECT n.doc_id, e.exact_canon FROM n JOIN e USING (norm)),
+       |nm AS (SELECT doc_b AS doc_id, min(doc_a) AS near_canon FROM mp
+       |       WHERE est_jaccard >= $PipelineEstThreshold GROUP BY doc_b)
+       |SELECT we.doc_id, we.exact_canon, nm.near_canon,
+       |       least(we.doc_id, we.exact_canon, coalesce(nm.near_canon, we.doc_id)) AS canonical_id,
+       |       least(we.doc_id, we.exact_canon, coalesce(nm.near_canon, we.doc_id)) = we.doc_id AS is_canonical
+       |FROM we LEFT JOIN nm USING (doc_id)
+       |ORDER BY we.doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------- SimHash
 
   val SimHashBits = 24

@@ -120,6 +120,41 @@ object RadiusSearch {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** get_shape_pair_distance against a probe list that includes MISSING ids
+    * — the reference returns the sentinel {distance: 999, normalized: 999,
+    * aggregate_shape: false} when either shape is absent
+    * (geo_manager.py:374-378). Left join + coalesce reproduces it. */
+  def pairDistanceSentinel(spark: SparkSession, dir: String,
+                           probeIds: Seq[Long], targetId: Long): DataFrame = {
+    import spark.implicits._
+    val probes = probeIds.toDF("probe_id")
+    val shp = GeoShapes.shapes(spark, dir)
+      .select(col("id"), col("latitude"), col("longitude"), col("is_aggregate"))
+    val target = shp.filter(col("id") === targetId)
+      .select(col("latitude").as("t_lat"), col("longitude").as("t_lng"))
+    val dist = round(haversineMiles(col("latitude"), col("longitude"),
+      col("t_lat"), col("t_lng")), 4)
+    probes.join(broadcast(shp), col("probe_id") === col("id"), "left")
+      .crossJoin(broadcast(target))
+      .select(col("probe_id"),
+        coalesce(dist, lit(999.0)).as("distance_miles"),
+        coalesce(col("is_aggregate"), lit(false)).as("aggregate_shape"))
+      .orderBy(col("probe_id"))
+  }
+
+  def pairDistanceSentinelOracle(probeIds: Seq[Long], targetId: Long): String = {
+    val probes = probeIds.map(i => s"($i)").mkString(", ")
+    val dist = OracleSql.haversineMiles("s.latitude", "s.longitude", "t.t_lat", "t.t_lng")
+    s"""WITH shapes AS (${GeoShapes.oracleCte}),
+       |probes(probe_id) AS (VALUES $probes),
+       |t AS (SELECT latitude AS t_lat, longitude AS t_lng FROM shapes WHERE id = $targetId)
+       |SELECT p.probe_id,
+       |       coalesce(round($dist, 4), 999.0) AS distance_miles,
+       |       coalesce(s.is_aggregate, false) AS aggregate_shape
+       |FROM probes p LEFT JOIN shapes s ON p.probe_id = s.id CROSS JOIN t
+       |ORDER BY p.probe_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- oracle
 
   def radiusSearchOracle(probeId: Long, radiusMiles: Double, countryExact: Boolean): String = {
