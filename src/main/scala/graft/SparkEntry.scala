@@ -74,6 +74,8 @@ object SparkEntry {
     "ev_sliding" -> ((s, d) => EventOps.sliding(s, d)),
     "ev_session" -> ((s, d) => EventOps.sessions(s, d)),
     "ev_asof_orders" -> ((s, d) => EventOps.asofOrders(s, d)),
+    "ev_asof_latest" -> ((s, d) => EventOps.asofLatestOrder(s, d)),
+    "ev_range_join" -> ((s, d) => EventOps.rangeJoinActivity(s, d)),
     "ev_json_extract" -> ((s, d) => EventOps.jsonExtract(s, d)),
   )
 
@@ -143,6 +145,8 @@ object SparkEntry {
     "ev_sliding" -> EventOps.slidingOracle,
     "ev_session" -> EventOps.sessionsOracle,
     "ev_asof_orders" -> EventOps.asofOrdersOracle,
+    "ev_asof_latest" -> EventOps.asofLatestOrderOracle,
+    "ev_range_join" -> EventOps.rangeJoinActivityOracle,
     "ev_json_extract" -> EventOps.jsonExtractOracle,
   )
 }

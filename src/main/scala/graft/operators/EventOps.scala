@@ -125,6 +125,63 @@ object EventOps {
       |GROUP BY e.event_id
       |ORDER BY e.event_id""".stripMargin
 
+  /** TRUE as-of join: for each event, the single latest order row of that
+    * user at-or-before the event time (not just aggregates of them).
+    * Plan: equi-join on the user key with the time bound as join-side
+    * predicate, then latest-wins via WindowGroupLimit (rank pushed down as
+    * a per-partition group limit — no full sort). Spark lacks a native
+    * AS OF operator; this composition IS the Spark-idiomatic spelling. */
+  def asofLatestOrder(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val joined = e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(e("event_id"))
+      .orderBy(o("o_orderdate").desc, o("o_orderkey").desc)
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(e("event_id"),
+        o("o_orderkey").as("asof_orderkey"),
+        unix_timestamp(o("o_orderdate")).as("asof_orderdate"),
+        o("o_totalprice").as("asof_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofLatestOrderOracle: String =
+    """SELECT e.event_id, o.o_orderkey AS asof_orderkey,
+      |       epoch(o.o_orderdate)::BIGINT AS asof_orderdate,
+      |       o.o_totalprice AS asof_totalprice
+      |FROM events e LEFT JOIN orders o
+      |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      |QUALIFY row_number() OVER (PARTITION BY e.event_id
+      |                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Range (interval) join: per order, activity of the SAME user in the
+    * 24 hours starting at the order timestamp. Equi part (user key) drives
+    * the shuffle; the range predicate evaluates join-side — never a
+    * cartesian. */
+  def rangeJoinActivity(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val lo = o("o_orderdate")
+    val hi = o("o_orderdate") + expr("INTERVAL 24 HOURS")
+    o.join(e, o("o_custkey") === e("user_id") && e("ts") >= lo && e("ts") < hi, "left")
+      .groupBy(o("o_orderkey"))
+      .agg(count(e("event_id")).as("n_events_24h"),
+        round(sum(e("value")), 4).as("sum_value_24h"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val rangeJoinActivityOracle: String =
+    """SELECT o.o_orderkey,
+      |       count(e.event_id) AS n_events_24h,
+      |       round(sum(e.value), 4) AS sum_value_24h
+      |FROM orders o LEFT JOIN events e
+      |  ON o.o_custkey = e.user_id
+      | AND e.ts >= o.o_orderdate AND e.ts < o.o_orderdate + INTERVAL 24 HOURS
+      |GROUP BY o.o_orderkey
+      |ORDER BY o.o_orderkey""".stripMargin
+
   /** Semi-structured extraction: numeric field `k` from the JSON props. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
