@@ -33,6 +33,7 @@ object SparkEntry {
     "q8_distinct_agg" -> ((s, d) => Relational.q8DistinctAgg(s, d)),
     "q9_rollup" -> ((s, d) => Relational.q9Rollup(s, d)),
     "q10_cube" -> ((s, d) => Relational.q10Cube(s, d)),
+    "q11_percentiles" -> ((s, d) => Relational.q11Percentiles(s, d)),
     // --- geo pipelines (SURVEY §2.8-2.9) ---
     "geo_radius_search" -> ((s, d) => RadiusSearch.radiusSearch(s, d, probeId = 7L, radiusMiles = 2000.0, countryExact = true)),
     "geo_radius_latlng" -> ((s, d) => RadiusSearch.radiusLatLngSearch(s, d, 35.0, -90.0, 3000.0)),
@@ -49,6 +50,7 @@ object SparkEntry {
     "shape_localtime" -> ((s, d) => ShapeOps.localTimes(s, d)),
     "shape_batch_lookup" -> ((s, d) => ShapeOps.batchLookup(s, d)),
     "shape_filters" -> ((s, d) => ShapeOps.filteredShapes(s, d)),
+    "shape_related" -> ((s, d) => ShapeOps.relatedShapes(s, d)),
     // --- dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d, 0.55)),
@@ -111,6 +113,7 @@ object SparkEntry {
     "q8_distinct_agg" -> Relational.q8Oracle,
     "q9_rollup" -> Relational.q9Oracle,
     "q10_cube" -> Relational.q10Oracle,
+    "q11_percentiles" -> Relational.q11Oracle,
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(7L, 2000.0, countryExact = true),
     "geo_radius_latlng" -> RadiusSearch.radiusLatLngSearchOracle(35.0, -90.0, 3000.0),
     "geo_knn" -> RadiusSearch.knnOracle(7L, 15),
@@ -125,6 +128,7 @@ object SparkEntry {
     "shape_localtime" -> ShapeOps.localTimesOracle,
     "shape_batch_lookup" -> ShapeOps.batchLookupOracle,
     "shape_filters" -> ShapeOps.filteredShapesOracle,
+    "shape_related" -> ShapeOps.relatedShapesOracle,
     "dedup_exact" -> Dedup.exactDedupOracle,
     "dedup_jaccard" -> Dedup.jaccardPairsOracle(0.55),
     "dedup_minhash" -> Dedup.minhashPairsOracle,

@@ -209,6 +209,27 @@ object Relational {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY region, nation""".stripMargin
 
+  /** Exact percentiles (sort-based — no summation-order hazard): median
+    * and p95 of order totals per priority. percentile_cont interpolates at
+    * p*(n-1) identically to DuckDB's quantile_cont. */
+  def q11Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_price"),
+        expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice)").as("p95_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  val q11Oracle: String =
+    """SELECT o_orderpriority,
+      |       quantile_cont(o_totalprice, 0.5) AS p50_price,
+      |       quantile_cont(o_totalprice, 0.95) AS p95_price,
+      |       count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** CUBE over (orderpriority, orderstatus) — the full grouping-sets
     * lattice (Spark Expand: one pass over the scan produces all 4
     * grouping combinations, then one hash agg; no per-set rescans). */

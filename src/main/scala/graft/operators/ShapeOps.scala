@@ -139,6 +139,29 @@ object ShapeOps {
        |FROM supplier LEFT JOIN shapes sh ON s_suppkey = sh.id
        |ORDER BY s_suppkey""".stripMargin
 
+  /** The related_shape_id link (README.md:104 — e.g. city ↔ metro) as a
+    * self-join enrichment: each shape with its related shape's record.
+    * SURVEY §1.3: a 1-edge graph is a plain self-join, not GraphX. */
+  def relatedShapes(spark: SparkSession, dir: String): DataFrame = {
+    val s = GeoShapes.shapes(spark, dir)
+    val base = s.select(col("id"), col("reference_code"), col("related_shape_id"))
+    val rel = s.select(col("id").as("rel_id"),
+      col("reference_code").as("related_reference_code"),
+      col("geo_type").as("related_geo_type"))
+    base.join(broadcast(rel), base("related_shape_id") === rel("rel_id"), "left")
+      .select(col("id"), col("reference_code"), col("related_shape_id"),
+        col("related_reference_code"), col("related_geo_type"))
+      .orderBy(col("id"))
+  }
+
+  val relatedShapesOracle: String =
+    s"""WITH shapes AS (${GeoShapes.oracleCte})
+       |SELECT s.id, s.reference_code, s.related_shape_id,
+       |       r.reference_code AS related_reference_code,
+       |       r.geo_type AS related_geo_type
+       |FROM shapes s LEFT JOIN shapes r ON s.related_shape_id = r.id
+       |ORDER BY s.id""".stripMargin
+
   /** Conjunctive equality filters over (possibly nested) fields —
     * apply_shape_filters (geo_manager.py:45-58, utils.py:5-21). Dot-paths
     * resolve natively on Spark columns; here over the flat shape table:
