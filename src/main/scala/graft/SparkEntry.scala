@@ -79,6 +79,10 @@ object SparkEntry {
     "ev_asof_latest" -> ((s, d) => EventOps.asofLatestOrder(s, d)),
     "ev_range_join" -> ((s, d) => EventOps.rangeJoinActivity(s, d)),
     "ev_json_extract" -> ((s, d) => EventOps.jsonExtract(s, d)),
+    "ev_lag_delta" -> ((s, d) => EventOps.lagDeltas(s, d)),
+    // Oracle intentionally omitted (HLL sketch has no DuckDB equivalent);
+    // driver records the weaker rows-only check per the contract.
+    "ev_approx_distinct" -> ((s, d) => EventOps.approxDistinctUsers(s, d)),
   )
 
   /** Damerau-Levenshtein showcase: nearest part names to a typo'd query by
@@ -152,5 +156,6 @@ object SparkEntry {
     "ev_asof_latest" -> EventOps.asofLatestOrderOracle,
     "ev_range_join" -> EventOps.rangeJoinActivityOracle,
     "ev_json_extract" -> EventOps.jsonExtractOracle,
+    "ev_lag_delta" -> EventOps.lagDeltasOracle,
   )
 }

@@ -182,6 +182,45 @@ object EventOps {
       |GROUP BY o.o_orderkey
       |ORDER BY o.o_orderkey""".stripMargin
 
+  /** Per-user event sequencing: gap to the previous event (lag) and the
+    * running event count — the lead/lag + cumulative-frame window family.
+    * One shuffle on user_id serves both windows (same partition spec). */
+  def lagDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("es"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    e.select(col("event_id"), col("user_id"),
+        (col("es") - lag(col("es"), 1).over(w)).as("secs_since_prev"),
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_events"))
+      .orderBy(col("event_id"))
+  }
+
+  private val Window = org.apache.spark.sql.expressions.Window
+
+  val lagDeltasOracle: String =
+    """WITH e AS (SELECT event_id, user_id, epoch(date_trunc('second', ts))::BIGINT AS es FROM events)
+      |SELECT event_id, user_id,
+      |       es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS secs_since_prev,
+      |       count(*) OVER (PARTITION BY user_id ORDER BY es, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_events
+      |FROM e ORDER BY event_id""".stripMargin
+
+  /** Distinct-user sketch per event type: HyperLogLog++ approx distinct
+    * beside the exact count. No oracle — DuckDB's approx_count_distinct is
+    * a different sketch; the driver records a rows-only check (the exact
+    * column is oracle-able but the row would then hash-mismatch, so the
+    * whole query is registered oracle-less by design). */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** Semi-structured extraction: numeric field `k` from the JSON props. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
