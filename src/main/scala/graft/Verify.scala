@@ -18,6 +18,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Drift guard: an oracle for a query that no longer exists means the
+    // driver would DuckDB-run SQL with no Spark counterpart to compare.
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    require(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
