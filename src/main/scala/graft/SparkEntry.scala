@@ -39,8 +39,10 @@ object SparkEntry {
     "geo_radius_latlng" -> ((s, d) => RadiusSearch.radiusLatLngSearch(s, d, 35.0, -90.0, 3000.0)),
     "geo_knn" -> ((s, d) => RadiusSearch.knn(s, d, probeId = 7L, k = 15)),
     "geo_pair_distance" -> ((s, d) => RadiusSearch.pairDistances(s, d, maxId = 40L)),
+    // target 10 is an aggregate shape (id % 10 == 0) → exercises the
+    // either-side aggregate_shape flag alongside the missing-probe sentinel
     "geo_pair_sentinel" -> ((s, d) => RadiusSearch.pairDistanceSentinel(s, d,
-      Seq(1L, 5L, 999999999L, 7L, 888888888L), targetId = 7L)),
+      Seq(1L, 5L, 999999999L, 7L, 888888888L), targetId = 10L)),
     "fuzzy_search" -> ((s, d) => FuzzySearch.fuzzySearch(s, d, "smal widget", 20)),
     "fuzzy_best" -> ((s, d) => FuzzySearch.bestFuzzySearch(s, d, "small widget")),
     "dl_topk" -> ((s, d) => dlTopK(s, d)),
@@ -123,7 +125,7 @@ object SparkEntry {
     "geo_knn" -> RadiusSearch.knnOracle(7L, 15),
     "geo_pair_distance" -> RadiusSearch.pairDistancesOracle(40L),
     "geo_pair_sentinel" -> RadiusSearch.pairDistanceSentinelOracle(
-      Seq(1L, 5L, 999999999L, 7L, 888888888L), 7L),
+      Seq(1L, 5L, 999999999L, 7L, 888888888L), 10L),
     "fuzzy_search" -> FuzzySearch.fuzzySearchOracle("smal widget", 20),
     "fuzzy_best" -> FuzzySearch.bestFuzzySearchOracle("small widget"),
     "dl_topk" -> dlTopKOracle,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-window operators over the `events` table — the batch face of the
@@ -135,8 +136,7 @@ object EventOps {
     val e = events(spark, dir)
     val o = Tables.orders(spark, dir)
     val joined = e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"), "left")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(e("event_id"))
+    val w = Window.partitionBy(e("event_id"))
       .orderBy(o("o_orderdate").desc, o("o_orderkey").desc)
     joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(e("event_id"),
@@ -189,16 +189,13 @@ object EventOps {
     val e = events(spark, dir)
       .select(col("event_id"), col("user_id"),
         unix_timestamp(date_trunc("second", col("ts"))).as("es"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
     e.select(col("event_id"), col("user_id"),
         (col("es") - lag(col("es"), 1).over(w)).as("secs_since_prev"),
         count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("running_events"))
       .orderBy(col("event_id"))
   }
-
-  private val Window = org.apache.spark.sql.expressions.Window
 
   val lagDeltasOracle: String =
     """WITH e AS (SELECT event_id, user_id, epoch(date_trunc('second', ts))::BIGINT AS es FROM events)

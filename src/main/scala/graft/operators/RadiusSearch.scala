@@ -120,25 +120,36 @@ object RadiusSearch {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** get_shape_pair_distance against a probe list that includes MISSING ids
-    * — the reference returns the sentinel {distance: 999, normalized: 999,
-    * aggregate_shape: false} when either shape is absent
-    * (geo_manager.py:374-378). Left join + coalesce reproduces it. */
+  /** get_shape_pair_distance against a probe list that may include MISSING
+    * ids — the reference returns the sentinel {distance: 999, normalized:
+    * 999, aggregate_shape: false} when EITHER shape is absent
+    * (geo_manager.py:374-378), and flags aggregate_shape when either
+    * present shape is an aggregate (geo_manager.py:385-426). Left joins +
+    * coalesce reproduce both; a missing TARGET degrades every pair to the
+    * sentinel (single nullable row, not an annihilating empty cross join).
+    * Only the ≤|probeIds| matching shape rows ship to the join (pushed-down
+    * isin scan filter) — no O(N) broadcast. */
   def pairDistanceSentinel(spark: SparkSession, dir: String,
                            probeIds: Seq[Long], targetId: Long): DataFrame = {
     import spark.implicits._
     val probes = probeIds.toDF("probe_id")
     val shp = GeoShapes.shapes(spark, dir)
       .select(col("id"), col("latitude"), col("longitude"), col("is_aggregate"))
-    val target = shp.filter(col("id") === targetId)
-      .select(col("latitude").as("t_lat"), col("longitude").as("t_lng"))
+    val probeShapes = shp.filter(col("id").isin(probeIds: _*))
+    // Exactly one row even when the target id is absent: left join the
+    // 1-row literal against the (0-or-1)-row filtered scan.
+    val target = Seq(targetId).toDF("t_id")
+      .join(broadcast(shp.filter(col("id") === targetId)), col("t_id") === col("id"), "left")
+      .select(col("latitude").as("t_lat"), col("longitude").as("t_lng"),
+        col("is_aggregate").as("t_agg"))
     val dist = round(haversineMiles(col("latitude"), col("longitude"),
       col("t_lat"), col("t_lng")), 4)
-    probes.join(broadcast(shp), col("probe_id") === col("id"), "left")
+    probes.join(broadcast(probeShapes), col("probe_id") === col("id"), "left")
       .crossJoin(broadcast(target))
       .select(col("probe_id"),
         coalesce(dist, lit(999.0)).as("distance_miles"),
-        coalesce(col("is_aggregate"), lit(false)).as("aggregate_shape"))
+        (coalesce(col("is_aggregate"), lit(false)) ||
+          coalesce(col("t_agg"), lit(false))).as("aggregate_shape"))
       .orderBy(col("probe_id"))
   }
 
@@ -147,10 +158,11 @@ object RadiusSearch {
     val dist = OracleSql.haversineMiles("s.latitude", "s.longitude", "t.t_lat", "t.t_lng")
     s"""WITH shapes AS (${GeoShapes.oracleCte}),
        |probes(probe_id) AS (VALUES $probes),
-       |t AS (SELECT latitude AS t_lat, longitude AS t_lng FROM shapes WHERE id = $targetId)
+       |t AS (SELECT sh.latitude AS t_lat, sh.longitude AS t_lng, sh.is_aggregate AS t_agg
+       |      FROM (VALUES ($targetId)) ti(t_id) LEFT JOIN shapes sh ON ti.t_id = sh.id)
        |SELECT p.probe_id,
        |       coalesce(round($dist, 4), 999.0) AS distance_miles,
-       |       coalesce(s.is_aggregate, false) AS aggregate_shape
+       |       (coalesce(s.is_aggregate, false) OR coalesce(t.t_agg, false)) AS aggregate_shape
        |FROM probes p LEFT JOIN shapes s ON p.probe_id = s.id CROSS JOIN t
        |ORDER BY p.probe_id""".stripMargin
   }

@@ -65,3 +65,22 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 }
+// (appended) sentinel-path coverage that the oracle registration can't
+// exercise: a MISSING TARGET degrades every pair to the 999 sentinel.
+class SentinelSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("missing target id yields sentinel rows for every probe") {
+    // Fresh getOrCreate (NOT the shared SparkTest lazy val): suites that
+    // stop their session leave a stale stopped context behind it.
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val out = graft.operators.RadiusSearch.pairDistanceSentinel(
+      spark, "/root/testdata/sf0.001", Seq(1L, 2L, 999999999L), targetId = 888888888L)
+      .collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("distance_miles")) == 999.0)
+      assert(!r.getBoolean(r.fieldIndex("aggregate_shape")))
+    }
+  }
+}

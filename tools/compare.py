@@ -26,6 +26,27 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Queries without an oracle still must have produced rows (the driver's
+    # weaker rows-only check); a query whose dump errored has no output dir.
+    try:
+        all_queries = json.load(open(f"{outdir}/queries.json"))
+    except FileNotFoundError:
+        all_queries = list(oracles)
+    for name in sorted(set(all_queries) - set(oracles)):
+        if only and name not in only:
+            continue
+        pq = f"{outdir}/{name}"
+        if not os.path.isdir(pq):
+            print(f"FAIL {name}: no spark output dir (rows-only query)")
+            n_fail += 1
+            continue
+        n = con.execute(f"SELECT count(*) FROM '{pq}/*.parquet'").fetchone()[0]
+        if n > 0:
+            print(f"PASS {name} ({n} rows, rows-only)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows-only query returned 0 rows")
+            n_fail += 1
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
