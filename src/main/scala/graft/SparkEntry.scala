@@ -9,9 +9,30 @@ import org.apache.spark.sql.functions._
   *
   * Every entry in `queries` has a DuckDB oracle in `oracleSql` computing the
   * same result on the same parquet tables (column names, types, and row
-  * order aligned; doubles rounded in-query on both sides).
+  * order aligned; values bit-identical or rounded identically on both
+  * sides) — EXCEPT `ev_approx_distinct`, which is intentionally oracle-less
+  * (HLL sketch with no DuckDB equivalent; rows-only check). Shared query
+  * parameters are hoisted below so the Spark and oracle registrations
+  * cannot drift.
   */
 object SparkEntry {
+
+  /** Shared parameters for every parameterized query — referenced by BOTH
+    * the Spark registration and the oracle registration. */
+  private object P {
+    val RadiusProbe = 7L; val RadiusMiles = 2000.0
+    val LatLng = (35.0, -90.0, 3000.0)
+    val KnnProbe = 7L; val KnnK = 15
+    val PairMaxId = 40L
+    val SentinelProbes = Seq(1L, 5L, 999999999L, 7L, 888888888L)
+    val SentinelTarget = 10L // aggregate shape (id % 10 == 0)
+    val FuzzyQuery = "smal widget"; val FuzzyK = 20
+    val BestQuery = "small widget"
+    val JaccardThreshold = 0.55
+    val EmbDupThreshold = 0.40
+    val CosineProbe = 0L; val CosineK = 10
+    val IvfProbe = 7L; val IvfK = 10
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's auto-complete fuzzy search pipeline
@@ -35,16 +56,15 @@ object SparkEntry {
     "q10_cube" -> ((s, d) => Relational.q10Cube(s, d)),
     "q11_percentiles" -> ((s, d) => Relational.q11Percentiles(s, d)),
     // --- geo pipelines (SURVEY §2.8-2.9) ---
-    "geo_radius_search" -> ((s, d) => RadiusSearch.radiusSearch(s, d, probeId = 7L, radiusMiles = 2000.0, countryExact = true)),
-    "geo_radius_latlng" -> ((s, d) => RadiusSearch.radiusLatLngSearch(s, d, 35.0, -90.0, 3000.0)),
-    "geo_knn" -> ((s, d) => RadiusSearch.knn(s, d, probeId = 7L, k = 15)),
-    "geo_pair_distance" -> ((s, d) => RadiusSearch.pairDistances(s, d, maxId = 40L)),
+    "geo_radius_search" -> ((s, d) => RadiusSearch.radiusSearch(s, d, P.RadiusProbe, P.RadiusMiles, countryExact = true)),
+    "geo_radius_latlng" -> ((s, d) => RadiusSearch.radiusLatLngSearch(s, d, P.LatLng._1, P.LatLng._2, P.LatLng._3)),
+    "geo_knn" -> ((s, d) => RadiusSearch.knn(s, d, P.KnnProbe, P.KnnK)),
+    "geo_pair_distance" -> ((s, d) => RadiusSearch.pairDistances(s, d, P.PairMaxId)),
     // target 10 is an aggregate shape (id % 10 == 0) → exercises the
     // either-side aggregate_shape flag alongside the missing-probe sentinel
-    "geo_pair_sentinel" -> ((s, d) => RadiusSearch.pairDistanceSentinel(s, d,
-      Seq(1L, 5L, 999999999L, 7L, 888888888L), targetId = 10L)),
-    "fuzzy_search" -> ((s, d) => FuzzySearch.fuzzySearch(s, d, "smal widget", 20)),
-    "fuzzy_best" -> ((s, d) => FuzzySearch.bestFuzzySearch(s, d, "small widget")),
+    "geo_pair_sentinel" -> ((s, d) => RadiusSearch.pairDistanceSentinel(s, d, P.SentinelProbes, P.SentinelTarget)),
+    "fuzzy_search" -> ((s, d) => FuzzySearch.fuzzySearch(s, d, P.FuzzyQuery, P.FuzzyK)),
+    "fuzzy_best" -> ((s, d) => FuzzySearch.bestFuzzySearch(s, d, P.BestQuery)),
     "dl_topk" -> ((s, d) => dlTopK(s, d)),
     // --- shape record projections (SURVEY §2.2) ---
     "shape_display" -> ((s, d) => ShapeOps.displays(s, d)),
@@ -55,15 +75,15 @@ object SparkEntry {
     "shape_related" -> ((s, d) => ShapeOps.relatedShapes(s, d)),
     // --- dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
-    "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d, 0.55)),
+    "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d, P.JaccardThreshold)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
-    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d, 0.40)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d, P.EmbDupThreshold)),
     "dedup_pipeline" -> ((s, d) => Dedup.dedupPipeline(s, d)),
     "text_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     // --- similarity search ---
-    "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, probeId = 0L, k = 10)),
+    "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, P.CosineProbe, P.CosineK)),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(s, d, planes = 8)),
-    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, probeId = 7L, k = 10)),
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, P.IvfProbe, P.IvfK)),
     // --- text analysis ---
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -120,14 +140,13 @@ object SparkEntry {
     "q9_rollup" -> Relational.q9Oracle,
     "q10_cube" -> Relational.q10Oracle,
     "q11_percentiles" -> Relational.q11Oracle,
-    "geo_radius_search" -> RadiusSearch.radiusSearchOracle(7L, 2000.0, countryExact = true),
-    "geo_radius_latlng" -> RadiusSearch.radiusLatLngSearchOracle(35.0, -90.0, 3000.0),
-    "geo_knn" -> RadiusSearch.knnOracle(7L, 15),
-    "geo_pair_distance" -> RadiusSearch.pairDistancesOracle(40L),
-    "geo_pair_sentinel" -> RadiusSearch.pairDistanceSentinelOracle(
-      Seq(1L, 5L, 999999999L, 7L, 888888888L), 10L),
-    "fuzzy_search" -> FuzzySearch.fuzzySearchOracle("smal widget", 20),
-    "fuzzy_best" -> FuzzySearch.bestFuzzySearchOracle("small widget"),
+    "geo_radius_search" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = true),
+    "geo_radius_latlng" -> RadiusSearch.radiusLatLngSearchOracle(P.LatLng._1, P.LatLng._2, P.LatLng._3),
+    "geo_knn" -> RadiusSearch.knnOracle(P.KnnProbe, P.KnnK),
+    "geo_pair_distance" -> RadiusSearch.pairDistancesOracle(P.PairMaxId),
+    "geo_pair_sentinel" -> RadiusSearch.pairDistanceSentinelOracle(P.SentinelProbes, P.SentinelTarget),
+    "fuzzy_search" -> FuzzySearch.fuzzySearchOracle(P.FuzzyQuery, P.FuzzyK),
+    "fuzzy_best" -> FuzzySearch.bestFuzzySearchOracle(P.BestQuery),
     "dl_topk" -> dlTopKOracle,
     "shape_display" -> ShapeOps.displaysOracle,
     "shape_quote_location" -> ShapeOps.quoteLocationsOracle,
@@ -136,14 +155,14 @@ object SparkEntry {
     "shape_filters" -> ShapeOps.filteredShapesOracle,
     "shape_related" -> ShapeOps.relatedShapesOracle,
     "dedup_exact" -> Dedup.exactDedupOracle,
-    "dedup_jaccard" -> Dedup.jaccardPairsOracle(0.55),
+    "dedup_jaccard" -> Dedup.jaccardPairsOracle(P.JaccardThreshold),
     "dedup_minhash" -> Dedup.minhashPairsOracle,
-    "dedup_embedding" -> Dedup.embeddingNearDupsOracle(0.40),
+    "dedup_embedding" -> Dedup.embeddingNearDupsOracle(P.EmbDupThreshold),
     "dedup_pipeline" -> Dedup.dedupPipelineOracle,
     "text_simhash" -> Dedup.simhashOracle,
-    "ann_cosine_topk" -> Similarity.cosineTopKOracle(0L, 10),
+    "ann_cosine_topk" -> Similarity.cosineTopKOracle(P.CosineProbe, P.CosineK),
     "ann_lsh_buckets" -> Similarity.lshBucketsOracle(8),
-    "ann_ivf_topk" -> Similarity.ivfTopKOracle(7L, 10),
+    "ann_ivf_topk" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK),
     "text_langid" -> TextAnalysis.languageIdOracle,
     "text_quality" -> TextAnalysis.qualityScoreOracle,
     "text_tokens" -> TextAnalysis.tokenCountsOracle,

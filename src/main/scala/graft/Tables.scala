@@ -9,6 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `ReadSchema` in `.explain("formatted")`).
   */
 object Tables {
+  /** Every driver table (TESTDATA.md) — the single source for warmup
+    * sweeps and fixture loops. */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

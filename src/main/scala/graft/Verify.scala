@@ -17,7 +17,16 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // Clean slate: a stale dump from a previous run would mask a query
+    // that now fails BEFORE its overwrite (gate detects errors by absent
+    // output).
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    val out = new java.io.File(outDir)
+    if (out.exists()) rmTree(out)
+    out.mkdirs()
     // Drift guard: an oracle for a query that no longer exists means the
     // driver would DuckDB-run SQL with no Spark counterpart to compare.
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -37,6 +37,17 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Arity guard: without it, extra SQL args are silently DROPPED (results
+    * computed on the wrong inputs) and missing ones surface as a raw
+    * IndexOutOfBoundsException instead of an error naming the function. */
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): FunctionBuilder =
+    (args: Seq[Expression]) => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${args.length}")
+      f(args)
+    }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
@@ -44,31 +55,31 @@ object GraftExtensions {
     ("damerau_levenshtein",
       info("damerau_levenshtein",
         "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein edit distance."),
-      (args: Seq[Expression]) => DamerauLevenshteinExpr(args(0), args(1))),
+      arity("damerau_levenshtein", 2)(args => DamerauLevenshteinExpr(args(0), args(1)))),
     ("vector_dot",
       info("vector_dot", "vector_dot(a, b) - left-to-right fold dot product of float arrays."),
-      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
+      arity("vector_dot", 2)(args => DotProductExpr(args(0), args(1)))),
     ("cosine_similarity",
       info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float arrays."),
-      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))),
+      arity("cosine_similarity", 2)(args => CosineSimExpr(args(0), args(1)))),
     ("lsh_signature",
       info("lsh_signature",
         "lsh_signature(emb, planes) - random-hyperplane sign-bit signature."),
-      (args: Seq[Expression]) =>
-        LshSignatureExpr(args(0), intLit(args(1), "planes"))),
+      arity("lsh_signature", 2)(args =>
+        LshSignatureExpr(args(0), intLit(args(1), "planes")))),
     ("minhash_signature",
       info("minhash_signature",
         "minhash_signature(text, k, num_hashes) - MinHash signature over word k-shingles."),
-      (args: Seq[Expression]) =>
-        MinHashSignature(args(0), intLit(args(1), "k"), intLit(args(2), "num_hashes"))),
+      arity("minhash_signature", 3)(args =>
+        MinHashSignature(args(0), intLit(args(1), "k"), intLit(args(2), "num_hashes")))),
     ("char_ngrams",
       info("char_ngrams", "char_ngrams(s, n) - sliding character n-grams (with multiplicity)."),
-      (args: Seq[Expression]) =>
-        CharNgramsExpr(args(0), intLit(args(1), "n"), distinct = false)),
+      arity("char_ngrams", 2)(args =>
+        CharNgramsExpr(args(0), intLit(args(1), "n"), distinct = false))),
     ("char_ngram_set",
       info("char_ngram_set", "char_ngram_set(s, n) - distinct character n-grams, first-occurrence order."),
-      (args: Seq[Expression]) =>
-        CharNgramsExpr(args(0), intLit(args(1), "n"), distinct = true)))
+      arity("char_ngram_set", 2)(args =>
+        CharNgramsExpr(args(0), intLit(args(1), "n"), distinct = true))))
 
   /** Programmatic registration on a live session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
