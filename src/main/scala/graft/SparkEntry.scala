@@ -26,8 +26,10 @@ object SparkEntry {
     val PairMaxId = 40L
     val SentinelProbes = Seq(1L, 5L, 999999999L, 7L, 888888888L)
     val SentinelTarget = 10L // aggregate shape (id % 10 == 0)
+    val RadiusFullProbe = 10L // aggregate probe: exercises orig-side + mean normalization
     val FuzzyQuery = "smal widget"; val FuzzyK = 20
     val BestQuery = "small widget"
+    val PostalQuery = "10750"; val PostalK = 15 // digits-only → postal scoring branch
     val JaccardThreshold = 0.55
     val EmbDupThreshold = 0.40
     val CosineProbe = 0L; val CosineK = 10
@@ -57,6 +59,9 @@ object SparkEntry {
     "q11_percentiles" -> ((s, d) => Relational.q11Percentiles(s, d)),
     // --- geo pipelines (SURVEY §2.8-2.9) ---
     "geo_radius_search" -> ((s, d) => RadiusSearch.radiusSearch(s, d, P.RadiusProbe, P.RadiusMiles, countryExact = true)),
+    // full_results=True enrichment (geo_manager.py:300-323): per-match
+    // {distance, normalized_distance, aggregate} against the probe shape
+    "geo_radius_full" -> ((s, d) => RadiusSearch.radiusSearchFull(s, d, P.RadiusFullProbe, P.RadiusMiles, countryExact = false)),
     "geo_radius_latlng" -> ((s, d) => RadiusSearch.radiusLatLngSearch(s, d, P.LatLng._1, P.LatLng._2, P.LatLng._3)),
     "geo_knn" -> ((s, d) => RadiusSearch.knn(s, d, P.KnnProbe, P.KnnK)),
     "geo_pair_distance" -> ((s, d) => RadiusSearch.pairDistances(s, d, P.PairMaxId)),
@@ -65,6 +70,9 @@ object SparkEntry {
     "geo_pair_sentinel" -> ((s, d) => RadiusSearch.pairDistanceSentinel(s, d, P.SentinelProbes, P.SentinelTarget)),
     "fuzzy_search" -> ((s, d) => FuzzySearch.fuzzySearch(s, d, P.FuzzyQuery, P.FuzzyK)),
     "fuzzy_best" -> ((s, d) => FuzzySearch.bestFuzzySearch(s, d, P.BestQuery)),
+    // digits-only query over the zip-shaped corpus → postal scoring branch
+    // (geo_manager.py:493-495; the reference's own index is zip-shaped)
+    "fuzzy_postal" -> ((s, d) => FuzzySearch.fuzzySearch(s, d, P.PostalQuery, P.PostalK, corpusOf = FuzzySearch.zipCorpus)),
     "dl_topk" -> ((s, d) => dlTopK(s, d)),
     // --- shape record projections (SURVEY §2.2) ---
     "shape_display" -> ((s, d) => ShapeOps.displays(s, d)),
@@ -141,12 +149,14 @@ object SparkEntry {
     "q10_cube" -> Relational.q10Oracle,
     "q11_percentiles" -> Relational.q11Oracle,
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = true),
+    "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),
     "geo_radius_latlng" -> RadiusSearch.radiusLatLngSearchOracle(P.LatLng._1, P.LatLng._2, P.LatLng._3),
     "geo_knn" -> RadiusSearch.knnOracle(P.KnnProbe, P.KnnK),
     "geo_pair_distance" -> RadiusSearch.pairDistancesOracle(P.PairMaxId),
     "geo_pair_sentinel" -> RadiusSearch.pairDistanceSentinelOracle(P.SentinelProbes, P.SentinelTarget),
     "fuzzy_search" -> FuzzySearch.fuzzySearchOracle(P.FuzzyQuery, P.FuzzyK),
     "fuzzy_best" -> FuzzySearch.bestFuzzySearchOracle(P.BestQuery),
+    "fuzzy_postal" -> FuzzySearch.fuzzySearchOracle(P.PostalQuery, P.PostalK, corpusSql = FuzzySearch.zipCorpusCte),
     "dl_topk" -> dlTopKOracle,
     "shape_display" -> ShapeOps.displaysOracle,
     "shape_quote_location" -> ShapeOps.quoteLocationsOracle,

@@ -56,8 +56,27 @@ object FuzzySearch {
        |       p_partkey * 37 % 1000000 AS population
        |FROM part""".stripMargin
 
+  /** Zip-shaped fuzzy corpus — the reference's own index values are
+    * `"71330, US"`-style zip strings (geo_manager.py:531-540 docstring,
+    * tests/fetch.py:15 `us__60606`). Derived from the shape table's
+    * zip_code so a digits-only query exercises the postal scoring branch
+    * (geo_manager.py:493-495) end-to-end through the oracle gate. */
+  def zipCorpus(spark: SparkSession, dir: String): DataFrame =
+    GeoShapes.shapes(spark, dir).select(
+      col("id"),
+      concat(col("zip_code"), lit(", "), col("country")).as("value"),
+      cleanEntity(concat(col("zip_code"), lit(", "), col("country"))).as("clean_value"),
+      col("population"))
+
+  val zipCorpusCte: String =
+    s"""SELECT id, zip_code || ', ' || country AS value,
+       |       ${OracleSql.clean("zip_code || ', ' || country")} AS clean_value,
+       |       population
+       |FROM (${GeoShapes.oracleCte})""".stripMargin
+
   def fuzzySearch(spark: SparkSession, dir: String, query: String,
-                  numResults: Int, cap: Int = DefaultCap): DataFrame = {
+                  numResults: Int, cap: Int = DefaultCap,
+                  corpusOf: (SparkSession, String) => DataFrame = corpus): DataFrame = {
     val q = cleanQuery(query)
     // Multiplicity sides per the reference: query trigrams are DEDUPED
     // (dict-comprehension keys, geo_manager.py:582) while posting lists
@@ -65,7 +84,7 @@ object FuzzySearch {
     // appends per occurrence, geo_manager.py:470-476) — so ngram_hits ==
     // Counter over flattened posting lists (geo_manager.py:584-586).
     val qGramSet = queryTrigrams(q).distinct
-    val c = corpus(spark, dir)
+    val c = corpusOf(spark, dir)
 
     val qdf = spark.createDataFrame(qGramSet.map(Tuple1(_))).toDF("ngram")
     val postings = c.select(col("id"), explode(charNgrams(col("clean_value"), 3)).as("ngram"))
@@ -112,20 +131,27 @@ object FuzzySearch {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'${x.replace("'", "''")}'").mkString("[", ", ", "]")
 
-  def fuzzySearchOracle(query: String, numResults: Int, cap: Int = DefaultCap): String = {
+  def fuzzySearchOracle(query: String, numResults: Int, cap: Int = DefaultCap,
+                        corpusSql: String = corpusCte): String = {
     val q = cleanQuery(query)
     val qGramSet = sqlList(queryTrigrams(q).distinct)
     val qq = q.replace("'", "''")
     val sset = OracleSql.trigramSet("clean_value")
     val tv = OracleSql.tversky(qGramSet, sset, 0.85, 0.15)
     val efs = s"($tv * (1.0 + CASE WHEN starts_with(clean_value, '$qq') THEN 0.15 ELSE 0.0 END))"
-    // Query literal is non-numeric → the postal branch
-    // (geo_manager.py:493-495) constant-folds away; Catalyst does the same
-    // fold on the Spark side.
-    require(!q.matches("^[0-9]+$"), "postal-path oracle not generated here")
+    // geo_search_score's postal branch (geo_manager.py:493-495): a
+    // digits-only query scores against the FIRST SPACE-TOKEN of the source;
+    // ngram_similarity and the DL distance always use the full source
+    // (fuzzy_search result dict, geo_manager.py:560-573). For non-numeric
+    // queries the branch constant-folds away on both engines.
+    val scoreBase = if (q.matches("^[0-9]+$")) {
+      val tok = "split_part(clean_value, ' ', 1)"
+      val tvP = OracleSql.tversky(qGramSet, OracleSql.trigramSet(tok), 0.85, 0.15)
+      s"($tvP * (1.0 + CASE WHEN starts_with($tok, '$qq') THEN 0.15 ELSE 0.0 END))"
+    } else efs
     val dl = s"least(damerau_levenshtein(split_part('$qq', ',', 1), split_part(clean_value, ',', 1)), " +
       s"damerau_levenshtein('$qq', clean_value))"
-    s"""WITH corpus AS ($corpusCte),
+    s"""WITH corpus AS ($corpusSql),
        |cand AS (
        |  SELECT id, len(list_filter(${OracleSql.trigrams("clean_value")}, g -> list_contains($qGramSet, g)))::BIGINT AS ngram_hits,
        |         value, clean_value, population
@@ -135,13 +161,14 @@ object FuzzySearch {
        |  QUALIFY row_number() OVER (ORDER BY ngram_hits DESC, id) <= ${math.max(numResults, cap)}),
        |scored AS (
        |  SELECT id, value, clean_value, population, $efs AS efs_raw,
+       |         $scoreBase AS score_base,
        |         $dl::BIGINT AS distance
        |  FROM capped),
        |ranked AS (
        |  SELECT id, value, clean_value, distance,
        |         round(efs_raw, 6) AS ngram_similarity,
-       |         round(CASE WHEN population <= 0 OR efs_raw <= 0.65 THEN efs_raw * 0.9
-       |                    ELSE efs_raw * 0.9 + ln(population) * 0.1 END, 6) AS score
+       |         round(CASE WHEN population <= 0 OR score_base <= 0.65 THEN score_base * 0.9
+       |                    ELSE score_base * 0.9 + ln(population) * 0.1 END, 6) AS score
        |  FROM scored),
        |dedup AS (
        |  SELECT * FROM ranked

@@ -47,6 +47,85 @@ object RadiusSearch {
       .orderBy(col("id"))
   }
 
+  /** radius_search(full_results=True) — the reference's enriched result rows
+    * (geo_manager.py:300-323): each matching shape carries the
+    * get_shape_pair_distance struct {distance, normalized_distance,
+    * aggregate} against the PROBE shape (orig = probe, dest = match,
+    * geo_manager.py:368-426). Normalization is the same area rule as
+    * `pairDistances`: one aggregate side → its area, both → mean (the
+    * intended semantics of the dead both-aggregate branch at
+    * geo_manager.py:417-426 — unreachable in the reference because the
+    * orig-aggregate branch shadows it), area < 10 → raw distance.
+    *
+    * Same single narrow filter stage as `radiusSearch` — the enrichment is
+    * three more projected expressions over the broadcast probe row, so the
+    * 100 TB plan is unchanged (scan + broadcast, no extra shuffle). */
+  def radiusSearchFull(spark: SparkSession, dir: String, probeId: Long,
+                       radiusMiles: Double, countryExact: Boolean): DataFrame = {
+    val shp = GeoShapes.shapes(spark, dir)
+    val probe = shp.filter(col("id") === probeId)
+      .select(col("latitude").as("p_lat"), col("longitude").as("p_lng"),
+        col("country").as("p_country"), col("is_aggregate").as("p_agg"),
+        col("area").as("p_area"))
+    val latD = lit(radiusMiles / EarthRadiusMiles * (180.0 / math.Pi))
+    val lngD = longitudeDeltaFromMiles(col("p_lat"), lit(radiusMiles))
+    val matches = when(col("is_aggregate"),
+      bboxContains(col("ll_latitude"), col("ur_latitude"),
+        col("ll_longitude"), col("ur_longitude"), col("p_lat"), col("p_lng")))
+      .otherwise(ellipseContains(col("p_lat"), col("p_lng"),
+        col("latitude"), col("longitude"), latD, lngD))
+    val countryOk: Column =
+      if (countryExact) col("country") === col("p_country") else lit(true)
+    val dist = round(haversineMiles(col("p_lat"), col("p_lng"),
+      col("latitude"), col("longitude")), 4)
+    val effArea = when(col("p_agg") && col("is_aggregate"),
+      (col("p_area") + col("area")) / 2.0)
+      .when(col("p_agg"), col("p_area"))
+      .when(col("is_aggregate"), col("area"))
+    val norm = when(effArea.isNotNull && effArea >= 10.0,
+      round(col("distance_miles") / log(greatest(effArea, lit(1.0))), 4))
+      .otherwise(col("distance_miles"))
+    shp.crossJoin(broadcast(probe))
+      .filter(matches && countryOk)
+      .withColumn("distance_miles", dist)
+      .select(col("id"), col("reference_code"), col("geo_type"),
+        col("is_aggregate"), col("country"), col("distance_miles"),
+        norm.as("normalized_distance"),
+        (col("p_agg") || col("is_aggregate")).as("aggregate_shape"))
+      .orderBy(col("id"))
+  }
+
+  def radiusSearchFullOracle(probeId: Long, radiusMiles: Double, countryExact: Boolean): String = {
+    val latD = s"(${radiusMiles / EarthRadiusMiles * (180.0 / math.Pi)})"
+    val lngD = OracleSql.lngDelta("p.p_lat", radiusMiles)
+    val ellipse = OracleSql.ellipseContains("p.p_lat", "p.p_lng",
+      "s.latitude", "s.longitude", latD, lngD)
+    val country = if (countryExact) "AND s.country = p.p_country" else ""
+    s"""WITH shapes AS (${GeoShapes.oracleCte}),
+       |probe AS (SELECT latitude AS p_lat, longitude AS p_lng, country AS p_country,
+       |                 is_aggregate AS p_agg, area AS p_area
+       |          FROM shapes WHERE id = $probeId),
+       |m AS (SELECT s.id, s.reference_code, s.geo_type, s.is_aggregate, s.country,
+       |             round(${OracleSql.haversineMiles("p.p_lat", "p.p_lng", "s.latitude", "s.longitude")}, 4) AS distance_miles,
+       |             CASE WHEN p.p_agg AND s.is_aggregate THEN (p.p_area + s.area) / 2.0
+       |                  WHEN p.p_agg THEN p.p_area
+       |                  WHEN s.is_aggregate THEN s.area END AS eff_area,
+       |             (p.p_agg OR s.is_aggregate) AS aggregate_shape
+       |      FROM shapes s CROSS JOIN probe p
+       |      WHERE (CASE WHEN s.is_aggregate
+       |                  THEN p.p_lat BETWEEN s.ll_latitude AND s.ur_latitude
+       |                   AND p.p_lng BETWEEN s.ll_longitude AND s.ur_longitude
+       |                  ELSE $ellipse END)
+       |        $country)
+       |SELECT id, reference_code, geo_type, is_aggregate, country, distance_miles,
+       |       CASE WHEN eff_area IS NOT NULL AND eff_area >= 10.0
+       |            THEN round(distance_miles / ln(greatest(eff_area, 1.0)), 4)
+       |            ELSE distance_miles END AS normalized_distance,
+       |       aggregate_shape
+       |FROM m
+       |ORDER BY id""".stripMargin
+  }
+
   /** radius_lat_lng_search (geo_manager.py:350-366): probe is a raw lat/lng
     * point (no shape resolve), aggregates are EXCLUDED, matches use the
     * ellipse test only. Pure narrow filter over the scan — with lat-band
