@@ -80,6 +80,9 @@ object SparkEntry {
     "shape_localtime" -> ((s, d) => ShapeOps.localTimes(s, d)),
     "shape_batch_lookup" -> ((s, d) => ShapeOps.batchLookup(s, d)),
     "shape_filters" -> ((s, d) => ShapeOps.filteredShapes(s, d)),
+    // dot-path filters over INGESTED nested structs (utils.py:15-21),
+    // round-tripped through parquet so pushdown hits real nested storage
+    "shape_filters_nested" -> ((s, d) => ShapeOps.nestedFilteredShapes(s, d)),
     "shape_related" -> ((s, d) => ShapeOps.relatedShapes(s, d)),
     // --- dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -92,6 +95,9 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, P.CosineProbe, P.CosineK)),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(s, d, planes = 8)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, P.IvfProbe, P.IvfK)),
+    // materialized cell-partitioned IVF index + pruned read (same oracle:
+    // identical results, different physical plan — nprobe/C of the data)
+    "ann_ivf_bucketed" -> ((s, d) => Similarity.ivfBucketedTopK(s, d, P.IvfProbe, P.IvfK)),
     // --- text analysis ---
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -107,6 +113,9 @@ object SparkEntry {
     "ev_session" -> ((s, d) => EventOps.sessions(s, d)),
     "ev_asof_orders" -> ((s, d) => EventOps.asofOrders(s, d)),
     "ev_asof_latest" -> ((s, d) => EventOps.asofLatestOrder(s, d)),
+    // same semantics as ev_asof_latest (one oracle gates both), spelled as
+    // the linear union-and-propagate as-of — no per-key pair blow-up
+    "ev_asof_union" -> ((s, d) => EventOps.asofLatestOrderUnion(s, d)),
     "ev_range_join" -> ((s, d) => EventOps.rangeJoinActivity(s, d)),
     "ev_json_extract" -> ((s, d) => EventOps.jsonExtract(s, d)),
     "ev_lag_delta" -> ((s, d) => EventOps.lagDeltas(s, d)),
@@ -163,6 +172,7 @@ object SparkEntry {
     "shape_localtime" -> ShapeOps.localTimesOracle,
     "shape_batch_lookup" -> ShapeOps.batchLookupOracle,
     "shape_filters" -> ShapeOps.filteredShapesOracle,
+    "shape_filters_nested" -> ShapeOps.nestedFilteredShapesOracle,
     "shape_related" -> ShapeOps.relatedShapesOracle,
     "dedup_exact" -> Dedup.exactDedupOracle,
     "dedup_jaccard" -> Dedup.jaccardPairsOracle(P.JaccardThreshold),
@@ -173,6 +183,7 @@ object SparkEntry {
     "ann_cosine_topk" -> Similarity.cosineTopKOracle(P.CosineProbe, P.CosineK),
     "ann_lsh_buckets" -> Similarity.lshBucketsOracle(8),
     "ann_ivf_topk" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK),
+    "ann_ivf_bucketed" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK),
     "text_langid" -> TextAnalysis.languageIdOracle,
     "text_quality" -> TextAnalysis.qualityScoreOracle,
     "text_tokens" -> TextAnalysis.tokenCountsOracle,
@@ -185,6 +196,7 @@ object SparkEntry {
     "ev_session" -> EventOps.sessionsOracle,
     "ev_asof_orders" -> EventOps.asofOrdersOracle,
     "ev_asof_latest" -> EventOps.asofLatestOrderOracle,
+    "ev_asof_union" -> EventOps.asofLatestOrderOracle,
     "ev_range_join" -> EventOps.rangeJoinActivityOracle,
     "ev_json_extract" -> EventOps.jsonExtractOracle,
     "ev_lag_delta" -> EventOps.lagDeltasOracle,

@@ -156,6 +156,52 @@ object EventOps {
       |                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
       |ORDER BY e.event_id""".stripMargin
 
+  /** Scale-safe as-of spelling: UNION the two streams and propagate the
+    * latest order per user with a running window max — the bucketed
+    * sort-merge as-of. Identical semantics to `asofLatestOrder` (same
+    * oracle gates both), different physical shape:
+    *
+    *  - `asofLatestOrder` equi-joins on user_id with the time bound as a
+    *    join predicate, materializing |events_u| × |orders_u| intermediate
+    *    rows per user before WindowGroupLimit collapses them — correct, but
+    *    a hot key with 10⁴ events × 10⁴ orders creates a 10⁸-row join
+    *    partition that AQE skew-split only partially saves;
+    *  - this form is ONE shuffle of |events| + |orders| rows on user_id,
+    *    one sort by (ts, kind), and a running `max(struct(...))` that
+    *    carries the latest order forward — linear in events+orders per
+    *    user, no pair blow-up, no skew cliff. The plan survives any key
+    *    distribution at 100 TB.
+    *
+    * Ordering: kind 0 (order) sorts before kind 1 (event) at equal
+    * timestamps, so an order at exactly `e.ts` is visible to that event —
+    * the `o_orderdate <= e.ts` inclusive bound. The struct max picks
+    * (latest o_orderdate, then highest o_orderkey), matching the join
+    * form's ORDER BY o_orderdate DESC, o_orderkey DESC tiebreak. Running
+    * max ignores the null structs contributed by event rows and is
+    * insensitive to the relative order of same-timestamp events, so the
+    * result is deterministic without a total sort key. */
+  def asofLatestOrderUnion(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val orderRows = o.select(col("o_custkey").as("user_id"),
+      col("o_orderdate").as("ts"), lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+      struct(col("o_orderdate").as("d"), col("o_orderkey").as("k"),
+        col("o_totalprice").as("p")).as("ord"))
+    val eventRows = e.select(col("user_id"), col("ts"), lit(1).as("kind"),
+      col("event_id"),
+      lit(null).cast(orderRows.schema("ord").dataType).as("ord"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orderRows.unionByName(eventRows)
+      .withColumn("asof", max(col("ord")).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"),
+        col("asof.k").as("asof_orderkey"),
+        unix_timestamp(col("asof.d")).as("asof_orderdate"),
+        col("asof.p").as("asof_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range (interval) join: per order, activity of the SAME user in the
     * 24 hours starting at the order timestamp. Equi part (user key) drives
     * the shuffle; the range predicate evaluates join-side — never a

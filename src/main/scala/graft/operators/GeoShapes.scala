@@ -76,6 +76,21 @@ object GeoShapes {
         when(col("id") % 7L =!= 0L, col("id") - col("id") % 7L))  // 1-edge link; NULL every 7th
   }
 
+  /** The shape table in the reference's RECORD layout (GeoIngest.rawSchema,
+    * README.md:81-106): `ref_data` and `bbox` as real nested structs. This
+    * is what the ingested parquet looks like before `_generate_maps`
+    * flattens projections — dot-path filters (utils.py:15-21) run against
+    * THIS shape. */
+  def nestedShapes(spark: SparkSession, dir: String): DataFrame =
+    shapes(spark, dir).select(
+      col("id"), col("value"), col("clean_value"),
+      col("latitude"), col("longitude"), col("population"),
+      col("is_aggregate"), col("area"), col("geo_type"), col("reference_code"),
+      struct(col("ll_latitude"), col("ur_latitude"),
+        col("ll_longitude"), col("ur_longitude")).as("bbox"),
+      struct(col("country"), col("zip_code"), col("state_prov"),
+        col("metro_size")).as("ref_data"))
+
   /** The same derivation as a DuckDB CTE body (oracle side). */
   val oracleCte: String =
     """SELECT c_custkey AS id,

@@ -181,4 +181,32 @@ object ShapeOps {
        |SELECT id, reference_code, geo_type, country
        |FROM shapes WHERE geo_type = 'City' AND country = 'US'
        |ORDER BY id""".stripMargin
+
+  /** Dot-path filters over INGESTED nested structs — the reference's
+    * `{"ref_data.state_prov": ..., "ref_data.country": ...}` filter dicts
+    * (utils.py:15-21 get_embedded_key, geo_manager.py:45-58). The nested
+    * record layout (GeoShapes.nestedShapes == GeoIngest.rawSchema shape) is
+    * round-tripped through parquet so the filter exercises the real storage
+    * path: Spark resolves `col("ref_data.state_prov")` natively, prunes the
+    * nested schema to the two leaves read, and pushes both predicates into
+    * the parquet scan (PushedFilters on nested fields). */
+  def nestedFilteredShapes(spark: SparkSession, dir: String): DataFrame = {
+    val path = "/root/repo/target/graft_nested/" + dir.replaceAll("[^0-9a-zA-Z]+", "_")
+    GeoShapes.nestedShapes(spark, dir).write.mode("overwrite").parquet(path)
+    val filters: Seq[(String, Any)] =
+      Seq("ref_data.state_prov" -> "ST6", "ref_data.country" -> "US")
+    val pred = filters.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
+    spark.read.parquet(path)
+      .filter(pred)
+      .select(col("id"), col("reference_code"), col("geo_type"),
+        col("ref_data.state_prov").as("state_prov"),
+        col("ref_data.zip_code").as("zip_code"))
+      .orderBy(col("id"))
+  }
+
+  val nestedFilteredShapesOracle: String =
+    s"""WITH shapes AS (${GeoShapes.oracleCte})
+       |SELECT id, reference_code, geo_type, state_prov, zip_code
+       |FROM shapes WHERE state_prov = 'ST6' AND country = 'US'
+       |ORDER BY id""".stripMargin
 }

@@ -118,29 +118,33 @@ object Similarity {
 
   // ------------------------------------------------------------------- IVF
 
+  /** Default codebook size — a CONSTANT, independent of corpus size. The
+    * broadcast codebook is C×dim floats regardless of N; at 100 TB C grows
+    * to a few thousand trained centroids, still kilobytes-to-megabytes. */
+  val IvfNumCentroids = 16
+
   /** IVF (inverted-file) ANN — the disk-friendly scale path:
-    *  1. coarse quantizer: every `centroidMod`-th vector is a centroid
-    *     (deterministic; at scale this is a trained k-means codebook — the
-    *     plan shape is identical: a small broadcast dimension);
+    *  1. coarse quantizer: a FIXED-SIZE deterministic sample of
+    *     `numCentroids` vectors (every `centroidMod`-th vector, capped) is
+    *     the codebook. C is a constant — NOT a fraction of N — so the
+    *     assignment stage is scan × constant-size broadcast (O(N·C) work,
+    *     O(C) memory) at any corpus size. At scale this is a trained
+    *     k-means codebook; the plan shape is identical.
     *  2. cell assignment: argmax-cosine centroid per vector, computed as a
     *     broadcast join + partial `max(struct(cos, -cid))` aggregation
     *     (map-side combine — one shuffled row per vector, never N×C);
     *  3. probe: rank centroids by cosine to the probe, keep `nprobe` cells;
     *  4. exact cosine top-k over ONLY the candidate cells' vectors.
-    * At 100 TB the assignment is computed once at ingest and bucketed by
-    * cell id, so a query touches nprobe/C of the data.
+    * At 100 TB the assignment is computed once at ingest and partitioned by
+    * cell id (see `ivfBucketedTopK`), so a query touches nprobe/C of the
+    * data.
     */
   def ivfTopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
-              centroidMod: Long = 25L, nprobe: Int = 2): DataFrame = {
+              centroidMod: Long = 25L, nprobe: Int = 2,
+              numCentroids: Int = IvfNumCentroids): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cent = e.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-    val assign = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"),
-        struct(cosine(col("embedding"), col("cemb")).as("c"),
-          (-col("cid")).as("nc")).as("sc"))
-      .groupBy(col("vec_id")).agg(max(col("sc")).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).as("cell"))
+    val cent = centroids(e, centroidMod, numCentroids)
+    val assign = cellAssignment(e, cent)
     val probe = e.filter(col("vec_id") === probeId)
       .select(col("embedding").as("pemb"))
     val probeCells = cent.crossJoin(broadcast(probe))
@@ -156,10 +160,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** The fixed-size deterministic codebook: every `centroidMod`-th vector,
+    * capped at `numCentroids` — C never scales with N. */
+  private def centroids(e: DataFrame, centroidMod: Long, numCentroids: Int): DataFrame =
+    e.filter(col("vec_id") % centroidMod === 0 &&
+        col("vec_id") < centroidMod * numCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+
+  /** Cell assignment (vec_id → nearest centroid), the ingest-time product
+    * that `ivfBucketedTopK` materializes partitioned by cell. */
+  private def cellAssignment(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        struct(graft.functions.VectorFunctions.cosineF(col("embedding"), col("cemb")).as("c"),
+          (-col("cid")).as("nc")).as("sc"))
+      .groupBy(col("vec_id")).agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cell"))
+
+  /** The materialized IVF index path: cell assignment written ONCE as
+    * cell-partitioned parquet (the ingest-time index build), then the query
+    * reads ONLY the `nprobe` probed cells' partitions — directory-level
+    * partition pruning via dynamic partition pruning on the broadcast
+    * probe-cells join. Same results as `ivfTopK` (one oracle gates both);
+    * the physical difference is the read: nprobe/C of the index instead of
+    * a full scan. This is the 100 TB shape: the index build is a one-time
+    * linear job, every query is a pruned read. */
+  def ivfBucketedTopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
+                      centroidMod: Long = 25L, nprobe: Int = 2,
+                      numCentroids: Int = IvfNumCentroids): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cent = centroids(e, centroidMod, numCentroids)
+    val indexPath = "/root/repo/target/graft_ivf/" +
+      dir.replaceAll("[^0-9a-zA-Z]+", "_") + s"_m${centroidMod}_c$numCentroids"
+    // Index build (idempotent overwrite; at scale this runs at ingest).
+    e.join(cellAssignment(e, cent), "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    val bucketed = spark.read.parquet(indexPath)
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("pemb"))
+    val probeCells = cent.crossJoin(broadcast(probe))
+      .select(col("cid"), cosine(col("cemb"), col("pemb")).as("pc"))
+      .orderBy(col("pc").desc, col("cid")).limit(nprobe)
+      .select(col("cid").as("cell"))
+    bucketed.join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("pemb")), 4).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def ivfTopKOracle(probeId: Long, k: Int, centroidMod: Long = 25L,
-                    nprobe: Int = 2): String =
+                    nprobe: Int = 2, numCentroids: Int = IvfNumCentroids): String =
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-       |              WHERE vec_id % $centroidMod = 0),
+       |              WHERE vec_id % $centroidMod = 0
+       |                AND vec_id < ${centroidMod * numCentroids}),
        |ac AS (SELECT e.vec_id, c.cid,
        |              ${cosineSql("e.embedding", "c.cemb")} AS ccos
        |       FROM embeddings e CROSS JOIN cent c),
