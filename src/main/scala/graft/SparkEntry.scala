@@ -73,6 +73,9 @@ object SparkEntry {
     // digits-only query over the zip-shaped corpus → postal scoring branch
     // (geo_manager.py:493-495; the reference's own index is zip-shaped)
     "fuzzy_postal" -> ((s, d) => FuzzySearch.fuzzySearch(s, d, P.PostalQuery, P.PostalK, corpusOf = FuzzySearch.zipCorpus)),
+    // same query through the MATERIALIZED posting index (pushed-down ngram
+    // isin on the pairs relation); same oracle as fuzzy_search gates it
+    "fuzzy_indexed" -> ((s, d) => FuzzySearch.fuzzySearchIndexed(s, d, P.FuzzyQuery, P.FuzzyK)),
     "dl_topk" -> ((s, d) => dlTopK(s, d)),
     // --- shape record projections (SURVEY §2.2) ---
     "shape_display" -> ((s, d) => ShapeOps.displays(s, d)),
@@ -90,6 +93,9 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d, P.EmbDupThreshold)),
     "dedup_pipeline" -> ((s, d) => Dedup.dedupPipeline(s, d)),
+    // opt-in transitive closure: K pointer-jumping passes (each one linear
+    // self-join) so canonical chains of length up to 2^K collapse
+    "dedup_transitive" -> ((s, d) => Dedup.dedupPipelineTransitive(s, d)),
     "text_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     // --- similarity search ---
     "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, P.CosineProbe, P.CosineK)),
@@ -166,6 +172,7 @@ object SparkEntry {
     "fuzzy_search" -> FuzzySearch.fuzzySearchOracle(P.FuzzyQuery, P.FuzzyK),
     "fuzzy_best" -> FuzzySearch.bestFuzzySearchOracle(P.BestQuery),
     "fuzzy_postal" -> FuzzySearch.fuzzySearchOracle(P.PostalQuery, P.PostalK, corpusSql = FuzzySearch.zipCorpusCte),
+    "fuzzy_indexed" -> FuzzySearch.fuzzySearchOracle(P.FuzzyQuery, P.FuzzyK),
     "dl_topk" -> dlTopKOracle,
     "shape_display" -> ShapeOps.displaysOracle,
     "shape_quote_location" -> ShapeOps.quoteLocationsOracle,
@@ -179,6 +186,7 @@ object SparkEntry {
     "dedup_minhash" -> Dedup.minhashPairsOracle,
     "dedup_embedding" -> Dedup.embeddingNearDupsOracle(P.EmbDupThreshold),
     "dedup_pipeline" -> Dedup.dedupPipelineOracle,
+    "dedup_transitive" -> Dedup.dedupPipelineTransitiveOracle(),
     "text_simhash" -> Dedup.simhashOracle,
     "ann_cosine_topk" -> Similarity.cosineTopKOracle(P.CosineProbe, P.CosineK),
     "ann_lsh_buckets" -> Similarity.lshBucketsOracle(8),

@@ -299,6 +299,42 @@ object Dedup {
        |ORDER BY we.doc_id""".stripMargin
   }
 
+  /** Transitive canonicalization (opt-in escalation of `dedupPipeline`):
+    * `hops` rounds of pointer jumping over the single-pass labels —
+    * l_{k+1}(x) = l_k(l_k(x)) — so canonical chains of length up to
+    * 2^hops collapse to their root. Each round is ONE self-join on the
+    * (doc_id, canonical_id) relation — a linear job, no iterative driver
+    * loop, no unbounded convergence — which is the corpus-scale trade vs
+    * full connected components. canonical_id is always itself a doc_id
+    * (least() over existing ids), so the lookup join is total; the left
+    * join + coalesce keeps the pass harmless if that invariant ever broke.
+    * hops=3 collapses chains of length 8 — beyond anything a near-dup
+    * similarity graph of real text produces. */
+  def dedupPipelineTransitive(spark: SparkSession, dir: String, hops: Int = 3): DataFrame = {
+    val base = dedupPipeline(spark, dir).select(col("doc_id"), col("canonical_id"))
+    val resolved = (1 to hops).foldLeft(base) { (l, _) =>
+      val r = l.select(col("doc_id").as("r_id"), col("canonical_id").as("r_canon"))
+      l.join(r, l("canonical_id") === r("r_id"), "left")
+        .select(l("doc_id"), coalesce(col("r_canon"), l("canonical_id")).as("canonical_id"))
+    }
+    resolved
+      .withColumn("is_canonical", col("canonical_id") === col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupPipelineTransitiveOracle(hops: Int = 3): String = {
+    val hopCtes = (1 to hops).map { k =>
+      val prev = if (k == 1) "h0" else s"h${k - 1}"
+      s"""h$k AS (SELECT a.doc_id, coalesce(b.canonical_id, a.canonical_id) AS canonical_id
+         |        FROM $prev a LEFT JOIN $prev b ON a.canonical_id = b.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (SELECT doc_id, canonical_id FROM ($dedupPipelineOracle)),
+       |$hopCtes
+       |SELECT doc_id, canonical_id, canonical_id = doc_id AS is_canonical
+       |FROM h$hops
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------- SimHash
 
   val SimHashBits = 24

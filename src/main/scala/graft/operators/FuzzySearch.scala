@@ -90,6 +90,42 @@ object FuzzySearch {
     val postings = c.select(col("id"), explode(charNgrams(col("clean_value"), 3)).as("ngram"))
     val hits = postings.join(broadcast(qdf), "ngram")
       .groupBy(col("id")).agg(count(lit(1)).as("ngram_hits"))
+    rankCandidates(c, q, hits, numResults, cap)
+  }
+
+  /** Materialized-index fuzzy search: candidate generation reads the
+    * PRE-BUILT posting-pairs relation (NgramIndex.postingPairsMulti) from
+    * an ngram-clustered parquet layout instead of deriving postings inline
+    * per query. The query's trigram set becomes an `isin` predicate PUSHED
+    * INTO the parquet scan (PushedFilters: In(ngram, ...)), so with the
+    * pairs sorted by ngram within each file, row-group min/max stats skip
+    * everything but the probed trigrams' postings — the index-lookup read
+    * pattern SCALE.md promises (at 100 TB: bucketed+sorted by ngram, a
+    * query touches |q-grams|/|gram-space| of the index). Scoring is the
+    * identical pipeline (FuzzyIndexSpec pins bit-equal results; the shared
+    * oracle gates it). */
+  def fuzzySearchIndexed(spark: SparkSession, dir: String, query: String,
+                         numResults: Int, cap: Int = DefaultCap,
+                         corpusOf: (SparkSession, String) => DataFrame = corpus): DataFrame = {
+    val q = cleanQuery(query)
+    val qGramSet = queryTrigrams(q).distinct
+    val c = corpusOf(spark, dir)
+    val path = "/root/repo/target/graft_postings/" + dir.replaceAll("[^0-9a-zA-Z]+", "_")
+    // Index build (idempotent overwrite; at scale this runs at ingest):
+    // cluster by ngram, sort within files so scan stats are tight.
+    NgramIndex.postingPairsMulti(c)
+      .repartition(32, col("ngram")).sortWithinPartitions(col("ngram"))
+      .write.mode("overwrite").parquet(path)
+    val hits = spark.read.parquet(path)
+      .filter(col("ngram").isin(qGramSet: _*))
+      .groupBy(col("id")).agg(count(lit(1)).as("ngram_hits"))
+    rankCandidates(c, q, hits, numResults, cap)
+  }
+
+  /** The shared scoring tail of the pipeline: 500-cap → fetch → score →
+    * best-per-clean_value dedup → top-k. */
+  private def rankCandidates(c: DataFrame, q: String, hits: DataFrame,
+                             numResults: Int, cap: Int): DataFrame = {
     val capped = hits.orderBy(col("ngram_hits").desc, col("id"))
       .limit(math.max(numResults, cap))
 

@@ -26,6 +26,15 @@ object NgramIndex {
     corpus.select(col("id"), explode(charNgramSet(col("clean_value"), n)).as("ngram"))
       .select(col("ngram"), col("id"))
 
+  /** Multiplicity-preserving posting pairs — one row per trigram
+    * OCCURRENCE, the reference's actual index shape (add_entity appends
+    * the id once per occurrence, geo_manager.py:470-476), so a count over
+    * matched pairs reproduces its Counter hit totals exactly. This is the
+    * relation the fuzzy pipeline's candidate generation consumes. */
+  def postingPairsMulti(corpus: DataFrame, n: Int = 3): DataFrame =
+    corpus.select(col("id"), explode(charNgrams(col("clean_value"), n)).as("ngram"))
+      .select(col("ngram"), col("id"))
+
   /** Grouped posting lists — the reference's dict shape (ids sorted for
     * determinism; the reference's append order was load order). */
   def postings(corpus: DataFrame, n: Int = 3): DataFrame =

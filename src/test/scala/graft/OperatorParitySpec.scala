@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Dedup, FuzzySearch, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Cross-spelling parity: operators that exist in two physical shapes
+  * (inline vs materialized-index fuzzy search, one-pass vs transitive
+  * dedup canonicalization, full-scan vs pruned-read IVF) must agree —
+  * the alternates exist for SCALE, not different semantics. */
+class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .appName("operator-parity-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("fuzzySearchIndexed (materialized postings) == fuzzySearch (inline)") {
+    val inline = FuzzySearch.fuzzySearch(spark, dir, "smal widget", 20).collect()
+    val indexed = FuzzySearch.fuzzySearchIndexed(spark, dir, "smal widget", 20).collect()
+    assert(indexed.toSeq == inline.toSeq)
+    assert(inline.nonEmpty)
+  }
+
+  test("indexed candidate generation pushes the ngram set into the scan") {
+    val plan = FuzzySearch.fuzzySearchIndexed(spark, dir, "smal widget", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(ngram"),
+      s"expected In(ngram,...) pushed to the postings scan:\n$plan")
+  }
+
+  test("transitive canonicalization is a fixpoint and only lowers labels") {
+    val once = Dedup.dedupPipeline(spark, dir)
+      .select("doc_id", "canonical_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trans = Dedup.dedupPipelineTransitive(spark, dir)
+      .select("doc_id", "canonical_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(trans.keySet == once.keySet)
+    // Pointer jumping can only move a label down (toward the root).
+    trans.foreach { case (d, c) => assert(c <= once(d), s"doc $d: $c > ${once(d)}") }
+    // Fixpoint: every canonical target is its own canonical (no chains
+    // survive 3 jumps = collapse depth 8).
+    trans.values.toSet.foreach { c: Long => assert(trans(c) == c, s"chain survives at $c") }
+  }
+
+  test("ivfBucketedTopK (pruned index read) == ivfTopK (full scan)") {
+    val full = Similarity.ivfTopK(spark, dir, probeId = 7L, k = 10).collect()
+    val pruned = Similarity.ivfBucketedTopK(spark, dir, probeId = 7L, k = 10).collect()
+    assert(pruned.toSeq == full.toSeq)
+    assert(full.nonEmpty)
+  }
+}
