@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Per-query bench regression diff: BENCH_r{N}.json vs BENCH_r{N-1}.json.
+
+Usage:
+    python3 tools/bench_diff.py NEW.json OLD.json [--ratio 1.3]
+
+Handles both raw bench lines ({"metric":...,"queries":{...}}) and the
+driver's wrapper ({"parsed": {...}} or the line embedded in "tail").
+
+Run-to-run variance on this box is ~±20%, so a single >1.3x flag is only
+a WATCH; a query flagged in two consecutive diffs (state carried in
+tools/bench_flags.json, keyed by the NEW file's name) is a REGRESSION.
+Exit code 1 iff any REGRESSION.
+"""
+import json
+import re
+import sys
+from pathlib import Path
+
+FLAGS_PATH = Path(__file__).parent / "bench_flags.json"
+
+
+def load_bench(path):
+    d = json.load(open(path))
+    if "queries" in d:
+        return d
+    if d.get("parsed"):
+        return d["parsed"]
+    # Fall back: extract the one-line JSON from the captured log tail.
+    m = re.search(r'\{"metric":.*?"queries":.*\}', d.get("tail", ""))
+    if not m:
+        sys.exit(f"no bench line found in {path}")
+    return json.loads(m.group(0))
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    ratio_lim = 1.3
+    for a in sys.argv[1:]:
+        if a.startswith("--ratio"):
+            ratio_lim = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    if len(args) != 2:
+        sys.exit(__doc__)
+    new_path, old_path = args
+    new, old = load_bench(new_path), load_bench(old_path)
+    nq, oq = new["queries"], old["queries"]
+
+    prev_flags = set()
+    if FLAGS_PATH.exists():
+        prev_flags = set(json.load(open(FLAGS_PATH)).get("flagged", []))
+
+    flagged, regressions, rows = [], [], []
+    for name in sorted(set(nq) | set(oq)):
+        if name not in oq:
+            rows.append((name, None, nq[name], "NEW"))
+            continue
+        if name not in nq:
+            rows.append((name, oq[name], None, "REMOVED"))
+            continue
+        r = nq[name] / oq[name] if oq[name] > 0 else float("inf")
+        status = ""
+        if r > ratio_lim:
+            flagged.append(name)
+            status = "REGRESSION" if name in prev_flags else "WATCH"
+            if name in prev_flags:
+                regressions.append(name)
+        elif r < 1 / ratio_lim:
+            status = "faster"
+        rows.append((name, oq[name], nq[name], status or f"{r:.2f}x"))
+
+    print(f"bench diff: {new_path} vs {old_path} (flag ratio {ratio_lim}x, "
+          f"2 consecutive flags => REGRESSION)")
+    print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s")
+    w = max(len(r[0]) for r in rows)
+    for name, o, n, status in rows:
+        os_ = f"{o:7.2f}" if o is not None else "      -"
+        ns_ = f"{n:7.2f}" if n is not None else "      -"
+        print(f"  {name:<{w}} {os_} -> {ns_}  {status}")
+
+    json.dump({"against": str(old_path), "flagged": sorted(flagged),
+               "regressions": sorted(regressions)}, open(FLAGS_PATH, "w"), indent=1)
+    if regressions:
+        print(f"REGRESSIONS (flagged twice consecutively): {', '.join(regressions)}")
+        sys.exit(1)
+    if flagged:
+        print(f"watch (first flag, within 2-run tolerance): {', '.join(flagged)}")
+
+
+if __name__ == "__main__":
+    main()
