@@ -68,6 +68,11 @@ def main():
             status = "faster"
         rows.append((name, oq[name], nq[name], status or f"{r:.2f}x"))
 
+    # Persist flag state BEFORE printing: a downstream `| head` closes the
+    # pipe early and would otherwise kill the run before the state write.
+    json.dump({"against": str(old_path), "flagged": sorted(flagged),
+               "regressions": sorted(regressions)}, open(FLAGS_PATH, "w"), indent=1)
+
     print(f"bench diff: {new_path} vs {old_path} (flag ratio {ratio_lim}x, "
           f"2 consecutive flags => REGRESSION)")
     print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s")
@@ -77,8 +82,6 @@ def main():
         ns_ = f"{n:7.2f}" if n is not None else "      -"
         print(f"  {name:<{w}} {os_} -> {ns_}  {status}")
 
-    json.dump({"against": str(old_path), "flagged": sorted(flagged),
-               "regressions": sorted(regressions)}, open(FLAGS_PATH, "w"), indent=1)
     if regressions:
         print(f"REGRESSIONS (flagged twice consecutively): {', '.join(regressions)}")
         sys.exit(1)
