@@ -30,6 +30,8 @@ object SparkEntry {
     val FuzzyQuery = "smal widget"; val FuzzyK = 20
     val BestQuery = "small widget"
     val PostalQuery = "10750"; val PostalK = 15 // digits-only → postal scoring branch
+    val RadiusFilters = Seq[(String, Any)]("geo_type" -> "City")
+    val FuzzyFilters = Seq[(String, Any)]("country" -> "US")
     val JaccardThreshold = 0.55
     val EmbDupThreshold = 0.40
     val CosineProbe = 0L; val CosineK = 10
@@ -62,6 +64,8 @@ object SparkEntry {
     // full_results=True enrichment (geo_manager.py:300-323): per-match
     // {distance, normalized_distance, aggregate} against the probe shape
     "geo_radius_full" -> ((s, d) => RadiusSearch.radiusSearchFull(s, d, P.RadiusFullProbe, P.RadiusMiles, countryExact = false)),
+    // radius_search(filters=...) — conjunctive equality dict (utils.py:15-21)
+    "geo_radius_filtered" -> ((s, d) => RadiusSearch.radiusSearch(s, d, P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters)),
     "geo_radius_latlng" -> ((s, d) => RadiusSearch.radiusLatLngSearch(s, d, P.LatLng._1, P.LatLng._2, P.LatLng._3)),
     "geo_knn" -> ((s, d) => RadiusSearch.knn(s, d, P.KnnProbe, P.KnnK)),
     "geo_pair_distance" -> ((s, d) => RadiusSearch.pairDistances(s, d, P.PairMaxId)),
@@ -76,6 +80,9 @@ object SparkEntry {
     // same query through the MATERIALIZED posting index (pushed-down ngram
     // isin on the pairs relation); same oracle as fuzzy_search gates it
     "fuzzy_indexed" -> ((s, d) => FuzzySearch.fuzzySearchIndexed(s, d, P.FuzzyQuery, P.FuzzyK)),
+    // filters dict applied AFTER the 500-cap (geo_manager.py:578-580)
+    "fuzzy_filtered" -> ((s, d) => FuzzySearch.fuzzySearch(s, d, P.PostalQuery, P.PostalK,
+      corpusOf = FuzzySearch.zipCorpus, filters = P.FuzzyFilters)),
     "dl_topk" -> ((s, d) => dlTopK(s, d)),
     // --- shape record projections (SURVEY §2.2) ---
     "shape_display" -> ((s, d) => ShapeOps.displays(s, d)),
@@ -165,6 +172,7 @@ object SparkEntry {
     "q11_percentiles" -> Relational.q11Oracle,
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = true),
     "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),
+    "geo_radius_filtered" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters),
     "geo_radius_latlng" -> RadiusSearch.radiusLatLngSearchOracle(P.LatLng._1, P.LatLng._2, P.LatLng._3),
     "geo_knn" -> RadiusSearch.knnOracle(P.KnnProbe, P.KnnK),
     "geo_pair_distance" -> RadiusSearch.pairDistancesOracle(P.PairMaxId),
@@ -173,6 +181,8 @@ object SparkEntry {
     "fuzzy_best" -> FuzzySearch.bestFuzzySearchOracle(P.BestQuery),
     "fuzzy_postal" -> FuzzySearch.fuzzySearchOracle(P.PostalQuery, P.PostalK, corpusSql = FuzzySearch.zipCorpusCte),
     "fuzzy_indexed" -> FuzzySearch.fuzzySearchOracle(P.FuzzyQuery, P.FuzzyK),
+    "fuzzy_filtered" -> FuzzySearch.fuzzySearchOracle(P.PostalQuery, P.PostalK,
+      corpusSql = FuzzySearch.zipCorpusCte, filters = P.FuzzyFilters),
     "dl_topk" -> dlTopKOracle,
     "shape_display" -> ShapeOps.displaysOracle,
     "shape_quote_location" -> ShapeOps.quoteLocationsOracle,

@@ -311,7 +311,20 @@ object Dedup {
     * hops=3 collapses chains of length 8 — beyond anything a near-dup
     * similarity graph of real text produces. */
   def dedupPipelineTransitive(spark: SparkSession, dir: String, hops: Int = 3): DataFrame = {
-    val base = dedupPipeline(spark, dir).select(col("doc_id"), col("canonical_id"))
+    // Materialize the single-pass labels ONCE: the nested hop joins would
+    // otherwise re-derive the whole minhash pipeline 2^hops times (each
+    // join doubles the plan). At scale this is exactly how pointer jumping
+    // runs: label table written per round, next round reads it — here the
+    // narrow (doc_id, canonical_id) relation is written once and every hop
+    // joins against the cheap scan.
+    val labelPath = "/root/repo/target/graft_labels/" + dir.replaceAll("[^0-9a-zA-Z]+", "_")
+    dedupPipeline(spark, dir).select(col("doc_id"), col("canonical_id"))
+      .write.mode("overwrite").parquet(labelPath)
+    val base = spark.read.parquet(labelPath)
+    // True pointer jumping: CURRENT labels on both join sides (depth
+    // doubles per hop). The nested tree re-reads the label parquet 2^hops
+    // times, but each read is the narrow materialized scan, not the
+    // pipeline.
     val resolved = (1 to hops).foldLeft(base) { (l, _) =>
       val r = l.select(col("doc_id").as("r_id"), col("canonical_id").as("r_canon"))
       l.join(r, l("canonical_id") === r("r_id"), "left")

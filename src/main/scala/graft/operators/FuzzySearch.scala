@@ -60,23 +60,26 @@ object FuzzySearch {
     * `"71330, US"`-style zip strings (geo_manager.py:531-540 docstring,
     * tests/fetch.py:15 `us__60606`). Derived from the shape table's
     * zip_code so a digits-only query exercises the postal scoring branch
-    * (geo_manager.py:493-495) end-to-end through the oracle gate. */
+    * (geo_manager.py:493-495) end-to-end through the oracle gate. Carries
+    * `country`/`geo_type` as extra-entity fields (add_entity's
+    * extra_entity dict, geo_manager.py:451-460) for result filters. */
   def zipCorpus(spark: SparkSession, dir: String): DataFrame =
     GeoShapes.shapes(spark, dir).select(
       col("id"),
       concat(col("zip_code"), lit(", "), col("country")).as("value"),
       cleanEntity(concat(col("zip_code"), lit(", "), col("country"))).as("clean_value"),
-      col("population"))
+      col("population"), col("country"), col("geo_type"))
 
   val zipCorpusCte: String =
     s"""SELECT id, zip_code || ', ' || country AS value,
        |       ${OracleSql.clean("zip_code || ', ' || country")} AS clean_value,
-       |       population
+       |       population, country, geo_type
        |FROM (${GeoShapes.oracleCte})""".stripMargin
 
   def fuzzySearch(spark: SparkSession, dir: String, query: String,
                   numResults: Int, cap: Int = DefaultCap,
-                  corpusOf: (SparkSession, String) => DataFrame = corpus): DataFrame = {
+                  corpusOf: (SparkSession, String) => DataFrame = corpus,
+                  filters: Seq[(String, Any)] = Nil): DataFrame = {
     val q = cleanQuery(query)
     // Multiplicity sides per the reference: query trigrams are DEDUPED
     // (dict-comprehension keys, geo_manager.py:582) while posting lists
@@ -90,7 +93,7 @@ object FuzzySearch {
     val postings = c.select(col("id"), explode(charNgrams(col("clean_value"), 3)).as("ngram"))
     val hits = postings.join(broadcast(qdf), "ngram")
       .groupBy(col("id")).agg(count(lit(1)).as("ngram_hits"))
-    rankCandidates(c, q, hits, numResults, cap)
+    rankCandidates(c, q, hits, numResults, cap, filters)
   }
 
   /** Materialized-index fuzzy search: candidate generation reads the
@@ -122,15 +125,21 @@ object FuzzySearch {
     rankCandidates(c, q, hits, numResults, cap)
   }
 
-  /** The shared scoring tail of the pipeline: 500-cap → fetch → score →
-    * best-per-clean_value dedup → top-k. */
+  /** The shared scoring tail of the pipeline: 500-cap → fetch → filters →
+    * score → best-per-clean_value dedup → top-k. `filters` replicate the
+    * reference's ORDER: applied to the candidate records AFTER the 500-cap
+    * (the results comprehension, geo_manager.py:578-580/614-617), so a
+    * filter never widens the candidate pool. */
   private def rankCandidates(c: DataFrame, q: String, hits: DataFrame,
-                             numResults: Int, cap: Int): DataFrame = {
+                             numResults: Int, cap: Int,
+                             filters: Seq[(String, Any)] = Nil): DataFrame = {
     val capped = hits.orderBy(col("ngram_hits").desc, col("id"))
       .limit(math.max(numResults, cap))
 
+    val filterOk = filters.map { case (k, v) => col(k) === lit(v) }
+      .foldLeft(lit(true))(_ && _)
     val qLit = lit(q)
-    val scored = capped.join(c, "id")
+    val scored = capped.join(c, "id").filter(filterOk)
       .withColumn("efs_raw", entityFuzzyScore(qLit, col("clean_value")))
       .withColumn("distance",
         geoDamerauLevenshtein(qLit, col("clean_value")).cast("long"))
@@ -168,7 +177,8 @@ object FuzzySearch {
     xs.map(x => s"'${x.replace("'", "''")}'").mkString("[", ", ", "]")
 
   def fuzzySearchOracle(query: String, numResults: Int, cap: Int = DefaultCap,
-                        corpusSql: String = corpusCte): String = {
+                        corpusSql: String = corpusCte,
+                        filters: Seq[(String, Any)] = Nil): String = {
     val q = cleanQuery(query)
     val qGramSet = sqlList(queryTrigrams(q).distinct)
     val qq = q.replace("'", "''")
@@ -187,10 +197,15 @@ object FuzzySearch {
     } else efs
     val dl = s"least(damerau_levenshtein(split_part('$qq', ',', 1), split_part(clean_value, ',', 1)), " +
       s"damerau_levenshtein('$qq', clean_value))"
+    // Filters apply AFTER the cap (the reference's results comprehension,
+    // geo_manager.py:578-580) — mirrored by rankCandidates.
+    val filterSql = if (filters.isEmpty) "" else "WHERE " + filters.map {
+      case (k, v: String) => s"$k = '${v.replace("'", "''")}'"
+      case (k, v) => s"$k = $v"
+    }.mkString(" AND ")
     s"""WITH corpus AS ($corpusSql),
        |cand AS (
-       |  SELECT id, len(list_filter(${OracleSql.trigrams("clean_value")}, g -> list_contains($qGramSet, g)))::BIGINT AS ngram_hits,
-       |         value, clean_value, population
+       |  SELECT *, len(list_filter(${OracleSql.trigrams("clean_value")}, g -> list_contains($qGramSet, g)))::BIGINT AS ngram_hits
        |  FROM corpus),
        |capped AS (
        |  SELECT * FROM cand WHERE ngram_hits > 0
@@ -199,7 +214,7 @@ object FuzzySearch {
        |  SELECT id, value, clean_value, population, $efs AS efs_raw,
        |         $scoreBase AS score_base,
        |         $dl::BIGINT AS distance
-       |  FROM capped),
+       |  FROM capped $filterSql),
        |ranked AS (
        |  SELECT id, value, clean_value, distance,
        |         round(efs_raw, 6) AS ngram_similarity,

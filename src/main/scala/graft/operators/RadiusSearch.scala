@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object RadiusSearch {
 
-  /** Matching shapes with enrichment distance, deterministic order. */
+  /** Matching shapes with enrichment distance, deterministic order.
+    * `filters` is the reference's conjunctive-equality filter dict
+    * (radius_search(filters=...), geo_manager.py:241/279 →
+    * apply_shape_filters, geo_manager.py:45-58): every (column, value)
+    * must match; a NULL column rejects (get_key misses → None != value). */
   def radiusSearch(spark: SparkSession, dir: String, probeId: Long,
-                   radiusMiles: Double, countryExact: Boolean): DataFrame = {
+                   radiusMiles: Double, countryExact: Boolean,
+                   filters: Seq[(String, Any)] = Nil): DataFrame = {
     val shp = GeoShapes.shapes(spark, dir)
     val probe = shp.filter(col("id") === probeId)
       .select(col("latitude").as("p_lat"), col("longitude").as("p_lng"),
@@ -39,8 +44,10 @@ object RadiusSearch {
         col("latitude"), col("longitude"), latD, lngD))
     val countryOk: Column =
       if (countryExact) col("country") === col("p_country") else lit(true)
+    val filterOk = filters.map { case (k, v) => col(k) === lit(v) }
+      .foldLeft(lit(true))(_ && _)
     shp.crossJoin(broadcast(probe))
-      .filter(matches && countryOk)
+      .filter(matches && countryOk && filterOk)
       .select(col("id"), col("geo_type"), col("is_aggregate"), col("country"),
         round(haversineMiles(col("p_lat"), col("p_lng"),
           col("latitude"), col("longitude")), 4).as("distance_miles"))
@@ -248,12 +255,17 @@ object RadiusSearch {
 
   // ---------------------------------------------------------------- oracle
 
-  def radiusSearchOracle(probeId: Long, radiusMiles: Double, countryExact: Boolean): String = {
+  def radiusSearchOracle(probeId: Long, radiusMiles: Double, countryExact: Boolean,
+                         filters: Seq[(String, Any)] = Nil): String = {
     val latD = s"(${radiusMiles / EarthRadiusMiles * (180.0 / math.Pi)})"
     val lngD = OracleSql.lngDelta("p.p_lat", radiusMiles)
     val ellipse = OracleSql.ellipseContains("p.p_lat", "p.p_lng",
       "s.latitude", "s.longitude", latD, lngD)
     val country = if (countryExact) "AND s.country = p.p_country" else ""
+    val filterSql = filters.map {
+      case (k, v: String) => s"AND s.$k = '${v.replace("'", "''")}'"
+      case (k, v) => s"AND s.$k = $v"
+    }.mkString(" ")
     s"""WITH shapes AS (${GeoShapes.oracleCte}),
        |probe AS (SELECT latitude AS p_lat, longitude AS p_lng, country AS p_country
        |          FROM shapes WHERE id = $probeId)
@@ -264,7 +276,7 @@ object RadiusSearch {
        |            THEN p.p_lat BETWEEN s.ll_latitude AND s.ur_latitude
        |             AND p.p_lng BETWEEN s.ll_longitude AND s.ur_longitude
        |            ELSE $ellipse END)
-       |  $country
+       |  $country $filterSql
        |ORDER BY s.id""".stripMargin
   }
 
