@@ -59,6 +59,8 @@ object SparkEntry {
     "q9_rollup" -> ((s, d) => Relational.q9Rollup(s, d)),
     "q10_cube" -> ((s, d) => Relational.q10Cube(s, d)),
     "q11_percentiles" -> ((s, d) => Relational.q11Percentiles(s, d)),
+    // explicit two-phase salted aggregation (skew pattern, SCALE.md)
+    "q12_salted_agg" -> ((s, d) => Relational.q12SaltedAgg(s, d)),
     // --- geo pipelines (SURVEY §2.8-2.9) ---
     "geo_radius_search" -> ((s, d) => RadiusSearch.radiusSearch(s, d, P.RadiusProbe, P.RadiusMiles, countryExact = true)),
     // full_results=True enrichment (geo_manager.py:300-323): per-match
@@ -120,6 +122,9 @@ object SparkEntry {
     "text_pii_mask" -> ((s, d) => TextAnalysis.piiMask(s, d)),
     // --- multimodal binary columns ---
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
+    // frame-sampler plumbing: stride selection + per-frame slicing, one
+    // row per sampled video frame
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     // --- time windows / as-of / semi-structured ---
     "ev_tumbling" -> ((s, d) => EventOps.tumbling(s, d)),
     "ev_sliding" -> ((s, d) => EventOps.sliding(s, d)),
@@ -170,6 +175,7 @@ object SparkEntry {
     "q9_rollup" -> Relational.q9Oracle,
     "q10_cube" -> Relational.q10Oracle,
     "q11_percentiles" -> Relational.q11Oracle,
+    "q12_salted_agg" -> Relational.q12Oracle,
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = true),
     "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),
     "geo_radius_filtered" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters),
@@ -209,6 +215,7 @@ object SparkEntry {
     "text_tf_topk" -> TextAnalysis.termDfTopKOracle(TextAnalysis.TermTopK),
     "text_pii_mask" -> TextAnalysis.piiMaskOracle,
     "mm_decode_stats" -> Multimodal.decodeStatsOracle,
+    "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "ev_tumbling" -> EventOps.tumblingOracle,
     "ev_sliding" -> EventOps.slidingOracle,
     "ev_session" -> EventOps.sessionsOracle,

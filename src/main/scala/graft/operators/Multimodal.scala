@@ -114,6 +114,48 @@ object Multimodal {
       |       md5(text) AS checksum
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Frame size in bytes for the expression-level frame addressing. */
+  val FrameBytes = 16
+
+  /** Evenly-spaced frame sampling over VIDEO payloads, as pure expressions:
+    * the payload is addressed as `FrameBytes`-wide frames, up to 4 frames
+    * are picked at stride max(1, n_frames/4), and each sampled frame's
+    * bytes are surfaced as hex. This is the Spark-side plumbing of a
+    * frame-sampler (offset math, stride selection, per-frame slicing,
+    * explode to one row per frame) — a real codec replaces the byte slice,
+    * not the plan. Narrow map-only stage: Generate (posexplode) but no
+    * shuffle before the final order. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val m = media(spark, dir).toDF().filter(col("media_type") === "video")
+    // `div`, not `/`: Column./ is fractional; frame math must stay integral.
+    val nchunks = expr(s"(octet_length(payload) + ${FrameBytes - 1}) div $FrameBytes")
+      .cast("long").as("nchunks")
+    val withN = m.select(col("media_id"), col("payload"), nchunks)
+    val stride = greatest(expr("nchunks div 4").cast("long"), lit(1L))
+    val idxs = filter(transform(sequence(lit(0L), lit(3L)), s => s * stride),
+      i => i < col("nchunks"))
+    withN.select(col("media_id"), col("payload"), explode(idxs).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        hex(col("payload").substr(col("frame_idx") * FrameBytes + 1L, lit(FrameBytes)))
+          .as("frame_hex"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** Payload bytes are the ASCII text bytes, so frame slices are text
+    * substrings on the oracle side. */
+  val frameSampleOracle: String =
+    s"""WITH v AS (SELECT doc_id AS media_id, text,
+       |                  (length(text) + ${FrameBytes - 1}) // $FrameBytes AS nchunks
+       |           FROM documents WHERE doc_id % 3 = 2),
+       |f AS (SELECT media_id, text,
+       |             unnest(list_filter(list_transform(range(0, 4),
+       |                    s -> s * greatest(nchunks // 4, 1)), i -> i < nchunks)) AS frame_idx
+       |      FROM v)
+       |SELECT media_id, frame_idx,
+       |       upper(hex(encode(substring(text, (frame_idx * $FrameBytes + 1)::INT, $FrameBytes)))) AS frame_hex
+       |FROM f
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   /** The typed decode pipeline: per-partition decoder init + streamed
     * decode — the plan a real codec integration uses. Exercised by
     * ScalaTest (the fake decoder has no SQL equivalent by design). */

@@ -251,4 +251,40 @@ object Relational {
       |FROM orders
       |GROUP BY CUBE (o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
+
+  val SaltBuckets = 16
+
+  /** Skew-safe SALTED aggregation — the explicit two-phase spelling for
+    * pathologically heavy keys (here l_returnflag: 3 keys over the whole
+    * fact table, the worst-case skew shape). Phase 1 groups by
+    * (key, salt) — `SaltBuckets` partial rows per key, so no single
+    * reducer sees a whole key's data; phase 2 merges the partials by key.
+    * Decimal partial sums keep the merge exact (double re-association
+    * across phases would drift), so the result is bit-identical to the
+    * direct GROUP BY the oracle runs. Spark's own partial agg does this
+    * implicitly for hash aggs; the salted form is the pattern for the
+    * cases that DON'T combine map-side (collect_list/distinct-style aggs,
+    * or exchange-level skew on a downstream join key) — SCALE.md "Skew". */
+  def q12SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val partial = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(SaltBuckets.toLong)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity")).as("p_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("p_price"),
+        count(lit(1)).as("p_n"))
+    partial.groupBy(col("l_returnflag"))
+      .agg(round(sum(col("p_qty")), 2).as("sum_qty"),
+        sum(col("p_price")).cast("double").as("sum_price"),
+        sum(col("p_n")).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q12Oracle: String =
+    """SELECT l_returnflag,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 }

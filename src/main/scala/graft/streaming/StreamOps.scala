@@ -34,6 +34,18 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
       .select(col("w.start").as("window_start"), col("n_events"), col("avg_value"))
 
+  /** Streaming exact dedup at ingest — the stream face of the dedup
+    * family: first arrival of each `keyCol` wins, duplicates arriving
+    * within the watermark horizon are dropped, and the key state is
+    * EVICTED once the watermark passes it (bounded state at any stream
+    * length — a plain dropDuplicates would grow state forever). This is
+    * the training-pipeline pattern of deduplicating a document firehose
+    * by content fingerprint before it ever lands. */
+  def dedupStream(events: DataFrame, keyCol: String): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keyCol)
+
   // ------------------------------------------------ custom sessionization
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

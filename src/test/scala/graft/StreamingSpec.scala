@@ -128,4 +128,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy(s => (s.user_id, s.session_start)).toSeq
     assert(streamOut == batchOut)
   }
+
+  test("streaming dedup keeps first arrival per key and drops in-watermark duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Timestamp, Double)]
+    val sdf = stream.toDF().toDF("doc_key", "ts", "value")
+    val q = StreamOps.dedupStream(sdf, "doc_key")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(("a", ts(5), 1.0), ("b", ts(6), 2.0), ("a", ts(7), 99.0))
+      q.processAllAvailable()
+      // Later batch: duplicate of a still-watermarked key is dropped; a
+      // new key passes.
+      stream.addData(("b", ts(20), 99.0), ("c", ts(21), 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_out")
+      .select("doc_key", "value").as[(String, Double)].collect().sorted.toSeq
+    // First arrival's value survives for every key; duplicates vanish.
+    assert(out == Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)))
+  }
 }
