@@ -106,6 +106,9 @@ object SparkEntry {
     // self-join) so canonical chains of length up to 2^K collapse
     "dedup_transitive" -> ((s, d) => Dedup.dedupPipelineTransitive(s, d)),
     "text_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    // banded-LSH simhash near-dup pairs (equi-join on 8-bit bands +
+    // exact popcount verify — never an all-pairs hamming scan)
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     // --- similarity search ---
     "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, P.CosineProbe, P.CosineK)),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(s, d, planes = 8)),
@@ -204,6 +207,7 @@ object SparkEntry {
     "dedup_pipeline" -> Dedup.dedupPipelineOracle,
     "dedup_transitive" -> Dedup.dedupPipelineTransitiveOracle(),
     "text_simhash" -> Dedup.simhashOracle,
+    "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,
     "ann_cosine_topk" -> Similarity.cosineTopKOracle(P.CosineProbe, P.CosineK),
     "ann_lsh_buckets" -> Similarity.lshBucketsOracle(8),
     "ann_ivf_topk" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK),

@@ -350,33 +350,97 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  val SimHashBits = 24
+  val SimHashBits = 48
 
   /** SimHash fingerprint per document over word tokens (with multiplicity).
     * Bit b of the fingerprint is set iff Σ_tokens (±1 by token-hash bit b)
     * >= 0. Pure array expressions — no explode, no shuffle: a narrow
     * map-only stage at any scale. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered fingerprint relation — shared by the gated projection and
+    * the banded pair join (no mid-plan sort). */
+  /** Per-bit token sign: parity of an independent affine re-mix of the
+    * token hash (same permutation family as minhash). NOT `(h >> b) & 1`:
+    * polyHash values live below 2^30 (mod 1e9+7), so raw bit-extraction
+    * would leave bits ≥ 30 constant and the low bits correlated — the
+    * fingerprints would collapse into clusters and the banded pair join
+    * would explode. */
+  private def bitSign(h: Column, b: Int): Column =
+    ((h * permA(b) + permB(b)) % HashMod % 2L) * 2L - 1L
+
+  def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val tokHashes = transform(tokens(lower(col("text"))), t => polyHash(t))
     val bits: Column = (0 until SimHashBits).map { b =>
-      val sumSign = aggregate(col("th"), lit(0L),
-        (acc, h) => acc + (shiftright(h, b) % 2L) * 2L - 1L)
+      val sumSign = aggregate(col("th"), lit(0L), (acc, h) => acc + bitSign(h, b))
       when(sumSign >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     d.select(col("doc_id"), tokHashes.as("th"))
       .select(col("doc_id"), bits.as("simhash"))
-      .orderBy(col("doc_id"))
   }
 
-  def simhashOracle: String = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSigs(spark, dir).orderBy(col("doc_id"))
+
+  /** Fingerprint derivation as a nestable subquery (no WITH, no ORDER BY). */
+  val simhashSigsSql: String = {
     val toks = OracleSql.tokens("lower(text)")
     val terms = (0 until SimHashBits).map { b =>
-      s"(CASE WHEN coalesce(list_sum(list_transform(th, h -> ((h >> $b) % 2) * 2 - 1)), 0) >= 0 THEN ${1L << b} ELSE 0 END)"
+      val sign = s"((h * ${permA(b)} + ${permB(b)}) % $HashMod % 2) * 2 - 1"
+      s"(CASE WHEN coalesce(list_sum(list_transform(th, h -> $sign)), 0) >= 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("\n       + ")
-    s"""WITH tok AS (SELECT doc_id, list_transform($toks, t -> ${OracleSql.polyHash("t")}) AS th FROM documents)
-       |SELECT doc_id,
+    s"""SELECT doc_id,
        |       ($terms)::BIGINT AS simhash
-       |FROM tok ORDER BY doc_id""".stripMargin
+       |FROM (SELECT doc_id, list_transform($toks, t -> ${OracleSql.polyHash("t")}) AS th FROM documents)""".stripMargin
   }
+
+  def simhashOracle: String = s"$simhashSigsSql ORDER BY doc_id"
+
+  val SimHashBands = 4          // 4 bands × 12 bits over the 48-bit print
+  val SimHashHammingMax = 3
+
+  /** SimHash near-dup pairs via banded LSH over the fingerprint: any pair
+    * within hamming distance SimHashBands-1 of band-aligned error shares
+    * at least one clean 12-bit band (pigeonhole: 4 bands, <=3 bit errors), so candidates come from
+    * an EQUI-join on (band_idx, band_value) — never an all-pairs hamming
+    * scan. Exact popcount(xor) verifies. Same physical shape as
+    * dedup_minhash: one repartition on the band key consumed by both
+    * self-join sides (ReusedExchange), linear in corpus size. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSigs(spark, dir)
+    val bandStructs = (0 until SimHashBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        shiftright(col("simhash"), 12 * b).bitwiseAND(lit(4095L)).as("band_val"))
+    }
+    val bands = sig
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+      .repartition(col("band_idx"), col("band_val"))
+    val a = bands.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = bands.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= SimHashHammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def simhashPairsOracle: String =
+    s"""WITH sig AS ($simhashSigsSql),
+       |bands AS (SELECT doc_id, simhash, unnest(range(0, $SimHashBands)) AS band_idx FROM sig),
+       |b2 AS (SELECT doc_id, simhash, band_idx,
+       |              (simhash >> (band_idx * 12)::INT) & 4095 AS band_val FROM bands),
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |             a.simhash AS sim_a, b.simhash AS sim_b
+       |      FROM b2 a JOIN b2 b ON a.band_idx = b.band_idx
+       |       AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
+       |FROM p
+       |WHERE bit_count(xor(sim_a, sim_b)) <= $SimHashHammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
 }
