@@ -352,22 +352,30 @@ object Dedup {
 
   val SimHashBits = 48
 
-  /** SimHash fingerprint per document over word tokens (with multiplicity).
-    * Bit b of the fingerprint is set iff Σ_tokens (±1 by token-hash bit b)
-    * >= 0. Pure array expressions — no explode, no shuffle: a narrow
-    * map-only stage at any scale. */
-  /** Unordered fingerprint relation — shared by the gated projection and
-    * the banded pair join (no mid-plan sort). */
-  /** Per-bit token sign: parity of an independent affine re-mix of the
-    * token hash (same permutation family as minhash). NOT `(h >> b) & 1`:
+  /** SimHash fingerprint per document over word tokens (with multiplicity):
+    * bit b is set iff Σ_tokens sign_b(polyHash(token)) >= 0, where
+    * sign_b is the parity of an independent affine re-mix of the token
+    * hash (same permutation family as minhash). NOT `(h >> b) & 1`:
     * polyHash values live below 2^30 (mod 1e9+7), so raw bit-extraction
     * would leave bits ≥ 30 constant and the low bits correlated — the
     * fingerprints would collapse into clusters and the banded pair join
-    * would explode. */
+    * would explode. Narrow map-only stage at any scale.
+    *
+    * Native kernel expression (SimHashFingerprint): the composed twin
+    * below runs `SimHashBits` interpreted aggregate HOFs per row and is
+    * kept only as the spec-parity reference (OperatorParitySpec pins them
+    * bit-equal). */
+  def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.SimHashFingerprint.simhashFingerprint(
+          lower(col("text")), SimHashBits).as("simhash"))
+
   private def bitSign(h: Column, b: Int): Column =
     ((h * permA(b) + permB(b)) % HashMod % 2L) * 2L - 1L
 
-  def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
+  /** Composed built-in form (interpreted; spec-only). */
+  def simhashSigsComposed(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val tokHashes = transform(tokens(lower(col("text"))), t => polyHash(t))
     val bits: Column = (0 until SimHashBits).map { b =>

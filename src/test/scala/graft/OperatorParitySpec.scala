@@ -52,6 +52,13 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     trans.values.toSet.foreach { c: Long => assert(trans(c) == c, s"chain survives at $c") }
   }
 
+  test("SimHashFingerprint kernel == composed HOF form, bit for bit") {
+    val kernel = Dedup.simhashSigs(spark, dir).orderBy("doc_id").collect()
+    val composed = Dedup.simhashSigsComposed(spark, dir).orderBy("doc_id").collect()
+    assert(kernel.toSeq == composed.toSeq)
+    assert(kernel.nonEmpty)
+  }
+
   test("ivfBucketedTopK (pruned index read) == ivfTopK (full scan)") {
     val full = Similarity.ivfTopK(spark, dir, probeId = 7L, k = 10).collect()
     val pruned = Similarity.ivfBucketedTopK(spark, dir, probeId = 7L, k = 10).collect()
