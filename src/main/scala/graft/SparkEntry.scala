@@ -61,6 +61,9 @@ object SparkEntry {
     "q11_percentiles" -> ((s, d) => Relational.q11Percentiles(s, d)),
     // explicit two-phase salted aggregation (skew pattern, SCALE.md)
     "q12_salted_agg" -> ((s, d) => Relational.q12SaltedAgg(s, d)),
+    // co-located bucketed join: both sides bucketed on the key at write
+    // time → SortMergeJoin with NO Exchange on either side
+    "q13_bucketed_join" -> ((s, d) => Relational.q13BucketedJoin(s, d)),
     // --- geo pipelines (SURVEY §2.8-2.9) ---
     "geo_radius_search" -> ((s, d) => RadiusSearch.radiusSearch(s, d, P.RadiusProbe, P.RadiusMiles, countryExact = true)),
     // full_results=True enrichment (geo_manager.py:300-323): per-match
@@ -179,6 +182,7 @@ object SparkEntry {
     "q10_cube" -> Relational.q10Oracle,
     "q11_percentiles" -> Relational.q11Oracle,
     "q12_salted_agg" -> Relational.q12Oracle,
+    "q13_bucketed_join" -> Relational.q13Oracle,
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = true),
     "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),
     "geo_radius_filtered" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters),

@@ -59,6 +59,19 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernel.nonEmpty)
   }
 
+  test("bucketed join has no shuffle on either join side") {
+    val plan = graft.operators.Relational.q13BucketedJoin(spark, dir)
+      .queryExecution.sparkPlan
+    val smj = plan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, s"expected a SortMergeJoin:\n$plan")
+    val shuffles = smj.get.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"bucketed join sides must not re-shuffle:\n${smj.get}")
+  }
+
   test("ivfBucketedTopK (pruned index read) == ivfTopK (full scan)") {
     val full = Similarity.ivfTopK(spark, dir, probeId = 7L, k = 10).collect()
     val pruned = Similarity.ivfBucketedTopK(spark, dir, probeId = 7L, k = 10).collect()
