@@ -35,7 +35,11 @@ object SparkEntry {
     val JaccardThreshold = 0.55
     val EmbDupThreshold = 0.40
     val CosineProbe = 0L; val CosineK = 10
-    val IvfProbe = 7L; val IvfK = 10
+    // nprobe=4 of 16 cells: the recall gate showed nprobe=2 recovers only
+    // 2/10 true neighbors on these UNCLUSTERED synthetic embeddings (no
+    // codebook structure to exploit) — 4 probed cells is the measured
+    // recall/read trade; ann_ivf_recall keeps the number visible.
+    val IvfProbe = 7L; val IvfK = 10; val IvfNprobe = 4
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -115,10 +119,12 @@ object SparkEntry {
     // --- similarity search ---
     "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, P.CosineProbe, P.CosineK)),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(s, d, planes = 8)),
-    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, P.IvfProbe, P.IvfK)),
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     // materialized cell-partitioned IVF index + pruned read (same oracle:
     // identical results, different physical plan — nprobe/C of the data)
-    "ann_ivf_bucketed" -> ((s, d) => Similarity.ivfBucketedTopK(s, d, P.IvfProbe, P.IvfK)),
+    "ann_ivf_bucketed" -> ((s, d) => Similarity.ivfBucketedTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
+    // measured recall@k of IVF vs the exact brute-force ground truth
+    "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     // --- text analysis ---
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -214,8 +220,9 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,
     "ann_cosine_topk" -> Similarity.cosineTopKOracle(P.CosineProbe, P.CosineK),
     "ann_lsh_buckets" -> Similarity.lshBucketsOracle(8),
-    "ann_ivf_topk" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK),
-    "ann_ivf_bucketed" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK),
+    "ann_ivf_topk" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
+    "ann_ivf_bucketed" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
+    "ann_ivf_recall" -> Similarity.ivfRecallOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "text_langid" -> TextAnalysis.languageIdOracle,
     "text_quality" -> TextAnalysis.qualityScoreOracle,
     "text_tokens" -> TextAnalysis.tokenCountsOracle,

@@ -211,6 +211,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k of the IVF path against the exact brute-force top-k — the
+    * measured quality trade behind nprobe/C tuning ("measure, don't
+    * guess"): k_exact rows of ground truth, hits = how many the IVF
+    * answer recovered. Exact integer counts → the recall division is
+    * bit-identical on both engines unrounded. */
+  def ivfRecall(spark: SparkSession, dir: String, probeId: Long, k: Int,
+                centroidMod: Long = 25L, nprobe: Int = 2,
+                numCentroids: Int = IvfNumCentroids): DataFrame = {
+    val exact = cosineTopK(spark, dir, probeId, k).select(col("vec_id"))
+    val approx = ivfTopK(spark, dir, probeId, k, centroidMod, nprobe, numCentroids)
+      .select(col("vec_id").as("a_id"))
+    exact.join(broadcast(approx), col("vec_id") === col("a_id"), "left")
+      .agg(count(lit(1)).as("k_exact"), count(col("a_id")).as("hits"))
+      .withColumn("recall",
+        col("hits").cast("double") / col("k_exact").cast("double"))
+      .orderBy(col("k_exact"))
+  }
+
+  def ivfRecallOracle(probeId: Long, k: Int, centroidMod: Long = 25L,
+                      nprobe: Int = 2, numCentroids: Int = IvfNumCentroids): String =
+    s"""SELECT count(*) AS k_exact, count(a.a_id) AS hits,
+       |       count(a.a_id)::DOUBLE / count(*)::DOUBLE AS recall
+       |FROM (${cosineTopKOracle(probeId, k)}) e
+       |LEFT JOIN (SELECT vec_id AS a_id FROM (${ivfTopKOracle(probeId, k, centroidMod, nprobe, numCentroids)})) a
+       |  ON e.vec_id = a.a_id
+       |ORDER BY k_exact""".stripMargin
+
   def ivfTopKOracle(probeId: Long, k: Int, centroidMod: Long = 25L,
                     nprobe: Int = 2, numCentroids: Int = IvfNumCentroids): String =
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings

@@ -79,7 +79,12 @@ object GraftExtensions {
     ("char_ngram_set",
       info("char_ngram_set", "char_ngram_set(s, n) - distinct character n-grams, first-occurrence order."),
       arity("char_ngram_set", 2)(args =>
-        CharNgramsExpr(args(0), intLit(args(1), "n"), distinct = true))))
+        CharNgramsExpr(args(0), intLit(args(1), "n"), distinct = true))),
+    ("simhash_fingerprint",
+      info("simhash_fingerprint",
+        "simhash_fingerprint(text, n_bits) - SimHash fingerprint over word tokens."),
+      arity("simhash_fingerprint", 2)(args =>
+        SimHashFingerprint(args(0), intLit(args(1), "n_bits")))))
 
   /** Programmatic registration on a live session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -43,11 +43,17 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = spark.sql(
       """SELECT char_ngrams('banana', 3) AS g,
         |       char_ngram_set('banana', 3) AS gs,
-        |       minhash_signature('one two three four', 3, 16) AS sig
+        |       minhash_signature('one two three four', 3, 16) AS sig,
+        |       simhash_fingerprint('one two three four', 48) AS fp,
+        |       simhash_fingerprint('one two three four', 48) AS fp2,
+        |       simhash_fingerprint('completely different words here', 48) AS fp3
         |""".stripMargin).collect().head
     assert(r.getSeq[String](0) == Seq("ban", "ana", "nan", "ana"))
     assert(r.getSeq[String](1) == Seq("ban", "ana", "nan"))
     assert(r.getSeq[Long](2).length == 16)
+    assert(r.getLong(3) == r.getLong(4)) // deterministic
+    assert(r.getLong(3) != r.getLong(5)) // discriminative
+    assert(r.getLong(3) >= 0 && r.getLong(3) < (1L << 48))
   }
 
   test("non-literal plane count is rejected with a clear error") {
