@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan regression guards: the scale-critical plan properties
+  * SCALE.md documents are asserted here, so a refactor that silently
+  * un-pushes a filter, re-derives a shared exchange, or de-prunes the IVF
+  * index read fails the suite instead of only showing up at 100 TB.
+  * Queries run (collect) first so AQE finalizes and exchange reuse is
+  * visible in the executed plan. */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .appName("plan-shape-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Final (post-AQE) physical plan as text. AdaptiveSparkPlan's toString
+    * appends the INITIAL plan after the final one — truncate there, or
+    * every node would be counted twice. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("fuzzy_search top-k plans as TakeOrderedAndProject, never a full sort") {
+    val p = finalPlan("fuzzy_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("radius probe filter is pushed into the parquet scan") {
+    val p = finalPlan("geo_radius_search")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(c_custkey,7)"), p)
+  }
+
+  test("minhash band exchange is computed once (ReusedExchange)") {
+    val p = finalPlan("dedup_minhash")
+    assert(p.contains("ReusedExchange"), p)
+  }
+
+  test("nested dot-path filters reach the nested-column parquet scan") {
+    val p = finalPlan("shape_filters_nested")
+    assert(p.contains("EqualTo(ref_data.state_prov,ST6)"), p)
+  }
+
+  test("IVF bucketed read is dynamic-partition-pruned to the probed cells") {
+    val p = finalPlan("ann_ivf_bucketed")
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+  }
+
+  test("union as-of shuffles at most twice (user key + final order)") {
+    val p = finalPlan("ev_asof_union")
+    val shuffles = "Exchange (hash|range|Single)partitioning".r
+      .findAllIn(p).size
+    assert(shuffles <= 2, s"expected <= 2 shuffles, got $shuffles:\n$p")
+  }
+
+  test("indexed fuzzy candidate scan carries the In(ngram) pushdown") {
+    val p = finalPlan("fuzzy_indexed")
+    assert(p.contains("In(ngram"), p)
+  }
+}
