@@ -77,6 +77,8 @@ object SparkEntry {
     "geo_radius_filtered" -> ((s, d) => RadiusSearch.radiusSearch(s, d, P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters)),
     "geo_radius_latlng" -> ((s, d) => RadiusSearch.radiusLatLngSearch(s, d, P.LatLng._1, P.LatLng._2, P.LatLng._3)),
     "geo_knn" -> ((s, d) => RadiusSearch.knn(s, d, P.KnnProbe, P.KnnK)),
+    // Z-order (Morton) layout key — 2-D file pruning for radius queries
+    "geo_zorder_key" -> ((s, d) => RadiusSearch.zorderKeys(s, d)),
     "geo_pair_distance" -> ((s, d) => RadiusSearch.pairDistances(s, d, P.PairMaxId)),
     // target 10 is an aggregate shape (id % 10 == 0) → exercises the
     // either-side aggregate_shape flag alongside the missing-probe sentinel
@@ -194,6 +196,7 @@ object SparkEntry {
     "geo_radius_filtered" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters),
     "geo_radius_latlng" -> RadiusSearch.radiusLatLngSearchOracle(P.LatLng._1, P.LatLng._2, P.LatLng._3),
     "geo_knn" -> RadiusSearch.knnOracle(P.KnnProbe, P.KnnK),
+    "geo_zorder_key" -> RadiusSearch.zorderKeysOracle,
     "geo_pair_distance" -> RadiusSearch.pairDistancesOracle(P.PairMaxId),
     "geo_pair_sentinel" -> RadiusSearch.pairDistanceSentinelOracle(P.SentinelProbes, P.SentinelTarget),
     "fuzzy_search" -> FuzzySearch.fuzzySearchOracle(P.FuzzyQuery, P.FuzzyK),

@@ -60,4 +60,25 @@ object GeoFunctions {
   def bboxContains(llLat: Column, urLat: Column, llLng: Column, urLng: Column,
                    lat: Column, lng: Column): Column =
     lat.between(llLat, urLat) && lng.between(llLng, urLng)
+
+  /** Bits per dimension of the Z-order (Morton) key. */
+  val ZOrderBits = 16
+
+  /** Z-order key of a lat/lng point: each coordinate quantized to
+    * ZOrderBits levels, bits interleaved (lat odd positions, lng even).
+    * Sorting the table by this key gives every file a TIGHT range in BOTH
+    * dimensions — parquet min/max on plain (latitude, longitude) columns
+    * then prunes radius queries in 2-D, where the lat-band layout prunes
+    * only latitude. Pure integer/bit expression tree (codegen'd,
+    * oracle-replicable); NULL coordinates yield a NULL key (sorted last —
+    * their own file region). */
+  def zorderKey(lat: Column, lng: Column): Column = {
+    val max = (1 << ZOrderBits) - 1
+    val qlat = least(floor((lat + 90.0) / 180.0 * max), lit(max.toLong)).cast("long")
+    val qlng = least(floor((lng + 180.0) / 360.0 * max), lit(max.toLong)).cast("long")
+    (0 until ZOrderBits).map { b =>
+      (shiftright(qlat, b) % 2L) * (1L << (2 * b + 1)) +
+        (shiftright(qlng, b) % 2L) * (1L << (2 * b))
+    }.reduce(_ + _)
+  }
 }

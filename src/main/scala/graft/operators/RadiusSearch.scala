@@ -164,6 +164,24 @@ object RadiusSearch {
        |ORDER BY id""".stripMargin
   }
 
+  /** Z-order key per shape — the 2-D layout key behind
+    * GeoIngest.materializeZOrdered: sorting the table by this key gives
+    * every file a tight latitude AND longitude range, so radius queries
+    * prune files in both dimensions (the lat-band layout prunes only
+    * latitude). Gated for engine-parity of the key itself. */
+  def zorderKeys(spark: SparkSession, dir: String): DataFrame =
+    GeoShapes.shapes(spark, dir)
+      .select(col("id"), col("latitude"), col("longitude"),
+        zorderKey(col("latitude"), col("longitude")).as("z_key"))
+      .orderBy(col("id"))
+
+  val zorderKeysOracle: String =
+    s"""WITH shapes AS (${GeoShapes.oracleCte})
+       |SELECT id, latitude, longitude,
+       |       ${OracleSql.zorderKey("latitude", "longitude")} AS z_key
+       |FROM shapes
+       |ORDER BY id""".stripMargin
+
   /** k nearest shapes to the probe by exact haversine (top-k, planned as
     * TakeOrderedAndProject — no full sort). */
   def knn(spark: SparkSession, dir: String, probeId: Long, k: Int): DataFrame = {

@@ -68,6 +68,18 @@ object OracleSql {
     s"($x * $x + $y * $y < 1)"
   }
 
+  /** Z-order (Morton) key — mirrors GeoFunctions.zorderKey: 16-bit
+    * quantization per dimension, bits interleaved (lat odd, lng even). */
+  def zorderKey(lat: String, lng: String): String = {
+    val max = 65535
+    val qlat = s"least(floor((($lat) + 90.0) / 180.0 * $max), $max)::BIGINT"
+    val qlng = s"least(floor((($lng) + 180.0) / 360.0 * $max), $max)::BIGINT"
+    val terms = (0 until 16).map { b =>
+      s"((($qlat) >> $b) % 2) * ${1L << (2 * b + 1)} + ((($qlng) >> $b) % 2) * ${1L << (2 * b)}"
+    }.mkString("\n        + ")
+    s"($terms)::BIGINT"
+  }
+
   /** Whitespace tokens of trimmed lowered text — explicit class, see
     * TextFunctions.WsClass (Java vs RE2 `\s` divergence on \x0B). */
   def tokens(e: String): String =

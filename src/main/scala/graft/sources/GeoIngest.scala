@@ -80,6 +80,21 @@ object GeoIngest {
     * geo_manager.py:751-759 becomes a one-time columnar write. At scale,
     * repartition by a lat-band bucket so radius queries prune files via
     * Parquet min/max on latitude (SURVEY.md §7.4). */
+  /** Z-order materialization — the 2-D upgrade of the lat-band layout:
+    * range-partition + sort by the Morton key so every output file covers
+    * a TIGHT latitude AND longitude range; parquet min/max stats on the
+    * plain lat/lng columns then prune radius queries in both dimensions.
+    * The key stays in the schema (it is also the range-bucketing key a
+    * cluster layout would co-locate on). IngestSpec asserts the per-file
+    * tightness that makes the pruning real. */
+  def materializeZOrdered(df: DataFrame, outPath: String, files: Int = 32): Unit =
+    df.withColumn("z_key",
+        graft.functions.GeoFunctions.zorderKey(col("latitude"), col("longitude")))
+      .repartitionByRange(files, col("z_key"))
+      .sortWithinPartitions(col("z_key"))
+      .write.mode("overwrite")
+      .parquet(outPath)
+
   def materialize(df: DataFrame, outPath: String, latBands: Int = 32): Unit =
     df.withColumn("lat_band",
         // NULL latitude → dedicated band -1 (NOT folded into the equator

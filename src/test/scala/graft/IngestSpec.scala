@@ -83,6 +83,31 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.filter(col("lat_band") === 22L).count() == 1)
   }
 
+  test("z-ordered layout gives every file a tight range in BOTH dimensions") {
+    val out = Files.createTempDirectory("geo_zorder").toFile.getAbsolutePath
+    val shapes = graft.operators.GeoShapes.shapes(spark, "/root/testdata/sf0.01")
+      .select(col("id"), col("latitude"), col("longitude"))
+    GeoIngest.materializeZOrdered(shapes, out, files = 16)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length > 4, s"expected a multi-file layout, got ${files.length}")
+    // Per-file normalized extent in each dimension; the z-curve keeps both
+    // small, which is exactly what parquet min/max pruning needs. A
+    // lat-band layout bounds only latitude (lng extent ~1.0); random
+    // placement bounds neither.
+    val extents = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(((max(col("latitude")) - min(col("latitude"))) / 170.0).as("dlat"),
+          ((max(col("longitude")) - min(col("longitude"))) / 360.0).as("dlng"))
+        .collect().head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val avgLat = extents.map(_._1).sum / extents.length
+    val avgLng = extents.map(_._2).sum / extents.length
+    assert(avgLat < 0.5, s"avg lat extent $avgLat")
+    assert(avgLng < 0.5, s"avg lng extent $avgLng")
+  }
+
   test("incremental add_entity equals full rebuild (postings are a derivation)") {
     import spark.implicits._
     val base = Seq((1L, "nashville"), (2L, "nash county")).toDF("id", "clean_value")
