@@ -76,6 +76,9 @@ object SparkEntry {
     // radius_search(filters=...) — conjunctive equality dict (utils.py:15-21)
     "geo_radius_filtered" -> ((s, d) => RadiusSearch.radiusSearch(s, d, P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters)),
     "geo_radius_latlng" -> ((s, d) => RadiusSearch.radiusLatLngSearch(s, d, P.LatLng._1, P.LatLng._2, P.LatLng._3)),
+    // lat/lng full_results branch: normalized == raw, aggregate flag
+    // hard-coded true (faithful oddity, geo_manager.py:305-321)
+    "geo_radius_latlng_full" -> ((s, d) => RadiusSearch.radiusLatLngSearchFull(s, d, P.LatLng._1, P.LatLng._2, P.LatLng._3)),
     "geo_knn" -> ((s, d) => RadiusSearch.knn(s, d, P.KnnProbe, P.KnnK)),
     // Z-order (Morton) layout key — 2-D file pruning for radius queries
     "geo_zorder_key" -> ((s, d) => RadiusSearch.zorderKeys(s, d)),
@@ -195,6 +198,7 @@ object SparkEntry {
     "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),
     "geo_radius_filtered" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters),
     "geo_radius_latlng" -> RadiusSearch.radiusLatLngSearchOracle(P.LatLng._1, P.LatLng._2, P.LatLng._3),
+    "geo_radius_latlng_full" -> RadiusSearch.radiusLatLngSearchFullOracle(P.LatLng._1, P.LatLng._2, P.LatLng._3),
     "geo_knn" -> RadiusSearch.knnOracle(P.KnnProbe, P.KnnK),
     "geo_zorder_key" -> RadiusSearch.zorderKeysOracle,
     "geo_pair_distance" -> RadiusSearch.pairDistancesOracle(P.PairMaxId),

@@ -151,6 +151,24 @@ object RadiusSearch {
       .orderBy(col("id"))
   }
 
+  /** radius_search_lat_lng(full_results=True) WITHOUT a reference_code —
+    * the reference's raw-point enrichment branch (geo_manager.py:305-321):
+    * every result carries {distance, normalized_distance, aggregate} with
+    * normalized == raw distance and `aggregate` HARD-CODED true — a
+    * faithful oddity (the branch never resolves shapes, so it cannot
+    * normalize; it stamps the flag unconditionally). Aggregated shapes are
+    * still EXCLUDED from matching (the latlng listing filter,
+    * geo_manager.py:361). */
+  def radiusLatLngSearchFull(spark: SparkSession, dir: String, lat: Double,
+                             lng: Double, radiusMiles: Double): DataFrame =
+    radiusLatLngSearch(spark, dir, lat, lng, radiusMiles)
+      .withColumn("normalized_distance", col("distance_miles"))
+      .withColumn("aggregate_shape", lit(true))
+
+  def radiusLatLngSearchFullOracle(lat: Double, lng: Double, radiusMiles: Double): String =
+    s"""SELECT *, distance_miles AS normalized_distance, true AS aggregate_shape
+       |FROM (${radiusLatLngSearchOracle(lat, lng, radiusMiles)})""".stripMargin
+
   def radiusLatLngSearchOracle(lat: Double, lng: Double, radiusMiles: Double): String = {
     val latD = s"(${radiusMiles / EarthRadiusMiles * (180.0 / math.Pi)})"
     val lngD = s"(${radiusMiles / (EarthRadiusMiles * math.cos(math.toRadians(lat))) * (180.0 / math.Pi)})"

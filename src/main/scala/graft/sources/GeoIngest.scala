@@ -80,6 +80,18 @@ object GeoIngest {
     * geo_manager.py:751-759 becomes a one-time columnar write. At scale,
     * repartition by a lat-band bucket so radius queries prune files via
     * Parquet min/max on latitude (SURVEY.md §7.4). */
+  /** Small-file compaction — the maintenance job every long-lived ingest
+    * needs: streaming/incremental writers leave many small files, and at
+    * 100 TB the file-listing + per-file open cost dominates scan time
+    * long before the bytes do. One distributed pass: read, repartition to
+    * the target file count, rewrite. Content-preserving by construction
+    * (a pure repartition); IngestSpec pins count and content equality. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFiles: Int): Unit =
+    spark.read.parquet(inPath)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(outPath)
+
   /** Z-order materialization — the 2-D upgrade of the lat-band layout:
     * range-partition + sort by the Morton key so every output file covers
     * a TIGHT latitude AND longitude range; parquet min/max stats on the

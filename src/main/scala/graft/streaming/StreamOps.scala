@@ -34,6 +34,15 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
       .select(col("w.start").as("window_start"), col("n_events"), col("avg_value"))
 
+  /** Stream-static enrichment: the event stream joined to a static (batch)
+    * dimension — Spark re-plans the static side per micro-batch, so a
+    * broadcastable dimension costs one broadcast per batch and no stream
+    * state at all. This is the streaming face of the batch broadcast
+    * lookup (ShapeOps.batchLookup): dimension changes are picked up on the
+    * next batch without restarting the query. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup at ingest — the stream face of the dedup
     * family: first arrival of each `keyCol` wins, duplicates arriving
     * within the watermark horizon are dropped, and the key state is

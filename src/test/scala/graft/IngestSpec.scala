@@ -108,6 +108,21 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(avgLng < 0.5, s"avg lng extent $avgLng")
   }
 
+  test("compaction collapses a many-small-files layout, content-identical") {
+    val base = Files.createTempDirectory("geo_compact").toFile.getAbsolutePath
+    val small = s"$base/small"; val compacted = s"$base/compacted"
+    graft.Tables.customer(spark, "/root/testdata/sf0.001")
+      .repartition(50).write.parquet(small)  // the streaming-writer anti-pattern
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(small) == 50)
+    GeoIngest.compact(spark, small, compacted, targetFiles = 4)
+    assert(parquetFiles(compacted) == 4)
+    val a = spark.read.parquet(small).orderBy("c_custkey").collect().toSeq
+    val b = spark.read.parquet(compacted).orderBy("c_custkey").collect().toSeq
+    assert(a == b)
+  }
+
   test("incremental add_entity equals full rebuild (postings are a derivation)") {
     import spark.implicits._
     val base = Seq((1L, "nashville"), (2L, "nash county")).toDF("id", "clean_value")

@@ -129,6 +129,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamOut == batchOut)
   }
 
+  test("stream-static enrichment matches the batch join of the same inputs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val rows = Seq((1L, ts(1), 1.0), (2L, ts(2), 2.0), (3L, ts(3), 3.0))
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    stream.addData(rows: _*)
+    val sdf = stream.toDF().toDF("user_id", "ts", "value")
+    val q = StreamOps.enrichStream(sdf, dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enrich_out")
+      .select("user_id", "tier").as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    val batch = StreamOps.enrichStream(rows.toDF("user_id", "ts", "value"), dim, "user_id")
+      .select("user_id", "tier").as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == batch)
+    assert(got == Seq((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+  }
+
   test("streaming dedup keeps first arrival per key and drops in-watermark duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
