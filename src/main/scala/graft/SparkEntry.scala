@@ -132,6 +132,9 @@ object SparkEntry {
     "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     // --- text analysis ---
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
+    // the end-to-end corpus-prep composition: language gate → quality
+    // gate → dedup survivors
+    "corpus_prep" -> ((s, d) => CorpusPrep.corpusPrep(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -231,6 +234,7 @@ object SparkEntry {
     "ann_ivf_bucketed" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf_recall" -> Similarity.ivfRecallOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "text_langid" -> TextAnalysis.languageIdOracle,
+    "corpus_prep" -> CorpusPrep.corpusPrepOracle(),
     "text_quality" -> TextAnalysis.qualityScoreOracle,
     "text_tokens" -> TextAnalysis.tokenCountsOracle,
     "text_fingerprint" -> TextAnalysis.fingerprintOracle,
