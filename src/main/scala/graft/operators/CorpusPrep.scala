@@ -17,15 +17,17 @@ object CorpusPrep {
 
   def corpusPrep(spark: SparkSession, dir: String,
                  minQuality: Double = MinQuality): DataFrame = {
-    val lang = TextAnalysis.languageId(spark, dir)
-      .select(col("doc_id"), col("lang_pred"))
-    val qual = TextAnalysis.qualityScore(spark, dir)
-      .select(col("doc_id"), col("quality_score"))
-    val dedup = Dedup.dedupPipelineTransitive(spark, dir)
-      .select(col("doc_id"), col("is_canonical"))
-    lang.join(qual, "doc_id").join(dedup, "doc_id")
-      .filter(col("lang_pred") === "en" &&
-        col("quality_score") >= minQuality && col("is_canonical"))
+    // Both per-doc gates come from ONE fused projection (shared token
+    // array — TextAnalysis.docGates), filtered BEFORE the join so only
+    // gate survivors ship into it. Dedup is the single-pass
+    // canonicalization (the standard default; dedupPipelineTransitive is
+    // the opt-in escalation when chain collapse matters).
+    val gates = TextAnalysis.docGates(spark, dir)
+      .filter(col("lang_pred") === "en" && col("quality_score") >= minQuality)
+    val dedup = Dedup.dedupPipeline(spark, dir)
+      .filter(col("is_canonical"))
+      .select(col("doc_id"))
+    gates.join(dedup, "doc_id")
       .select(col("doc_id"), col("lang_pred"), col("quality_score"))
       .orderBy(col("doc_id"))
   }
@@ -34,7 +36,7 @@ object CorpusPrep {
     s"""SELECT l.doc_id, l.lang_pred, q.quality_score
        |FROM (${TextAnalysis.languageIdOracle}) l
        |JOIN (${TextAnalysis.qualityScoreOracle}) q ON l.doc_id = q.doc_id
-       |JOIN (${Dedup.dedupPipelineTransitiveOracle()}) d ON l.doc_id = d.doc_id
+       |JOIN (${Dedup.dedupPipelineOracle}) d ON l.doc_id = d.doc_id
        |WHERE l.lang_pred = 'en' AND q.quality_score >= $minQuality AND d.is_canonical
        |ORDER BY l.doc_id""".stripMargin
 }

@@ -93,6 +93,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Both per-doc gates (language prediction + quality score) from ONE
+    * shared token array — the fused projection CorpusPrep consumes.
+    * Expressions are identical to languageId/qualityScore (both gated);
+    * fusing halves the tokenization+HOF work and drops a join vs
+    * composing the two pipelines. */
+  def docGates(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val base = d.select(col("doc_id"), col("text"), tokens(lower(col("text"))).as("tk"))
+    val withHits = Stopwords.foldLeft(base) { case (acc, (lang, words)) =>
+      acc.withColumn(s"${lang}_hits", hitCount(col("tk"), words))
+    }
+    val Seq(en, es, de, fr) = Stopwords.map(l => col(s"${l._1}_hits"))
+    val langPred = when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+    val nTok = size(col("tk")).cast("long")
+    val charLen = length(col("text")).cast("double")
+    val alnumLen = length(regexp_replace(col("text"), "[^0-9a-zA-Z ]", "")).cast("double")
+    val punctRatio = when(charLen === 0, 0.0).otherwise((charLen - alnumLen) / charLen)
+    val stopRatio = when(nTok === 0, 0.0)
+      .otherwise(en.cast("double") / nTok.cast("double"))
+    val score =
+      lit(0.4) * least(lit(1.0), nTok.cast("double") / 50.0) +
+        lit(0.3) * (lit(1.0) - punctRatio) +
+        lit(0.3) * least(lit(1.0), stopRatio * 5.0)
+    withHits.select(col("doc_id"), langPred.as("lang_pred"),
+      score.as("quality_score"))
+  }
+
   def qualityScoreOracle: String = {
     val toks = OracleSql.tokens("lower(text)")
     val en = Stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
