@@ -145,6 +145,8 @@ object SparkEntry {
     // frame-sampler plumbing: stride selection + per-frame slicing, one
     // row per sampled video frame
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    // resize plumbing: aspect-preserving dim math + strided resample sig
+    "mm_resize" -> ((s, d) => Multimodal.resizeStats(s, d)),
     // --- time windows / as-of / semi-structured ---
     "ev_tumbling" -> ((s, d) => EventOps.tumbling(s, d)),
     "ev_sliding" -> ((s, d) => EventOps.sliding(s, d)),
@@ -242,6 +244,7 @@ object SparkEntry {
     "text_pii_mask" -> TextAnalysis.piiMaskOracle,
     "mm_decode_stats" -> Multimodal.decodeStatsOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
+    "mm_resize" -> Multimodal.resizeStatsOracle,
     "ev_tumbling" -> EventOps.tumblingOracle,
     "ev_sliding" -> EventOps.slidingOracle,
     "ev_session" -> EventOps.sessionsOracle,

@@ -156,6 +156,55 @@ object Multimodal {
        |FROM f
        |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Resize target box (longest side). */
+  val ResizeBox = 64
+  /** Bytes in the strided resample signature. */
+  val ResizeSigBytes = 16
+
+  /** Aspect-preserving resize plumbing over IMAGE payloads, as pure
+    * expressions: integer scale factor so the longest side fits
+    * `ResizeBox`, output dims, and a strided byte resample of the payload
+    * (every len/16-th byte, hex-joined) standing in for nearest-neighbor
+    * pixel resampling — a real codec replaces the byte sampling, not the
+    * dim math or the plan. Map-only, no shuffle before the final order. */
+  def resizeStats(spark: SparkSession, dir: String): DataFrame = {
+    val m = media(spark, dir).toDF().filter(col("media_type") === "image")
+    val scale = greatest(
+      expr(s"(greatest(width, height) + ${ResizeBox - 1}) div $ResizeBox").cast("long"),
+      lit(1L))
+    val len = octet_length(col("payload")).cast("long")
+    val stride = greatest(expr(s"octet_length(payload) div $ResizeSigBytes").cast("long"), lit(1L))
+    val positions = filter(
+      transform(sequence(lit(0L), lit(ResizeSigBytes - 1L)), i => i * stride + 1L),
+      p => p <= len)
+    val sig = array_join(transform(positions, p => hex(col("payload").substr(p, lit(1)))), "")
+    m.select(col("media_id"), col("width"), col("height"))
+      .withColumn("scale", scale)
+      .select(col("media_id"), col("width"), col("height"),
+        greatest(expr("width div scale").cast("long"), lit(1L)).as("out_width"),
+        greatest(expr("height div scale").cast("long"), lit(1L)).as("out_height"))
+      .join(m.select(col("media_id"), sig.as("resample_sig")), "media_id")
+      .orderBy(col("media_id"))
+  }
+
+  val resizeStatsOracle: String =
+    s"""WITH img AS (SELECT doc_id AS media_id,
+       |                    (doc_id % 1920 + 1)::BIGINT AS width,
+       |                    (doc_id % 1080 + 1)::BIGINT AS height,
+       |                    text, length(text)::BIGINT AS len
+       |             FROM documents WHERE doc_id % 3 = 0),
+       |s AS (SELECT *, greatest((greatest(width, height) + ${ResizeBox - 1}) // $ResizeBox, 1) AS scale,
+       |             greatest(len // $ResizeSigBytes, 1) AS stride
+       |      FROM img)
+       |SELECT media_id, width, height,
+       |       greatest(width // scale, 1) AS out_width,
+       |       greatest(height // scale, 1) AS out_height,
+       |       list_aggregate(list_transform(
+       |         list_filter(list_transform(range(0, $ResizeSigBytes), i -> i * stride + 1), p -> p <= len),
+       |         p -> upper(hex(encode(substring(text, p::INT, 1))))), 'string_agg', '') AS resample_sig
+       |FROM s
+       |ORDER BY media_id""".stripMargin
+
   /** The typed decode pipeline: per-partition decoder init + streamed
     * decode — the plan a real codec integration uses. Exercised by
     * ScalaTest (the fake decoder has no SQL equivalent by design). */
