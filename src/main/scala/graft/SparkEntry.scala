@@ -118,7 +118,7 @@ object SparkEntry {
     // self-join) so canonical chains of length up to 2^K collapse
     "dedup_transitive" -> ((s, d) => Dedup.dedupPipelineTransitive(s, d)),
     "text_simhash" -> ((s, d) => Dedup.simhash(s, d)),
-    // banded-LSH simhash near-dup pairs (equi-join on 8-bit bands +
+    // banded-LSH simhash near-dup pairs (equi-join on 12-bit bands +
     // exact popcount verify — never an all-pairs hamming scan)
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     // --- similarity search ---

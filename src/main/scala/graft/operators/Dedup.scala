@@ -374,7 +374,11 @@ object Dedup {
   private def bitSign(h: Column, b: Int): Column =
     ((h * permA(b) + permB(b)) % HashMod % 2L) * 2L - 1L
 
-  /** Composed built-in form (interpreted; spec-only). */
+  /** Composed built-in form (interpreted; spec-only). NULL text → NULL
+    * fingerprint, explicitly — without the guard the per-bit
+    * `when(null >= 0, …).otherwise(0)` would collapse NULL docs to
+    * fingerprint 0 while the kernel (UnaryExpression null propagation)
+    * yields NULL, breaking the kernel==composed pin. */
   def simhashSigsComposed(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val tokHashes = transform(tokens(lower(col("text"))), t => polyHash(t))
@@ -383,7 +387,8 @@ object Dedup {
       when(sumSign >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     d.select(col("doc_id"), tokHashes.as("th"))
-      .select(col("doc_id"), bits.as("simhash"))
+      .select(col("doc_id"),
+        when(col("th").isNull, lit(null).cast("long")).otherwise(bits).as("simhash"))
   }
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
@@ -396,14 +401,22 @@ object Dedup {
       val sign = s"((h * ${permA(b)} + ${permB(b)}) % $HashMod % 2) * 2 - 1"
       s"(CASE WHEN coalesce(list_sum(list_transform(th, h -> $sign)), 0) >= 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("\n       + ")
+    // NULL text → NULL fingerprint (matches the kernel's null propagation;
+    // bare coalesce(list_sum(NULL), 0) would set every bit instead).
     s"""SELECT doc_id,
-       |       ($terms)::BIGINT AS simhash
+       |       CASE WHEN th IS NULL THEN NULL ELSE ($terms) END::BIGINT AS simhash
        |FROM (SELECT doc_id, list_transform($toks, t -> ${OracleSql.polyHash("t")}) AS th FROM documents)""".stripMargin
   }
 
   def simhashOracle: String = s"$simhashSigsSql ORDER BY doc_id"
 
   val SimHashBands = 4          // 4 bands × 12 bits over the 48-bit print
+  /** Band width/mask DERIVED from the bit/band constants — retuning
+    * SimHashBits (this round went 24→48) must retune the band math with
+    * it, or the LSH recall guarantee silently breaks while both engines
+    * stay consistent (the gate cannot catch it). */
+  val SimHashBandBits: Int = SimHashBits / SimHashBands
+  val SimHashBandMask: Long = (1L << SimHashBandBits) - 1
   val SimHashHammingMax = 3
 
   /** SimHash near-dup pairs via banded LSH over the fingerprint: any pair
@@ -417,7 +430,8 @@ object Dedup {
     val sig = simhashSigs(spark, dir)
     val bandStructs = (0 until SimHashBands).map { b =>
       struct(lit(b).as("band_idx"),
-        shiftright(col("simhash"), 12 * b).bitwiseAND(lit(4095L)).as("band_val"))
+        shiftright(col("simhash"), SimHashBandBits * b)
+          .bitwiseAND(lit(SimHashBandMask)).as("band_val"))
     }
     val bands = sig
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("band"))
@@ -442,7 +456,7 @@ object Dedup {
     s"""WITH sig AS ($simhashSigsSql),
        |bands AS (SELECT doc_id, simhash, unnest(range(0, $SimHashBands)) AS band_idx FROM sig),
        |b2 AS (SELECT doc_id, simhash, band_idx,
-       |              (simhash >> (band_idx * 12)::INT) & 4095 AS band_val FROM bands),
+       |              (simhash >> (band_idx * $SimHashBandBits)::INT) & $SimHashBandMask AS band_val FROM bands),
        |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |             a.simhash AS sim_a, b.simhash AS sim_b
        |      FROM b2 a JOIN b2 b ON a.band_idx = b.band_idx

@@ -178,12 +178,13 @@ object Multimodal {
       transform(sequence(lit(0L), lit(ResizeSigBytes - 1L)), i => i * stride + 1L),
       p => p <= len)
     val sig = array_join(transform(positions, p => hex(col("payload").substr(p, lit(1)))), "")
-    m.select(col("media_id"), col("width"), col("height"))
-      .withColumn("scale", scale)
+    // One projection over one scan — dims and signature together (a join
+    // back to m for the sig would scan the subset twice for nothing).
+    m.withColumn("scale", scale)
       .select(col("media_id"), col("width"), col("height"),
         greatest(expr("width div scale").cast("long"), lit(1L)).as("out_width"),
-        greatest(expr("height div scale").cast("long"), lit(1L)).as("out_height"))
-      .join(m.select(col("media_id"), sig.as("resample_sig")), "media_id")
+        greatest(expr("height div scale").cast("long"), lit(1L)).as("out_height"),
+        sig.as("resample_sig"))
       .orderBy(col("media_id"))
   }
 

@@ -167,7 +167,8 @@ object RadiusSearch {
 
   def radiusLatLngSearchFullOracle(lat: Double, lng: Double, radiusMiles: Double): String =
     s"""SELECT *, distance_miles AS normalized_distance, true AS aggregate_shape
-       |FROM (${radiusLatLngSearchOracle(lat, lng, radiusMiles)})""".stripMargin
+       |FROM (${radiusLatLngSearchOracle(lat, lng, radiusMiles)})
+       |ORDER BY id""".stripMargin
 
   def radiusLatLngSearchOracle(lat: Double, lng: Double, radiusMiles: Double): String = {
     val latD = s"(${radiusMiles / EarthRadiusMiles * (180.0 / math.Pi)})"

@@ -34,20 +34,35 @@ def load_bench(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     ratio_lim = 1.3
-    for a in sys.argv[1:]:
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--ratio"):
-            ratio_lim = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                ratio_lim = float(a.split("=", 1)[1])
+            else:
+                ratio_lim = float(argv[i + 1])
+                i += 1  # consume the value so it is not a positional arg
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         sys.exit(__doc__)
     new_path, old_path = args
     new, old = load_bench(new_path), load_bench(old_path)
     nq, oq = new["queries"], old["queries"]
 
+    # Escalation requires two CONSECUTIVE diffs, i.e. the prior flags came
+    # from diffing a DIFFERENT (earlier) bench file — re-running the same
+    # comparison must not self-escalate a single noisy measurement.
     prev_flags = set()
     if FLAGS_PATH.exists():
-        prev_flags = set(json.load(open(FLAGS_PATH)).get("flagged", []))
+        prev = json.load(open(FLAGS_PATH))
+        if prev.get("new") != str(new_path):
+            prev_flags = set(prev.get("flagged", []))
 
     flagged, regressions, rows = [], [], []
     for name in sorted(set(nq) | set(oq)):
@@ -70,7 +85,8 @@ def main():
 
     # Persist flag state BEFORE printing: a downstream `| head` closes the
     # pipe early and would otherwise kill the run before the state write.
-    json.dump({"against": str(old_path), "flagged": sorted(flagged),
+    json.dump({"new": str(new_path), "against": str(old_path),
+               "flagged": sorted(flagged),
                "regressions": sorted(regressions)}, open(FLAGS_PATH, "w"), indent=1)
 
     print(f"bench diff: {new_path} vs {old_path} (flag ratio {ratio_lim}x, "
