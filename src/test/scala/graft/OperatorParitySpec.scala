@@ -59,6 +59,25 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernel.nonEmpty)
   }
 
+  test("z-order key de-interleaves back to the quantized coordinates") {
+    import graft.functions.GeoFunctions
+    val rows = graft.operators.RadiusSearch.zorderKeys(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val max = (1 << GeoFunctions.ZOrderBits) - 1
+    rows.foreach { r =>
+      val (lat, lng, z) = (r.getDouble(1), r.getDouble(2), r.getLong(3))
+      val qlat = math.min(math.floor((lat + 90.0) / 180.0 * max).toLong, max.toLong)
+      val qlng = math.min(math.floor((lng + 180.0) / 360.0 * max).toLong, max.toLong)
+      var (dlat, dlng) = (0L, 0L)
+      (0 until GeoFunctions.ZOrderBits).foreach { b =>
+        dlat |= ((z >> (2 * b + 1)) & 1L) << b
+        dlng |= ((z >> (2 * b)) & 1L) << b
+      }
+      assert(dlat == qlat && dlng == qlng,
+        s"id=${r.getLong(0)}: z=$z decoded ($dlat,$dlng) != quantized ($qlat,$qlng)")
+    }
+  }
+
   test("bucketed join has no shuffle on either join side") {
     val plan = graft.operators.Relational.q13BucketedJoin(spark, dir)
       .queryExecution.sparkPlan
