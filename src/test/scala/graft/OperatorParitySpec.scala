@@ -59,6 +59,20 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernel.nonEmpty)
   }
 
+  test("NULL document text yields NULL simhash in kernel AND composed forms") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("simhash_null").toFile.getAbsolutePath
+    Seq((1L, null.asInstanceOf[String]), (2L, "hello world"), (3L, ""))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val kernel = Dedup.simhashSigs(spark, tmp).orderBy("doc_id").collect()
+    val composed = Dedup.simhashSigsComposed(spark, tmp).orderBy("doc_id").collect()
+    assert(kernel.toSeq == composed.toSeq)
+    assert(kernel(0).isNullAt(1), "NULL text must give NULL fingerprint")
+    assert(!kernel(1).isNullAt(1))
+    // Empty string: zero tokens → all per-bit sums 0 → every bit set.
+    assert(kernel(2).getLong(1) == (1L << 48) - 1)
+  }
+
   test("z-order key de-interleaves back to the quantized coordinates") {
     import graft.functions.GeoFunctions
     val rows = graft.operators.RadiusSearch.zorderKeys(spark, dir).collect()
