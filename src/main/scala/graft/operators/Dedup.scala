@@ -317,9 +317,10 @@ object Dedup {
     // runs: label table written per round, next round reads it — here the
     // narrow (doc_id, canonical_id) relation is written once and every hop
     // joins against the cheap scan.
-    val labelPath = "/root/repo/target/graft_labels/" + dir.replaceAll("[^0-9a-zA-Z]+", "_")
-    dedupPipeline(spark, dir).select(col("doc_id"), col("canonical_id"))
-      .write.mode("overwrite").parquet(labelPath)
+    val labelPath = graft.Materialize.ensure(spark, "graft_labels", dir, version = 1) { p =>
+      dedupPipeline(spark, dir).select(col("doc_id"), col("canonical_id"))
+        .write.mode("overwrite").parquet(p)
+    }
     val base = spark.read.parquet(labelPath)
     // True pointer jumping: CURRENT labels on both join sides (depth
     // doubles per hop). The nested tree re-reads the label parquet 2^hops

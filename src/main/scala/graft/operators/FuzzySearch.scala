@@ -113,12 +113,13 @@ object FuzzySearch {
     val q = cleanQuery(query)
     val qGramSet = queryTrigrams(q).distinct
     val c = corpusOf(spark, dir)
-    val path = "/root/repo/target/graft_postings/" + dir.replaceAll("[^0-9a-zA-Z]+", "_")
-    // Index build (idempotent overwrite; at scale this runs at ingest):
-    // cluster by ngram, sort within files so scan stats are tight.
-    NgramIndex.postingPairsMulti(c)
-      .repartition(32, col("ngram")).sortWithinPartitions(col("ngram"))
-      .write.mode("overwrite").parquet(path)
+    // Write-once index build (at scale this runs at ingest): cluster by
+    // ngram, sort within files so scan stats are tight.
+    val path = graft.Materialize.ensure(spark, "graft_postings", dir, version = 1) { p =>
+      NgramIndex.postingPairsMulti(c)
+        .repartition(32, col("ngram")).sortWithinPartitions(col("ngram"))
+        .write.mode("overwrite").parquet(p)
+    }
     val hits = spark.read.parquet(path)
       .filter(col("ngram").isin(qGramSet: _*))
       .groupBy(col("id")).agg(count(lit(1)).as("ngram_hits"))

@@ -62,7 +62,8 @@ object RadiusSearch {
     * `pairDistances`: one aggregate side → its area, both → mean (the
     * intended semantics of the dead both-aggregate branch at
     * geo_manager.py:417-426 — unreachable in the reference because the
-    * orig-aggregate branch shadows it), area < 10 → raw distance.
+    * orig-aggregate branch shadows it); ANY aggregate side with area < 10
+    * → raw distance (the reference's guard is per side, not on the mean).
     *
     * Same single narrow filter stage as `radiusSearch` — the enrichment is
     * three more projected expressions over the broadcast probe row, so the
@@ -89,7 +90,13 @@ object RadiusSearch {
       (col("p_area") + col("area")) / 2.0)
       .when(col("p_agg"), col("p_area"))
       .when(col("is_aggregate"), col("area"))
-    val norm = when(effArea.isNotNull && effArea >= 10.0,
+    // Per-side <10 guard (see pairDistances): any aggregate side with
+    // area < 10 → raw distance, even when the mean clears the bar.
+    val minArea = when(col("p_agg") && col("is_aggregate"),
+      least(col("p_area"), col("area")))
+      .when(col("p_agg"), col("p_area"))
+      .when(col("is_aggregate"), col("area"))
+    val norm = when(minArea.isNotNull && minArea >= 10.0,
       round(col("distance_miles") / log(greatest(effArea, lit(1.0))), 4))
       .otherwise(col("distance_miles"))
     shp.crossJoin(broadcast(probe))
@@ -117,6 +124,9 @@ object RadiusSearch {
        |             CASE WHEN p.p_agg AND s.is_aggregate THEN (p.p_area + s.area) / 2.0
        |                  WHEN p.p_agg THEN p.p_area
        |                  WHEN s.is_aggregate THEN s.area END AS eff_area,
+       |             CASE WHEN p.p_agg AND s.is_aggregate THEN least(p.p_area, s.area)
+       |                  WHEN p.p_agg THEN p.p_area
+       |                  WHEN s.is_aggregate THEN s.area END AS min_area,
        |             (p.p_agg OR s.is_aggregate) AS aggregate_shape
        |      FROM shapes s CROSS JOIN probe p
        |      WHERE (CASE WHEN s.is_aggregate
@@ -125,7 +135,7 @@ object RadiusSearch {
        |                  ELSE $ellipse END)
        |        $country)
        |SELECT id, reference_code, geo_type, is_aggregate, country, distance_miles,
-       |       CASE WHEN eff_area IS NOT NULL AND eff_area >= 10.0
+       |       CASE WHEN min_area IS NOT NULL AND min_area >= 10.0
        |            THEN round(distance_miles / ln(greatest(eff_area, 1.0)), 4)
        |            ELSE distance_miles END AS normalized_distance,
        |       aggregate_shape
@@ -233,7 +243,15 @@ object RadiusSearch {
     val effArea = when(col("agg_a") && col("agg_b"), (col("area_a") + col("area_b")) / 2.0)
       .when(col("agg_a"), col("area_a"))
       .when(col("agg_b"), col("area_b"))
-    val norm = when(effArea.isNotNull && effArea >= 10.0,
+    // The <10 small-area guard is PER SIDE, not on the mean: every branch
+    // of the reference (incl. the dead both-aggregate one,
+    // geo_manager.py:391/403/416-421) returns the raw distance when ANY
+    // aggregate side's area < 10 — so areas (2, 30) stay raw even though
+    // their mean is ≥ 10. min over the aggregate sides encodes that.
+    val minArea = when(col("agg_a") && col("agg_b"), least(col("area_a"), col("area_b")))
+      .when(col("agg_a"), col("area_a"))
+      .when(col("agg_b"), col("area_b"))
+    val norm = when(minArea.isNotNull && minArea >= 10.0,
       round(col("distance_miles") / log(greatest(effArea, lit(1.0))), 4))
       .otherwise(col("distance_miles"))
     a.join(b, col("id_a") < col("id_b"))
@@ -336,10 +354,13 @@ object RadiusSearch {
        |j AS (SELECT *, round($dist, 4) AS distance_miles,
        |        CASE WHEN agg_a AND agg_b THEN (area_a + area_b) / 2.0
        |             WHEN agg_a THEN area_a
-       |             WHEN agg_b THEN area_b END AS eff_area
+       |             WHEN agg_b THEN area_b END AS eff_area,
+       |        CASE WHEN agg_a AND agg_b THEN least(area_a, area_b)
+       |             WHEN agg_a THEN area_a
+       |             WHEN agg_b THEN area_b END AS min_area
        |      FROM a JOIN b ON a.id_a < b.id_b)
        |SELECT id_a, id_b, distance_miles,
-       |       CASE WHEN eff_area IS NOT NULL AND eff_area >= 10.0
+       |       CASE WHEN min_area IS NOT NULL AND min_area >= 10.0
        |            THEN round(distance_miles / ln(greatest(eff_area, 1.0)), 4)
        |            ELSE distance_miles END AS normalized_distance
        |FROM j

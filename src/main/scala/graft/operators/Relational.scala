@@ -300,19 +300,17 @@ object Relational {
     * Results are oracle-identical to the plain join, which is the point —
     * bucketing is a layout decision, not a semantic one. */
   def q13BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val base = "/root/repo/target/graft_bucketed/" + dir.replaceAll("[^0-9a-zA-Z]+", "_")
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderpriority"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$base/orders_b").saveAsTable("graft_orders_b")
-    Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$base/lineitem_b").saveAsTable("graft_lineitem_b")
-    val o = spark.table("graft_orders_b")
-    val l = spark.table("graft_lineitem_b")
+    val ordersTbl = graft.Materialize.ensureBucketedTable(
+      spark, "graft_orders_b", dir, version = 1, JoinBuckets, "o_orderkey") {
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    }
+    val lineitemTbl = graft.Materialize.ensureBucketedTable(
+      spark, "graft_lineitem_b", dir, version = 1, JoinBuckets, "l_orderkey") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    }
+    val o = spark.table(ordersTbl)
+    val l = spark.table(lineitemTbl)
     // merge hint: at gate scale Spark would broadcast the small side and
     // never touch the bucket layout; the hint pins the SortMergeJoin that
     // a 100 TB fact-fact join gets anyway, showing zero join-side Exchange.

@@ -191,8 +191,9 @@ object ShapeOps {
     * nested schema to the two leaves read, and pushes both predicates into
     * the parquet scan (PushedFilters on nested fields). */
   def nestedFilteredShapes(spark: SparkSession, dir: String): DataFrame = {
-    val path = "/root/repo/target/graft_nested/" + dir.replaceAll("[^0-9a-zA-Z]+", "_")
-    GeoShapes.nestedShapes(spark, dir).write.mode("overwrite").parquet(path)
+    val path = graft.Materialize.ensure(spark, "graft_nested", dir, version = 1) { p =>
+      GeoShapes.nestedShapes(spark, dir).write.mode("overwrite").parquet(p)
+    }
     val filters: Seq[(String, Any)] =
       Seq("ref_data.state_prov" -> "ST6", "ref_data.country" -> "US")
     val pred = filters.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)

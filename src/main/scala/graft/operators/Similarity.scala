@@ -190,11 +190,13 @@ object Similarity {
                       numCentroids: Int = IvfNumCentroids): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val cent = centroids(e, centroidMod, numCentroids)
-    val indexPath = "/root/repo/target/graft_ivf/" +
-      dir.replaceAll("[^0-9a-zA-Z]+", "_") + s"_m${centroidMod}_c$numCentroids"
-    // Index build (idempotent overwrite; at scale this runs at ingest).
-    e.join(cellAssignment(e, cent), "vec_id")
-      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    // Write-once index build (at scale this runs at ingest). The codebook
+    // parameters key the artifact alongside the data dir + version.
+    val indexPath = graft.Materialize.ensure(
+      spark, s"graft_ivf_m${centroidMod}_c$numCentroids", dir, version = 1) { p =>
+      e.join(cellAssignment(e, cent), "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(p)
+    }
     val bucketed = spark.read.parquet(indexPath)
     val probe = e.filter(col("vec_id") === probeId)
       .select(col("embedding").as("pemb"))

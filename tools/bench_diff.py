@@ -27,10 +27,21 @@ def load_bench(path):
     if d.get("parsed"):
         return d["parsed"]
     # Fall back: extract the one-line JSON from the captured log tail.
-    m = re.search(r'\{"metric":.*?"queries":.*\}', d.get("tail", ""))
-    if not m:
-        sys.exit(f"no bench line found in {path}")
-    return json.loads(m.group(0))
+    tail = d.get("tail", "")
+    m = re.search(r'\{"metric":.*?"queries":.*\}', tail)
+    if m:
+        return json.loads(m.group(0))
+    # Head-truncated tail (the driver keeps only the END of the log, so the
+    # bench line can be cut mid-queries — BENCH_r02.json is). Recover the
+    # surviving name:seconds pairs up to the queries-closing `},"errors"`.
+    m = re.search(r'([^{]*)\},"errors"', tail)
+    if m:
+        pairs = re.findall(r'"([A-Za-z0-9_]+)":([0-9.eE+-]+)', m.group(1))
+        if pairs:
+            print(f"warning: bench line in {path} is head-truncated; "
+                  f"recovered {len(pairs)} queries", file=sys.stderr)
+            return {"queries": {k: float(v) for k, v in pairs}}
+    sys.exit(f"no bench line found in {path}")
 
 
 def main():
@@ -91,7 +102,12 @@ def main():
 
     print(f"bench diff: {new_path} vs {old_path} (flag ratio {ratio_lim}x, "
           f"2 consecutive flags => REGRESSION)")
-    print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s")
+    # A truncated/driver-wrapped bench file may lack 'value' — fall back to
+    # the per-query sum rather than KeyError (the flag state is already
+    # written above; dying here would leave it inconsistent with the output).
+    old_total = old.get("value", sum(oq.values()))
+    new_total = new.get("value", sum(nq.values()))
+    print(f"total: {old_total:.1f}s -> {new_total:.1f}s")
     w = max(len(r[0]) for r in rows)
     for name, o, n, status in rows:
         os_ = f"{o:7.2f}" if o is not None else "      -"
