@@ -68,6 +68,10 @@ object SparkEntry {
     // co-located bucketed join: both sides bucketed on the key at write
     // time → SortMergeJoin with NO Exchange on either side
     "q13_bucketed_join" -> ((s, d) => Relational.q13BucketedJoin(s, d)),
+    // bloom-pruned semi join: scalar-subquery bloom probes inside the fact
+    // scan stage; exact semi join removes false positives (results ==
+    // plain semi join, which is the oracle)
+    "q14_bloom_semi" -> ((s, d) => Relational.q14BloomSemi(s, d)),
     // --- geo pipelines (SURVEY §2.8-2.9) ---
     "geo_radius_search" -> ((s, d) => RadiusSearch.radiusSearch(s, d, P.RadiusProbe, P.RadiusMiles, countryExact = true)),
     // full_results=True enrichment (geo_manager.py:300-323): per-match
@@ -140,6 +144,16 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_tf_topk" -> ((s, d) => TextAnalysis.termDfTopK(s, d, TextAnalysis.TermTopK)),
     "text_pii_mask" -> ((s, d) => TextAnalysis.piiMask(s, d)),
+    // --- corpus assembly (training-data pipeline) ---
+    // deterministic hash-Bernoulli stratified sampling — map-only, no
+    // shuffle/count pass, reproducible across runs and engines
+    "sample_stratified" -> ((s, d) => Pipeline.sampleStratified(s, d)),
+    // weighted source interleave (mixture scheduling) via scaled-integer
+    // positions — global stream head is distributed top-k
+    "mix_interleave" -> ((s, d) => Pipeline.mixInterleave(s, d)),
+    // concat-then-chunk sequence packing: per-source prefix sums → exact
+    // integer pack assignment
+    "doc_pack" -> ((s, d) => Pipeline.docPack(s, d)),
     // --- multimodal binary columns ---
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
     // frame-sampler plumbing: stride selection + per-frame slicing, one
@@ -199,6 +213,10 @@ object SparkEntry {
     "q11_percentiles" -> Relational.q11Oracle,
     "q12_salted_agg" -> Relational.q12Oracle,
     "q13_bucketed_join" -> Relational.q13Oracle,
+    "q14_bloom_semi" -> Relational.q14Oracle,
+    "sample_stratified" -> Pipeline.sampleStratifiedOracle,
+    "mix_interleave" -> Pipeline.mixInterleaveOracle,
+    "doc_pack" -> Pipeline.docPackOracle,
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = true),
     "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),
     "geo_radius_filtered" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters),

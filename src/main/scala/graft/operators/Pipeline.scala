@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions.polyHash
+import graft.oracle.OracleSql
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` — the corpus-assembly
+  * stages that sit between cleaning/dedup and the trainer:
+  *
+  *  - `sampleStratified`: reproducible per-stratum Bernoulli sampling,
+  *  - `mixInterleave`: weighted source interleave (mixture scheduling),
+  *  - `docPack`: token-budget sequence packing (concat-then-chunk).
+  *
+  * None of these exist in the reference (it is a geo lookup library); they
+  * generalize its primitives (polyHash fingerprints, deterministic window
+  * ranking) to the corpus-pipeline surface the engine targets.
+  */
+object Pipeline {
+
+  // ------------------------------------------------------ stratified sample
+
+  /** Per-language keep rates in PER-MILLE — exact integers, so the
+    * keep/drop threshold compare is engine-independent (no float rate).
+    * Languages outside the map (zh in the driver data) take the default. */
+  val SampleRatesPerMille: Seq[(String, Int)] = Seq(
+    "en" -> 250, "es" -> 500, "de" -> 750, "fr" -> 1000)
+  val DefaultRatePerMille = 100
+
+  /** Salt prefixing the hashed key, so this sample is independent of every
+    * other polyHash use (fingerprints, simhash permutations). */
+  val SampleSalt = "smpl:"
+
+  /** Deterministic stratified Bernoulli sample: keep a document iff
+    * polyHash(salt ++ doc_id) mod 1000 < rate(lang). The hash — not
+    * rand() — is the sampling coin, so the sample is (a) reproducible
+    * across runs/engines, (b) consistent under reprocessing (a re-ingested
+    * doc keeps its fate), and (c) computed in a NARROW map-only stage: no
+    * shuffle, no window, no count pass, at any corpus size. This is the
+    * standard language-rebalancing pass of LLM corpus assembly (downsample
+    * the dominant language, keep the tail). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val bucket = pmod(
+      polyHash(concat(lit(SampleSalt), col("doc_id").cast("string"))), lit(1000L))
+    val rate = SampleRatesPerMille.foldLeft(lit(DefaultRatePerMille): Column) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    d.select(col("doc_id"), col("lang"),
+        bucket.as("sample_bucket"), rate.cast("long").as("keep_rate"))
+      .filter(col("sample_bucket") < col("keep_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sampleStratifiedOracle: String = {
+    val b = OracleSql.polyHash(s"('$SampleSalt' || doc_id::VARCHAR)")
+    val cases = SampleRatesPerMille
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""WITH s AS (SELECT doc_id, lang,
+       |             $b % 1000 AS sample_bucket,
+       |             (CASE $cases ELSE $DefaultRatePerMille END)::BIGINT AS keep_rate
+       |           FROM documents)
+       |SELECT doc_id, lang, sample_bucket, keep_rate
+       |FROM s WHERE sample_bucket < keep_rate
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------- mixture interleave
+
+  /** Mixture weights: a weight-w source contributes w docs per LCM-sized
+    * block of the interleaved stream. */
+  val MixWeights: Seq[(String, Int)] = Seq("src0" -> 4, "src1" -> 2, "src2" -> 1)
+  val MixLimit = 120
+
+  private def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+
+  /** LCM of the weights — the scaled-integer trick: doc i of source s sits
+    * at position i·(LCM/w_s), an EXACT integer, so the interleave order
+    * needs no float division and is identical on every engine. */
+  val MixLcm: Int = MixWeights.map(_._2).reduce((a, b) => a / gcd(a, b) * b)
+
+  /** Weighted source interleave — the mixture scheduler of corpus assembly:
+    * emit documents so that source s appears with frequency ∝ w_s, with a
+    * deterministic total order. Per-source rank (window, shuffles only the
+    * selected sources' rows) → scaled-integer position → global top-k
+    * (TakeOrderedAndProject — the stream head is distributed top-k, never a
+    * global sort). The final `seq` numbering is computed over the already-
+    * truncated MixLimit rows, so the single-partition window is bounded by
+    * k, not the corpus. */
+  def mixInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(col("source").isin(MixWeights.map(_._1): _*))
+    val stride = MixWeights.foldLeft(lit(0): Column) {
+      case (acc, (s, w)) => when(col("source") === s, lit(MixLcm / w)).otherwise(acc)
+    }
+    val perSource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val top = d
+      .withColumn("pos", row_number().over(perSource).cast("long") * stride.cast("long"))
+      .orderBy(col("pos"), col("source"), col("doc_id"))
+      .limit(MixLimit)
+    top.withColumn("seq", row_number()
+        .over(Window.orderBy(col("pos"), col("source"), col("doc_id"))).cast("long"))
+      .select(col("seq"), col("doc_id"), col("source"), col("pos"))
+      .orderBy(col("seq"))
+  }
+
+  def mixInterleaveOracle: String = {
+    val srcs = MixWeights.map { case (s, _) => s"'$s'" }.mkString(", ")
+    val strideCases = MixWeights
+      .map { case (s, w) => s"WHEN source = '$s' THEN ${MixLcm / w}" }.mkString(" ")
+    s"""WITH f AS (SELECT doc_id, source,
+       |             row_number() OVER (PARTITION BY source ORDER BY doc_id)::BIGINT
+       |               * (CASE $strideCases END)::BIGINT AS pos
+       |           FROM documents WHERE source IN ($srcs)),
+       |t AS (SELECT doc_id, source, pos FROM f
+       |      ORDER BY pos, source, doc_id LIMIT $MixLimit)
+       |SELECT row_number() OVER (ORDER BY pos, source, doc_id)::BIGINT AS seq,
+       |       doc_id, source, pos
+       |FROM t ORDER BY seq""".stripMargin
+  }
+
+  // ------------------------------------------------------ sequence packing
+
+  /** Context-window budget in BPE-ish pieces per pack. */
+  val PackBudget = 256L
+
+  /** Token-budget sequence packing, concat-then-chunk style: within each
+    * source, documents are concatenated in doc_id order and the stream is
+    * cut every `PackBudget` pieces — `pack_id` is the chunk a document
+    * STARTS in, `pack_off` its offset there (docs may straddle a boundary,
+    * exactly like LLM pretraining packing). The running offset is a
+    * per-source prefix sum (one shuffle on source); at 100 TB the same
+    * shape runs with finer partitions + a broadcast of per-partition
+    * offsets (two-pass distributed prefix sum) — the assignment arithmetic
+    * is unchanged. Integer `div` on both engines: exact. */
+  def docPack(spark: SparkSession, dir: String): DataFrame = {
+    val pieces = size(regexp_extract_all(lower(col("text")),
+      lit(TextAnalysis.BpePattern), lit(0))).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), pieces.as("n_pieces"))
+      .withColumn("start_off", sum(col("n_pieces")).over(w) - col("n_pieces"))
+      .withColumn("pack_id", expr(s"start_off div $PackBudget"))
+      .withColumn("pack_off", col("start_off") - col("pack_id") * PackBudget)
+      .select(col("doc_id"), col("source"), col("n_pieces"),
+        col("pack_id"), col("pack_off"))
+      .orderBy(col("doc_id"))
+  }
+
+  def docPackOracle: String =
+    s"""WITH n AS (SELECT doc_id, source,
+       |             len(regexp_extract_all(lower(text), '${TextAnalysis.BpePattern}'))::BIGINT AS n_pieces
+       |           FROM documents),
+       |c AS (SELECT *,
+       |        sum(n_pieces) OVER (PARTITION BY source ORDER BY doc_id
+       |                            ROWS UNBOUNDED PRECEDING) - n_pieces AS start_off
+       |      FROM n)
+       |SELECT doc_id, source, n_pieces,
+       |       start_off // $PackBudget AS pack_id,
+       |       start_off - (start_off // $PackBudget) * $PackBudget AS pack_off
+       |FROM c ORDER BY doc_id""".stripMargin
+}

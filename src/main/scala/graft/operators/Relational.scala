@@ -328,4 +328,46 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  val BloomCutoff = 300000.0
+  val BloomEstItems = 20000L
+  val BloomNumBits = 320000L
+
+  /** Bloom-pruned semi join — the pre-shuffle reduction pattern for
+    * selective fact⋈dim filters: the filtered orders keys are folded into
+    * a bloom filter (ONE binary blob, evaluated as a scalar subquery, so
+    * the probe is a codegen'd filter INSIDE the lineitem scan stage), and
+    * only might-contain survivors reach the exchange; the exact semi join
+    * then removes the bloom's false positives, so results are identical to
+    * the plain semi join the oracle runs. At 100 TB this is what Spark's
+    * own InjectRuntimeFilter does when its 10 GB thresholds fire — spelled
+    * explicitly here because the engine KNOWS the build side is selective
+    * (the optimizer's size heuristics never fire at test scale). Decimal
+    * sum: parallel double summation over ~29k rows is order-
+    * nondeterministic; the DECIMAL(18,2) sum is exact, cast once. */
+  def q14BloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchFunctions._
+    val keys = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > BloomCutoff)
+      .select(col("o_orderkey"))
+    val bloom = keys.agg(
+      bloomFilterAgg(col("o_orderkey"), BloomEstItems, BloomNumBits).as("bf"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(mightContain(bloom.scalar(), col("l_orderkey")))
+    l.join(keys, l("l_orderkey") === keys("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q14Oracle: String =
+    s"""SELECT l_returnflag,
+       |       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price,
+       |       count(*) AS n_items
+       |FROM lineitem
+       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+       |                     WHERE o_totalprice > $BloomCutoff)
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
 }

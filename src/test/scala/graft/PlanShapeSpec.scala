@@ -70,4 +70,33 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = finalPlan("fuzzy_indexed")
     assert(p.contains("In(ngram"), p)
   }
+
+  test("bloom probe filters the fact scan stage before any exchange") {
+    val p = finalPlan("q14_bloom_semi")
+    assert(p.contains("might_contain"), p)
+    // the probe must sit under the scan-side WholeStageCodegen, i.e. appear
+    // AFTER (deeper than) the first Exchange line in the printed tree
+    val probeAt = p.indexOf("might_contain")
+    val exchangeAt = p.indexOf("Exchange")
+    assert(exchangeAt >= 0 && probeAt > exchangeAt,
+      s"bloom probe not below the exchange:\n$p")
+  }
+
+  test("stratified sample's only shuffle is the output ordering") {
+    val p = finalPlan("sample_stratified")
+    val shuffles = "Exchange (hash|range|Single)partitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 shuffle (range order), got $shuffles:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("mixture interleave takes the stream head as distributed top-k") {
+    val p = finalPlan("mix_interleave")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("sequence packing shuffles once per key plus the output ordering") {
+    val p = finalPlan("doc_pack")
+    val shuffles = "Exchange (hash|range|Single)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"expected <= 2 shuffles, got $shuffles:\n$p")
+  }
 }
