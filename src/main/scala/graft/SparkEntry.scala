@@ -134,6 +134,13 @@ object SparkEntry {
     "ann_ivf_bucketed" -> ((s, d) => Similarity.ivfBucketedTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     // measured recall@k of IVF vs the exact brute-force ground truth
     "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
+    // TRAINED IVF codebook: spherical k-means Lloyd iterations, map-only
+    // assignment over a one-row broadcast codebook, integer-quantized
+    // centroid means (bit-identical across engines)
+    "ann_kmeans_train" -> ((s, d) => KMeans.kmeansTrain(s, d)),
+    // IVF query over the trained codebook — same query-side plan as
+    // ann_ivf_topk, better cells
+    "ann_ivf_trained" -> ((s, d) => KMeans.ivfTrainedTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     // --- text analysis ---
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     // the end-to-end corpus-prep composition: language gate → quality
@@ -253,6 +260,8 @@ object SparkEntry {
     "ann_ivf_topk" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf_bucketed" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf_recall" -> Similarity.ivfRecallOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
+    "ann_kmeans_train" -> KMeans.kmeansTrainOracle(),
+    "ann_ivf_trained" -> KMeans.ivfTrainedTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "text_langid" -> TextAnalysis.languageIdOracle,
     "corpus_prep" -> CorpusPrep.corpusPrepOracle(),
     "text_quality" -> TextAnalysis.qualityScoreOracle,

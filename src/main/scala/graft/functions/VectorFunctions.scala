@@ -62,6 +62,24 @@ object VectorFunctions {
     sig
   }
 
+  /** Double-array twin of `dotKernel` — k-means centroids are
+    * Array[Double] (integer-quantized means), so the training assignment
+    * reads doubles on both sides; the float kernel stays untouched for the
+    * hot ANN paths. */
+  def dotKernelD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  def cosineKernelD(a: ArrayData, b: ArrayData): Double =
+    dotKernelD(a, b) / (math.sqrt(dotKernelD(a, a)) * math.sqrt(dotKernelD(b, b)))
+
   def dotF(a: Column, b: Column): Column =
     GraftShim.column(DotProductExpr(GraftShim.expression(a), GraftShim.expression(b)))
 
@@ -70,6 +88,9 @@ object VectorFunctions {
 
   def lshSignatureF(emb: Column, planes: Int): Column =
     GraftShim.column(LshSignatureExpr(GraftShim.expression(emb), planes))
+
+  def cosineDF(a: Column, b: Column): Column =
+    GraftShim.column(CosineSimDExpr(GraftShim.expression(a), GraftShim.expression(b)))
 }
 
 /** Ragged inputs (len(a) != len(b)) evaluate to NULL — matching the
@@ -118,6 +139,30 @@ case class CosineSimExpr(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
       if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
       else { ${ev.value} = graft.functions.VectorFunctions.cosineKernel($a, $b); }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Double-array cosine (Array[Double] × Array[Double]); ragged → NULL. */
+case class CosineSimDExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity_d"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else {
+      val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (aa.numElements() != bb.numElements()) null
+      else VectorFunctions.cosineKernelD(aa, bb)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.functions.VectorFunctions.cosineKernelD($a, $b); }""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spherical k-means (Lloyd iterations, cosine assignment) over the
+  * `embeddings` table — the TRAINED fixed-size IVF codebook that
+  * `Similarity`'s deterministic-sample codebook stands in for
+  * (Similarity.scala notes "at scale this is a trained k-means codebook");
+  * this is that training job, DataFrame-only, no driver-side collect.
+  *
+  * Scale shape (per iteration, any corpus size):
+  *  - the C-row codebook is folded into ONE row (`collect_list` of C
+  *    structs) and broadcast; cell assignment is then a PER-ROW argmax over
+  *    the broadcast array (higher-order function) — a map-only stage: no
+  *    N-row shuffle, no N×C join materialization;
+  *  - the centroid update explodes dims in-pipeline and partially
+  *    aggregates, so the only shuffle is C×D rows per upstream partition.
+  *
+  * Cross-engine exactness (the gate is bit-exact, see memory rules): float
+  * means are order-nondeterministic under parallel summation, so elements
+  * are quantized with floor(el·1e6) — floor of an identical IEEE product is
+  * bit-exact on both engines, unlike decimal-string rounding — summed as
+  * integers (associative, exact), and divided ONCE into a double. Every
+  * trained centroid is therefore bit-identical in Spark and DuckDB, and so
+  * is every subsequent assignment.
+  *
+  * Degenerate edges, aligned on both engines: a centroid with no members
+  * drops out (standard Lloyd); an all-zero vector (or zero centroid) has
+  * NaN cosine everywhere — Spark's struct-max and DuckDB's `ORDER BY cos
+  * DESC, cid` both treat NaN as greatest and tie-break to the smallest cid.
+  */
+object KMeans {
+
+  /** Quantization scale for centroid means: floor(el * 1e6). */
+  val QuantScale = 1000000L
+
+  val DefaultIters = 2
+
+  private def cosD(a: Column, b: Column): Column = VectorFunctions.cosineDF(a, b)
+
+  /** Seed codebook: every `mod`-th vector, capped at `numCentroids` — the
+    * same constant-size deterministic sample Similarity.ivfTopK quantizes
+    * with, widened to Array[Double]. */
+  private def seeds(e: DataFrame, mod: Long, numCentroids: Int): DataFrame =
+    e.filter(col("vec_id") % mod === 0 && col("vec_id") < mod * numCentroids)
+      .select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cemb"))
+
+  /** Map-only cell assignment: fold the codebook to one broadcast row of
+    * sorted (cid, cemb) structs, then per-row argmax cosine (tie → smallest
+    * cid) without any join multiplication or shuffle. */
+  private def assign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val centArr = cent
+      .agg(array_sort(collect_list(struct(col("cid"), col("cemb")))).as("cents"))
+    e.crossJoin(broadcast(centArr))
+      .withColumn("best", array_max(transform(col("cents"),
+        c => struct(cosD(col("embedding").cast("array<double>"), c("cemb")).as("c"),
+          (-c("cid")).as("nc")))))
+      .withColumn("cell", -col("best.nc"))
+      .drop("cents", "best")
+  }
+
+  /** One centroid update: per-(cell, dim) integer sums + member counts.
+    * Output: (cell, idx, qs, n). */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("idx", "el")))
+      .withColumn("q", floor(col("el").cast("double") * QuantScale.toDouble).cast("long"))
+      .groupBy(col("cell"), col("idx"))
+      .agg(sum(col("q")).as("qs"), count(lit(1)).as("n"))
+
+  /** Dequantized centroid element: ONE double division of exact integers. */
+  private def cval: Column =
+    col("qs").cast("double") / (col("n").cast("double") * QuantScale.toDouble)
+
+  /** Reassemble (cell, idx, qs, n) rows into a (cid, cemb) codebook. */
+  private def toCodebook(u: DataFrame): DataFrame =
+    u.select(col("cell"), col("idx"), cval.as("cv"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("cv")))).as("s"))
+      .select(col("cell").as("cid"), transform(col("s"), x => x("cv")).as("cemb"))
+
+  /** The trained codebook after `iters` Lloyd iterations. */
+  def trainedCentroids(spark: SparkSession, dir: String, iters: Int = DefaultIters,
+                       mod: Long = 25L, numCentroids: Int = Similarity.IvfNumCentroids): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    (1 to iters).foldLeft(seeds(e, mod, numCentroids)) {
+      (cent, _) => toCodebook(update(assign(e, cent)))
+    }
+  }
+
+  /** Gate query: the final iteration's update state in long form — one row
+    * per (cell, dimension) with the exact integer sum shipped as the
+    * bit-identical unrounded double mean and the cluster size. */
+  def kmeansTrain(spark: SparkSession, dir: String, iters: Int = DefaultIters,
+                  mod: Long = 25L, numCentroids: Int = Similarity.IvfNumCentroids): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val lastUpdate = (1 to iters).foldLeft(seeds(e, mod, numCentroids)) {
+      (cent, _) => toCodebook(update(assign(e, cent)))
+    }
+    // Re-derive the long form from the final codebook: one more explode of
+    // the C×D codebook rows (constant-size, trivially cheap) keeps the fold
+    // above uniform. n_members is recovered by a final assignment count.
+    val members = assign(e, lastUpdate)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    lastUpdate
+      .select(col("cid").as("cell"), posexplode(col("cemb")).as(Seq("dim_idx", "c_val")))
+      .join(members, "cell")
+      .select(col("cell"), col("dim_idx").cast("long").as("dim_idx"),
+        col("c_val"), col("n_members"))
+      .orderBy(col("cell"), col("dim_idx"))
+  }
+
+  /** IVF top-k over the TRAINED codebook — `Similarity.ivfTopK` with the
+    * Lloyd-trained centroids in place of the raw sample: map-only cell
+    * assignment (per-row argmax over the one-row broadcast codebook — no
+    * N×C join, no assignment shuffle), nprobe best cells by probe cosine,
+    * exact float-kernel re-rank over only the candidate cells. At 100 TB
+    * the assignment is the ingest-time product (see ivfBucketedTopK); the
+    * query-side plan here is identical to the sample-codebook path, so the
+    * training quality improvement is free at query time. */
+  def ivfTrainedTopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
+                     iters: Int = DefaultIters, mod: Long = 25L,
+                     numCentroids: Int = Similarity.IvfNumCentroids,
+                     nprobe: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cent = trainedCentroids(spark, dir, iters, mod, numCentroids)
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("pemb"))
+    val probeCells = cent.crossJoin(broadcast(probe))
+      .select(col("cid"), cosD(col("cemb"), col("pemb").cast("array<double>")).as("pc"))
+      .orderBy(col("pc").desc, col("cid")).limit(nprobe)
+      .select(col("cid").as("cell"))
+    assign(e, cent)
+      .join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(Similarity.cosine(col("embedding"), col("pemb")), 4).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def ivfTrainedTopKOracle(probeId: Long, k: Int, iters: Int = DefaultIters,
+                           mod: Long = 25L,
+                           numCentroids: Int = Similarity.IvfNumCentroids,
+                           nprobe: Int = 2): String = {
+    val cosA = Similarity.cosineSql("e.embedding", "c.cemb")
+    s"""WITH ${trainCtes(iters, mod, numCentroids)},
+       |af AS (SELECT e.vec_id, c.cid AS cell
+       |       FROM embeddings e CROSS JOIN cent$iters c
+       |       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |                                  ORDER BY $cosA DESC, c.cid) = 1),
+       |probe AS (SELECT embedding AS pemb FROM embeddings WHERE vec_id = $probeId),
+       |pc AS (SELECT c.cid, ${Similarity.cosineSql("c.cemb", "p.pemb")} AS pcos
+       |       FROM cent$iters c CROSS JOIN probe p),
+       |cells AS (SELECT cid AS cell FROM pc ORDER BY pcos DESC, cid LIMIT $nprobe),
+       |cand AS (SELECT a.vec_id FROM af a JOIN cells USING (cell)
+       |         WHERE a.vec_id <> $probeId)
+       |SELECT e.vec_id, e.label,
+       |       round(${Similarity.cosineSql("e.embedding", "p.pemb")}, 4) AS cosine_sim
+       |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN probe p
+       |ORDER BY cosine_sim DESC, e.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
+  // ----------------------------------------------------------------- oracle
+
+  /** CTE chain `cent0, a1, x1, u1, cent1, …, cent$iters` reproducing the
+    * training fold in DuckDB; embed before the final SELECT. */
+  def trainCtes(iters: Int, mod: Long, numCentroids: Int): String = {
+    val cent0 =
+      s"""cent0 AS (SELECT vec_id AS cid,
+         |            list_transform(embedding, x -> x::DOUBLE) AS cemb
+         |          FROM embeddings
+         |          WHERE vec_id % $mod = 0 AND vec_id < ${mod * numCentroids})""".stripMargin
+    val steps = (1 to iters).map { t =>
+      val cos = Similarity.cosineSql("e.embedding", "c.cemb")
+      s"""a$t AS (SELECT e.vec_id, c.cid AS cell
+         |       FROM embeddings e CROSS JOIN cent${t - 1} c
+         |       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |                                  ORDER BY $cos DESC, c.cid) = 1),
+         |x$t AS (SELECT a.cell,
+         |               unnest(range(len(e.embedding))) AS idx,
+         |               unnest(e.embedding) AS el
+         |        FROM embeddings e JOIN a$t a USING (vec_id)),
+         |u$t AS (SELECT cell, idx,
+         |               sum(floor(el::DOUBLE * $QuantScale.0)::BIGINT) AS qs,
+         |               count(*) AS n
+         |        FROM x$t GROUP BY cell, idx),
+         |cent$t AS (SELECT cell AS cid,
+         |                  list(qs::DOUBLE / (n::DOUBLE * $QuantScale.0) ORDER BY idx) AS cemb
+         |           FROM u$t GROUP BY cell)""".stripMargin
+    }
+    (cent0 +: steps).mkString(",\n")
+  }
+
+  def kmeansTrainOracle(iters: Int = DefaultIters, mod: Long = 25L,
+                        numCentroids: Int = Similarity.IvfNumCentroids): String = {
+    val cos = Similarity.cosineSql("e.embedding", "c.cemb")
+    s"""WITH ${trainCtes(iters, mod, numCentroids)},
+       |af AS (SELECT e.vec_id, c.cid AS cell
+       |       FROM embeddings e CROSS JOIN cent$iters c
+       |       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |                                  ORDER BY $cos DESC, c.cid) = 1),
+       |m AS (SELECT cell, count(*) AS n_members FROM af GROUP BY cell)
+       |SELECT c.cid AS cell, (u.idx)::BIGINT AS dim_idx,
+       |       c.cemb[u.idx + 1] AS c_val, m.n_members
+       |FROM cent$iters c
+       |JOIN (SELECT cid AS cell, unnest(range(len(cemb))) AS idx
+       |      FROM cent$iters) u ON u.cell = c.cid
+       |JOIN m ON m.cell = c.cid
+       |ORDER BY cell, dim_idx""".stripMargin
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.KMeans
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Invariants of the Lloyd trainer that the bit-exact oracle gate cannot
+  * see on its own: codebook shape, mass conservation of the membership
+  * counts, and the trained-IVF query contract. */
+class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .appName("kmeans-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("trained codebook keeps constant size and full dimensionality") {
+    val cent = KMeans.trainedCentroids(spark, dir).collect()
+    assert(cent.length <= Similarity_C && cent.length > 1)
+    assert(cent.forall(_.getSeq[Double](1).length == 64))
+  }
+
+  private def Similarity_C = graft.operators.Similarity.IvfNumCentroids
+
+  test("membership counts partition the corpus exactly") {
+    val rows = KMeans.kmeansTrain(spark, dir).collect()
+    assert(rows.length % 64 == 0)
+    val perCell = rows.groupBy(_.getLong(0)).view.mapValues { rs =>
+      // n_members is constant across a cell's 64 dim rows
+      val ns = rs.map(_.getLong(3)).distinct
+      assert(ns.length == 1)
+      ns.head
+    }.toMap
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(perCell.values.sum == total)
+  }
+
+  test("trained IVF returns k descending-cosine rows") {
+    val rows = KMeans.ivfTrainedTopK(spark, dir, probeId = 7L, k = 10).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+}
