@@ -72,6 +72,12 @@ object SparkEntry {
     // scan stage; exact semi join removes false positives (results ==
     // plain semi join, which is the oracle)
     "q14_bloom_semi" -> ((s, d) => Relational.q14BloomSemi(s, d)),
+    // salt-replicated skew join (dim replicated x salt, fact salted
+    // deterministically; results salt-invariant vs the plain-join oracle)
+    "q15_salted_join" -> ((s, d) => Relational.q15SaltedJoin(s, d)),
+    // CDC latest-wins snapshot merge (base + upserts + delete markers,
+    // one shuffle on the merge key)
+    "merge_upsert" -> ((s, d) => Cdc.mergeUpsert(s, d)),
     // --- geo pipelines (SURVEY §2.8-2.9) ---
     "geo_radius_search" -> ((s, d) => RadiusSearch.radiusSearch(s, d, P.RadiusProbe, P.RadiusMiles, countryExact = true)),
     // full_results=True enrichment (geo_manager.py:300-323): per-match
@@ -161,6 +167,12 @@ object SparkEntry {
     // concat-then-chunk sequence packing: per-source prefix sums → exact
     // integer pack assignment
     "doc_pack" -> ((s, d) => Pipeline.docPack(s, d)),
+    // chunk-level packing view: docs explode into the packs they span,
+    // exact integer piece ranges
+    "doc_chunks" -> ((s, d) => Pipeline.docChunks(s, d)),
+    // deterministic training shuffle, shard-then-local-order (parallel
+    // per-shard windows — no single-partition global row_number)
+    "corpus_shuffle" -> ((s, d) => Pipeline.corpusShuffle(s, d)),
     // --- multimodal binary columns ---
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
     // frame-sampler plumbing: stride selection + per-frame slicing, one
@@ -221,9 +233,13 @@ object SparkEntry {
     "q12_salted_agg" -> Relational.q12Oracle,
     "q13_bucketed_join" -> Relational.q13Oracle,
     "q14_bloom_semi" -> Relational.q14Oracle,
+    "q15_salted_join" -> Relational.q15Oracle,
+    "merge_upsert" -> Cdc.mergeUpsertOracle,
     "sample_stratified" -> Pipeline.sampleStratifiedOracle,
     "mix_interleave" -> Pipeline.mixInterleaveOracle,
     "doc_pack" -> Pipeline.docPackOracle,
+    "doc_chunks" -> Pipeline.docChunksOracle,
+    "corpus_shuffle" -> Pipeline.corpusShuffleOracle,
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = true),
     "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),
     "geo_radius_filtered" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters),

@@ -121,6 +121,39 @@ object Pipeline {
        |FROM t ORDER BY seq""".stripMargin
   }
 
+  // ------------------------------------------------- deterministic shuffle
+
+  val ShuffleSalt = "shuf:"
+  val NumShards = 8
+
+  /** Deterministic global training-data shuffle, shard-then-local-order
+    * form: shard = hash mod NumShards (narrow), position = rank within the
+    * shard by (hash, doc_id). The per-shard windows parallelize across
+    * shards — there is NO single-partition global row_number anywhere, so
+    * the plan survives any corpus size (one hash exchange + per-shard
+    * sorts). Readers consume shard files in (shard, pos) order; the salt
+    * makes this permutation independent of every other polyHash use. */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val h = polyHash(concat(lit(ShuffleSalt), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(NumShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  def corpusShuffleOracle: String = {
+    val h = OracleSql.polyHash(s"('$ShuffleSalt' || doc_id::VARCHAR)")
+    s"""WITH s AS (SELECT doc_id, $h AS h FROM documents),
+       |r AS (SELECT doc_id, h, h % $NumShards AS shard FROM s)
+       |SELECT shard,
+       |       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)::BIGINT AS pos,
+       |       doc_id
+       |FROM r ORDER BY shard, pos""".stripMargin
+  }
+
   // ------------------------------------------------------ sequence packing
 
   /** Context-window budget in BPE-ish pieces per pack. */
@@ -150,6 +183,54 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunk-level view of the packing: each document explodes into the packs
+    * it spans (a doc straddling a boundary contributes a chunk to every
+    * pack it crosses) with exact piece ranges — the rows a pack-reader
+    * materializes. `sequence(first, last)` is bounded by the document's own
+    * length (≤ n_pieces/budget + 1 chunks), so the explode is narrow and
+    * linear; all arithmetic is integer (exact on both engines). Empty
+    * documents contribute no chunks. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val pieces = size(regexp_extract_all(lower(col("text")),
+      lit(TextAnalysis.BpePattern), lit(0))).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), pieces.as("n_pieces"))
+      .withColumn("start_off", sum(col("n_pieces")).over(w) - col("n_pieces"))
+      .filter(col("n_pieces") > 0)
+      .withColumn("first_pack", expr(s"start_off div $PackBudget"))
+      .withColumn("last_pack", expr(s"(start_off + n_pieces - 1) div $PackBudget"))
+      .withColumn("pack_id", explode(sequence(col("first_pack"), col("last_pack"))))
+      .withColumn("chunk_start", greatest(col("start_off"), col("pack_id") * PackBudget))
+      .withColumn("chunk_end",
+        least(col("start_off") + col("n_pieces"), (col("pack_id") + 1) * PackBudget))
+      .select(col("doc_id"), col("source"), col("pack_id"),
+        (col("chunk_start") - col("start_off")).as("piece_off"),
+        (col("chunk_end") - col("chunk_start")).as("chunk_len"))
+      .orderBy(col("doc_id"), col("pack_id"))
+  }
+
+  def docChunksOracle: String =
+    s"""WITH n AS (SELECT doc_id, source,
+       |             len(regexp_extract_all(lower(text), '${TextAnalysis.BpePattern}'))::BIGINT AS n_pieces
+       |           FROM documents),
+       |c AS (SELECT *,
+       |        sum(n_pieces) OVER (PARTITION BY source ORDER BY doc_id
+       |                            ROWS UNBOUNDED PRECEDING) - n_pieces AS start_off
+       |      FROM n),
+       |b AS (SELECT *, (start_off // $PackBudget)::BIGINT AS first_pack,
+       |             ((start_off + n_pieces - 1) // $PackBudget)::BIGINT AS last_pack
+       |      FROM c WHERE n_pieces > 0),
+       |x AS (SELECT doc_id, source, start_off, n_pieces,
+       |             unnest(generate_series(first_pack, last_pack)) AS pack_id
+       |      FROM b)
+       |SELECT doc_id, source, pack_id,
+       |       (greatest(start_off, pack_id * $PackBudget) - start_off)::BIGINT AS piece_off,
+       |       (least(start_off + n_pieces, (pack_id + 1) * $PackBudget)
+       |         - greatest(start_off, pack_id * $PackBudget))::BIGINT AS chunk_len
+       |FROM x ORDER BY doc_id, pack_id""".stripMargin
+
   def docPackOracle: String =
     s"""WITH n AS (SELECT doc_id, source,
        |             len(regexp_extract_all(lower(text), '${TextAnalysis.BpePattern}'))::BIGINT AS n_pieces
@@ -159,7 +240,7 @@ object Pipeline {
        |                            ROWS UNBOUNDED PRECEDING) - n_pieces AS start_off
        |      FROM n)
        |SELECT doc_id, source, n_pieces,
-       |       start_off // $PackBudget AS pack_id,
-       |       start_off - (start_off // $PackBudget) * $PackBudget AS pack_off
+       |       (start_off // $PackBudget)::BIGINT AS pack_id,
+       |       (start_off - (start_off // $PackBudget) * $PackBudget)::BIGINT AS pack_off
        |FROM c ORDER BY doc_id""".stripMargin
 }

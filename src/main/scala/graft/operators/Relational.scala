@@ -370,4 +370,40 @@ object Relational {
        |                     WHERE o_totalprice > $BloomCutoff)
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
+
+  val SkewSalts = 8L
+
+  /** Salt-replicated skew JOIN (completes q12's salted AGG): a hot join key
+    * concentrates its fact rows in one shuffle partition; salting splits
+    * each key across `SkewSalts` partitions by replicating the dim side
+    * once per salt (|dim|×S rows — cheap, dims are small) and giving every
+    * fact row a deterministic salt from non-key columns. The join condition
+    * becomes (key, salt) so each hot key's rows spread across S reducers.
+    * `shuffle_hash` hint forces the shuffled join the technique targets —
+    * at gate scale Spark would otherwise broadcast the dim and hide the
+    * skew entirely (which IS the first-choice fix; salting is for when
+    * both sides are too big to broadcast). Results are salt-invariant:
+    * the oracle is the plain unsalted join. */
+  def q15SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(SkewSalts - 1))))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_quantity"),
+        pmod(col("l_orderkey") * 31L + col("l_linenumber").cast("long"),
+          lit(SkewSalts)).as("lsalt"))
+    l.join(s.hint("shuffle_hash"),
+        l("l_suppkey") === s("s_suppkey") && l("lsalt") === s("salt"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("s_name"))
+  }
+
+  val q15Oracle: String =
+    """SELECT s_name, count(*) AS n_items,
+      |       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name
+      |ORDER BY s_name""".stripMargin
 }

@@ -99,4 +99,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val shuffles = "Exchange (hash|range|Single)partitioning".r.findAllIn(p).size
     assert(shuffles <= 2, s"expected <= 2 shuffles, got $shuffles:\n$p")
   }
+
+  test("salted join honors the shuffled-join hint (broadcast would hide skew)") {
+    val p = finalPlan("q15_salted_join")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("CDC merge shuffles once on the key plus the output ordering") {
+    val p = finalPlan("merge_upsert")
+    val shuffles = "Exchange (hash|range|Single)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"expected <= 2 shuffles, got $shuffles:\n$p")
+  }
+
+  test("training shuffle has no single-partition stage") {
+    val p = finalPlan("corpus_shuffle")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
