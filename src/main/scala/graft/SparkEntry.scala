@@ -191,6 +191,9 @@ object SparkEntry {
     "ev_asof_union" -> ((s, d) => EventOps.asofLatestOrderUnion(s, d)),
     "ev_range_join" -> ((s, d) => EventOps.rangeJoinActivity(s, d)),
     "ev_json_extract" -> ((s, d) => EventOps.jsonExtract(s, d)),
+    // ordered conversion funnel: per-step min of an exact integer event
+    // key; K equi-joins over a monotonically shrinking user set
+    "ev_funnel" -> ((s, d) => EventOps.funnel(s, d)),
     "ev_lag_delta" -> ((s, d) => EventOps.lagDeltas(s, d)),
     // Oracle intentionally omitted (HLL sketch has no DuckDB equivalent);
     // driver records the weaker rows-only check per the contract.
@@ -296,6 +299,7 @@ object SparkEntry {
     "ev_asof_union" -> EventOps.asofLatestOrderOracle,
     "ev_range_join" -> EventOps.rangeJoinActivityOracle,
     "ev_json_extract" -> EventOps.jsonExtractOracle,
+    "ev_funnel" -> EventOps.funnelOracle,
     "ev_lag_delta" -> EventOps.lagDeltasOracle,
   )
 }

@@ -283,4 +283,57 @@ object EventOps {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Ordered conversion funnel: users who did step 1, then step 2 strictly
+    * after their step-1 conversion instant, then step 3 after step 2.
+    * The conversion instant is the MIN of an exact integer event key
+    * (epoch_second · 1e9 + event_id — a total order, so ties inside one
+    * second are broken identically on both engines). Each stage is a
+    * hash aggregate + equi-join on user_id (per-step min is map-side
+    * combinable; no window, no self-cartesian) — K joins for a K-step
+    * funnel, each shuffling only the converted-user set, which shrinks
+    * monotonically down the funnel. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("user_id"), col("event_type"),
+      (unix_timestamp(col("ts")) * 1000000000L + col("event_id")).as("k"))
+    val stages = FunnelSteps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val base = e.filter(col("event_type") === step)
+        val gated = prev match {
+          case None => base
+          case Some(p) => base.join(p.select(col("user_id"), col("kprev")), "user_id")
+            .filter(col("k") > col("kprev"))
+        }
+        Some(gated.groupBy(col("user_id")).agg(min(col("k")).as("kprev")))
+    }.flatten
+    stages.zip(FunnelSteps).zipWithIndex.map { case ((s, name), i) =>
+      s.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("step"), lit(name).as("step_type"),
+          col("n_users"))
+    }.reduce(_.unionAll(_)).orderBy(col("step"))
+  }
+
+  val funnelOracle: String = {
+    val steps = FunnelSteps.zipWithIndex
+    val ctes = steps.map { case (step, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, min(k) AS k1 FROM e
+           |      WHERE event_type = '$step' GROUP BY user_id)""".stripMargin
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, min(k) AS k${i + 1} FROM e
+           |      JOIN s$i USING (user_id)
+           |      WHERE event_type = '$step' AND k > k$i GROUP BY e.user_id)""".stripMargin
+    }.mkString(",\n")
+    val selects = steps.map { case (step, i) =>
+      s"SELECT ${i + 1}::BIGINT AS step, '$step' AS step_type, count(*) AS n_users FROM s${i + 1}"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, event_type,
+       |             epoch(date_trunc('second', ts))::BIGINT * 1000000000 + event_id AS k
+       |           FROM events),
+       |$ctes
+       |$selects
+       |ORDER BY step""".stripMargin
+  }
 }

@@ -55,6 +55,34 @@ object StreamOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keyCol)
 
+  // ------------------------------------------------- streaming CDC apply
+
+  case class Change(key: Long, version: Long, price: Double, op: String)
+  case class SnapRow(key: Long, version: Long, price: Double, deleted: Boolean)
+
+  /** Streaming face of Cdc.mergeUpsert: a change feed (upserts + delete
+    * markers, possibly out of order) folds into per-key latest-wins state
+    * via mapGroupsWithState; each batch emits the key's current snapshot
+    * row. Higher version wins; at equal versions a delete beats an upsert
+    * (the batch merge's `op <> 'D'` filter expressed as a tie rule). State
+    * is ONE row per live key — the same bound a MERGE INTO target holds —
+    * and a late lower-version change never regresses the snapshot. */
+  def applyChangesStream(changes: Dataset[Change]): Dataset[SnapRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      .mapGroupsWithState[SnapRow, SnapRow](GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Change], state: GroupState[SnapRow]) =>
+          val prior = state.getOption
+            .map(s => Change(key, s.version, s.price, if (s.deleted) "D" else "U"))
+          val winner = (prior.iterator ++ rows)
+            .maxBy(c => (c.version, if (c.op == "D") 1 else 0))
+          val out = SnapRow(key, winner.version, winner.price, winner.op == "D")
+          state.update(out)
+          out
+      }
+  }
+
   // ------------------------------------------------ custom sessionization
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -170,4 +170,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // First arrival's value survives for every key; duplicates vanish.
     assert(out == Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)))
   }
+
+  test("streaming CDC apply converges to the batch latest-wins merge") {
+    import spark.implicits._
+    import StreamOps.{Change, SnapRow}
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Change]
+    val q = StreamOps.applyChangesStream(stream.toDS())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    try {
+      // Batch 1: initial snapshot rows.
+      stream.addData(Change(1L, 1L, 10.0, "U"), Change(2L, 1L, 20.0, "U"),
+        Change(3L, 1L, 30.0, "U"))
+      q.processAllAvailable()
+      // Batch 2: update key 1, delete key 2, and a LATE lower-version
+      // change for key 3 that must not regress the snapshot.
+      stream.addData(Change(1L, 3L, 11.0, "U"), Change(2L, 2L, 0.0, "D"),
+        Change(3L, 0L, 99.0, "U"))
+      q.processAllAvailable()
+      // Batch 3: same-version delete/upsert tie on key 1 → delete wins.
+      stream.addData(Change(1L, 3L, 12.0, "U"), Change(1L, 3L, 0.0, "D"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Update mode re-emits per batch; the LAST emission per key is the
+    // converged snapshot.
+    val last = spark.table("cdc_out").as[SnapRow].collect()
+      .zipWithIndex.groupBy(_._1.key)
+      .map { case (k, rs) => k -> rs.maxBy(_._2)._1 }
+    assert(last(1L) == SnapRow(1L, 3L, 0.0, deleted = true))
+    assert(last(2L) == SnapRow(2L, 2L, 0.0, deleted = true))
+    assert(last(3L) == SnapRow(3L, 1L, 30.0, deleted = false))
+  }
 }
