@@ -157,6 +157,12 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_tf_topk" -> ((s, d) => TextAnalysis.termDfTopK(s, d, TextAnalysis.TermTopK)),
     "text_pii_mask" -> ((s, d) => TextAnalysis.piiMask(s, d)),
+    // corpus-LM fluency proxy: per-doc mean corpus frequency of its word
+    // bigrams (integer-exact counts, one final division)
+    "text_bigram_score" -> ((s, d) => TextAnalysis.bigramScore(s, d)),
+    // schema'd JSONL ingest with PERMISSIVE corrupt-record rescue (raw
+    // crawl-dump reading; oracle derives the outcome from documents)
+    "src_jsonl_rescue" -> ((s, d) => graft.sources.CorpusIngest.jsonlRescue(s, d)),
     // --- corpus assembly (training-data pipeline) ---
     // deterministic hash-Bernoulli stratified sampling — map-only, no
     // shuffle/count pass, reproducible across runs and engines
@@ -194,6 +200,8 @@ object SparkEntry {
     // ordered conversion funnel: per-step min of an exact integer event
     // key; K equi-joins over a monotonically shrinking user set
     "ev_funnel" -> ((s, d) => EventOps.funnel(s, d)),
+    // cohort retention triangle: first-activity-day cohorts x day offset
+    "ev_retention" -> ((s, d) => EventOps.retention(s, d)),
     "ev_lag_delta" -> ((s, d) => EventOps.lagDeltas(s, d)),
     // Oracle intentionally omitted (HLL sketch has no DuckDB equivalent);
     // driver records the weaker rows-only check per the contract.
@@ -238,6 +246,7 @@ object SparkEntry {
     "q14_bloom_semi" -> Relational.q14Oracle,
     "q15_salted_join" -> Relational.q15Oracle,
     "merge_upsert" -> Cdc.mergeUpsertOracle,
+    "src_jsonl_rescue" -> graft.sources.CorpusIngest.jsonlRescueOracle,
     "sample_stratified" -> Pipeline.sampleStratifiedOracle,
     "mix_interleave" -> Pipeline.mixInterleaveOracle,
     "doc_pack" -> Pipeline.docPackOracle,
@@ -300,6 +309,8 @@ object SparkEntry {
     "ev_range_join" -> EventOps.rangeJoinActivityOracle,
     "ev_json_extract" -> EventOps.jsonExtractOracle,
     "ev_funnel" -> EventOps.funnelOracle,
+    "ev_retention" -> EventOps.retentionOracle,
+    "text_bigram_score" -> TextAnalysis.bigramScoreOracle,
     "ev_lag_delta" -> EventOps.lagDeltasOracle,
   )
 }

@@ -284,6 +284,38 @@ object EventOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Cohort retention: users grouped by their first-activity day; each
+    * cell counts the cohort's distinct users active `day_offset` days
+    * later. All-day integer arithmetic (epoch seconds div 86400 — exact on
+    * both engines); two hash aggregations plus one equi-join on user_id,
+    * no windows. At scale the cohort table is users-sized (≪ events) and
+    * the join shuffles on the natural user key. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_timestamp(date_trunc('day', ts)) div 86400").as("day"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(cohort, "user_id")
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val retentionOracle: String =
+    """WITH e AS (SELECT user_id,
+      |             (epoch(date_trunc('day', ts))::BIGINT // 86400)::BIGINT AS day
+      |           FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT c.cohort_day, e.day - c.cohort_day AS day_offset,
+      |             e.user_id
+      |      FROM e JOIN c USING (user_id))
+      |SELECT cohort_day, day_offset, count(*) AS n_users
+      |FROM a GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
 
   /** Ordered conversion funnel: users who did step 1, then step 2 strictly

@@ -276,4 +276,48 @@ object TextAnalysis {
        |SELECT doc_id, ${OracleSql.polyHash("nt")} AS fingerprint
        |FROM n ORDER BY doc_id""".stripMargin
   }
+
+  /** Corpus-LM fluency proxy: score each document by how common its word
+    * bigrams are in the corpus itself (the integer-exact core of a bigram
+    * language model — counts and one final division, no transcendental
+    * per-term log whose last-ulp could diverge across engines). Low scores
+    * flag gibberish/boilerplate-free outliers; high scores flag templated
+    * text. Shape: bigram derivation is narrow (in-row transform over the
+    * token array), the count table is a map-combinable hash agg keyed by
+    * bigram (data-derived cardinality), the re-join shuffles on the same
+    * key, and the per-doc rollup is exact integer sums. Docs with < 2
+    * pieces have no bigrams and are excluded on both engines. */
+  def bigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))
+    val bigrams = transform(sequence(lit(0), size(col("toks")) - 2),
+      i => concat(element_at(col("toks"), i + 1), lit(" "),
+        element_at(col("toks"), i + 2)))
+    val b = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+    val counts = b.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+    b.join(counts, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_freq"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
+        (col("sum_freq").cast("double") / col("n_bigrams").cast("double"))
+          .as("bigram_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramScoreOracle: String =
+    s"""WITH t AS (SELECT doc_id,
+       |             regexp_extract_all(lower(text), '$BpePattern') AS toks
+       |           FROM documents),
+       |b AS (SELECT doc_id,
+       |             unnest(list_transform(range(1, len(toks)),
+       |                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+       |      FROM t WHERE len(toks) >= 2),
+       |c AS (SELECT bigram, count(*) AS c FROM b GROUP BY bigram),
+       |j AS (SELECT doc_id, count(*) AS n_bigrams, sum(c.c)::BIGINT AS sum_freq
+       |      FROM b JOIN c USING (bigram) GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, sum_freq,
+       |       sum_freq::DOUBLE / n_bigrams::DOUBLE AS bigram_score
+       |FROM j ORDER BY doc_id""".stripMargin
 }
