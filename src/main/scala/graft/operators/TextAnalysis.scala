@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TextFunctions._
 import graft.oracle.OracleSql
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — language ID (stopword n-gram
@@ -283,9 +284,9 @@ object TextAnalysis {
     * per-term log whose last-ulp could diverge across engines). Low scores
     * flag gibberish/boilerplate-free outliers; high scores flag templated
     * text. Shape: bigram derivation is narrow (in-row transform over the
-    * token array), the count table is a map-combinable hash agg keyed by
-    * bigram (data-derived cardinality), the re-join shuffles on the same
-    * key, and the per-doc rollup is exact integer sums. Docs with < 2
+    * token array); the corpus frequency attaches via a window count over
+    * the bigram partition (one exchange, one corpus scan — see inline
+    * note); the per-doc rollup is exact integer sums. Docs with < 2
     * pieces have no bigrams and are excluded on both engines. */
   def bigramScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))
@@ -296,8 +297,13 @@ object TextAnalysis {
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(bigrams).as("bigram"))
-    val counts = b.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
-    b.join(counts, "bigram")
+    // Corpus frequency as a WINDOW count over the bigram partition — ONE
+    // exchange on the bigram key and ONE corpus scan. The groupBy+re-join
+    // spelling scans and re-derives the bigram pipeline on both join sides
+    // (column pruning makes the subtrees differ, so exchange reuse cannot
+    // kick in), i.e. two full passes at 100 TB; the window form is the
+    // same shuffle with the count attached in place.
+    b.withColumn("c", count(lit(1)).over(Window.partitionBy(col("bigram"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_freq"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
@@ -314,9 +320,9 @@ object TextAnalysis {
        |             unnest(list_transform(range(1, len(toks)),
        |                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
        |      FROM t WHERE len(toks) >= 2),
-       |c AS (SELECT bigram, count(*) AS c FROM b GROUP BY bigram),
-       |j AS (SELECT doc_id, count(*) AS n_bigrams, sum(c.c)::BIGINT AS sum_freq
-       |      FROM b JOIN c USING (bigram) GROUP BY doc_id)
+       |w AS (SELECT doc_id, count(*) OVER (PARTITION BY bigram) AS c FROM b),
+       |j AS (SELECT doc_id, count(*) AS n_bigrams, sum(c)::BIGINT AS sum_freq
+       |      FROM w GROUP BY doc_id)
        |SELECT doc_id, n_bigrams, sum_freq,
        |       sum_freq::DOUBLE / n_bigrams::DOUBLE AS bigram_score
        |FROM j ORDER BY doc_id""".stripMargin

@@ -115,4 +115,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = finalPlan("corpus_shuffle")
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("bigram score derives the corpus pipeline once (single scan)") {
+    val p = finalPlan("text_bigram_score")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+  }
 }
