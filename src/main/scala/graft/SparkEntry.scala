@@ -131,6 +131,9 @@ object SparkEntry {
     // banded-LSH simhash near-dup pairs (equi-join on 12-bit bands +
     // exact popcount verify — never an all-pairs hamming scan)
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    // per-cluster representative selection: highest-quality member wins
+    // (argmax via max(struct) — one shuffle on the cluster key)
+    "dedup_canonical_pick" -> ((s, d) => Dedup.canonicalPick(s, d)),
     // --- similarity search ---
     "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, P.CosineProbe, P.CosineK)),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(s, d, planes = 8)),
@@ -283,6 +286,7 @@ object SparkEntry {
     "dedup_transitive" -> Dedup.dedupPipelineTransitiveOracle(),
     "text_simhash" -> Dedup.simhashOracle,
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,
+    "dedup_canonical_pick" -> Dedup.canonicalPickOracle,
     "ann_cosine_topk" -> Similarity.cosineTopKOracle(P.CosineProbe, P.CosineK),
     "ann_lsh_buckets" -> Similarity.lshBucketsOracle(8),
     "ann_ivf_topk" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),

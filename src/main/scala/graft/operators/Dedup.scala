@@ -466,4 +466,42 @@ object Dedup {
        |FROM p
        |WHERE bit_count(xor(sim_a, sim_b)) <= $SimHashHammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Quality-based representative selection — the stage after
+    * canonicalization in a real training pipeline: instead of "min doc_id
+    * survives", each transitive cluster keeps its HIGHEST-QUALITY member
+    * (ties → smallest doc_id). One equi-join of the narrow label relation
+    * to the per-doc quality projection, then a per-cluster argmax as
+    * `max(struct(quality, -doc_id))` — map-side combinable, one shuffle on
+    * the cluster key, no window over the corpus. quality_score is a
+    * per-row expression (bit-identical on both engines), so the argmax is
+    * deterministic cross-engine. */
+  def canonicalPick(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupPipelineTransitive(spark, dir)
+      .select(col("doc_id"), col("canonical_id"))
+    val quality = graft.operators.TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    labels.join(quality, "doc_id")
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality_score").as("q"), (-col("doc_id")).as("nd"))).as("best"))
+      .select(col("canonical_id"), col("n_members"),
+        (-col("best.nd")).as("rep_doc_id"), col("best.q").as("rep_quality"))
+      .orderBy(col("canonical_id"))
+  }
+
+  def canonicalPickOracle: String =
+    s"""WITH l AS (SELECT doc_id, canonical_id FROM (${dedupPipelineTransitiveOracle()})),
+       |q AS (SELECT doc_id, quality_score FROM (${graft.operators.TextAnalysis.qualityScoreOracle})),
+       |j AS (SELECT l.doc_id, l.canonical_id, q.quality_score
+       |      FROM l JOIN q USING (doc_id)),
+       |r AS (SELECT *,
+       |        row_number() OVER (PARTITION BY canonical_id
+       |                           ORDER BY quality_score DESC, doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY canonical_id) AS n_members
+       |      FROM j)
+       |SELECT canonical_id, n_members, doc_id AS rep_doc_id,
+       |       quality_score AS rep_quality
+       |FROM r WHERE rn = 1
+       |ORDER BY canonical_id""".stripMargin
 }
