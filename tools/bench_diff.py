@@ -7,8 +7,11 @@ Usage:
 Handles both raw bench lines ({"metric":...,"queries":{...}}) and the
 driver's wrapper ({"parsed": {...}} or the line embedded in "tail").
 
-Run-to-run variance on this box is ~±20%, so a single >1.3x flag is only
-a WATCH; a query flagged in two consecutive diffs (state carried in
+Per-query ratios are first divided by the run's MEDIAN ratio — a loaded
+box slows the whole suite uniformly (1.3x whole-run drift observed
+between back-to-back runs) and that is environment, not regression.
+Residual variance is still ~±20%, so a single normalized >1.3x flag is
+only a WATCH; a query flagged in two consecutive diffs (state carried in
 tools/bench_flags.json, keyed by the NEW file's name) is a REGRESSION.
 Exit code 1 iff any REGRESSION.
 """
@@ -75,6 +78,14 @@ def main():
         if prev.get("new") != str(new_path):
             prev_flags = set(prev.get("flagged", []))
 
+    # Normalize by the MEDIAN ratio: a loaded box slows every query
+    # uniformly (observed 1.3x whole-run drift between back-to-back runs),
+    # which is environment, not regression. Flag only queries that moved
+    # relative to the rest of the suite.
+    shared = [n for n in nq if n in oq and oq[n] > 0]
+    ratios = sorted(nq[n] / oq[n] for n in shared)
+    med = ratios[len(ratios) // 2] if ratios else 1.0
+
     flagged, regressions, rows = [], [], []
     for name in sorted(set(nq) | set(oq)):
         if name not in oq:
@@ -83,7 +94,7 @@ def main():
         if name not in nq:
             rows.append((name, oq[name], None, "REMOVED"))
             continue
-        r = nq[name] / oq[name] if oq[name] > 0 else float("inf")
+        r = (nq[name] / oq[name] if oq[name] > 0 else float("inf")) / med
         status = ""
         if r > ratio_lim:
             flagged.append(name)
@@ -100,7 +111,8 @@ def main():
                "flagged": sorted(flagged),
                "regressions": sorted(regressions)}, open(FLAGS_PATH, "w"), indent=1)
 
-    print(f"bench diff: {new_path} vs {old_path} (flag ratio {ratio_lim}x, "
+    print(f"bench diff: {new_path} vs {old_path} (flag ratio {ratio_lim}x "
+          f"after dividing out the median drift {med:.2f}x; "
           f"2 consecutive flags => REGRESSION)")
     # A truncated/driver-wrapped bench file may lack 'value' — fall back to
     # the per-query sum rather than KeyError (the flag state is already
