@@ -182,6 +182,9 @@ object SparkEntry {
     // deterministic training shuffle, shard-then-local-order (parallel
     // per-shard windows — no single-partition global row_number)
     "corpus_shuffle" -> ((s, d) => Pipeline.corpusShuffle(s, d)),
+    // shard-partitioned materialization + single-shard pruned read (the
+    // training-reader path: scan touches 1/NumShards of the files)
+    "corpus_shuffle_read" -> ((s, d) => Pipeline.corpusShuffleRead(s, d)),
     // --- multimodal binary columns ---
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
     // frame-sampler plumbing: stride selection + per-frame slicing, one
@@ -255,6 +258,7 @@ object SparkEntry {
     "doc_pack" -> Pipeline.docPackOracle,
     "doc_chunks" -> Pipeline.docChunksOracle,
     "corpus_shuffle" -> Pipeline.corpusShuffleOracle,
+    "corpus_shuffle_read" -> Pipeline.corpusShuffleReadOracle,
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = true),
     "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),
     "geo_radius_filtered" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters),

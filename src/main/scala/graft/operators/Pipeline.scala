@@ -154,6 +154,31 @@ object Pipeline {
        |FROM r ORDER BY shard, pos""".stripMargin
   }
 
+  val ShardProbe = 3L
+
+  /** The training-reader side of `corpusShuffle`: the permutation is
+    * materialized ONCE as shard-partitioned parquet (at 100 TB this is the
+    * shuffled-corpus layout job), and a reader consumes a single shard via
+    * directory-level partition pruning — the scan touches 1/NumShards of
+    * the files (PlanShapeSpec asserts the partition filter). Same oracle
+    * semantics as corpus_shuffle restricted to the probed shard. */
+  def corpusShuffleRead(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.Materialize.ensure(spark, "graft_shards", dir, version = 1) { p =>
+      corpusShuffle(spark, dir).write.mode("overwrite")
+        .partitionBy("shard").parquet(p)
+    }
+    spark.read.parquet(path)
+      .filter(col("shard") === ShardProbe)
+      // partition-column type inference narrows shard to INT; restore the
+      // oracle's BIGINT
+      .select(col("shard").cast("long").as("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("pos"))
+  }
+
+  def corpusShuffleReadOracle: String =
+    s"""SELECT shard, pos, doc_id FROM (${corpusShuffleOracle})
+       |WHERE shard = $ShardProbe ORDER BY pos""".stripMargin
+
   // ------------------------------------------------------ sequence packing
 
   /** Context-window budget in BPE-ish pieces per pack. */

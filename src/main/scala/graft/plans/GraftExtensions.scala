@@ -84,7 +84,11 @@ object GraftExtensions {
       info("simhash_fingerprint",
         "simhash_fingerprint(text, n_bits) - SimHash fingerprint over word tokens."),
       arity("simhash_fingerprint", 2)(args =>
-        SimHashFingerprint(args(0), intLit(args(1), "n_bits")))))
+        SimHashFingerprint(args(0), intLit(args(1), "n_bits")))),
+    ("cosine_similarity_d",
+      info("cosine_similarity_d",
+        "cosine_similarity_d(a, b) - cosine of two double arrays (trained centroids)."),
+      arity("cosine_similarity_d", 2)(args => CosineSimDExpr(args(0), args(1)))))
 
   /** Programmatic registration on a live session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

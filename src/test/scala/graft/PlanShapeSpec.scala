@@ -116,6 +116,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("shard read is partition-pruned to the probed shard directory") {
+    val p = finalPlan("corpus_shuffle_read")
+    assert(p.contains("PartitionFilters") && p.contains("shard"), p)
+    assert("PartitionFilters: \\[[^\\]]*shard[^\\]]*= 3".r.findFirstIn(p).isDefined, p)
+  }
+
   test("bigram score derives the corpus pipeline once (single scan)") {
     val p = finalPlan("text_bigram_score")
     val scans = "Scan parquet".r.findAllIn(p).size
