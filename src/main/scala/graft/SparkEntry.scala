@@ -208,6 +208,11 @@ object SparkEntry {
     "ev_funnel" -> ((s, d) => EventOps.funnel(s, d)),
     // cohort retention triangle: first-activity-day cohorts x day offset
     "ev_retention" -> ((s, d) => EventOps.retention(s, d)),
+    // trailing-hour rolling sum per user (RANGE window frame; exact
+    // decimal sum over 2dp data)
+    "ev_range_window" -> ((s, d) => EventOps.rangeWindow(s, d)),
+    // daily event-type matrix via pivot with an explicit value list
+    "ev_pivot_daily" -> ((s, d) => EventOps.pivotDaily(s, d)),
     "ev_lag_delta" -> ((s, d) => EventOps.lagDeltas(s, d)),
     // Oracle intentionally omitted (HLL sketch has no DuckDB equivalent);
     // driver records the weaker rows-only check per the contract.
@@ -318,6 +323,8 @@ object SparkEntry {
     "ev_json_extract" -> EventOps.jsonExtractOracle,
     "ev_funnel" -> EventOps.funnelOracle,
     "ev_retention" -> EventOps.retentionOracle,
+    "ev_range_window" -> EventOps.rangeWindowOracle,
+    "ev_pivot_daily" -> EventOps.pivotDailyOracle,
     "text_bigram_score" -> TextAnalysis.bigramScoreOracle,
     "ev_lag_delta" -> EventOps.lagDeltasOracle,
   )

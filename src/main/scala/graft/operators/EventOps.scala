@@ -316,6 +316,66 @@ object EventOps {
       |FROM a GROUP BY cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Trailing-hour running sum per user — a RANGE window frame (peers
+    * defined by the ORDER BY value, not row position: every event in
+    * [es - 3600, es] contributes, ties included on both engines by the
+    * frame definition itself). `value` is 2-decimal data, so the
+    * DECIMAL(18,2) cast is exact (no rounding step) and the windowed sum
+    * is order-independent; one double cast ships it. One exchange on
+    * user_id + per-partition sort — the streaming-analytics "rolling
+    * metric" in batch form. */
+  def rangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("es"))
+      .rangeBetween(-3600L, 0L)
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+      .withColumn("trail_sum",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("es"), col("trail_sum"))
+      .orderBy(col("user_id"), col("es"), col("event_id"))
+  }
+
+  val rangeWindowOracle: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |             epoch(date_trunc('second', ts))::BIGINT AS es, value
+      |           FROM events)
+      |SELECT event_id, user_id, es,
+      |       sum(value::DECIMAL(18,2)) OVER (PARTITION BY user_id ORDER BY es
+      |           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)::DOUBLE AS trail_sum
+      |FROM e
+      |ORDER BY user_id, es, event_id""".stripMargin
+
+  /** Daily event-type matrix via PIVOT — `groupBy(day).pivot(type)` with
+    * an EXPLICIT value list (an implicit list costs a distinct-scan pass
+    * to discover columns and makes the schema data-dependent). Compiles to
+    * one hash aggregate producing all K columns in a single pass — K times
+    * cheaper than K filtered aggregations unioned. */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val day = expr("unix_timestamp(date_trunc('day', ts)) div 86400")
+    val p = events(spark, dir)
+      .select(day.as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(p)((d, t) => d.withColumn(t, coalesce(col(t), lit(0L))))
+      .select(col("day") +: types.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy(col("day"))
+  }
+
+  val pivotDailyOracle: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cols = types.map(t =>
+      s"count(CASE WHEN event_type = '$t' THEN 1 END)::BIGINT AS n_$t").mkString(",\n|       ")
+    s"""SELECT (epoch(date_trunc('day', ts))::BIGINT // 86400)::BIGINT AS day,
+       |       $cols
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY day""".stripMargin
+  }
+
   val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
 
   /** Ordered conversion funnel: users who did step 1, then step 2 strictly

@@ -171,6 +171,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)))
   }
 
+  test("streaming JSONL ingest (file source) matches the batch rescue aggregation") {
+    import graft.sources.CorpusIngest
+    val dir = "/root/testdata/sf0.001"
+    val path = CorpusIngest.jsonlPath(spark, dir)
+    val stream = spark.readStream
+      .schema(CorpusIngest.JsonlSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+    val agg = stream
+      .select(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+        .otherwise(col("source")).as("src"),
+        when(col("_corrupt_record").isNull, col("doc_id")).as("clean_id"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("clean_id")).as("min_id"), max(col("clean_id")).as("max_id"))
+    val q = agg.writeStream.format("memory").queryName("jsonl_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("jsonl_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val batch = CorpusIngest.jsonlRescue(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.exists(_._1 == "_corrupt"))
+  }
+
   test("streaming CDC apply converges to the batch latest-wins merge") {
     import spark.implicits._
     import StreamOps.{Change, SnapRow}
