@@ -335,6 +335,73 @@ object RadiusSearch {
        |ORDER BY s.id""".stripMargin
   }
 
+  /** Probe set for the batch query: every 97th POINT shape. */
+  val BatchProbeMod = 97L
+
+  /** Latitude band width (degrees) for the banded spatial join — must be
+    * ≥ the latitude delta of the radius (0.362° at 25 mi) so a probe's
+    * ellipse spans at most 2 adjacent bands. */
+  val BatchBandDeg = 0.5
+
+  /** BATCH radius search — the Spark-first answer to the reference's
+    * one-request-at-a-time API (geo_manager.py:237-348 runs per call): a
+    * whole probe TABLE resolves in one distributed plan. The naive spelling
+    * is probes × shapes (BroadcastNestedLoopJoin — fine for dozens of
+    * probes, O(N·P) at scale); this is the scale spelling, a BANDED
+    * spatial EQUI-join: shapes key on floor(lat / band), each probe
+    * explodes to the ≤2 bands its ellipse can touch, the join runs as a
+    * hash join on (band, country), and the exact ellipse test filters the
+    * band candidates. Work is O(N + P + candidates), shuffling on a
+    * data-derived key — the standard spatial bin join, and the batch
+    * geocoding shape at 100 TB. Point shapes only (the reference's
+    * aggregate branch tests bbox containment of the probe, which a
+    * center-keyed band cannot honor — aggregates stay on the per-probe
+    * path). */
+  def radiusSearchBatch(spark: SparkSession, dir: String,
+                        radiusMiles: Double): DataFrame = {
+    val latDv = radiusMiles / EarthRadiusMiles * (180.0 / math.Pi)
+    val shp = GeoShapes.shapes(spark, dir).filter(!col("is_aggregate"))
+    val probes = shp.filter(pmod(col("id"), lit(BatchProbeMod)) === 0)
+      .select(col("id").as("probe_id"), col("latitude").as("p_lat"),
+        col("longitude").as("p_lng"), col("country").as("p_country"))
+      .withColumn("band", explode(sequence(
+        floor((col("p_lat") - latDv) / BatchBandDeg),
+        floor((col("p_lat") + latDv) / BatchBandDeg))))
+    val banded = shp.withColumn("band", floor(col("latitude") / BatchBandDeg))
+    val lngD = longitudeDeltaFromMiles(col("p_lat"), lit(radiusMiles))
+    banded.join(probes,
+        banded("band") === probes("band") &&
+          col("country") === col("p_country"))
+      .filter(ellipseContains(col("p_lat"), col("p_lng"),
+        col("latitude"), col("longitude"), lit(latDv), lngD))
+      .select(col("probe_id"), col("id"), col("geo_type"),
+        round(haversineMiles(col("p_lat"), col("p_lng"),
+          col("latitude"), col("longitude")), 4).as("distance_miles"))
+      .orderBy(col("probe_id"), col("id"))
+  }
+
+  def radiusSearchBatchOracle(radiusMiles: Double): String = {
+    val latD = s"(${radiusMiles / EarthRadiusMiles * (180.0 / math.Pi)})"
+    val lngD = OracleSql.lngDelta("p.p_lat", radiusMiles)
+    val ellipse = OracleSql.ellipseContains("p.p_lat", "p.p_lng",
+      "s.latitude", "s.longitude", latD, lngD)
+    s"""WITH shapes AS (${GeoShapes.oracleCte}),
+       |pts AS (SELECT * FROM shapes WHERE NOT is_aggregate),
+       |pr AS (SELECT id AS probe_id, latitude AS p_lat, longitude AS p_lng,
+       |              country AS p_country
+       |       FROM pts WHERE id % $BatchProbeMod = 0),
+       |pb AS (SELECT *, unnest(generate_series(
+       |                floor((p_lat - $latD) / $BatchBandDeg)::BIGINT,
+       |                floor((p_lat + $latD) / $BatchBandDeg)::BIGINT)) AS band
+       |       FROM pr),
+       |sb AS (SELECT *, floor(latitude / $BatchBandDeg)::BIGINT AS band FROM pts)
+       |SELECT p.probe_id, s.id, s.geo_type,
+       |       round(${OracleSql.haversineMiles("p.p_lat", "p.p_lng", "s.latitude", "s.longitude")}, 4) AS distance_miles
+       |FROM sb s JOIN pb p ON s.band = p.band AND s.country = p.p_country
+       |WHERE $ellipse
+       |ORDER BY p.probe_id, s.id""".stripMargin
+  }
+
   def knnOracle(probeId: Long, k: Int): String =
     s"""WITH shapes AS (${GeoShapes.oracleCte}),
        |probe AS (SELECT latitude AS p_lat, longitude AS p_lng FROM shapes WHERE id = $probeId)

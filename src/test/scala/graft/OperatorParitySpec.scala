@@ -111,4 +111,20 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.toSeq == full.toSeq)
     assert(full.nonEmpty)
   }
+
+  test("banded batch radius == per-probe radius search, probe by probe") {
+    import org.apache.spark.sql.functions._
+    val R = graft.operators.RadiusSearch
+    val batch = R.radiusSearchBatch(spark, dir, radiusMiles = 25.0)
+      .collect().groupBy(_.getLong(0))
+    assert(batch.nonEmpty)
+    batch.keys.toSeq.sorted.foreach { probeId =>
+      // Per-probe reference path, restricted to the batch query's domain
+      // (point shapes; country-exact is the batch join key).
+      val single = R.radiusSearch(spark, dir, probeId, 25.0, countryExact = true)
+        .filter(!col("is_aggregate")).select("id").collect().map(_.getLong(0)).toSet
+      val banded = batch(probeId).map(_.getLong(1)).toSet
+      assert(banded == single, s"probe $probeId: banded=$banded single=$single")
+    }
+  }
 }
