@@ -83,6 +83,9 @@ object SparkEntry {
     // BATCH radius search: a probe TABLE in one plan via banded spatial
     // equi-join (the reference answers one request at a time)
     "geo_radius_batch" -> ((s, d) => RadiusSearch.radiusSearchBatch(s, d, P.RadiusMiles)),
+    // BATCH fuzzy search: the flagship pipeline over a query TABLE in one
+    // plan (per-qid window caps/top-k instead of per-request limits)
+    "fuzzy_batch" -> ((s, d) => FuzzySearch.batchFuzzySearch(s, d, P.FuzzyK)),
     // full_results=True enrichment (geo_manager.py:300-323): per-match
     // {distance, normalized_distance, aggregate} against the probe shape
     "geo_radius_full" -> ((s, d) => RadiusSearch.radiusSearchFull(s, d, P.RadiusFullProbe, P.RadiusMiles, countryExact = false)),
@@ -269,6 +272,7 @@ object SparkEntry {
     "corpus_shuffle_read" -> Pipeline.corpusShuffleReadOracle,
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = true),
     "geo_radius_batch" -> RadiusSearch.radiusSearchBatchOracle(P.RadiusMiles),
+    "fuzzy_batch" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK),
     "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),
     "geo_radius_filtered" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters),
     "geo_radius_latlng" -> RadiusSearch.radiusLatLngSearchOracle(P.LatLng._1, P.LatLng._2, P.LatLng._3),

@@ -172,6 +172,109 @@ object FuzzySearch {
   def bestFuzzySearchOracle(query: String, threshold: Double = 0.90): String =
     s"""SELECT * FROM (${fuzzySearchOracle(query, 1)}) WHERE score >= $threshold"""
 
+  /** Query-table stride for the batch query (89 keeps it non-vacuous at
+    * sf0.001's 200-row part table). */
+  val BatchQueryMod = 89L
+
+  /** Deterministic fuzzy query table: every `BatchQueryMod`-th part name
+    * with its 4th character dropped — a realistic single-typo query per
+    * corpus stratum, derivable identically on both engines. */
+  def batchQueries(c: DataFrame): DataFrame =
+    c.filter(pmod(col("id"), lit(BatchQueryMod)) === 0)
+      .select(col("id").as("qid"),
+        cleanEntity(concat(substring(col("value"), 1, 3),
+          expr("substring(value, 5)"))).as("clean_q"))
+
+  /** BATCH fuzzy search — the flagship pipeline over a QUERY TABLE in one
+    * distributed plan (the reference runs fuzzy_search once per request,
+    * geo_manager.py:525-619). Differences from the single-query plan, all
+    * scale-positive:
+    *  - query trigram sets derive in-plan (charNgramSet per query row) and
+    *    join postings on the ngram key — data-derived shuffle, no
+    *    per-query driver round-trip;
+    *  - the 500-cap and the final top-k become per-qid WINDOW limits
+    *    (rank over partition by qid), which parallelize across queries
+    *    instead of a driver-side limit per call;
+    *  - scoring reuses the exact column expressions (they branch at
+    *    runtime, so one plan serves every query; no digits-only query
+    *    exists in this table, and both engines take the non-postal branch
+    *    uniformly).
+    * At 100 TB with the materialized ngram-clustered posting index this is
+    * a semi-join of the query gram table against the index — batch
+    * auto-complete/geocoding at cluster throughput. */
+  def batchFuzzySearch(spark: SparkSession, dir: String, numResults: Int,
+                       cap: Int = DefaultCap): DataFrame = {
+    val c = corpus(spark, dir)
+    val queries = batchQueries(c)
+    val qGrams = queries.select(col("qid"),
+      explode(charNgramSet(col("clean_q"), 3)).as("ngram"))
+    val postings = c.select(col("id"),
+      explode(charNgrams(col("clean_value"), 3)).as("ngram"))
+    val hits = postings.join(qGrams, "ngram")
+      .groupBy(col("qid"), col("id")).agg(count(lit(1)).as("ngram_hits"))
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ngram_hits").desc, col("id"))
+    val capped = hits.withColumn("crn", row_number().over(capW))
+      .filter(col("crn") <= math.max(numResults, cap)).drop("crn")
+    val scored = capped.join(c, "id").join(broadcast(queries), "qid")
+      .withColumn("efs_raw", entityFuzzyScore(col("clean_q"), col("clean_value")))
+      .withColumn("distance",
+        geoDamerauLevenshtein(col("clean_q"), col("clean_value")).cast("long"))
+      .withColumn("ngram_similarity", round(col("efs_raw"), 6))
+      .withColumn("score",
+        round(geoSearchScore(col("clean_q"), col("clean_value"), col("population")), 6))
+    val dedupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"), col("clean_value"))
+      .orderBy(col("score").desc, col("id"))
+    val topW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    scored.withColumn("rn", row_number().over(dedupW)).filter(col("rn") === 1)
+      .withColumn("qrn", row_number().over(topW)).filter(col("qrn") <= numResults)
+      .select(col("qid"), col("id"), col("value"), col("clean_value"),
+        col("distance"), col("ngram_similarity"), col("score"))
+      .orderBy(col("qid"), col("score").desc, col("id"))
+  }
+
+  def batchFuzzySearchOracle(numResults: Int, cap: Int = DefaultCap): String = {
+    val qsetQ = OracleSql.trigramSet("q.clean_q")
+    val qset = OracleSql.trigramSet("clean_q")
+    val tv = OracleSql.tversky(qset, OracleSql.trigramSet("clean_value"), 0.85, 0.15)
+    val efs = s"($tv * (1.0 + CASE WHEN starts_with(clean_value, clean_q) THEN 0.15 ELSE 0.0 END))"
+    val dl = "least(damerau_levenshtein(split_part(clean_q, ',', 1), split_part(clean_value, ',', 1)), " +
+      "damerau_levenshtein(clean_q, clean_value))"
+    s"""WITH corpus AS ($corpusCte),
+       |q AS (SELECT id AS qid,
+       |             ${OracleSql.clean("(substr(value, 1, 3) || substr(value, 5))")} AS clean_q
+       |      FROM corpus WHERE id % $BatchQueryMod = 0),
+       |cand AS (
+       |  SELECT q.qid, q.clean_q, c.*,
+       |         len(list_filter(${OracleSql.trigrams("c.clean_value")},
+       |             g -> list_contains($qsetQ, g)))::BIGINT AS ngram_hits
+       |  FROM corpus c CROSS JOIN q),
+       |capped AS (
+       |  SELECT * FROM cand WHERE ngram_hits > 0
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |                             ORDER BY ngram_hits DESC, id) <= ${math.max(numResults, cap)}),
+       |scored AS (
+       |  SELECT qid, clean_q, id, value, clean_value, population,
+       |         $efs AS efs_raw, $dl::BIGINT AS distance
+       |  FROM capped),
+       |ranked AS (
+       |  SELECT qid, id, value, clean_value, distance,
+       |         round(efs_raw, 6) AS ngram_similarity,
+       |         round(CASE WHEN population <= 0 OR efs_raw <= 0.65 THEN efs_raw * 0.9
+       |                    ELSE efs_raw * 0.9 + ln(population) * 0.1 END, 6) AS score
+       |  FROM scored),
+       |dedup AS (
+       |  SELECT * FROM ranked
+       |  QUALIFY row_number() OVER (PARTITION BY qid, clean_value
+       |                             ORDER BY score DESC, id) = 1)
+       |SELECT qid, id, value, clean_value, distance, ngram_similarity, score
+       |FROM dedup
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) <= $numResults
+       |ORDER BY qid, score DESC, id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def sqlList(xs: Seq[String]): String =
