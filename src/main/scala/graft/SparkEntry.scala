@@ -86,6 +86,9 @@ object SparkEntry {
     // BATCH fuzzy search: the flagship pipeline over a query TABLE in one
     // plan (per-qid window caps/top-k instead of per-request limits)
     "fuzzy_batch" -> ((s, d) => FuzzySearch.batchFuzzySearch(s, d, P.FuzzyK)),
+    // batch bounded-KNN: k nearest within the radius per probe (banded
+    // join + per-probe window rank)
+    "geo_knn_batch" -> ((s, d) => RadiusSearch.knnBatch(s, d, P.RadiusMiles, 5)),
     // full_results=True enrichment (geo_manager.py:300-323): per-match
     // {distance, normalized_distance, aggregate} against the probe shape
     "geo_radius_full" -> ((s, d) => RadiusSearch.radiusSearchFull(s, d, P.RadiusFullProbe, P.RadiusMiles, countryExact = false)),
@@ -273,6 +276,7 @@ object SparkEntry {
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = true),
     "geo_radius_batch" -> RadiusSearch.radiusSearchBatchOracle(P.RadiusMiles),
     "fuzzy_batch" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK),
+    "geo_knn_batch" -> RadiusSearch.knnBatchOracle(P.RadiusMiles, 5),
     "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),
     "geo_radius_filtered" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters),
     "geo_radius_latlng" -> RadiusSearch.radiusLatLngSearchOracle(P.LatLng._1, P.LatLng._2, P.LatLng._3),

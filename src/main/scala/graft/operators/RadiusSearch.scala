@@ -402,6 +402,38 @@ object RadiusSearch {
        |ORDER BY p.probe_id, s.id""".stripMargin
   }
 
+  /** Batch bounded-KNN: the k nearest point shapes WITHIN the radius for
+    * every probe — the banded equi-join of `radiusSearchBatch` with a
+    * per-probe window rank instead of a global result list. True unbounded
+    * KNN needs radius escalation (re-probe with a wider band on misses —
+    * at scale, a second pass over the rare empty probes); the bounded form
+    * is the common geocoding contract ("nearest within 25 miles") and
+    * stays one plan. Excludes self-matches (distance 0 to the probe row
+    * itself), which plain radius search keeps. */
+  def knnBatch(spark: SparkSession, dir: String, radiusMiles: Double,
+               k: Int): DataFrame = {
+    val ranked = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("distance_miles"), col("id"))
+    radiusSearchBatch(spark, dir, radiusMiles)
+      .filter(col("id") =!= col("probe_id"))
+      .withColumn("rank", row_number().over(ranked))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("id"), col("distance_miles"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  def knnBatchOracle(radiusMiles: Double, k: Int): String =
+    s"""SELECT probe_id, rank, id, distance_miles FROM (
+       |  SELECT probe_id, id, distance_miles,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY distance_miles, id)::BIGINT AS rank
+       |  FROM (${radiusSearchBatchOracle(radiusMiles)})
+       |  WHERE id <> probe_id)
+       |WHERE rank <= $k
+       |ORDER BY probe_id, rank""".stripMargin
+
   def knnOracle(probeId: Long, k: Int): String =
     s"""WITH shapes AS (${GeoShapes.oracleCte}),
        |probe AS (SELECT latitude AS p_lat, longitude AS p_lng FROM shapes WHERE id = $probeId)
