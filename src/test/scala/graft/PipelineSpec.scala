@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{Cdc, EventOps, Pipeline}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Cross-operator invariants of the corpus-assembly family — relations
+  * BETWEEN gated queries that the per-query oracle cannot see (each gate
+  * checks one result in isolation; these check the family agrees with
+  * itself). */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .appName("pipeline-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("chunks tile each document exactly: lengths sum to n_pieces, contiguous") {
+    val pack = Pipeline.docPack(spark, dir)
+      .select(col("doc_id"), col("n_pieces")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = Pipeline.docChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    chunks.foreach { case (docId, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._4).sum == pack(docId), s"doc $docId lengths")
+      // contiguous, starting at 0
+      assert(sorted.head._3 == 0L, s"doc $docId first offset")
+      sorted.sliding(2).foreach {
+        case Array((_, _, off1, len1), (_, _, off2, _)) =>
+          assert(off2 == off1 + len1, s"doc $docId gap at pack boundary")
+        case _ => ()
+      }
+    }
+    // every doc with pieces has chunks; empty docs have none
+    assert(chunks.keySet == pack.filter(_._2 > 0).keySet)
+  }
+
+  test("stratified sample hits the exact per-mille rates where they are total") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Pipeline.sampleStratified(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fr keeps 1000/1000 — exact; en keeps 250/1000 — hash-binomial
+    assert(kept("fr") == docs("fr"))
+    val enRatio = kept.getOrElse("en", 0L).toDouble / docs("en")
+    assert(enRatio > 0.1 && enRatio < 0.45, s"en ratio $enRatio")
+  }
+
+  test("deterministic shuffle is a permutation: every doc exactly once") {
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val s = Pipeline.corpusShuffle(spark, dir)
+    assert(s.count() == total)
+    assert(s.select("doc_id").distinct().count() == total)
+    // positions are dense 1..count(shard) within each shard
+    val bad = s.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(bad.count() == 0)
+  }
+
+  test("CDC merge applies updates and removes deletions") {
+    val merged = Cdc.mergeUpsert(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(3))).toMap
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    base.keys.foreach { k =>
+      (k % Cdc.UpdateMod) match {
+        case Cdc.DeleteRem => assert(!merged.contains(k), s"key $k not deleted")
+        case Cdc.UpdateRem =>
+          assert(merged(k) == ((base(k) + Cdc.PriceBump, 2L)), s"key $k not updated")
+        case _ => assert(merged(k) == ((base(k), 1L)), s"key $k changed")
+      }
+    }
+  }
+
+  test("funnel conversion counts are weakly decreasing down the steps") {
+    val ns = EventOps.funnel(spark, dir).collect().sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(ns.length == EventOps.FunnelSteps.length)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, ns.toSeq.toString)
+    assert(ns.head > 0)
+  }
+}
