@@ -164,6 +164,8 @@ object SparkEntry {
     // the end-to-end corpus-prep composition: language gate → quality
     // gate → dedup survivors
     "corpus_prep" -> ((s, d) => CorpusPrep.corpusPrep(s, d)),
+    // percentile-anchored quality gate: median as a scalar subquery
+    "corpus_quality_cut" -> ((s, d) => CorpusPrep.qualityCut(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -317,6 +319,7 @@ object SparkEntry {
     "ann_ivf_trained" -> KMeans.ivfTrainedTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "text_langid" -> TextAnalysis.languageIdOracle,
     "corpus_prep" -> CorpusPrep.corpusPrepOracle(),
+    "corpus_quality_cut" -> CorpusPrep.qualityCutOracle,
     "text_quality" -> TextAnalysis.qualityScoreOracle,
     "text_tokens" -> TextAnalysis.tokenCountsOracle,
     "text_fingerprint" -> TextAnalysis.fingerprintOracle,

@@ -39,4 +39,30 @@ object CorpusPrep {
        |JOIN (${Dedup.dedupPipelineOracle}) d ON l.doc_id = d.doc_id
        |WHERE l.lang_pred = 'en' AND q.quality_score >= $minQuality AND d.is_canonical
        |ORDER BY l.doc_id""".stripMargin
+
+  /** Relative quality cut: keep documents at or above the corpus MEDIAN
+    * quality — the data-dependent sibling of corpusPrep's fixed threshold
+    * (corpus gates in practice are percentile-anchored: "drop the worst
+    * half/decile", robust to corpus drift where a constant is not). The
+    * median is an exact sort-based percentile evaluated ONCE as a scalar
+    * subquery; the filter then streams. At 100 TB the exact percentile
+    * becomes `approx_percentile` (one pass, mergeable sketch) with an
+    * identical plan shape; exact is used here because the gate demands
+    * bit-equality. */
+  def qualityCut(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val med = q.agg(
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY quality_score)").as("m"))
+    q.filter(col("quality_score") >= med.scalar())
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityCutOracle: String =
+    s"""WITH q AS (SELECT doc_id, quality_score
+       |           FROM (${TextAnalysis.qualityScoreOracle})),
+       |m AS (SELECT quantile_cont(quality_score, 0.5) AS m FROM q)
+       |SELECT doc_id, quality_score
+       |FROM q, m WHERE quality_score >= m.m
+       |ORDER BY doc_id""".stripMargin
 }

@@ -55,6 +55,22 @@ object StreamOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-stream interval join: purchases attributed to the click they
+    * followed within one hour, both sides watermarked so the join state
+    * for a time range is EVICTED once the watermark passes it (bounded
+    * state at any stream length — the time bound is what makes an
+    * append-mode stream-stream join legal at all). Batch-runs identically
+    * for the spec. */
+  def intervalJoinStreams(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours").alias("c")
+    val p = purchases.withWatermark("ts", "2 hours").alias("p")
+    c.join(p, expr(
+        """c.user_id = p.user_id AND
+          |p.ts >= c.ts AND p.ts <= c.ts + interval 1 hour""".stripMargin))
+      .select(col("c.user_id").as("user_id"), col("c.ts").as("click_ts"),
+        col("p.ts").as("purchase_ts"), col("p.value").as("purchase_value"))
+  }
+
   // ------------------------------------------------- streaming CDC apply
 
   case class Change(key: Long, version: Long, price: Double, op: String)

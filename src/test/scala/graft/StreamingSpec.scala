@@ -171,6 +171,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)))
   }
 
+  test("stream-stream interval join matches the batch join of the same inputs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq((1L, ts(0), 1.0), (1L, ts(90), 2.0), (2L, ts(10), 3.0))
+    val purchases = Seq(
+      (1L, ts(30), 10.0),   // within 1h of click@0
+      (1L, ts(100), 20.0),  // within 1h of click@90 only
+      (2L, ts(80), 30.0),   // 70min after click@10 — outside the hour
+      (3L, ts(5), 40.0))    // no click
+    val batch = StreamOps.intervalJoinStreams(
+        clicks.toDF("user_id", "ts", "value"),
+        purchases.toDF("user_id", "ts", "value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(batch == Seq((1L, ts(30), 10.0), (1L, ts(100), 20.0)))
+
+    val cs = MemoryStream[(Long, Timestamp, Double)]
+    val ps = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamOps.intervalJoinStreams(
+        cs.toDF().toDF("user_id", "ts", "value"),
+        ps.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+    try {
+      cs.addData(clicks.take(2): _*); ps.addData(purchases.take(2): _*)
+      q.processAllAvailable()
+      cs.addData(clicks.drop(2): _*); ps.addData(purchases.drop(2): _*)
+      q.processAllAvailable()
+      // push both watermarks far ahead so every joinable pair flushes
+      cs.addData((99L, ts(48 * 60), 0.0)); ps.addData((99L, ts(48 * 60 + 1), -1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sj_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getDouble(3)))
+      .filter(_._1 != 99L).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming JSONL ingest (file source) matches the batch rescue aggregation") {
     import graft.sources.CorpusIngest
     val dir = "/root/testdata/sf0.001"
