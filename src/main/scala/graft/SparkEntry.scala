@@ -75,6 +75,8 @@ object SparkEntry {
     // salt-replicated skew join (dim replicated x salt, fact salted
     // deterministically; results salt-invariant vs the plain-join oracle)
     "q15_salted_join" -> ((s, d) => Relational.q15SaltedJoin(s, d)),
+    // set intersection (left-semi over distincts; q6 covers EXCEPT)
+    "q16_setop_intersect" -> ((s, d) => Relational.q16SetopIntersect(s, d)),
     // CDC latest-wins snapshot merge (base + upserts + delete markers,
     // one shuffle on the merge key)
     "merge_upsert" -> ((s, d) => Cdc.mergeUpsert(s, d)),
@@ -267,6 +269,7 @@ object SparkEntry {
     "q13_bucketed_join" -> Relational.q13Oracle,
     "q14_bloom_semi" -> Relational.q14Oracle,
     "q15_salted_join" -> Relational.q15Oracle,
+    "q16_setop_intersect" -> Relational.q16Oracle,
     "merge_upsert" -> Cdc.mergeUpsertOracle,
     "src_jsonl_rescue" -> graft.sources.CorpusIngest.jsonlRescueOracle,
     "sample_stratified" -> Pipeline.sampleStratifiedOracle,

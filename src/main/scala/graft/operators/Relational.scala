@@ -406,4 +406,26 @@ object Relational {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name
       |ORDER BY s_name""".stripMargin
+
+  /** INTERSECT (completing the set-op class beside q6's EXCEPT): customers
+    * active in BOTH halves of the order date range. Spark plans set
+    * intersection as a left-semi hash join over distincts — same shuffle
+    * cost as the equivalent semi join, but the declarative form keeps both
+    * branches visible to Catalyst for pushdown. */
+  def q16SetopIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val mid = "1998-01-01"
+    val early = o.filter(col("o_orderdate") < lit(mid).cast("timestamp"))
+      .select(col("o_custkey"))
+    val late = o.filter(col("o_orderdate") >= lit(mid).cast("timestamp"))
+      .select(col("o_custkey"))
+    early.intersect(late)
+      .orderBy(col("o_custkey"))
+  }
+
+  val q16Oracle: String =
+    """SELECT o_custkey FROM orders WHERE o_orderdate < '1998-01-01'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01'
+      |ORDER BY o_custkey""".stripMargin
 }
