@@ -88,6 +88,9 @@ object SparkEntry {
     // BATCH fuzzy search: the flagship pipeline over a query TABLE in one
     // plan (per-qid window caps/top-k instead of per-request limits)
     "fuzzy_batch" -> ((s, d) => FuzzySearch.batchFuzzySearch(s, d, P.FuzzyK)),
+    // same semantics against the materialized posting index (shared
+    // oracle gates both; candidate gen never scans the corpus)
+    "fuzzy_batch_indexed" -> ((s, d) => FuzzySearch.batchFuzzySearchIndexed(s, d, P.FuzzyK)),
     // batch bounded-KNN: k nearest within the radius per probe (banded
     // join + per-probe window rank)
     "geo_knn_batch" -> ((s, d) => RadiusSearch.knnBatch(s, d, P.RadiusMiles, 5)),
@@ -161,6 +164,9 @@ object SparkEntry {
     // IVF query over the trained codebook — same query-side plan as
     // ann_ivf_topk, better cells
     "ann_ivf_trained" -> ((s, d) => KMeans.ivfTrainedTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
+    // BATCH ANN: IVF top-k for a probe table in one plan (per-probe
+    // window ranks; equi-joins on the cell key)
+    "ann_ivf_batch" -> ((s, d) => Similarity.ivfBatchTopK(s, d, P.IvfK, nprobe = P.IvfNprobe)),
     // --- text analysis ---
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     // the end-to-end corpus-prep composition: language gate → quality
@@ -281,6 +287,7 @@ object SparkEntry {
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = true),
     "geo_radius_batch" -> RadiusSearch.radiusSearchBatchOracle(P.RadiusMiles),
     "fuzzy_batch" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK),
+    "fuzzy_batch_indexed" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK),
     "geo_knn_batch" -> RadiusSearch.knnBatchOracle(P.RadiusMiles, 5),
     "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),
     "geo_radius_filtered" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters),
@@ -320,6 +327,7 @@ object SparkEntry {
     "ann_ivf_recall" -> Similarity.ivfRecallOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_kmeans_train" -> KMeans.kmeansTrainOracle(),
     "ann_ivf_trained" -> KMeans.ivfTrainedTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
+    "ann_ivf_batch" -> Similarity.ivfBatchTopKOracle(P.IvfK, nprobe = P.IvfNprobe),
     "text_langid" -> TextAnalysis.languageIdOracle,
     "corpus_prep" -> CorpusPrep.corpusPrepOracle(),
     "corpus_quality_cut" -> CorpusPrep.qualityCutOracle,

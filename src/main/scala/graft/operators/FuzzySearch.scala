@@ -216,6 +216,40 @@ object FuzzySearch {
       .partitionBy(col("qid")).orderBy(col("ngram_hits").desc, col("id"))
     val capped = hits.withColumn("crn", row_number().over(capW))
       .filter(col("crn") <= math.max(numResults, cap)).drop("crn")
+    scoreBatch(capped, c, queries, numResults)
+  }
+
+  /** Index-backed batch fuzzy search: identical semantics to
+    * `batchFuzzySearch` (the shared oracle gates both), but candidate
+    * generation joins the query gram table against the MATERIALIZED
+    * ngram-clustered posting index instead of re-deriving postings from a
+    * corpus scan — at 100 TB the per-batch cost drops from O(corpus) to
+    * O(index partitions hit by the union of query grams). The scoring tail
+    * still fetches only capped candidates. */
+  def batchFuzzySearchIndexed(spark: SparkSession, dir: String, numResults: Int,
+                              cap: Int = DefaultCap): DataFrame = {
+    val c = corpus(spark, dir)
+    val queries = batchQueries(c)
+    val qGrams = queries.select(col("qid"),
+      explode(charNgramSet(col("clean_q"), 3)).as("ngram"))
+    val path = graft.Materialize.ensure(spark, "graft_postings", dir, version = 1) { p =>
+      NgramIndex.postingPairsMulti(c)
+        .repartition(32, col("ngram")).sortWithinPartitions(col("ngram"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val hits = spark.read.parquet(path)
+      .join(qGrams, "ngram")
+      .groupBy(col("qid"), col("id")).agg(count(lit(1)).as("ngram_hits"))
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ngram_hits").desc, col("id"))
+    val capped = hits.withColumn("crn", row_number().over(capW))
+      .filter(col("crn") <= math.max(numResults, cap)).drop("crn")
+    scoreBatch(capped, c, queries, numResults)
+  }
+
+  /** Shared scoring tail of the two batch spellings. */
+  private def scoreBatch(capped: DataFrame, c: DataFrame, queries: DataFrame,
+                         numResults: Int): DataFrame = {
     val scored = capped.join(c, "id").join(broadcast(queries), "qid")
       .withColumn("efs_raw", entityFuzzyScore(col("clean_q"), col("clean_value")))
       .withColumn("distance",

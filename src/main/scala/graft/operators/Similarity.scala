@@ -213,6 +213,81 @@ object Similarity {
       .limit(k)
   }
 
+  /** Probe-set stride for the batch ANN query. */
+  val BatchProbeMod = 97L
+
+  /** BATCH IVF top-k — ANN for a probe TABLE in one plan (the single-probe
+    * forms above answer one vector per invocation): probe cells resolve as
+    * probes × constant-C codebook (tiny cross product) with a per-probe
+    * window rank, candidates come from the same cell assignment relation
+    * by an equi-join on the cell key, and the exact re-rank is a per-probe
+    * window top-k over only the probed cells' vectors. Every join is an
+    * equi-join on a data-derived key; with the cell-partitioned index
+    * (ivfBucketedTopK's materialization) the candidate read prunes to the
+    * UNION of all probes' cells — batch embedding search at ingest-side
+    * cost. */
+  def ivfBatchTopK(spark: SparkSession, dir: String, k: Int,
+                   centroidMod: Long = 25L, nprobe: Int = 2,
+                   numCentroids: Int = IvfNumCentroids): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cent = centroids(e, centroidMod, numCentroids)
+    val assign = cellAssignment(e, cent)
+    val probes = e.filter(col("vec_id") % BatchProbeMod === 0)
+      .select(col("vec_id").as("pid"), col("embedding").as("pemb"))
+    val pcW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("pc").desc, col("cid"))
+    val probeCells = cent.crossJoin(broadcast(probes))
+      .select(col("pid"), col("cid"), cosine(col("cemb"), col("pemb")).as("pc"))
+      .withColumn("prn", row_number().over(pcW)).filter(col("prn") <= nprobe)
+      .select(col("pid"), col("cid").as("cell"))
+    val cand = assign.join(probeCells, "cell")
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cosine_sim").desc, col("vec_id"))
+    e.join(cand, "vec_id").join(broadcast(probes), "pid")
+      .select(col("pid").as("probe_id"), col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("pemb")), 4).as("cosine_sim"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("label"),
+        col("cosine_sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  def ivfBatchTopKOracle(k: Int, centroidMod: Long = 25L, nprobe: Int = 2,
+                         numCentroids: Int = IvfNumCentroids): String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |              WHERE vec_id % $centroidMod = 0
+       |                AND vec_id < ${centroidMod * numCentroids}),
+       |ac AS (SELECT e.vec_id, c.cid,
+       |              ${cosineSql("e.embedding", "c.cemb")} AS ccos
+       |       FROM embeddings e CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, cid AS cell FROM ac
+       |           QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                                      ORDER BY ccos DESC, cid) = 1),
+       |probes AS (SELECT vec_id AS pid, embedding AS pemb FROM embeddings
+       |           WHERE vec_id % $BatchProbeMod = 0),
+       |pc AS (SELECT p.pid, c.cid, ${cosineSql("c.cemb", "p.pemb")} AS pcos
+       |       FROM cent c CROSS JOIN probes p),
+       |cells AS (SELECT pid, cid AS cell FROM pc
+       |          QUALIFY row_number() OVER (PARTITION BY pid
+       |                                     ORDER BY pcos DESC, cid) <= $nprobe),
+       |cand AS (SELECT cl.pid, a.vec_id FROM assign a JOIN cells cl USING (cell)
+       |         WHERE a.vec_id <> cl.pid),
+       |scored AS (SELECT cand.pid AS probe_id, e.vec_id, e.label,
+       |                  round(${cosineSql("e.embedding", "p.pemb")}, 4) AS cosine_sim
+       |           FROM embeddings e
+       |           JOIN cand ON e.vec_id = cand.vec_id
+       |           JOIN probes p ON p.pid = cand.pid)
+       |SELECT probe_id,
+       |       row_number() OVER (PARTITION BY probe_id
+       |                          ORDER BY cosine_sim DESC, vec_id)::BIGINT AS rank,
+       |       vec_id, label, cosine_sim
+       |FROM scored
+       |QUALIFY rank <= $k
+       |ORDER BY probe_id, rank""".stripMargin
+
   /** Recall@k of the IVF path against the exact brute-force top-k — the
     * measured quality trade behind nprobe/C tuning ("measure, don't
     * guess"): k_exact rows of ground truth, hits = how many the IVF
