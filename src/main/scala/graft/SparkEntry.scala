@@ -148,6 +148,9 @@ object SparkEntry {
     // per-cluster representative selection: highest-quality member wins
     // (argmax via max(struct) — one shuffle on the cluster key)
     "dedup_canonical_pick" -> ((s, d) => Dedup.canonicalPick(s, d)),
+    // measured precision/recall of the LSH-minhash detector vs exact
+    // shingle-set jaccard ground truth
+    "dedup_minhash_recall" -> ((s, d) => Dedup.minhashRecall(s, d)),
     // --- similarity search ---
     "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, P.CosineProbe, P.CosineK)),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(s, d, planes = 8)),
@@ -320,6 +323,7 @@ object SparkEntry {
     "text_simhash" -> Dedup.simhashOracle,
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,
     "dedup_canonical_pick" -> Dedup.canonicalPickOracle,
+    "dedup_minhash_recall" -> Dedup.minhashRecallOracle,
     "ann_cosine_topk" -> Similarity.cosineTopKOracle(P.CosineProbe, P.CosineK),
     "ann_lsh_buckets" -> Similarity.lshBucketsOracle(8),
     "ann_ivf_topk" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),

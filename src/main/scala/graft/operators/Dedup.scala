@@ -467,6 +467,89 @@ object Dedup {
        |WHERE bit_count(xor(sim_a, sim_b)) <= $SimHashHammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  val MinhashRecallThreshold = 0.5
+
+  /** Measured quality of the minhash/LSH near-dup detector — the dedup
+    * analogue of ann_ivf_recall's "measure, don't guess": ground truth is
+    * the EXACT shingle-set Jaccard (computed only over pairs sharing at
+    * least one shingle — pairs sharing none have Jaccard 0 and cannot
+    * reach any positive threshold, so the equi-join candidate step loses
+    * nothing), prediction is `minhashPairs` est ≥ the same threshold.
+    * One row: truth/pred/hit counts with exact-integer-division
+    * precision+recall. Shingle sets are the polyHash domain the signatures
+    * minimize over, so truth and estimate measure the same space. */
+  def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val sh = array_distinct(transform(
+      wordShingles(tokens(lower(col("text"))), ShingleWords), s => polyHash(s)))
+    val ds = Tables.documents(spark, dir)
+      .select(col("doc_id"), sh.as("sh")).filter(size(col("sh")) > 0)
+    val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
+      .repartition(col("s"))
+    val cp = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ia = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val truth = cp
+      .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (ia / (size(col("sh_a")).cast("double") + size(col("sh_b")).cast("double") - ia)).as("j"))
+      .filter(col("j") >= MinhashRecallThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val pred = minhashPairs(spark, dir)
+      .filter(col("est_jaccard") >= MinhashRecallThreshold)
+      .select(col("doc_a").as("p_a"), col("doc_b").as("p_b"))
+    truth.join(pred,
+        col("doc_a") === col("p_a") && col("doc_b") === col("p_b"), "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("p_a")).as("n_hit"))
+      .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+      .select(col("n_truth"), col("n_pred"), col("n_hit"),
+        when(col("n_pred") === 0, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_pred").cast("double"))
+          .as("precision"),
+        when(col("n_truth") === 0, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+      .orderBy(col("n_truth"))
+  }
+
+  def minhashRecallOracle: String = {
+    val toks = graft.oracle.OracleSql.tokens("lower(text)")
+    val shingles = s"""(CASE WHEN len(tk) <= $ShingleWords THEN [array_to_string(tk, ' ')]
+      | ELSE list_transform(range(1, len(tk) - ${ShingleWords - 2}), i -> array_to_string(tk[i:i+${ShingleWords - 1}], ' '))
+      | END)""".stripMargin.replaceAll("\n", " ")
+    val shHash = s"list_distinct(list_transform(shingles, s -> ${graft.oracle.OracleSql.polyHash("s")}))"
+    val t = MinhashRecallThreshold
+    s"""WITH mp AS ($minhashPairsOracle),
+       |pred AS (SELECT doc_a, doc_b FROM mp WHERE est_jaccard >= $t),
+       |d AS (SELECT doc_id, $toks AS tk FROM documents),
+       |sset AS (SELECT doc_id, $shHash AS sh
+       |         FROM (SELECT doc_id, $shingles AS shingles FROM d)),
+       |s2 AS (SELECT * FROM sset WHERE len(sh) > 0),
+       |e AS (SELECT doc_id, unnest(sh) AS s FROM s2),
+       |cp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |       FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |tj AS (SELECT cp.doc_a, cp.doc_b,
+       |              len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |              (len(sa.sh)::DOUBLE + len(sb.sh)::DOUBLE
+       |                - len(list_intersect(sa.sh, sb.sh))::DOUBLE) AS j
+       |       FROM cp JOIN s2 sa ON sa.doc_id = cp.doc_a
+       |                JOIN s2 sb ON sb.doc_id = cp.doc_b),
+       |truth AS (SELECT doc_a, doc_b FROM tj WHERE j >= $t),
+       |hit AS (SELECT count(*) AS n FROM truth JOIN pred USING (doc_a, doc_b))
+       |SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+       |       (SELECT count(*) FROM pred)::BIGINT AS n_pred,
+       |       (SELECT n FROM hit)::BIGINT AS n_hit,
+       |       CASE WHEN (SELECT count(*) FROM pred) = 0 THEN 0.0
+       |            ELSE (SELECT n FROM hit)::DOUBLE / (SELECT count(*) FROM pred)::DOUBLE
+       |       END AS precision,
+       |       CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0
+       |            ELSE (SELECT n FROM hit)::DOUBLE / (SELECT count(*) FROM truth)::DOUBLE
+       |       END AS recall
+       |ORDER BY n_truth""".stripMargin
+  }
+
   /** Quality-based representative selection — the stage after
     * canonicalization in a real training pipeline: instead of "min doc_id
     * survives", each transitive cluster keeps its HIGHEST-QUALITY member
