@@ -93,4 +93,60 @@ object MinHashSignature {
   def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
     org.apache.spark.sql.graftshim.GraftShim.column(
       MinHashSignature(org.apache.spark.sql.graftshim.GraftShim.expression(text), k, numHashes))
+
+  /** Column builder: the distinct shingle-hash SET itself (the domain the
+    * signatures minimize over), for exact-Jaccard measurement. */
+  def shingleHashes(text: Column, k: Int): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      ShingleHashes(org.apache.spark.sql.graftshim.GraftShim.expression(text), k))
+}
+
+/** Distinct polyHash'd word-k-shingles of a document in one eval —
+  * bit-identical to the composed
+  * `array_distinct(transform(wordShingles(tokens(text), k), polyHash))`
+  * pipeline (first-occurrence order) and to MinHashSignature's internal
+  * shingle set, but a single JVM loop: the composed HOF chain re-evaluated
+  * by every Generate branch of a self-join made the exact-Jaccard ground
+  * truth 10× slower than the detector it was measuring. */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = TextFunctions.HashMod
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = text.trim.split(TextFunctions.WsClass + "+").filter(_.nonEmpty)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    def hashWindow(from: Int, until: Int): Long = {
+      var h = 0L
+      var i = from
+      while (i < until) {
+        if (i > from) h = (h * 31L + 32L) % P
+        val w = toks(i)
+        var j = 0
+        while (j < w.length) {
+          h = (h * 31L + w.charAt(j).toLong) % P
+          j += 1
+        }
+        i += 1
+      }
+      h
+    }
+    if (toks.length <= k) seen.add(hashWindow(0, toks.length))
+    else {
+      var i = 0
+      while (i + k <= toks.length) { seen.add(hashWindow(i, i + k)); i += 1 }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
 }

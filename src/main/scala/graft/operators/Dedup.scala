@@ -479,31 +479,44 @@ object Dedup {
     * precision+recall. Shingle sets are the polyHash domain the signatures
     * minimize over, so truth and estimate measure the same space. */
   def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
-    val sh = array_distinct(transform(
-      wordShingles(tokens(lower(col("text"))), ShingleWords), s => polyHash(s)))
+    // Native kernel — the composed HOF chain is re-evaluated by every
+    // Generate branch of the self-join and was the entire 20s cost;
+    // ShingleHashesSpec/VectorKernelSpec-style parity is pinned by the
+    // composed-form equality test in DedupSpec.
+    val sh = graft.functions.MinHashSignature.shingleHashes(
+      lower(col("text")), ShingleWords)
     val ds = Tables.documents(spark, dir)
       .select(col("doc_id"), sh.as("sh")).filter(size(col("sh")) > 0)
+    // Exact intersection sizes come FROM the equi-join itself: shared
+    // shingles per pair = count of join matches (map-side-combinable
+    // group-by), so no shingle ARRAY ever enters a shuffle and no
+    // per-pair array intersection runs (the array-carrying spelling was
+    // 17s at sf0.1; this is the same result from counting). Join output
+    // is Σ df² over shingles — fine while no shingle is corpus-hot; a
+    // Zipf-hot corpus escalates to the PPJoin prefix filter exactly as
+    // dedup_jaccard spells it (rarest-prefix candidates, then count).
     val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
       .repartition(col("s"))
-    val cp = ex.as("a").join(ex.as("b"),
+    val pairsIa = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val ia = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val truth = cp
-      .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (ia / (size(col("sh_a")).cast("double") + size(col("sh_b")).cast("double") - ia)).as("j"))
-      .filter(col("j") >= MinhashRecallThreshold)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ia"))
+    val sizes = ds.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val truth = pairsIa
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("ia").cast("double") /
+        (col("na") + col("nb") - col("ia")).cast("double") >= MinhashRecallThreshold)
       .select(col("doc_a"), col("doc_b"))
     val pred = minhashPairs(spark, dir)
       .filter(col("est_jaccard") >= MinhashRecallThreshold)
       .select(col("doc_a").as("p_a"), col("doc_b").as("p_b"))
+    // One full-outer pass counts all three sets — the left-join + separate
+    // count spelling evaluates the whole minhash pipeline twice.
     truth.join(pred,
-        col("doc_a") === col("p_a") && col("doc_b") === col("p_b"), "left")
-      .agg(count(lit(1)).as("n_truth"), count(col("p_a")).as("n_hit"))
-      .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+        col("doc_a") === col("p_a") && col("doc_b") === col("p_b"), "full_outer")
+      .agg(count(col("doc_a")).as("n_truth"), count(col("p_a")).as("n_pred"),
+        count(when(col("doc_a").isNotNull && col("p_a").isNotNull, 1)).as("n_hit"))
       .select(col("n_truth"), col("n_pred"), col("n_hit"),
         when(col("n_pred") === 0, lit(0.0))
           .otherwise(col("n_hit").cast("double") / col("n_pred").cast("double"))
@@ -528,15 +541,14 @@ object Dedup {
        |         FROM (SELECT doc_id, $shingles AS shingles FROM d)),
        |s2 AS (SELECT * FROM sset WHERE len(sh) > 0),
        |e AS (SELECT doc_id, unnest(sh) AS s FROM s2),
-       |cp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |       FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id),
-       |tj AS (SELECT cp.doc_a, cp.doc_b,
-       |              len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-       |              (len(sa.sh)::DOUBLE + len(sb.sh)::DOUBLE
-       |                - len(list_intersect(sa.sh, sb.sh))::DOUBLE) AS j
-       |       FROM cp JOIN s2 sa ON sa.doc_id = cp.doc_a
-       |                JOIN s2 sb ON sb.doc_id = cp.doc_b),
-       |truth AS (SELECT doc_a, doc_b FROM tj WHERE j >= $t),
+       |pia AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS ia
+       |        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |        GROUP BY a.doc_id, b.doc_id),
+       |sz AS (SELECT doc_id, len(sh)::BIGINT AS n FROM s2),
+       |truth AS (SELECT doc_a, doc_b FROM pia
+       |          JOIN sz za ON za.doc_id = pia.doc_a
+       |          JOIN sz zb ON zb.doc_id = pia.doc_b
+       |          WHERE ia::DOUBLE / (za.n + zb.n - ia)::DOUBLE >= $t),
        |hit AS (SELECT count(*) AS n FROM truth JOIN pred USING (doc_a, doc_b))
        |SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
        |       (SELECT count(*) FROM pred)::BIGINT AS n_pred,

@@ -57,6 +57,18 @@ class VectorKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff == 0)
   }
 
+  test("shingle-hash set expression matches the composed pipeline") {
+    import graft.functions.TextFunctions._
+    val d = Tables.documents(spark, Sf)
+    val fast = graft.functions.MinHashSignature.shingleHashes(
+      lower(col("text")), Dedup.ShingleWords)
+    val slow = array_distinct(transform(
+      wordShingles(tokens(lower(col("text"))), Dedup.ShingleWords), s => polyHash(s)))
+    val diff = d.select(fast.as("f"), slow.as("s"))
+      .filter(col("f") =!= col("s")).count()
+    assert(diff == 0)
+  }
+
   test("char-ngram kernel matches the composed form incl. edge cases") {
     import spark.implicits._
     import graft.functions.TextFunctions._
