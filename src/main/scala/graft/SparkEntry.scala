@@ -77,6 +77,8 @@ object SparkEntry {
     "q15_salted_join" -> ((s, d) => Relational.q15SaltedJoin(s, d)),
     // set intersection (left-semi over distincts; q6 covers EXCEPT)
     "q16_setop_intersect" -> ((s, d) => Relational.q16SetopIntersect(s, d)),
+    // ntile quartile banding within each priority (parallel per group)
+    "q17_ntile" -> ((s, d) => Relational.q17Ntile(s, d)),
     // CDC latest-wins snapshot merge (base + upserts + delete markers,
     // one shuffle on the merge key)
     "merge_upsert" -> ((s, d) => Cdc.mergeUpsert(s, d)),
@@ -233,6 +235,9 @@ object SparkEntry {
     // trailing-hour rolling sum per user (RANGE window frame; exact
     // decimal sum over 2dp data)
     "ev_range_window" -> ((s, d) => EventOps.rangeWindow(s, d)),
+    // OHLC hourly bars: open/close as argmin/argmax by the exact event
+    // key, high/low plain extrema — one hash agg
+    "ev_downsample_ohlc" -> ((s, d) => EventOps.downsampleOhlc(s, d)),
     // daily event-type matrix via pivot with an explicit value list
     "ev_pivot_daily" -> ((s, d) => EventOps.pivotDaily(s, d)),
     "ev_lag_delta" -> ((s, d) => EventOps.lagDeltas(s, d)),
@@ -279,6 +284,7 @@ object SparkEntry {
     "q14_bloom_semi" -> Relational.q14Oracle,
     "q15_salted_join" -> Relational.q15Oracle,
     "q16_setop_intersect" -> Relational.q16Oracle,
+    "q17_ntile" -> Relational.q17Oracle,
     "merge_upsert" -> Cdc.mergeUpsertOracle,
     "src_jsonl_rescue" -> graft.sources.CorpusIngest.jsonlRescueOracle,
     "sample_stratified" -> Pipeline.sampleStratifiedOracle,
@@ -354,6 +360,7 @@ object SparkEntry {
     "ev_funnel" -> EventOps.funnelOracle,
     "ev_retention" -> EventOps.retentionOracle,
     "ev_range_window" -> EventOps.rangeWindowOracle,
+    "ev_downsample_ohlc" -> EventOps.downsampleOhlcOracle,
     "ev_pivot_daily" -> EventOps.pivotDailyOracle,
     "text_bigram_score" -> TextAnalysis.bigramScoreOracle,
     "ev_lag_delta" -> EventOps.lagDeltasOracle,

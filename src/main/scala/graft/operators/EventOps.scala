@@ -347,6 +347,43 @@ object EventOps {
       |FROM e
       |ORDER BY user_id, es, event_id""".stripMargin
 
+  /** OHLC downsampling: per (user, hour) bar with open/high/low/close —
+    * the time-series resample that turns an event stream into fixed-rate
+    * bars. Open/close are argmin/argmax by the exact integer event key
+    * (min/max of struct(key, value) — map-side combinable, ties broken by
+    * event_id identically on both engines); high/low are plain extrema
+    * (no summation anywhere, so no float-order hazard). ONE hash
+    * aggregation keyed by (user, hour). */
+  def downsampleOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val es = unix_timestamp(col("ts"))
+    val key = es * 1000000000L + col("event_id")
+    events(spark, dir)
+      .select(col("user_id"), (expr("unix_timestamp(ts) div 3600")).as("hour"),
+        key.as("k"), col("value"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(min(struct(col("k"), col("value"))).as("o"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(struct(col("k"), col("value"))).as("c"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("hour"), col("o.value").as("open"),
+        col("high"), col("low"), col("c.value").as("close"), col("n_events"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  val downsampleOhlcOracle: String =
+    """WITH e AS (SELECT user_id,
+      |             (epoch(date_trunc('second', ts))::BIGINT // 3600)::BIGINT AS hour,
+      |             epoch(date_trunc('second', ts))::BIGINT * 1000000000 + event_id AS k,
+      |             value
+      |           FROM events)
+      |SELECT user_id, hour,
+      |       min_by(value, k) AS open,
+      |       max(value) AS high, min(value) AS low,
+      |       max_by(value, k) AS close,
+      |       count(*) AS n_events
+      |FROM e GROUP BY user_id, hour
+      |ORDER BY user_id, hour""".stripMargin
+
   /** Daily event-type matrix via PIVOT — `groupBy(day).pivot(type)` with
     * an EXPLICIT value list (an implicit list costs a distinct-scan pass
     * to discover columns and makes the schema data-dependent). Compiles to

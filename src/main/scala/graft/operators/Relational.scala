@@ -428,4 +428,31 @@ object Relational {
       |INTERSECT
       |SELECT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01'
       |ORDER BY o_custkey""".stripMargin
+
+  /** NTILE quartile banding WITHIN each order priority (a global ntile is
+    * a single-partition sort — the per-group form parallelizes across
+    * priorities, which is how percentile banding should run at scale).
+    * The (price, key) order is total, so tile assignment is deterministic
+    * and identical on both engines; per-band extrema are plain min/max. */
+  def q17Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderpriority"), col("quartile"))
+  }
+
+  val q17Oracle: String =
+    """WITH t AS (SELECT o_orderpriority, o_totalprice,
+      |             ntile(4) OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice, o_orderkey)::BIGINT AS quartile
+      |           FROM orders)
+      |SELECT o_orderpriority, quartile, count(*) AS n_orders,
+      |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      |FROM t GROUP BY o_orderpriority, quartile
+      |ORDER BY o_orderpriority, quartile""".stripMargin
 }
