@@ -194,6 +194,9 @@ object SparkEntry {
     // deterministic hash-Bernoulli stratified sampling — map-only, no
     // shuffle/count pass, reproducible across runs and engines
     "sample_stratified" -> ((s, d) => Pipeline.sampleStratified(s, d)),
+    // deterministic 80/10/10 train/val/test split (hash-coin, map-only;
+    // a doc's split never changes as the corpus grows)
+    "corpus_split" -> ((s, d) => Pipeline.corpusSplit(s, d)),
     // weighted source interleave (mixture scheduling) via scaled-integer
     // positions — global stream head is distributed top-k
     "mix_interleave" -> ((s, d) => Pipeline.mixInterleave(s, d)),
@@ -288,6 +291,7 @@ object SparkEntry {
     "merge_upsert" -> Cdc.mergeUpsertOracle,
     "src_jsonl_rescue" -> graft.sources.CorpusIngest.jsonlRescueOracle,
     "sample_stratified" -> Pipeline.sampleStratifiedOracle,
+    "corpus_split" -> Pipeline.corpusSplitOracle,
     "mix_interleave" -> Pipeline.mixInterleaveOracle,
     "doc_pack" -> Pipeline.docPackOracle,
     "doc_chunks" -> Pipeline.docChunksOracle,

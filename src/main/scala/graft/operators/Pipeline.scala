@@ -121,6 +121,41 @@ object Pipeline {
        |FROM t ORDER BY seq""".stripMargin
   }
 
+  // ----------------------------------------------------- train/val/test
+
+  val SplitSalt = "split:"
+  /** Cumulative per-mille boundaries: train < 800 ≤ val < 900 ≤ test. */
+  val SplitTrainUpto = 800L
+  val SplitValUpto = 900L
+
+  /** Deterministic train/val/test assignment — the same hash-coin design
+    * as `sampleStratified` (reproducible, consistent under reprocessing,
+    * map-only at any corpus size) carving [0, 1000) per-mille buckets into
+    * 80/10/10. A document's split NEVER changes as the corpus grows
+    * (membership depends only on its own id), which is the property that
+    * keeps eval sets uncontaminated across corpus versions. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      polyHash(concat(lit(SplitSalt), col("doc_id").cast("string"))), lit(1000L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), bucket.as("split_bucket"))
+      .withColumn("split",
+        when(col("split_bucket") < SplitTrainUpto, "train")
+          .when(col("split_bucket") < SplitValUpto, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  def corpusSplitOracle: String = {
+    val b = OracleSql.polyHash(s"('$SplitSalt' || doc_id::VARCHAR)")
+    s"""WITH s AS (SELECT doc_id, source, $b % 1000 AS split_bucket FROM documents)
+       |SELECT doc_id, source, split_bucket,
+       |       CASE WHEN split_bucket < $SplitTrainUpto THEN 'train'
+       |            WHEN split_bucket < $SplitValUpto THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- deterministic shuffle
 
   val ShuffleSalt = "shuf:"
