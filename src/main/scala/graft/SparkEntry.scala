@@ -219,6 +219,9 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     // resize plumbing: aspect-preserving dim math + strided resample sig
     "mm_resize" -> ((s, d) => Multimodal.resizeStats(s, d)),
+    // audio PCM-downsample plumbing: integer decimation stride + strided
+    // byte signature (completes image/audio/video)
+    "mm_audio_resample" -> ((s, d) => Multimodal.audioResample(s, d)),
     // --- time windows / as-of / semi-structured ---
     "ev_tumbling" -> ((s, d) => EventOps.tumbling(s, d)),
     "ev_sliding" -> ((s, d) => EventOps.sliding(s, d)),
@@ -353,6 +356,7 @@ object SparkEntry {
     "mm_decode_stats" -> Multimodal.decodeStatsOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "mm_resize" -> Multimodal.resizeStatsOracle,
+    "mm_audio_resample" -> Multimodal.audioResampleOracle,
     "ev_tumbling" -> EventOps.tumblingOracle,
     "ev_sliding" -> EventOps.slidingOracle,
     "ev_session" -> EventOps.sessionsOracle,

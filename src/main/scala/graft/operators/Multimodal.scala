@@ -206,6 +206,53 @@ object Multimodal {
        |FROM s
        |ORDER BY media_id""".stripMargin
 
+  /** Target sample rate for the audio resample plumbing. */
+  val AudioTargetRate = 16000
+
+  /** PCM-downsample plumbing over AUDIO payloads (completing the
+    * image/audio/video operator triple): the payload is addressed as 8-bit
+    * mono samples, the integer decimation stride brings the rate at or
+    * under `AudioTargetRate` (44100→22050, 48000→16000, 16000 passes
+    * through), and the decimated stream's duration plus a strided byte
+    * signature stand in for the real resampler — a codec replaces the byte
+    * picks, not the stride math or the plan. Map-only, no shuffle before
+    * the final order. */
+  def audioResample(spark: SparkSession, dir: String): DataFrame = {
+    val a = media(spark, dir).toDF().filter(col("media_type") === "audio")
+    val len = octet_length(col("payload")).cast("long")
+    val stride = greatest(
+      expr(s"sample_rate div $AudioTargetRate").cast("long"), lit(1L))
+    val positions = filter(
+      transform(sequence(lit(0L), lit(ResizeSigBytes - 1L)),
+        i => i * stride * lit(4L) + 1L),
+      p => p <= len)
+    val sig = array_join(transform(positions, p => hex(col("payload").substr(p, lit(1)))), "")
+    a.withColumn("stride", stride)
+      .select(col("media_id"), col("sample_rate"),
+        expr("sample_rate div stride").cast("long").as("out_rate"),
+        expr(s"(octet_length(payload) + stride - 1) div stride").cast("long").as("n_out"),
+        expr("octet_length(payload) * 1000 div sample_rate").cast("long").as("duration_ms"),
+        sig.as("resample_sig"))
+      .orderBy(col("media_id"))
+  }
+
+  val audioResampleOracle: String =
+    s"""WITH au AS (SELECT doc_id AS media_id,
+       |                   (CASE ((doc_id - 1) // 3 % 3)
+       |                    WHEN 0 THEN 16000 WHEN 1 THEN 44100 ELSE 48000 END)::BIGINT AS sample_rate,
+       |                   text, length(text)::BIGINT AS len
+       |            FROM documents WHERE doc_id % 3 = 1),
+       |s AS (SELECT *, greatest(sample_rate // $AudioTargetRate, 1) AS stride FROM au)
+       |SELECT media_id, sample_rate::INT AS sample_rate,
+       |       (sample_rate // stride)::BIGINT AS out_rate,
+       |       ((len + stride - 1) // stride)::BIGINT AS n_out,
+       |       (len * 1000 // sample_rate)::BIGINT AS duration_ms,
+       |       list_aggregate(list_transform(
+       |         list_filter(list_transform(range(0, $ResizeSigBytes), i -> i * stride * 4 + 1), p -> p <= len),
+       |         p -> upper(hex(encode(substring(text, p::INT, 1))))), 'string_agg', '') AS resample_sig
+       |FROM s
+       |ORDER BY media_id""".stripMargin
+
   /** The typed decode pipeline: per-partition decoder init + streamed
     * decode — the plan a real codec integration uses. Exercised by
     * ScalaTest (the fake decoder has no SQL equivalent by design). */
