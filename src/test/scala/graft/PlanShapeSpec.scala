@@ -127,4 +127,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
   }
+
+  test("train/val/test split is map-only plus the output ordering") {
+    val p = finalPlan("corpus_split")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("OHLC downsample is one hash aggregation (no window, no join)") {
+    val p = finalPlan("ev_downsample_ohlc")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    val shuffles = "Exchange (hash|range|Single)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"expected <= 2 shuffles, got $shuffles:\n$p")
+  }
+
+  test("audio resample has no shuffle before the output ordering") {
+    val p = finalPlan("mm_audio_resample")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
