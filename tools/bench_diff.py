@@ -96,7 +96,10 @@ def main():
             continue
         r = (nq[name] / oq[name] if oq[name] > 0 else float("inf")) / med
         status = ""
-        if r > ratio_lim:
+        # Absolute floor: a 30ms wobble on a 150ms map-only query clears
+        # any ratio bar but is pure jitter — require a delta a human would
+        # ever chase before flagging.
+        if r > ratio_lim and nq[name] - oq[name] >= 0.25:
             flagged.append(name)
             status = "REGRESSION" if name in prev_flags else "WATCH"
             if name in prev_flags:
