@@ -118,6 +118,27 @@ object KMeans {
       .orderBy(col("cell"), col("dim_idx"))
   }
 
+  /** Spherical k-means objective after `iters` iterations: the mean cosine
+    * of every vector to its assigned centroid. Lloyd iterations can never
+    * decrease this (each step reassigns to the nearest centroid, then
+    * recenters) — KMeansSpec asserts the monotonicity, the algorithmic
+    * property that makes the trainer a trainer. */
+  def objective(spark: SparkSession, dir: String, iters: Int,
+                mod: Long = 25L, numCentroids: Int = Similarity.IvfNumCentroids): Double = {
+    val e = Tables.embeddings(spark, dir)
+    val cent =
+      if (iters == 0) seeds(e, mod, numCentroids)
+      else trainedCentroids(spark, dir, iters, mod, numCentroids)
+    val centArr = cent
+      .agg(array_sort(collect_list(struct(col("cid"), col("cemb")))).as("cents"))
+    e.crossJoin(broadcast(centArr))
+      .select(array_max(transform(col("cents"),
+        c => struct(cosD(col("embedding").cast("array<double>"), c("cemb")).as("c"),
+          (-c("cid")).as("nc"))))("c").as("best_cos"))
+      .agg(avg(when(isnan(col("best_cos")), 0.0).otherwise(col("best_cos"))))
+      .head().getDouble(0)
+  }
+
   /** IVF top-k over the TRAINED codebook — `Similarity.ivfTopK` with the
     * Lloyd-trained centroids in place of the raw sample: map-only cell
     * assignment (per-row argmax over the one-row broadcast codebook — no

@@ -43,6 +43,17 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perCell.values.sum == total)
   }
 
+  test("Lloyd objective is non-decreasing across iterations") {
+    val o0 = KMeans.objective(spark, dir, iters = 0)
+    val o1 = KMeans.objective(spark, dir, iters = 1)
+    val o2 = KMeans.objective(spark, dir, iters = 2)
+    // 1e-6 slack absorbs the floor(el*1e6) centroid quantization.
+    assert(o1 >= o0 - 1e-6, s"iter1 $o1 < seed $o0")
+    assert(o2 >= o1 - 1e-6, s"iter2 $o2 < iter1 $o1")
+    // training must actually move the needle off the raw sample codebook
+    assert(o2 > o0, s"no improvement: $o2 vs $o0")
+  }
+
   test("trained IVF returns k descending-cosine rows") {
     val rows = KMeans.ivfTrainedTopK(spark, dir, probeId = 7L, k = 10).collect()
     assert(rows.length == 10)
