@@ -219,15 +219,32 @@ object FuzzySearch {
     scoreBatch(capped, c, queries, numResults)
   }
 
+  /** Bloom sizing for the batch index probe: the build side is the batch's
+    * distinct query-gram set (|queries| × ≤ ~50 grams; dup inserts are
+    * harmless), so 1M bits (~128 KB broadcast blob) keeps the false-positive
+    * rate well under 1% far past sf1. False positives only cost pruning
+    * efficiency — the exact ngram equi-join removes them. */
+  val IndexBloomEstItems = 100000L
+  val IndexBloomNumBits = 1000000L
+
   /** Index-backed batch fuzzy search: identical semantics to
     * `batchFuzzySearch` (the shared oracle gates both), but candidate
     * generation joins the query gram table against the MATERIALIZED
     * ngram-clustered posting index instead of re-deriving postings from a
-    * corpus scan — at 100 TB the per-batch cost drops from O(corpus) to
-    * O(index partitions hit by the union of query grams). The scoring tail
-    * still fetches only capped candidates. */
+    * corpus scan. The batch's query grams are data-derived, so no literal
+    * `In(ngram, ...)` can push into the index scan (the single-query form
+    * gets that for free); instead the gram set folds into a RUNTIME bloom
+    * filter evaluated as a scalar subquery — the probe is a codegen'd
+    * filter inside the index scan stage (the same pre-shuffle reduction as
+    * q14_bloom_semi), so only grams some query actually probes survive to
+    * the exchange. This is the per-request index probe of
+    * geo_manager.py:582, batched: at 100 TB the per-batch read cost drops
+    * from O(index) to O(postings of the union of query grams) + a bloom
+    * pass over scanned rows. The scoring tail still fetches only capped
+    * candidates. */
   def batchFuzzySearchIndexed(spark: SparkSession, dir: String, numResults: Int,
                               cap: Int = DefaultCap): DataFrame = {
+    import graft.functions.SketchFunctions._
     val c = corpus(spark, dir)
     val queries = batchQueries(c)
     val qGrams = queries.select(col("qid"),
@@ -237,7 +254,10 @@ object FuzzySearch {
         .repartition(32, col("ngram")).sortWithinPartitions(col("ngram"))
         .write.mode("overwrite").parquet(p)
     }
+    val gramBloom = qGrams.agg(
+      bloomFilterAgg(xxhash64(col("ngram")), IndexBloomEstItems, IndexBloomNumBits).as("bf"))
     val hits = spark.read.parquet(path)
+      .filter(mightContain(gramBloom.scalar(), xxhash64(col("ngram"))))
       .join(qGrams, "ngram")
       .groupBy(col("qid"), col("id")).agg(count(lit(1)).as("ngram_hits"))
     val capW = org.apache.spark.sql.expressions.Window
