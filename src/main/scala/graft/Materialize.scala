@@ -13,13 +13,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (overridable via `spark.graft.materialize.dir`), never a hardcoded
   *    checkout path: relocated repos and concurrent sessions with distinct
   *    warehouses cannot collide.
-  *  - **Write-once** — an artifact is keyed by (kind, input dir, version)
-  *    and only built when its `_SUCCESS` marker is absent, so repeat
-  *    queries pay the pruned read, not the rebuild. This mirrors the
-  *    production split: index build at ingest, index scan per query.
+  *  - **Write-once, append-extend** — an artifact is keyed by (kind, input
+  *    dir fingerprint, version) and only built when its `_SUCCESS` marker
+  *    is absent, so repeat queries pay the pruned read, not the rebuild.
+  *    This mirrors the production split: index build at ingest, index scan
+  *    per query. New data batches extend an existing artifact via
+  *    [[append]] (new files in the same layout) — no wholesale rebuild per
+  *    ingest increment.
   *  - **Versioned** — callers bump `version` whenever the derivation
   *    changes; a stale layout written by earlier code is then simply a
-  *    different path and can never be read by mistake.
+  *    different path and can never be read by mistake. The key also folds
+  *    in a cheap fingerprint of the input dir (latest mtime of its direct
+  *    children), so regenerating test data IN PLACE keys a fresh artifact
+  *    instead of silently reusing a stale one.
+  *
+  * Concurrency limit (documented, not guarded): exists-then-build is not
+  * atomic. Two sessions sharing ONE warehouse can both miss the `_SUCCESS`
+  * check and race on the same path — the harness runs a single driver per
+  * warehouse, which is the supported mode; concurrent sessions must use
+  * distinct warehouses (or distinct `spark.graft.materialize.dir`).
   */
 object Materialize {
 
@@ -31,11 +43,26 @@ object Materialize {
       .getOrElse(spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
         "/graft_artifacts")
 
-  def artifactPath(spark: SparkSession, kind: String, dir: String, version: Int): String =
-    s"${root(spark)}/$kind/${tag(dir)}_v$version"
-
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Cheap input-data fingerprint: the latest modification time among the
+    * input dir's direct children (the per-table parquet entries), hex.
+    * One driver-side `listStatus` — no data read, no job. Catches in-place
+    * regeneration of a data dir; does NOT catch an edit that preserves
+    * every child mtime (then the dir must be re-pathed or `version`
+    * bumped). */
+  def fingerprint(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val fs = fsOf(spark, p)
+    try {
+      val kids = fs.listStatus(p)
+      if (kids.isEmpty) "0" else kids.map(_.getModificationTime).max.toHexString
+    } catch { case _: java.io.IOException => "0" }
+  }
+
+  def artifactPath(spark: SparkSession, kind: String, dir: String, version: Int): String =
+    s"${root(spark)}/$kind/${tag(dir)}_${fingerprint(spark, dir)}_v$version"
 
   /** Write-once parquet materialization: `build(path)` runs only when the
     * artifact is absent (no `_SUCCESS` marker). Returns the artifact path.
@@ -46,6 +73,31 @@ object Materialize {
     val p = artifactPath(spark, kind, dir, version)
     val marker = new Path(p, "_SUCCESS")
     if (!fsOf(spark, marker).exists(marker)) build(p)
+    p
+  }
+
+  /** Incremental artifact refresh — the materialized-layout face of the
+    * reference's `add_entity` (geo_manager.py:451-476): `appendBuild(path)`
+    * must finish with a committed `mode("append")` write, landing the new
+    * batch's rows as NEW FILES in the artifact's existing layout (same
+    * schema, same partitioning). Readers then see old ∪ new.
+    *
+    * Exactness holds for row-local derivations (posting explode, cell
+    * assignment under a FROZEN codebook): derive(corpus ∪ batch) ==
+    * derive(corpus) ∪ derive(batch), so append-then-read is bit-identical
+    * to rebuild-then-read (IncrementalIndexSpec pins both index kinds).
+    * The trade is file-level, not row-level: appended files cluster the
+    * BATCH by the layout key, so per-file min/max stats stay tight but the
+    * artifact accumulates one file set per batch — at scale a periodic
+    * compaction (rewrite-in-place under a version bump) restores the
+    * single-sorted-run read. */
+  def append(spark: SparkSession, kind: String, dir: String, version: Int)
+            (appendBuild: String => Unit): String = {
+    val p = artifactPath(spark, kind, dir, version)
+    val marker = new Path(p, "_SUCCESS")
+    require(fsOf(spark, marker).exists(marker),
+      s"append to absent artifact $p — build it with ensure() first")
+    appendBuild(p)
     p
   }
 

@@ -107,19 +107,40 @@ object FuzzySearch {
     * query touches |q-grams|/|gram-space| of the index). Scoring is the
     * identical pipeline (FuzzyIndexSpec pins bit-equal results; the shared
     * oracle gates it). */
+  /** Write-once posting-index build (at scale this runs at ingest):
+    * multiplicity-preserving pairs clustered by ngram, sorted within files
+    * so scan stats are tight. Returns the artifact path. */
+  def ensurePostingsIndex(spark: SparkSession, dir: String, c: DataFrame,
+                          version: Int = 1): String =
+    graft.Materialize.ensure(spark, "graft_postings", dir, version) { p =>
+      NgramIndex.postingPairsMulti(c)
+        .repartition(32, col("ngram")).sortWithinPartitions(col("ngram"))
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** Incremental posting-index maintenance — `add_entity`
+    * (geo_manager.py:451-476) against the MATERIALIZED layout: the new
+    * batch's posting pairs land as new ngram-clustered files alongside the
+    * existing ones. Exact because the explode is row-local:
+    * pairs(corpus ∪ batch) == pairs(corpus) ∪ pairs(batch)
+    * (IncrementalIndexSpec pins append-then-read == rebuild-then-read).
+    * The batch writes fewer, batch-sized files (not the full 32-way
+    * layout); per-file ngram runs stay sorted so row-group stats prune. */
+  def appendToPostingsIndex(spark: SparkSession, dir: String, batch: DataFrame,
+                            version: Int = 1): String =
+    graft.Materialize.append(spark, "graft_postings", dir, version) { p =>
+      NgramIndex.postingPairsMulti(batch)
+        .repartition(4, col("ngram")).sortWithinPartitions(col("ngram"))
+        .write.mode("append").parquet(p)
+    }
+
   def fuzzySearchIndexed(spark: SparkSession, dir: String, query: String,
                          numResults: Int, cap: Int = DefaultCap,
                          corpusOf: (SparkSession, String) => DataFrame = corpus): DataFrame = {
     val q = cleanQuery(query)
     val qGramSet = queryTrigrams(q).distinct
     val c = corpusOf(spark, dir)
-    // Write-once index build (at scale this runs at ingest): cluster by
-    // ngram, sort within files so scan stats are tight.
-    val path = graft.Materialize.ensure(spark, "graft_postings", dir, version = 1) { p =>
-      NgramIndex.postingPairsMulti(c)
-        .repartition(32, col("ngram")).sortWithinPartitions(col("ngram"))
-        .write.mode("overwrite").parquet(p)
-    }
+    val path = ensurePostingsIndex(spark, dir, c)
     val hits = spark.read.parquet(path)
       .filter(col("ngram").isin(qGramSet: _*))
       .groupBy(col("id")).agg(count(lit(1)).as("ngram_hits"))
@@ -244,19 +265,25 @@ object FuzzySearch {
     * candidates. */
   def batchFuzzySearchIndexed(spark: SparkSession, dir: String, numResults: Int,
                               cap: Int = DefaultCap): DataFrame = {
-    import graft.functions.SketchFunctions._
     val c = corpus(spark, dir)
-    val queries = batchQueries(c)
+    val path = ensurePostingsIndex(spark, dir, c)
+    batchFuzzySearchOver(batchQueries(c), spark.read.parquet(path), c,
+      numResults, cap)
+  }
+
+  /** The index-probing batch pipeline over an ARBITRARY query table
+    * (`qid`, `clean_q`) — the core that `batchFuzzySearchIndexed` (fixed
+    * derived query table) and `StreamOps.fuzzyStream` (per-micro-batch
+    * query table) both run. `postings` is the materialized index relation;
+    * `c` the corpus for the fetch/score tail. */
+  def batchFuzzySearchOver(queries: DataFrame, postings: DataFrame, c: DataFrame,
+                           numResults: Int, cap: Int = DefaultCap): DataFrame = {
+    import graft.functions.SketchFunctions._
     val qGrams = queries.select(col("qid"),
       explode(charNgramSet(col("clean_q"), 3)).as("ngram"))
-    val path = graft.Materialize.ensure(spark, "graft_postings", dir, version = 1) { p =>
-      NgramIndex.postingPairsMulti(c)
-        .repartition(32, col("ngram")).sortWithinPartitions(col("ngram"))
-        .write.mode("overwrite").parquet(p)
-    }
     val gramBloom = qGrams.agg(
       bloomFilterAgg(xxhash64(col("ngram")), IndexBloomEstItems, IndexBloomNumBits).as("bf"))
-    val hits = spark.read.parquet(path)
+    val hits = postings
       .filter(mightContain(gramBloom.scalar(), xxhash64(col("ngram"))))
       .join(qGrams, "ngram")
       .groupBy(col("qid"), col("id")).agg(count(lit(1)).as("ngram_hits"))

@@ -161,15 +161,18 @@ object Similarity {
   }
 
   /** The fixed-size deterministic codebook: every `centroidMod`-th vector,
-    * capped at `numCentroids` — C never scales with N. */
-  private def centroids(e: DataFrame, centroidMod: Long, numCentroids: Int): DataFrame =
+    * capped at `numCentroids` — C never scales with N. FROZEN under
+    * appends: the id cap (`centroidMod * numCentroids`) means later batches
+    * (monotonically higher vec_ids) can never join the codebook, so
+    * existing cell assignments stay valid when new vectors append. */
+  private[graft] def centroids(e: DataFrame, centroidMod: Long, numCentroids: Int): DataFrame =
     e.filter(col("vec_id") % centroidMod === 0 &&
         col("vec_id") < centroidMod * numCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
 
   /** Cell assignment (vec_id → nearest centroid), the ingest-time product
     * that `ivfBucketedTopK` materializes partitioned by cell. */
-  private def cellAssignment(e: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def cellAssignment(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"),
         struct(graft.functions.VectorFunctions.cosineF(col("embedding"), col("cemb")).as("c"),
@@ -185,18 +188,40 @@ object Similarity {
     * the physical difference is the read: nprobe/C of the index instead of
     * a full scan. This is the 100 TB shape: the index build is a one-time
     * linear job, every query is a pruned read. */
+  /** Write-once IVF index build (at scale this runs at ingest): vectors
+    * cell-assigned against `cent` and written partitioned by cell. The
+    * codebook parameters key the artifact alongside the data dir +
+    * version. Returns the artifact path. */
+  def ensureIvfIndex(spark: SparkSession, dir: String, e: DataFrame, cent: DataFrame,
+                     centroidMod: Long, numCentroids: Int, version: Int = 1): String =
+    graft.Materialize.ensure(
+      spark, s"graft_ivf_m${centroidMod}_c$numCentroids", dir, version) { p =>
+      e.join(cellAssignment(e, cent), "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(p)
+    }
+
+  /** Incremental IVF maintenance: a new vector batch is assigned against
+    * the SAME (frozen) codebook and appended into the existing cell
+    * directories — new files per touched cell, no rewrite of old cells.
+    * Exact because assignment is row-local given a frozen codebook:
+    * assign(corpus ∪ batch) == assign(corpus) ∪ assign(batch)
+    * (IncrementalIndexSpec pins append-then-read == rebuild-then-read).
+    * Cell skew accumulates batch-by-batch until a retrain (new codebook =
+    * version bump = full rebuild), which is the standard IVF lifecycle. */
+  def appendToIvfIndex(spark: SparkSession, dir: String, batch: DataFrame, cent: DataFrame,
+                       centroidMod: Long, numCentroids: Int, version: Int = 1): String =
+    graft.Materialize.append(
+      spark, s"graft_ivf_m${centroidMod}_c$numCentroids", dir, version) { p =>
+      batch.join(cellAssignment(batch, cent), "vec_id")
+        .write.mode("append").partitionBy("cell").parquet(p)
+    }
+
   def ivfBucketedTopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
                       centroidMod: Long = 25L, nprobe: Int = 2,
                       numCentroids: Int = IvfNumCentroids): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val cent = centroids(e, centroidMod, numCentroids)
-    // Write-once index build (at scale this runs at ingest). The codebook
-    // parameters key the artifact alongside the data dir + version.
-    val indexPath = graft.Materialize.ensure(
-      spark, s"graft_ivf_m${centroidMod}_c$numCentroids", dir, version = 1) { p =>
-      e.join(cellAssignment(e, cent), "vec_id")
-        .write.mode("overwrite").partitionBy("cell").parquet(p)
-    }
+    val indexPath = ensureIvfIndex(spark, dir, e, cent, centroidMod, numCentroids)
     val bucketed = spark.read.parquet(indexPath)
     val probe = e.filter(col("vec_id") === probeId)
       .select(col("embedding").as("pemb"))

@@ -71,6 +71,34 @@ object StreamOps {
         col("p.ts").as("purchase_ts"), col("p.value").as("purchase_value"))
   }
 
+  // -------------------------------------------- streaming fuzzy search
+
+  /** Streaming face of the flagship fuzzy pipeline: a STREAM of queries
+    * (`qid`, `clean_q`) served against the STATIC materialized posting
+    * index + corpus — the stream-shaped form of the reference's
+    * request/response `fuzzy_search` loop (geo_manager.py:525-619, one
+    * call per request). Each micro-batch runs the exact
+    * `FuzzySearch.batchFuzzySearchOver` plan — bloom-pruned index probe,
+    * per-qid 500-cap, fetch, score, dedup, top-k — via `foreachBatch`:
+    * the per-qid window tail is not expressible in append-mode streaming,
+    * and it doesn't need to be, because a query's result depends only on
+    * its OWN row, so per-micro-batch evaluation is exact regardless of
+    * how requests chunk into batches (StreamingSpec pins stream-total ==
+    * `fuzzy_batch` on the same query set, split across batches).
+    * Index/corpus are re-planned per micro-batch (stream-static join
+    * semantics), so an index APPEND (Materialize.append) is picked up on
+    * the next batch without restarting the query. */
+  def fuzzyStream(queries: DataFrame, postings: DataFrame, corpus: DataFrame,
+                  numResults: Int,
+                  cap: Int = graft.operators.FuzzySearch.DefaultCap)
+                 (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.FuzzySearch.batchFuzzySearchOver(
+          batch, postings, corpus, numResults, cap), batchId)
+      }
+      .start()
+
   // ------------------------------------------------- streaming CDC apply
 
   case class Change(key: Long, version: Long, price: Double, op: String)

@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.{FuzzySearch, NgramIndex, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** Incremental maintenance of MATERIALIZED artifacts — the write-once
+  * layouts' face of the reference's `add_entity` (geo_manager.py:451-476):
+  * appending a new batch's derived rows as new files must be
+  * indistinguishable from rebuilding the whole artifact, and the flagship
+  * reads over an appended index must equal the inline derivations over the
+  * union corpus. Artifacts are isolated under a temp
+  * `spark.graft.materialize.dir` so the suite never touches the shared
+  * warehouse copies. */
+class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val artDir = Files.createTempDirectory("graft-incr-artifacts").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.graft.materialize.dir", artDir)
+    .appName("incremental-index-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def corpusParts(): (DataFrame, DataFrame, DataFrame) = {
+    val c = FuzzySearch.corpus(spark, dir)
+    (c, c.filter(pmod(col("id"), lit(7)) =!= 0), c.filter(pmod(col("id"), lit(7)) === 0))
+  }
+
+  test("posting index: append-then-read == rebuild-then-read, bit-identical") {
+    val (full, base, batch) = corpusParts()
+    assert(batch.count() > 0 && base.count() > 0)
+    val appended = FuzzySearch.ensurePostingsIndex(spark, dir, base, version = 901)
+    FuzzySearch.appendToPostingsIndex(spark, dir, batch, version = 901)
+    val rebuilt = FuzzySearch.ensurePostingsIndex(spark, dir, full, version = 902)
+    def rows(p: String): Seq[(String, Long)] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getAs[String]("ngram"), r.getAs[Long]("id"))).toSeq.sorted
+    val a = rows(appended)
+    assert(a.nonEmpty && a == rows(rebuilt))
+  }
+
+  test("indexed fuzzy search over an appended index == inline over the union corpus") {
+    val (_, base, batch) = corpusParts()
+    // Build at the OPERATOR's version so fuzzySearchIndexed's ensure() sees
+    // the appended artifact and skips the rebuild.
+    FuzzySearch.ensurePostingsIndex(spark, dir, base, version = 1)
+    FuzzySearch.appendToPostingsIndex(spark, dir, batch, version = 1)
+    val viaIndex = FuzzySearch.fuzzySearchIndexed(spark, dir, "smal widget", 15).collect().toSeq
+    val inline = FuzzySearch.fuzzySearch(spark, dir, "smal widget", 15).collect().toSeq
+    assert(viaIndex.nonEmpty && viaIndex == inline)
+  }
+
+  private def embParts(): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = Tables.embeddings(spark, dir)
+    // Codebook from the BASE table — frozen across appends (the id cap
+    // keeps later batches out of it), passed explicitly to both paths.
+    val cent = Similarity.centroids(e, 25L, Similarity.IvfNumCentroids)
+    (e, cent, e.filter(col("vec_id") % 3 =!= 0), e.filter(col("vec_id") % 3 === 0))
+  }
+
+  test("IVF index: append-then-read == rebuild-then-read, bit-identical") {
+    val (e, cent, base, batch) = embParts()
+    val appended = Similarity.ensureIvfIndex(spark, dir, base, cent, 25L,
+      Similarity.IvfNumCentroids, version = 901)
+    Similarity.appendToIvfIndex(spark, dir, batch, cent, 25L,
+      Similarity.IvfNumCentroids, version = 901)
+    val rebuilt = Similarity.ensureIvfIndex(spark, dir, e, cent, 25L,
+      Similarity.IvfNumCentroids, version = 902)
+    def rows(p: String): Seq[(Long, Long, String, Seq[Float])] =
+      spark.read.parquet(p)
+        .select(col("vec_id"), col("cell").cast("long"),
+          col("label").cast("string"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getSeq[Float](3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    val a = rows(appended)
+    assert(a.nonEmpty && a == rows(rebuilt))
+  }
+
+  test("bucketed IVF top-k over an appended index == unindexed IVF top-k") {
+    val (_, cent, base, batch) = embParts()
+    // Build at the operator's version so ivfBucketedTopK reads the
+    // appended artifact.
+    Similarity.ensureIvfIndex(spark, dir, base, cent, 25L,
+      Similarity.IvfNumCentroids, version = 1)
+    Similarity.appendToIvfIndex(spark, dir, batch, cent, 25L,
+      Similarity.IvfNumCentroids, version = 1)
+    val viaIndex = Similarity.ivfBucketedTopK(spark, dir, probeId = 7L, k = 10)
+      .collect().toSeq
+    val inline = Similarity.ivfTopK(spark, dir, probeId = 7L, k = 10)
+      .collect().toSeq
+    assert(viaIndex.nonEmpty && viaIndex == inline)
+  }
+
+  test("append to an absent artifact is refused (build with ensure first)") {
+    val (_, _, batch) = corpusParts()
+    intercept[IllegalArgumentException] {
+      FuzzySearch.appendToPostingsIndex(spark, dir, batch, version = 999)
+    }
+  }
+}

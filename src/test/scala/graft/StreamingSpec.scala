@@ -267,4 +267,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last(2L) == SnapRow(2L, 2L, 0.0, deleted = true))
     assert(last(3L) == SnapRow(3L, 1L, 30.0, deleted = false))
   }
+
+  test("streaming fuzzy search matches the batch flagship on the same query set") {
+    import graft.operators.FuzzySearch
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val c = FuzzySearch.corpus(spark, dir)
+    val queries = FuzzySearch.batchQueries(c).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(queries.length >= 2, "query table too small to split across batches")
+    val postings = spark.read.parquet(FuzzySearch.ensurePostingsIndex(spark, dir, c))
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("qid", "clean_q")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = StreamOps.fuzzyStream(sdf, postings, c, numResults = 20) { (out, _) =>
+      buf ++= out.collect().map(_.toSeq)
+    }
+    try {
+      // Split the request stream across two micro-batches: per-qid results
+      // must not depend on how requests chunk into batches.
+      val (a, b) = queries.splitAt(queries.length / 2)
+      stream.addData(a.toSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = FuzzySearch.batchFuzzySearch(spark, dir, 20)
+      .collect().map(_.toSeq)
+    assert(buf.nonEmpty && buf.sortBy(_.mkString("|")).toList ==
+      want.sortBy(_.mkString("|")).toList)
+  }
 }
