@@ -250,6 +250,8 @@ object SparkEntry {
     // Oracle intentionally omitted (HLL sketch has no DuckDB equivalent);
     // driver records the weaker rows-only check per the contract.
     "ev_approx_distinct" -> ((s, d) => EventOps.approxDistinctUsers(s, d)),
+    // the exact-count twin IS oracled — the family's hash-matched anchor
+    "ev_exact_distinct" -> ((s, d) => EventOps.exactDistinctUsers(s, d)),
   )
 
   /** Damerau-Levenshtein showcase: nearest part names to a typo'd query by
@@ -372,5 +374,6 @@ object SparkEntry {
     "ev_pivot_daily" -> EventOps.pivotDailyOracle,
     "text_bigram_score" -> TextAnalysis.bigramScoreOracle,
     "ev_lag_delta" -> EventOps.lagDeltasOracle,
+    "ev_exact_distinct" -> EventOps.exactDistinctUsersOracle,
   )
 }

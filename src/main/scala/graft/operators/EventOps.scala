@@ -264,6 +264,21 @@ object EventOps {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Exact-count twin of [[approxDistinctUsers]]: the same per-type distinct
+    * users WITHOUT the sketch column, so the family has a hash-matched
+    * oracle anchor beside the intentionally rows-only sketch row. */
+  def exactDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val exactDistinctUsersOracle: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |       count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Semi-structured extraction: numeric field `k` from the JSON props. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *    aggregates, so the only shuffle is C×D rows per upstream partition.
   *
   * Cross-engine exactness (the gate is bit-exact, see memory rules): float
-  * means are order-nondeterministic under parallel summation, so elements
-  * are quantized with floor(el·1e6) — floor of an identical IEEE product is
-  * bit-exact on both engines, unlike decimal-string rounding — summed as
+  * means are order-nondeterministic under parallel summation, so normalized
+  * elements are quantized with floor(el/‖x‖·1e6) — the norm is the same
+  * left-to-right fold on both engines and floor of an identical IEEE
+  * quotient is bit-exact, unlike decimal-string rounding — summed as
   * integers (associative, exact), and divided ONCE into a double. Every
   * trained centroid is therefore bit-identical in Spark and DuckDB, and so
   * is every subsequent assignment.
@@ -63,12 +64,24 @@ object KMeans {
       .drop("cents", "best")
   }
 
-  /** One centroid update: per-(cell, dim) integer sums + member counts.
+  /** One centroid update: per-(cell, dim) integer sums + member counts over
+    * UNIT-NORMALIZED members — the spherical-k-means mean. Normalizing
+    * before averaging is what makes the update a true ascent step for the
+    * cosine objective on corpora with varying norms: cos(x, c) = x̂·ĉ, so
+    * the within-cell cosine sum is maximized by the direction of Σ x̂ (the
+    * mean of UNIT vectors), not of Σ x. The norm is the same left-to-right
+    * fold on both engines (dotKernel ↔ list_reduce), so floor-quantization
+    * stays bit-exact. A zero vector (norm 0) contributes a zero numerator
+    * but still counts in `n` — same CASE on both engines.
     * Output: (cell, idx, qs, n). */
   private def update(assigned: DataFrame): DataFrame =
     assigned
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("idx", "el")))
-      .withColumn("q", floor(col("el").cast("double") * QuantScale.toDouble).cast("long"))
+      .withColumn("nrm",
+        sqrt(VectorFunctions.dotF(col("embedding"), col("embedding"))))
+      .select(col("cell"), col("nrm"), posexplode(col("embedding")).as(Seq("idx", "el")))
+      .withColumn("q", when(col("nrm") === 0d, lit(0L))
+        .otherwise(floor(col("el").cast("double") / col("nrm") * QuantScale.toDouble)
+          .cast("long")))
       .groupBy(col("cell"), col("idx"))
       .agg(sum(col("q")).as("qs"), count(lit(1)).as("n"))
 
@@ -88,8 +101,9 @@ object KMeans {
     * C-row artifact instead of re-running the iterations). */
   def trainedCentroids(spark: SparkSession, dir: String, iters: Int = DefaultIters,
                        mod: Long = 25L, numCentroids: Int = Similarity.IvfNumCentroids): DataFrame = {
+    // version 2: spherical (unit-normalized) centroid means since round 4
     val path = graft.Materialize.ensure(
-      spark, s"graft_kmeans_i${iters}_m${mod}_c$numCentroids", dir, version = 1) { p =>
+      spark, s"graft_kmeans_i${iters}_m${mod}_c$numCentroids", dir, version = 2) { p =>
       val e = Tables.embeddings(spark, dir)
       (1 to iters).foldLeft(seeds(e, mod, numCentroids)) {
         (cent, _) => toCodebook(update(assign(e, cent)))
@@ -100,7 +114,13 @@ object KMeans {
 
   /** Gate query: the final iteration's update state in long form — one row
     * per (cell, dimension) with the exact integer sum shipped as the
-    * bit-identical unrounded double mean and the cluster size. */
+    * bit-identical unrounded double mean and the cluster size.
+    *
+    * `n_members` is the membership count under re-assignment to the FINAL
+    * codebook (the post-training partition a consumer would observe), NOT
+    * the divisor that produced `c_val` — that count came from assignment
+    * to the previous iteration's codebook. The two differ for any cell
+    * whose boundary moved on the last update. */
   def kmeansTrain(spark: SparkSession, dir: String, iters: Int = DefaultIters,
                   mod: Long = 25L, numCentroids: Int = Similarity.IvfNumCentroids): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -119,10 +139,11 @@ object KMeans {
   }
 
   /** Spherical k-means objective after `iters` iterations: the mean cosine
-    * of every vector to its assigned centroid. Lloyd iterations can never
-    * decrease this (each step reassigns to the nearest centroid, then
-    * recenters) — KMeansSpec asserts the monotonicity, the algorithmic
-    * property that makes the trainer a trainer. */
+    * of every vector to its assigned centroid. With unit-normalized member
+    * means (see [[update]]) Lloyd iterations can never decrease this —
+    * reassignment picks the max-cosine centroid per vector, and the mean
+    * of the members' unit vectors maximizes each cell's cosine sum — up to
+    * the 1e-6 centroid quantization, the slack KMeansSpec carries. */
   def objective(spark: SparkSession, dir: String, iters: Int,
                 mod: Long = 25L, numCentroids: Int = Similarity.IvfNumCentroids): Double = {
     val e = Tables.embeddings(spark, dir)
@@ -210,10 +231,12 @@ object KMeans {
          |                                  ORDER BY $cos DESC, c.cid) = 1),
          |x$t AS (SELECT a.cell,
          |               unnest(range(len(e.embedding))) AS idx,
-         |               unnest(e.embedding) AS el
+         |               unnest(e.embedding) AS el,
+         |               sqrt(${Similarity.dotSql("e.embedding", "e.embedding")}) AS nrm
          |        FROM embeddings e JOIN a$t a USING (vec_id)),
          |u$t AS (SELECT cell, idx,
-         |               sum(floor(el::DOUBLE * $QuantScale.0)::BIGINT) AS qs,
+         |               sum(CASE WHEN nrm = 0 THEN 0
+         |                        ELSE floor(el::DOUBLE / nrm * $QuantScale.0)::BIGINT END) AS qs,
          |               count(*) AS n
          |        FROM x$t GROUP BY cell, idx),
          |cent$t AS (SELECT cell AS cid,
