@@ -73,10 +73,12 @@ def main():
     # from diffing a DIFFERENT (earlier) bench file — re-running the same
     # comparison must not self-escalate a single noisy measurement.
     prev_flags = set()
+    prev_drift_flag = False
     if FLAGS_PATH.exists():
         prev = json.load(open(FLAGS_PATH))
         if prev.get("new") != str(new_path):
             prev_flags = set(prev.get("flagged", []))
+            prev_drift_flag = bool(prev.get("median_drift_flagged"))
 
     # Normalize by the MEDIAN ratio: a loaded box slows every query
     # uniformly (observed 1.3x whole-run drift between back-to-back runs),
@@ -85,6 +87,13 @@ def main():
     shared = [n for n in nq if n in oq and oq[n] > 0]
     ratios = sorted(nq[n] / oq[n] for n in shared)
     med = ratios[len(ratios) // 2] if ratios else 1.0
+
+    # The normalization is blind to a SUITE-WIDE regression (a global config
+    # or codegen change slows everything uniformly and divides out to
+    # ~1.0x), so the median drift itself gets the same WATCH->REGRESSION
+    # rule: slower-direction drift past the ratio limit in two consecutive
+    # diffs escalates.
+    drift_flag = med > ratio_lim
 
     flagged, regressions, rows = [], [], []
     for name in sorted(set(nq) | set(oq)):
@@ -110,9 +119,12 @@ def main():
 
     # Persist flag state BEFORE printing: a downstream `| head` closes the
     # pipe early and would otherwise kill the run before the state write.
+    drift_regression = drift_flag and prev_drift_flag
     json.dump({"new": str(new_path), "against": str(old_path),
                "flagged": sorted(flagged),
-               "regressions": sorted(regressions)}, open(FLAGS_PATH, "w"), indent=1)
+               "regressions": sorted(regressions),
+               "median_drift": round(med, 4),
+               "median_drift_flagged": drift_flag}, open(FLAGS_PATH, "w"), indent=1)
 
     print(f"bench diff: {new_path} vs {old_path} (flag ratio {ratio_lim}x "
           f"after dividing out the median drift {med:.2f}x; "
@@ -129,11 +141,18 @@ def main():
         ns_ = f"{n:7.2f}" if n is not None else "      -"
         print(f"  {name:<{w}} {os_} -> {ns_}  {status}")
 
+    if drift_regression:
+        print(f"SUITE-WIDE REGRESSION: median drift {med:.2f}x > {ratio_lim}x "
+              f"in two consecutive diffs")
+    elif drift_flag:
+        print(f"watch: suite-wide median drift {med:.2f}x > {ratio_lim}x "
+              f"(environment or global regression; 2 consecutive => REGRESSION)")
     if regressions:
         print(f"REGRESSIONS (flagged twice consecutively): {', '.join(regressions)}")
-        sys.exit(1)
     if flagged:
         print(f"watch (first flag, within 2-run tolerance): {', '.join(flagged)}")
+    if regressions or drift_regression:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
