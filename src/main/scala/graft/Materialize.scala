@@ -101,6 +101,34 @@ object Materialize {
     p
   }
 
+  /** Periodic compaction of an appended artifact: every [[append]] lands
+    * one batch-sized file set, so reads accumulate small files and lose
+    * the single-sorted-run property; `rewrite(current, tmpPath)` must
+    * re-derive the CANONICAL layout (the same write [[ensure]]'s build
+    * performs) from the artifact's current contents into `tmpPath`, which
+    * is then swapped in place of the old file set. Contents are unchanged
+    * — compaction reorganizes files, it does not re-derive from source —
+    * so compact-then-read == read (IncrementalIndexSpec pins it against a
+    * wholesale rebuild). Swap is delete-then-rename: not atomic for
+    * concurrent readers, same single-driver-per-warehouse limit as the
+    * exists-then-build check above. */
+  def compact(spark: SparkSession, kind: String, dir: String, version: Int)
+             (rewrite: (DataFrame, String) => Unit): String = {
+    val p = artifactPath(spark, kind, dir, version)
+    val cur = new Path(p)
+    val fs = fsOf(spark, cur)
+    require(fs.exists(new Path(p, "_SUCCESS")),
+      s"compact of absent artifact $p — build it with ensure() first")
+    val tmp = new Path(p + ".compacting")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    rewrite(spark.read.parquet(p), tmp.toString)
+    require(fs.exists(new Path(tmp, "_SUCCESS")),
+      s"rewrite did not commit to $tmp")
+    fs.delete(cur, true)
+    fs.rename(tmp, cur)
+    p
+  }
+
   /** Write-once BUCKETED table: bucket layout needs catalog metadata, but
     * the session catalog is in-memory (fresh per JVM), so "exists" has two
     * layers — if the table is registered, reuse it; if only the files

@@ -107,15 +107,30 @@ object FuzzySearch {
     * query touches |q-grams|/|gram-space| of the index). Scoring is the
     * identical pipeline (FuzzyIndexSpec pins bit-equal results; the shared
     * oracle gates it). */
+  /** Canonical posting-index layout: pairs clustered by ngram into a fixed
+    * file count, sorted within files so scan stats are tight. Shared by the
+    * initial build and compaction so the two can never drift. */
+  private def writePostingsLayout(pairs: DataFrame, path: String): Unit =
+    pairs.repartition(32, col("ngram")).sortWithinPartitions(col("ngram"))
+      .write.mode("overwrite").parquet(path)
+
   /** Write-once posting-index build (at scale this runs at ingest):
     * multiplicity-preserving pairs clustered by ngram, sorted within files
     * so scan stats are tight. Returns the artifact path. */
   def ensurePostingsIndex(spark: SparkSession, dir: String, c: DataFrame,
                           version: Int = 1): String =
     graft.Materialize.ensure(spark, "graft_postings", dir, version) { p =>
-      NgramIndex.postingPairsMulti(c)
-        .repartition(32, col("ngram")).sortWithinPartitions(col("ngram"))
-        .write.mode("overwrite").parquet(p)
+      writePostingsLayout(NgramIndex.postingPairsMulti(c), p)
+    }
+
+  /** Periodic compaction after appends: rewrites the accumulated file sets
+    * (one per appended batch) back into the canonical 32-way ngram-clustered
+    * layout. Pure file reorganization — contents unchanged
+    * (IncrementalIndexSpec pins compact-then-read == rebuild-then-read). */
+  def compactPostingsIndex(spark: SparkSession, dir: String,
+                           version: Int = 1): String =
+    graft.Materialize.compact(spark, "graft_postings", dir, version) {
+      (cur, tmp) => writePostingsLayout(cur, tmp)
     }
 
   /** Incremental posting-index maintenance — `add_entity`

@@ -216,6 +216,22 @@ object Similarity {
         .write.mode("append").partitionBy("cell").parquet(p)
     }
 
+  /** Periodic compaction after appends: rewrites each cell directory's
+    * accumulated per-batch files into one file set per cell (same
+    * partitioned layout, contents unchanged — IncrementalIndexSpec pins
+    * compact-then-read == rebuild-then-read). Runs after enough appends
+    * that small files dominate the probed cells' read cost; a RETRAIN
+    * (new codebook) is the version bump that rebuilds wholesale. */
+  def compactIvfIndex(spark: SparkSession, dir: String,
+                      centroidMod: Long, numCentroids: Int,
+                      version: Int = 1): String =
+    graft.Materialize.compact(
+      spark, s"graft_ivf_m${centroidMod}_c$numCentroids", dir, version) {
+      (cur, tmp) =>
+        cur.repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    }
+
   def ivfBucketedTopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
                       centroidMod: Long = 25L, nprobe: Int = 2,
                       numCentroids: Int = IvfNumCentroids): DataFrame = {

@@ -108,4 +108,52 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       FuzzySearch.appendToPostingsIndex(spark, dir, batch, version = 999)
     }
   }
+
+  private def parquetFiles(p: String): Int =
+    new java.io.File(p).listFiles((_, n) => n.endsWith(".parquet")).length
+
+  test("posting compaction restores the canonical file count, contents unchanged") {
+    val (full, base, batch) = corpusParts()
+    val appended = FuzzySearch.ensurePostingsIndex(spark, dir, base, version = 903)
+    FuzzySearch.appendToPostingsIndex(spark, dir, batch, version = 903)
+    val before = parquetFiles(appended)
+    FuzzySearch.compactPostingsIndex(spark, dir, version = 903)
+    val rebuilt = FuzzySearch.ensurePostingsIndex(spark, dir, full, version = 904)
+    def rows(p: String): Seq[(String, Long)] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getAs[String]("ngram"), r.getAs[Long]("id"))).toSeq.sorted
+    // canonical = one 32-way clustered run (empty hash partitions write no
+    // file); the appended artifact carried extra per-batch file sets
+    val after = parquetFiles(appended)
+    assert(after <= 32 && after < before, s"before=$before after=$after")
+    val a = rows(appended)
+    assert(a.nonEmpty && a == rows(rebuilt))
+  }
+
+  test("IVF compaction preserves contents and the cell-partitioned layout") {
+    val (e, cent, base, batch) = embParts()
+    val appended = Similarity.ensureIvfIndex(spark, dir, base, cent, 25L,
+      Similarity.IvfNumCentroids, version = 903)
+    Similarity.appendToIvfIndex(spark, dir, batch, cent, 25L,
+      Similarity.IvfNumCentroids, version = 903)
+    Similarity.compactIvfIndex(spark, dir, 25L, Similarity.IvfNumCentroids,
+      version = 903)
+    val rebuilt = Similarity.ensureIvfIndex(spark, dir, e, cent, 25L,
+      Similarity.IvfNumCentroids, version = 904)
+    def rows(p: String): Seq[(Long, Long)] =
+      spark.read.parquet(p)
+        .select(col("vec_id"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // still a cell-partitioned layout (directories, not flat files)
+    assert(new java.io.File(appended).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("cell=")))
+    val a = rows(appended)
+    assert(a.nonEmpty && a == rows(rebuilt))
+  }
+
+  test("compact of an absent artifact is refused") {
+    intercept[IllegalArgumentException] {
+      FuzzySearch.compactPostingsIndex(spark, dir, version = 999)
+    }
+  }
 }
