@@ -28,6 +28,7 @@ object SparkEntry {
     val SentinelTarget = 10L // aggregate shape (id % 10 == 0)
     val RadiusFullProbe = 10L // aggregate probe: exercises orig-side + mean normalization
     val FuzzyQuery = "smal widget"; val FuzzyK = 20
+    val StopGramInv = 10L // stop-grams: df > N/10 (SCALE.md fuzzy_batch row)
     val BestQuery = "small widget"
     val PostalQuery = "10750"; val PostalK = 15 // digits-only → postal scoring branch
     val RadiusFilters = Seq[(String, Any)]("geo_type" -> "City")
@@ -93,6 +94,9 @@ object SparkEntry {
     // same semantics against the materialized posting index (shared
     // oracle gates both; candidate gen never scans the corpus)
     "fuzzy_batch_indexed" -> ((s, d) => FuzzySearch.batchFuzzySearchIndexed(s, d, P.FuzzyK)),
+    // OPT-IN stop-gram cut: hottest posting lists (df > N/10) excluded
+    // from candidate gen — different results by design, own oracle
+    "fuzzy_batch_stopgram" -> ((s, d) => FuzzySearch.batchFuzzySearchStopGram(s, d, P.FuzzyK, P.StopGramInv)),
     // batch bounded-KNN: k nearest within the radius per probe (banded
     // join + per-probe window rank)
     "geo_knn_batch" -> ((s, d) => RadiusSearch.knnBatch(s, d, P.RadiusMiles, 5)),
@@ -306,6 +310,8 @@ object SparkEntry {
     "geo_radius_batch" -> RadiusSearch.radiusSearchBatchOracle(P.RadiusMiles),
     "fuzzy_batch" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK),
     "fuzzy_batch_indexed" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK),
+    "fuzzy_batch_stopgram" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK,
+      dfCapInverse = Some(P.StopGramInv)),
     "geo_knn_batch" -> RadiusSearch.knnBatchOracle(P.RadiusMiles, 5),
     "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),
     "geo_radius_filtered" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters),

@@ -309,6 +309,41 @@ object FuzzySearch {
     scoreBatch(capped, c, queries, numResults)
   }
 
+  /** OPT-IN stop-gram mitigation for the batch candidate cliff (SCALE.md's
+    * fuzzy_batch cost model: candidate rows = Σ_g qcount(g)·df(g), ~0.55·Q·N
+    * measured on the low-entropy part corpus): grams whose posting-list
+    * length exceeds N/`dfCapInverse` are dropped from CANDIDATE GENERATION,
+    * so the hottest lists — the ones contributing df ≈ O(N) terms — never
+    * enter the join. This CHANGES results (`ngram_hits` no longer counts
+    * stop-gram occurrences, so capping and ranking shift), which is why it
+    * is a separate operator with its OWN oracle (the gate applies the same
+    * df cut in SQL) and never the default. The df table is bounded by the
+    * gram space (≤ 37³ keys at any corpus size) — the same bounded-stat
+    * broadcast as dedup_jaccard's prefix filter. The cut is exact-integer
+    * (df · dfCapInverse ≤ N) so both engines agree bit-wise. */
+  def batchFuzzySearchStopGram(spark: SparkSession, dir: String, numResults: Int,
+                               dfCapInverse: Long, cap: Int = DefaultCap): DataFrame = {
+    val c = corpus(spark, dir)
+    val queries = batchQueries(c)
+    val n = c.count()
+    val qGrams = queries.select(col("qid"),
+      explode(charNgramSet(col("clean_q"), 3)).as("ngram"))
+    val postings = c.select(col("id"),
+      explode(charNgrams(col("clean_value"), 3)).as("ngram"))
+    val allowed = postings.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") * dfCapInverse <= n)
+      .select(col("ngram"))
+    val hits = postings.join(broadcast(allowed), "ngram")
+      .join(qGrams, "ngram")
+      .groupBy(col("qid"), col("id")).agg(count(lit(1)).as("ngram_hits"))
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ngram_hits").desc, col("id"))
+    val capped = hits.withColumn("crn", row_number().over(capW))
+      .filter(col("crn") <= math.max(numResults, cap)).drop("crn")
+    scoreBatch(capped, c, queries, numResults)
+  }
+
   /** Shared scoring tail of the two batch spellings. */
   private def scoreBatch(capped: DataFrame, c: DataFrame, queries: DataFrame,
                          numResults: Int): DataFrame = {
@@ -331,22 +366,34 @@ object FuzzySearch {
       .orderBy(col("qid"), col("score").desc, col("id"))
   }
 
-  def batchFuzzySearchOracle(numResults: Int, cap: Int = DefaultCap): String = {
+  def batchFuzzySearchOracle(numResults: Int, cap: Int = DefaultCap,
+                             dfCapInverse: Option[Long] = None): String = {
     val qsetQ = OracleSql.trigramSet("q.clean_q")
     val qset = OracleSql.trigramSet("clean_q")
     val tv = OracleSql.tversky(qset, OracleSql.trigramSet("clean_value"), 0.85, 0.15)
     val efs = s"($tv * (1.0 + CASE WHEN starts_with(clean_value, clean_q) THEN 0.15 ELSE 0.0 END))"
     val dl = "least(damerau_levenshtein(split_part(clean_q, ',', 1), split_part(clean_value, ',', 1)), " +
       "damerau_levenshtein(clean_q, clean_value))"
+    // Stop-gram cut (batchFuzzySearchStopGram): grams with df·inv > N are
+    // excluded from hit counting — exact-integer compare, multiplicity df.
+    val stopCtes = dfCapInverse.map { inv =>
+      s"""ag AS (SELECT unnest(${OracleSql.trigrams("clean_value")}) AS g FROM corpus),
+         |stoplist AS (SELECT coalesce(list(g), []) AS sl
+         |             FROM (SELECT g FROM ag GROUP BY g
+         |                   HAVING count(*) * $inv > (SELECT count(*) FROM corpus))),
+         |""".stripMargin
+    }.getOrElse("")
+    val stopJoin = if (dfCapInverse.isDefined) " CROSS JOIN stoplist sg" else ""
+    val stopPred = if (dfCapInverse.isDefined) " AND NOT list_contains(sg.sl, g)" else ""
     s"""WITH corpus AS ($corpusCte),
-       |q AS (SELECT id AS qid,
+       |${stopCtes}q AS (SELECT id AS qid,
        |             ${OracleSql.clean("(substr(value, 1, 3) || substr(value, 5))")} AS clean_q
        |      FROM corpus WHERE id % $BatchQueryMod = 0),
        |cand AS (
        |  SELECT q.qid, q.clean_q, c.*,
        |         len(list_filter(${OracleSql.trigrams("c.clean_value")},
-       |             g -> list_contains($qsetQ, g)))::BIGINT AS ngram_hits
-       |  FROM corpus c CROSS JOIN q),
+       |             g -> list_contains($qsetQ, g)$stopPred))::BIGINT AS ngram_hits
+       |  FROM corpus c CROSS JOIN q$stopJoin),
        |capped AS (
        |  SELECT * FROM cand WHERE ngram_hits > 0
        |  QUALIFY row_number() OVER (PARTITION BY qid

@@ -359,18 +359,30 @@ object RadiusSearch {
     * path). */
   def radiusSearchBatch(spark: SparkSession, dir: String,
                         radiusMiles: Double): DataFrame = {
-    val latDv = radiusMiles / EarthRadiusMiles * (180.0 / math.Pi)
     val shp = GeoShapes.shapes(spark, dir).filter(!col("is_aggregate"))
     val probes = shp.filter(pmod(col("id"), lit(BatchProbeMod)) === 0)
       .select(col("id").as("probe_id"), col("latitude").as("p_lat"),
         col("longitude").as("p_lng"), col("country").as("p_country"))
+    radiusSearchBatchOver(probes, shp, radiusMiles)
+  }
+
+  /** The banded-join batch pipeline over an ARBITRARY probe table
+    * (`probe_id`, `p_lat`, `p_lng`, `p_country`) — the core that
+    * `radiusSearchBatch` (fixed derived probe table) and
+    * `StreamOps.radiusStream` (per-micro-batch probe table) both run.
+    * `shp` is the point-shape relation (aggregates stay on the per-probe
+    * path, see above). */
+  def radiusSearchBatchOver(probes: DataFrame, shp: DataFrame,
+                            radiusMiles: Double): DataFrame = {
+    val latDv = radiusMiles / EarthRadiusMiles * (180.0 / math.Pi)
+    val probeBands = probes
       .withColumn("band", explode(sequence(
         floor((col("p_lat") - latDv) / BatchBandDeg),
         floor((col("p_lat") + latDv) / BatchBandDeg))))
     val banded = shp.withColumn("band", floor(col("latitude") / BatchBandDeg))
     val lngD = longitudeDeltaFromMiles(col("p_lat"), lit(radiusMiles))
-    banded.join(probes,
-        banded("band") === probes("band") &&
+    banded.join(probeBands,
+        banded("band") === probeBands("band") &&
           col("country") === col("p_country"))
       .filter(ellipseContains(col("p_lat"), col("p_lng"),
         col("latitude"), col("longitude"), lit(latDv), lngD))

@@ -99,6 +99,28 @@ object StreamOps {
       }
       .start()
 
+  // -------------------------------------------- streaming radius search
+
+  /** Streaming face of the radius flagship: a STREAM of probes
+    * (`probe_id`, `p_lat`, `p_lng`, `p_country`) resolved against the
+    * STATIC point-shape table — the stream-shaped form of the reference's
+    * per-request `radius_search` (geo_manager.py:237-348). Each
+    * micro-batch runs the exact `RadiusSearch.radiusSearchBatchOver`
+    * banded equi-join; a probe's result set depends only on its own row,
+    * so per-micro-batch evaluation is exact regardless of how requests
+    * chunk into batches (StreamingSpec pins stream-total ==
+    * `geo_radius_batch` on the same probe set, split across batches).
+    * The shape table is re-planned per micro-batch, so an ingest append
+    * is picked up on the next batch without restarting the query. */
+  def radiusStream(probes: DataFrame, shapes: DataFrame, radiusMiles: Double)
+                  (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    probes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.RadiusSearch.radiusSearchBatchOver(
+          batch, shapes, radiusMiles), batchId)
+      }
+      .start()
+
   // ------------------------------------------------- streaming CDC apply
 
   case class Change(key: Long, version: Long, price: Double, op: String)

@@ -37,6 +37,22 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected In(ngram,...) pushed to the postings scan:\n$plan")
   }
 
+  test("stop-gram cut bites: hot grams exist, results differ from the uncut batch") {
+    import org.apache.spark.sql.functions._
+    val c = FuzzySearch.corpus(spark, dir)
+    val n = c.count()
+    val hot = c.select(explode(
+        graft.functions.TextFunctions.charNgrams(col("clean_value"), 3)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * 10L > n).count()
+    assert(hot > 0, "no gram clears df > N/10 — the opt-in gate row would be vacuous")
+    val cut = FuzzySearch.batchFuzzySearchStopGram(spark, dir, 20, 10L).collect()
+    val uncut = FuzzySearch.batchFuzzySearch(spark, dir, 20).collect()
+    assert(cut.nonEmpty)
+    // the cut is a semantic change by design, never a silent default
+    assert(cut.toSeq != uncut.toSeq)
+  }
+
   test("transitive canonicalization is a fixpoint and only lowers labels") {
     val once = Dedup.dedupPipeline(spark, dir)
       .select("doc_id", "canonical_id").collect()

@@ -298,4 +298,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buf.nonEmpty && buf.sortBy(_.mkString("|")).toList ==
       want.sortBy(_.mkString("|")).toList)
   }
+
+  test("streaming radius search matches the batch flagship on the same probe set") {
+    import graft.operators.{GeoShapes, RadiusSearch}
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val radius = 25.0
+    val shp = GeoShapes.shapes(spark, dir).filter(!col("is_aggregate"))
+    // denser stride than the gate's BatchProbeMod: sf0.001 has only one
+    // point shape at id % 97 == 0, and the split needs several probes
+    val probes = shp.filter(pmod(col("id"), lit(13)) === 0)
+      .select(col("id"), col("latitude"), col("longitude"), col("country"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getString(3)))
+    assert(probes.length >= 2, "probe table too small to split across batches")
+    val stream = MemoryStream[(Long, Double, Double, String)]
+    val sdf = stream.toDF().toDF("probe_id", "p_lat", "p_lng", "p_country")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = StreamOps.radiusStream(sdf, shp, radius) { (out, _) =>
+      buf ++= out.collect().map(_.toSeq)
+    }
+    try {
+      // Per-probe results must not depend on how requests chunk into batches.
+      val (a, b) = probes.splitAt(probes.length / 2)
+      stream.addData(a.toSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = RadiusSearch.radiusSearchBatchOver(
+      probes.toSeq.toDF("probe_id", "p_lat", "p_lng", "p_country"), shp, radius)
+      .collect().map(_.toSeq)
+    assert(buf.nonEmpty && buf.sortBy(_.mkString("|")).toList ==
+      want.sortBy(_.mkString("|")).toList)
+  }
 }
