@@ -61,10 +61,20 @@ object FuzzyCostProbe {
       val candidates = postings.join(qGrams, "ngram").count()
       val pairs = postings.join(qGrams, "ngram")
         .select(col("qid"), col("id")).distinct().count()
+      // the opt-in stop-gram cut's effect (batchFuzzySearchStopGram):
+      // candidate rows with df > N/10 grams excluded from candidate gen
+      val allowed = postings.groupBy(col("ngram"))
+        .agg(count(lit(1)).as("df")).filter(col("df") * 10L <= n)
+        .select(col("ngram"))
+      val cutCandidates = postings.join(broadcast(allowed), "ngram")
+        .join(qGrams, "ngram").count()
       val t0 = System.nanoTime()
       FuzzySearch.batchFuzzySearch(spark, dir, numResults = 20).count()
       val secs = (System.nanoTime() - t0) / 1e9
-      println(s"""{"dir":"$dir","corpus_n":$n,"queries":$q,"candidate_rows":$candidates,"distinct_pairs":$pairs,"qn_product":${q * n},"batch_secs":${math.round(secs * 100) / 100.0}}""")
+      val t1 = System.nanoTime()
+      FuzzySearch.batchFuzzySearchStopGram(spark, dir, numResults = 20, dfCapInverse = 10L).count()
+      val cutSecs = (System.nanoTime() - t1) / 1e9
+      println(s"""{"dir":"$dir","corpus_n":$n,"queries":$q,"candidate_rows":$candidates,"distinct_pairs":$pairs,"qn_product":${q * n},"stopgram_candidate_rows":$cutCandidates,"batch_secs":${math.round(secs * 100) / 100.0},"stopgram_secs":${math.round(cutSecs * 100) / 100.0}}""")
     }
     spark.stop()
   }

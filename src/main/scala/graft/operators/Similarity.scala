@@ -272,21 +272,35 @@ object Similarity {
                    numCentroids: Int = IvfNumCentroids): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val cent = centroids(e, centroidMod, numCentroids)
-    val assign = cellAssignment(e, cent)
     val probes = e.filter(col("vec_id") % BatchProbeMod === 0)
       .select(col("vec_id").as("pid"), col("embedding").as("pemb"))
+    ivfBatchTopKOver(probes,
+      e.join(cellAssignment(e, cent).select(col("vec_id"), col("cell")), "vec_id"),
+      cent, k, nprobe)
+  }
+
+  /** The IVF-probing batch pipeline over an ARBITRARY probe table
+    * (`pid`, `pemb`) and an ARBITRARY cell-assigned relation (`vec_id`,
+    * `label`, `embedding`, `cell`) — the core that `ivfBatchTopK` (fixed
+    * derived probes, inline assignment) and `StreamOps.annStream`
+    * (per-micro-batch probes against the MATERIALIZED cell-partitioned
+    * index) both run. Probe cells resolve as probes × constant-C codebook
+    * with a per-probe window rank; candidates come from an equi-join on
+    * the cell key (with the partitioned index, broadcast `probeCells`
+    * drives partition pruning to the union of probed cells). */
+  def ivfBatchTopKOver(probes: DataFrame, indexed: DataFrame, cent: DataFrame,
+                       k: Int, nprobe: Int): DataFrame = {
     val pcW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pid")).orderBy(col("pc").desc, col("cid"))
     val probeCells = cent.crossJoin(broadcast(probes))
       .select(col("pid"), col("cid"), cosine(col("cemb"), col("pemb")).as("pc"))
       .withColumn("prn", row_number().over(pcW)).filter(col("prn") <= nprobe)
       .select(col("pid"), col("cid").as("cell"))
-    val cand = assign.join(probeCells, "cell")
-      .filter(col("vec_id") =!= col("pid"))
-      .select(col("pid"), col("vec_id"))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("cosine_sim").desc, col("vec_id"))
-    e.join(cand, "vec_id").join(broadcast(probes), "pid")
+    indexed.join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= col("pid"))
+      .join(broadcast(probes), "pid")
       .select(col("pid").as("probe_id"), col("vec_id"), col("label"),
         round(cosine(col("embedding"), col("pemb")), 4).as("cosine_sim"))
       .withColumn("rank", row_number().over(rankW).cast("long"))

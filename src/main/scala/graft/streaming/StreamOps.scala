@@ -121,6 +121,29 @@ object StreamOps {
       }
       .start()
 
+  // ---------------------------------------------- streaming ANN search
+
+  /** Streaming face of batch IVF ANN: a STREAM of probe vectors (`pid`,
+    * `pemb`) served against the STATIC materialized cell-partitioned IVF
+    * index + constant-C codebook. Each micro-batch runs the exact
+    * `Similarity.ivfBatchTopKOver` plan — probe cells from probes ×
+    * broadcast codebook, candidates by equi-join on the cell key (the
+    * partitioned index read prunes to the union of the batch's probed
+    * cells), per-probe exact re-rank. A probe's top-k depends only on its
+    * own row, so per-micro-batch evaluation is exact under any request
+    * chunking (StreamingSpec pins stream-total == `ann_ivf_batch` on the
+    * same probe set, split across batches). An index APPEND
+    * (`Similarity.appendToIvfIndex`) is visible on the next micro-batch. */
+  def annStream(probes: DataFrame, indexed: DataFrame, cent: DataFrame,
+                k: Int, nprobe: Int)
+               (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    probes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Similarity.ivfBatchTopKOver(
+          batch, indexed, cent, k, nprobe), batchId)
+      }
+      .start()
+
   // ------------------------------------------------- streaming CDC apply
 
   case class Change(key: Long, version: Long, price: Double, op: String)

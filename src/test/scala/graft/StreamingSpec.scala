@@ -333,4 +333,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buf.nonEmpty && buf.sortBy(_.mkString("|")).toList ==
       want.sortBy(_.mkString("|")).toList)
   }
+
+  test("streaming ANN over the materialized IVF index matches the batch core") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val (k, nprobe, mod) = (10, 2, 25L)
+    val e = Tables.embeddings(spark, dir)
+    val cent = Similarity.centroids(e, mod, Similarity.IvfNumCentroids)
+    val indexed = spark.read.parquet(Similarity.ensureIvfIndex(
+      spark, dir, e, cent, mod, Similarity.IvfNumCentroids))
+    // denser stride than the gate's probe table so the split is non-trivial
+    val probes = e.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(probes.length >= 2, "probe table too small to split across batches")
+    val stream = MemoryStream[(Long, Array[Float])]
+    val sdf = stream.toDF().toDF("pid", "pemb")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = StreamOps.annStream(sdf, indexed, cent, k, nprobe) { (out, _) =>
+      buf ++= out.collect().map(_.toSeq)
+    }
+    try {
+      val (a, b) = probes.splitAt(probes.length / 2)
+      stream.addData(a.toSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the batch core with INLINE assignment — also pins index == inline
+    val want = Similarity.ivfBatchTopKOver(
+      probes.toSeq.toDF("pid", "pemb"),
+      e.join(Similarity.cellAssignment(e, cent).select(col("vec_id"), col("cell")), "vec_id"),
+      cent, k, nprobe)
+      .collect().map(_.toSeq)
+    assert(buf.nonEmpty && buf.sortBy(_.mkString("|")).toList ==
+      want.sortBy(_.mkString("|")).toList)
+  }
 }
