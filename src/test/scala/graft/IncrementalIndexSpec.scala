@@ -156,4 +156,17 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       FuzzySearch.compactPostingsIndex(spark, dir, version = 999)
     }
   }
+
+  test("regenerating a data dir in place keys a FRESH artifact (mtime fingerprint)") {
+    import spark.implicits._
+    val data = Files.createTempDirectory("graft-fp-data").toString
+    Seq((1L, "one"), (2L, "two")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$data/t.parquet")
+    val p1 = Materialize.artifactPath(spark, "graft_fp_test", data, version = 1)
+    Thread.sleep(1100) // mtime granularity is a second on some filesystems
+    Seq((1L, "uno"), (2L, "dos")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$data/t.parquet")
+    val p2 = Materialize.artifactPath(spark, "graft_fp_test", data, version = 1)
+    assert(p1 != p2, "in-place regeneration must not reuse the stale artifact key")
+  }
 }

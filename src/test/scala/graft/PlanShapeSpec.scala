@@ -94,6 +94,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bloom probe not below the exchange:\n$p")
   }
 
+  test("stop-gram df table joins broadcast (gram-space-bounded stat, no shuffle side)") {
+    val p = finalPlan("fuzzy_batch_stopgram")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the df aggregate must feed a broadcast exchange, not a shuffled join
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("stratified sample's only shuffle is the output ordering") {
     val p = finalPlan("sample_stratified")
     val shuffles = "Exchange (hash|range|Single)partitioning".r.findAllIn(p).size
