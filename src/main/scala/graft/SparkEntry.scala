@@ -88,6 +88,9 @@ object SparkEntry {
     // BATCH radius search: a probe TABLE in one plan via banded spatial
     // equi-join (the reference answers one request at a time)
     "geo_radius_batch" -> ((s, d) => RadiusSearch.radiusSearchBatch(s, d, P.RadiusMiles)),
+    // COMPLETE batch radius: both reference branches (point ellipse +
+    // aggregate bbox) as banded equi-joins — no per-probe carve-out
+    "geo_radius_batch_all" -> ((s, d) => RadiusSearch.radiusSearchBatchAll(s, d, P.RadiusMiles)),
     // BATCH fuzzy search: the flagship pipeline over a query TABLE in one
     // plan (per-qid window caps/top-k instead of per-request limits)
     "fuzzy_batch" -> ((s, d) => FuzzySearch.batchFuzzySearch(s, d, P.FuzzyK)),
@@ -308,6 +311,7 @@ object SparkEntry {
     "corpus_shuffle_read" -> Pipeline.corpusShuffleReadOracle,
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = true),
     "geo_radius_batch" -> RadiusSearch.radiusSearchBatchOracle(P.RadiusMiles),
+    "geo_radius_batch_all" -> RadiusSearch.radiusSearchBatchAllOracle(P.RadiusMiles),
     "fuzzy_batch" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK),
     "fuzzy_batch_indexed" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK),
     "fuzzy_batch_stopgram" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK,

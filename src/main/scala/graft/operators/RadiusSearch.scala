@@ -392,6 +392,106 @@ object RadiusSearch {
       .orderBy(col("probe_id"), col("id"))
   }
 
+  /** COMPLETE batch radius search — BOTH reference branches over a probe
+    * TABLE (geo_manager.py:286-299: aggregate shape → probe point inside
+    * the shape's bbox; point shape → inside the probe's ellipse), closing
+    * the "aggregates stay on the per-probe path" carve-out of
+    * [[radiusSearchBatch]]. The aggregate branch bands each shape on its
+    * BBOX LATITUDE SPAN (an ingest-side explode, bounded by bbox height /
+    * band width) and joins the probe's single band — a probe inside the
+    * bbox necessarily lies in one of the shape's exploded bands — so both
+    * branches are hash equi-joins on (band, country). The branches
+    * partition the corpus (`is_aggregate`), so plain UNION ALL, no dedup.
+    * OperatorParitySpec pins probe-by-probe equality with the per-probe
+    * path over the FULL shape domain. */
+  def radiusSearchBatchAll(spark: SparkSession, dir: String,
+                           radiusMiles: Double): DataFrame = {
+    val all = GeoShapes.shapes(spark, dir)
+    val probes = all.filter(!col("is_aggregate"))
+      .filter(pmod(col("id"), lit(BatchProbeMod)) === 0)
+      .select(col("id").as("probe_id"), col("latitude").as("p_lat"),
+        col("longitude").as("p_lng"), col("country").as("p_country"))
+    radiusSearchBatchAllOver(probes, all, radiusMiles)
+  }
+
+  /** Core of [[radiusSearchBatchAll]] over arbitrary probe + shape
+    * relations. NOTE the driver corpus never places a point inside an
+    * aggregate's bbox (deterministic coordinate grids do not intersect),
+    * so the gate exercises the aggregate branch as agreed-empty on both
+    * engines; OperatorParitySpec pins the branch's MATCHING logic on
+    * crafted shapes where it bites. */
+  def radiusSearchBatchAllOver(probes: DataFrame, all: DataFrame,
+                               radiusMiles: Double): DataFrame = {
+    val latDv = radiusMiles / EarthRadiusMiles * (180.0 / math.Pi)
+    val pts = all.filter(!col("is_aggregate"))
+    val pointM = {
+      val probeBands = probes.withColumn("band", explode(sequence(
+        floor((col("p_lat") - latDv) / BatchBandDeg),
+        floor((col("p_lat") + latDv) / BatchBandDeg))))
+      val banded = pts.withColumn("band", floor(col("latitude") / BatchBandDeg))
+      val lngD = longitudeDeltaFromMiles(col("p_lat"), lit(radiusMiles))
+      banded.join(probeBands,
+          banded("band") === probeBands("band") &&
+            col("country") === col("p_country"))
+        .filter(ellipseContains(col("p_lat"), col("p_lng"),
+          col("latitude"), col("longitude"), lit(latDv), lngD))
+    }
+    val aggM = {
+      val aggBanded = all.filter(col("is_aggregate"))
+        .withColumn("band", explode(sequence(
+          floor(col("ll_latitude") / BatchBandDeg),
+          floor(col("ur_latitude") / BatchBandDeg))))
+      val probeB = probes.withColumn("band", floor(col("p_lat") / BatchBandDeg))
+      aggBanded.join(probeB,
+          aggBanded("band") === probeB("band") &&
+            col("country") === col("p_country"))
+        .filter(bboxContains(col("ll_latitude"), col("ur_latitude"),
+          col("ll_longitude"), col("ur_longitude"), col("p_lat"), col("p_lng")))
+    }
+    def proj(m: DataFrame): DataFrame =
+      m.select(col("probe_id"), col("id"), col("geo_type"),
+        col("is_aggregate"), col("country"),
+        round(haversineMiles(col("p_lat"), col("p_lng"),
+          col("latitude"), col("longitude")), 4).as("distance_miles"))
+    proj(pointM).unionAll(proj(aggM))
+      .orderBy(col("probe_id"), col("id"))
+  }
+
+  def radiusSearchBatchAllOracle(radiusMiles: Double): String = {
+    val latD = s"(${radiusMiles / EarthRadiusMiles * (180.0 / math.Pi)})"
+    val lngD = OracleSql.lngDelta("p.p_lat", radiusMiles)
+    val ellipse = OracleSql.ellipseContains("p.p_lat", "p.p_lng",
+      "s.latitude", "s.longitude", latD, lngD)
+    val hav = OracleSql.haversineMiles("p.p_lat", "p.p_lng", "s.latitude", "s.longitude")
+    s"""WITH shapes AS (${GeoShapes.oracleCte}),
+       |pts AS (SELECT * FROM shapes WHERE NOT is_aggregate),
+       |pr AS (SELECT id AS probe_id, latitude AS p_lat, longitude AS p_lng,
+       |              country AS p_country
+       |       FROM pts WHERE id % $BatchProbeMod = 0),
+       |pb AS (SELECT *, unnest(generate_series(
+       |                floor((p_lat - $latD) / $BatchBandDeg)::BIGINT,
+       |                floor((p_lat + $latD) / $BatchBandDeg)::BIGINT)) AS band
+       |       FROM pr),
+       |sb AS (SELECT *, floor(latitude / $BatchBandDeg)::BIGINT AS band FROM pts),
+       |ab AS (SELECT *, unnest(generate_series(
+       |                floor(ll_latitude / $BatchBandDeg)::BIGINT,
+       |                floor(ur_latitude / $BatchBandDeg)::BIGINT)) AS band
+       |       FROM shapes WHERE is_aggregate),
+       |prb AS (SELECT *, floor(p_lat / $BatchBandDeg)::BIGINT AS band FROM pr)
+       |SELECT * FROM (
+       |  SELECT p.probe_id, s.id, s.geo_type, s.is_aggregate, s.country,
+       |         round($hav, 4) AS distance_miles
+       |  FROM sb s JOIN pb p ON s.band = p.band AND s.country = p.p_country
+       |  WHERE $ellipse
+       |  UNION ALL
+       |  SELECT p.probe_id, s.id, s.geo_type, s.is_aggregate, s.country,
+       |         round($hav, 4) AS distance_miles
+       |  FROM ab s JOIN prb p ON s.band = p.band AND s.country = p.p_country
+       |  WHERE p.p_lat BETWEEN s.ll_latitude AND s.ur_latitude
+       |    AND p.p_lng BETWEEN s.ll_longitude AND s.ur_longitude)
+       |ORDER BY probe_id, id""".stripMargin
+  }
+
   def radiusSearchBatchOracle(radiusMiles: Double): String = {
     val latD = s"(${radiusMiles / EarthRadiusMiles * (180.0 / math.Pi)})"
     val lngD = OracleSql.lngDelta("p.p_lat", radiusMiles)

@@ -143,4 +143,52 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(banded == single, s"probe $probeId: banded=$banded single=$single")
     }
   }
+
+  test("complete banded batch radius == per-probe path over the FULL domain") {
+    val R = graft.operators.RadiusSearch
+    val batch = R.radiusSearchBatchAll(spark, dir, radiusMiles = 25.0)
+      .collect().groupBy(_.getLong(0))
+    assert(batch.nonEmpty)
+    batch.keys.toSeq.sorted.foreach { probeId =>
+      val single = R.radiusSearch(spark, dir, probeId, 25.0, countryExact = true)
+        .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+      val banded = batch(probeId).map(r => (r.getLong(1), r.getBoolean(3))).toSet
+      assert(banded == single, s"probe $probeId: banded=$banded single=$single")
+    }
+  }
+
+  test("aggregate-bbox branch of the complete batch radius bites on crafted shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val R = graft.operators.RadiusSearch
+    // (id, lat, lng, country, is_aggregate, ll_lat, ur_lat, ll_lng, ur_lng, geo_type)
+    // agg 100's 2°-tall bbox CONTAINS probe 1; agg 200's does not; point 2
+    // is inside probe 1's 25mi ellipse; point 3 is far away. The tall bbox
+    // spans several 0.5° bands — the explode must still find the probe's.
+    val shapes = Seq(
+      (1L, 40.0, -75.0, "US", false, null.asInstanceOf[java.lang.Double],
+        null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Double],
+        null.asInstanceOf[java.lang.Double], "City"),
+      (2L, 40.1, -75.1, "US", false, null.asInstanceOf[java.lang.Double],
+        null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Double],
+        null.asInstanceOf[java.lang.Double], "City"),
+      (3L, 10.0, 10.0, "US", false, null.asInstanceOf[java.lang.Double],
+        null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Double],
+        null.asInstanceOf[java.lang.Double], "City"),
+      (100L, 40.5, -75.5, "US", true, java.lang.Double.valueOf(39.5),
+        java.lang.Double.valueOf(41.5), java.lang.Double.valueOf(-76.0),
+        java.lang.Double.valueOf(-74.0), "Metro"),
+      (200L, 50.0, -75.0, "US", true, java.lang.Double.valueOf(49.5),
+        java.lang.Double.valueOf(50.5), java.lang.Double.valueOf(-76.0),
+        java.lang.Double.valueOf(-74.0), "Metro")
+    ).toDF("id", "latitude", "longitude", "country", "is_aggregate",
+      "ll_latitude", "ur_latitude", "ll_longitude", "ur_longitude", "geo_type")
+    val probes = shapes.filter(col("id") === 1L)
+      .select(col("id").as("probe_id"), col("latitude").as("p_lat"),
+        col("longitude").as("p_lng"), col("country").as("p_country"))
+    val got = R.radiusSearchBatchAllOver(probes, shapes, radiusMiles = 25.0)
+      .collect().map(r => (r.getLong(1), r.getBoolean(3))).toSet
+    // point branch: self + point 2; aggregate branch: bbox 100 only
+    assert(got == Set((1L, false), (2L, false), (100L, true)), got.toString)
+  }
 }
