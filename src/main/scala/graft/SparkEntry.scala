@@ -179,6 +179,10 @@ object SparkEntry {
     // BATCH ANN: IVF top-k for a probe table in one plan (per-probe
     // window ranks; equi-joins on the cell key)
     "ann_ivf_batch" -> ((s, d) => Similarity.ivfBatchTopK(s, d, P.IvfK, nprobe = P.IvfNprobe)),
+    // product quantization: 8-byte codes + ADC lookup-table scoring (the
+    // compressed coarse pass at 100 TB); recall vs exact L2 kept visible
+    "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, P.IvfProbe, P.IvfK)),
+    "ann_pq_recall" -> ((s, d) => Similarity.pqRecallAtK(s, d, P.IvfProbe, P.IvfK)),
     // --- text analysis ---
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     // the end-to-end corpus-prep composition: language gate → quality
@@ -357,6 +361,8 @@ object SparkEntry {
     "ann_kmeans_train" -> KMeans.kmeansTrainOracle(),
     "ann_ivf_trained" -> KMeans.ivfTrainedTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf_batch" -> Similarity.ivfBatchTopKOracle(P.IvfK, nprobe = P.IvfNprobe),
+    "ann_pq_topk" -> Similarity.pqTopKOracle(P.IvfProbe, P.IvfK),
+    "ann_pq_recall" -> Similarity.pqRecallAtKOracle(P.IvfProbe, P.IvfK),
     "text_langid" -> TextAnalysis.languageIdOracle,
     "corpus_prep" -> CorpusPrep.corpusPrepOracle(),
     "corpus_quality_cut" -> CorpusPrep.qualityCutOracle,

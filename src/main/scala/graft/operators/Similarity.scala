@@ -392,4 +392,167 @@ object Similarity {
        |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN probe p
        |ORDER BY cosine_sim DESC, e.vec_id
        |LIMIT $k""".stripMargin
+
+  // -------------------------------------------------------------------- PQ
+
+  /** Product-quantization parameters: 64-dim embeddings split into `PqM`
+    * subspaces of `PqDim` dims, each quantized against a `PqK`-codeword
+    * subspace codebook → an 8-byte code per vector. */
+  val PqM = 8
+  val PqDim = 8
+  val PqK = 16
+
+  /** Left-to-right squared-L2 fold — same operation order as the oracle's
+    * `list_reduce` fold, so results are bit-identical cross-engine. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-subspace PQ codebooks from the same deterministic constant-size
+    * sample the IVF codebook uses: codeword (m, cid) = dims [m·PqDim,
+    * (m+1)·PqDim) of sample vector cid. Output: (m, cid, cemb). At 100 TB
+    * these are k-means-trained per subspace (KMeans.scala has the
+    * trainer); the deterministic sample keeps the gate oracle-able and
+    * the plan shape identical. */
+  private[graft] def pqCodebooks(e: DataFrame, mod: Long): DataFrame =
+    e.filter(col("vec_id") % mod === 0 && col("vec_id") < mod * PqK)
+      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(col("m"), col("vec_id").as("cid"),
+        slice(col("embedding"), col("m") * PqDim + 1, lit(PqDim))
+          .cast("array<double>").as("cemb"))
+
+  /** PQ encoding — the ingest-time product (like the IVF cell
+    * assignment): per (vector, subspace), the nearest codeword by squared
+    * L2, computed map-only against the M-row broadcast codebook (argmin =
+    * max of (-dist, -cid) structs, tie → smallest cid). Output:
+    * (vec_id, m, code) — at scale stored as an M-byte column beside the
+    * doc, 32× smaller than the raw floats, which is what makes the coarse
+    * scoring pass I/O-cheap at 100 TB. */
+  private[graft] def pqEncode(e: DataFrame, books: DataFrame): DataFrame = {
+    val byM = books.groupBy(col("m"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cemb")))).as("bs"))
+    e.withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .join(broadcast(byM), "m")
+      .withColumn("sub", slice(col("embedding"), col("m") * PqDim + 1, lit(PqDim))
+        .cast("array<double>"))
+      .withColumn("best", array_max(transform(col("bs"), b =>
+        struct((-l2sq(col("sub"), b("cemb"))).as("nd"), (-b("cid")).as("nc")))))
+      .select(col("vec_id"), col("m"), (-col("best.nc")).as("code"))
+  }
+
+  /** PQ-ADC approximate top-k — asymmetric distance computation, THE
+    * standard compressed ANN scoring pass at 100 TB scale (IVF prunes
+    * which cells are read, PQ shrinks what is read 32×): the probe builds
+    * a (M × K)-entry lookup table of exact subspace distances to every
+    * codeword (constant-size broadcast), and each encoded vector's
+    * approximate distance is the sum of its M code lookups — no float
+    * vector is touched after ingest. The per-vector sum folds an
+    * m-sorted collected list (NOT a plain float sum aggregate), so the
+    * result is bit-identical across engines and shippable unrounded.
+    * Smallest approximate distance wins; ties break on vec_id. */
+  def pqTopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
+             mod: Long = 25L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val books = pqCodebooks(e, mod)
+    val codes = pqEncode(e, books)
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("pemb"))
+    val lut = books.crossJoin(broadcast(probe))
+      .select(col("m"), col("cid").as("code"),
+        l2sq(slice(col("pemb"), col("m") * PqDim + 1, lit(PqDim))
+          .cast("array<double>"), col("cemb")).as("d"))
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("d")))).as("ds"))
+      .select(col("vec_id"),
+        aggregate(col("ds"), lit(0.0), (acc, x) => acc + x("d")).as("pq_dist"))
+      .filter(col("vec_id") =!= probeId)
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"), col("pq_dist"))
+      .orderBy(col("pq_dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Measured recall@k of PQ-ADC against the exact squared-L2 top-k (the
+    * metric PQ approximates) — kept visible in a gate row like
+    * `ann_ivf_recall`, so quantization quality is a number, not a hope. */
+  def pqRecallAtK(spark: SparkSession, dir: String, probeId: Long, k: Int,
+                  mod: Long = 25L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>").as("pemb"))
+    val exact = e.filter(col("vec_id") =!= probeId).crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        l2sq(col("embedding").cast("array<double>"), col("pemb")).as("l2"))
+      .orderBy(col("l2"), col("vec_id")).limit(k)
+      .select(col("vec_id"))
+    val approx = pqTopK(spark, dir, probeId, k, mod).select(col("vec_id"))
+    exact.agg(count(lit(1)).as("k_exact"))
+      .crossJoin(exact.join(approx, "vec_id").agg(count(lit(1)).as("hits")))
+      .select(col("k_exact"), col("hits"),
+        (col("hits").cast("double") / col("k_exact").cast("double")).as("recall"))
+  }
+
+  // ---------------------------------------------------------- PQ oracles
+
+  /** Oracle fragment: squared L2 between `PqDim`-dim sublists, the same
+    * left-to-right fold as [[l2sq]]. `aSub(i)` must yield the i-th (1-based)
+    * element of the subvector. */
+  private def l2sqSql(aSub: Int => String, b: String): String = {
+    val terms = (1 to PqDim).map(i => s"(${aSub(i)} - $b[$i]) * (${aSub(i)} - $b[$i])")
+    s"list_reduce(list_prepend(0.0, [${terms.mkString(", ")}]), (acc, x) -> acc + x)"
+  }
+
+  private def pqCtes(probeId: Long, mod: Long): String = {
+    val encDist = l2sqSql(i => s"e.embedding[b.m * $PqDim + $i]::DOUBLE", "b.cemb")
+    val lutDist = l2sqSql(i => s"p.pemb[b.m * $PqDim + $i]::DOUBLE", "b.cemb")
+    s"""books AS (SELECT ms.m, e.vec_id AS cid,
+       |                 list_transform(range(1, ${PqDim + 1}),
+       |                   i -> e.embedding[ms.m * $PqDim + i]::DOUBLE) AS cemb
+       |          FROM embeddings e
+       |          CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms
+       |          WHERE e.vec_id % $mod = 0 AND e.vec_id < ${mod * PqK}),
+       |codes AS (SELECT e.vec_id, b.m, b.cid AS code
+       |          FROM embeddings e CROSS JOIN books b
+       |          QUALIFY row_number() OVER (PARTITION BY e.vec_id, b.m
+       |                                     ORDER BY $encDist, b.cid) = 1),
+       |probe AS (SELECT embedding AS pemb FROM embeddings WHERE vec_id = $probeId),
+       |lut AS (SELECT b.m, b.cid AS code, $lutDist AS d
+       |        FROM books b CROSS JOIN probe p),
+       |adc AS (SELECT c.vec_id,
+       |               list_reduce(list_prepend(0.0, list(l.d ORDER BY c.m)),
+       |                           (acc, x) -> acc + x) AS pq_dist
+       |        FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+       |        GROUP BY c.vec_id)""".stripMargin
+  }
+
+  def pqTopKOracle(probeId: Long, k: Int, mod: Long = 25L): String =
+    s"""WITH ${pqCtes(probeId, mod)}
+       |SELECT a.vec_id, e.label, a.pq_dist
+       |FROM adc a JOIN embeddings e USING (vec_id)
+       |WHERE a.vec_id <> $probeId
+       |ORDER BY a.pq_dist, a.vec_id
+       |LIMIT $k""".stripMargin
+
+  def pqRecallAtKOracle(probeId: Long, k: Int, mod: Long = 25L): String = {
+    val full = l2sqFullSql("e.embedding", "p.pemb")
+    s"""WITH ${pqCtes(probeId, mod)},
+       |exact AS (SELECT e.vec_id
+       |          FROM embeddings e CROSS JOIN probe p
+       |          WHERE e.vec_id <> $probeId
+       |          ORDER BY $full, e.vec_id LIMIT $k),
+       |approx AS (SELECT a.vec_id FROM adc a JOIN embeddings e USING (vec_id)
+       |           WHERE a.vec_id <> $probeId
+       |           ORDER BY a.pq_dist, a.vec_id LIMIT $k)
+       |SELECT (SELECT count(*) FROM exact) AS k_exact,
+       |       (SELECT count(*) FROM exact JOIN approx USING (vec_id)) AS hits,
+       |       (SELECT count(*) FROM exact JOIN approx USING (vec_id))::DOUBLE /
+       |         (SELECT count(*) FROM exact)::DOUBLE AS recall""".stripMargin
+  }
+
+  /** Full-width squared L2 (64 dims), same left-to-right fold. */
+  private def l2sqFullSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${PqM * PqDim + 1}),
+       | i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))),
+       | (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", " ")
 }

@@ -157,6 +157,20 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PQ codes: every vector gets one code per subspace, codes come from the sample") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, dir)
+    val books = Similarity.pqCodebooks(e, 25L)
+    val codes = Similarity.pqEncode(e, books).collect()
+    val n = e.count()
+    assert(codes.length == n * Similarity.PqM)
+    val sampleIds = books.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(codes.map(_.getLong(2)).toSet.subsetOf(sampleIds))
+    // codebook is full-rank on this corpus: M subspaces x sample codewords
+    assert(books.count() == sampleIds.size * Similarity.PqM)
+  }
+
   test("aggregate-bbox branch of the complete batch radius bites on crafted shapes") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
