@@ -183,6 +183,8 @@ object SparkEntry {
     // compressed coarse pass at 100 TB); recall vs exact L2 kept visible
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, P.IvfProbe, P.IvfK)),
     "ann_pq_recall" -> ((s, d) => Similarity.pqRecallAtK(s, d, P.IvfProbe, P.IvfK)),
+    // the composed stack: IVF prunes which cells are read, PQ codes score
+    "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     // --- text analysis ---
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     // the end-to-end corpus-prep composition: language gate → quality
@@ -363,6 +365,7 @@ object SparkEntry {
     "ann_ivf_batch" -> Similarity.ivfBatchTopKOracle(P.IvfK, nprobe = P.IvfNprobe),
     "ann_pq_topk" -> Similarity.pqTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_recall" -> Similarity.pqRecallAtKOracle(P.IvfProbe, P.IvfK),
+    "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "text_langid" -> TextAnalysis.languageIdOracle,
     "corpus_prep" -> CorpusPrep.corpusPrepOracle(),
     "corpus_quality_cut" -> CorpusPrep.qualityCutOracle,

@@ -473,6 +473,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ — the composed stack SCALE.md describes: IVF prunes WHICH
+    * cells are read (nprobe/C of the corpus), PQ shrinks WHAT is read
+    * (8-byte codes instead of 256-byte vectors). Candidates = the probed
+    * cells' members (the same coarse assignment as `ivfTopK`); scoring =
+    * the same ADC lookup-table sum as `pqTopK`, restricted to candidates.
+    * At 100 TB the codes live beside the cell-partitioned index files, so
+    * a query reads nprobe/C of an already-32×-smaller column. */
+  def ivfPqTopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
+                centroidMod: Long = 25L, nprobe: Int = 2,
+                numCentroids: Int = IvfNumCentroids, mod: Long = 25L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cent = centroids(e, centroidMod, numCentroids)
+    val books = pqCodebooks(e, mod)
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("pemb"))
+    val probeCells = cent.crossJoin(broadcast(probe))
+      .select(col("cid"), cosine(col("cemb"), col("pemb")).as("pc"))
+      .orderBy(col("pc").desc, col("cid")).limit(nprobe)
+      .select(col("cid").as("cell"))
+    val cand = cellAssignment(e, cent).join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= probeId).select("vec_id")
+    val lut = books.crossJoin(broadcast(probe))
+      .select(col("m"), col("cid").as("code"),
+        l2sq(slice(col("pemb"), col("m") * PqDim + 1, lit(PqDim))
+          .cast("array<double>"), col("cemb")).as("d"))
+    pqEncode(e, books).join(cand, "vec_id")
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("d")))).as("ds"))
+      .select(col("vec_id"),
+        aggregate(col("ds"), lit(0.0), (acc, x) => acc + x("d")).as("pq_dist"))
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"), col("pq_dist"))
+      .orderBy(col("pq_dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  def ivfPqTopKOracle(probeId: Long, k: Int, centroidMod: Long = 25L,
+                      nprobe: Int = 2, numCentroids: Int = IvfNumCentroids,
+                      mod: Long = 25L): String =
+    s"""WITH ${pqCtes(probeId, mod)},
+       |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |         WHERE vec_id % $centroidMod = 0
+       |           AND vec_id < ${centroidMod * numCentroids}),
+       |ac AS (SELECT e.vec_id, c.cid,
+       |              ${cosineSql("e.embedding", "c.cemb")} AS ccos
+       |       FROM embeddings e CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, cid AS cell FROM ac
+       |           QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                                      ORDER BY ccos DESC, cid) = 1),
+       |pc AS (SELECT c.cid, ${cosineSql("c.cemb", "p.pemb")} AS pcos
+       |       FROM cent c CROSS JOIN probe p),
+       |cells AS (SELECT cid AS cell FROM pc ORDER BY pcos DESC, cid LIMIT $nprobe),
+       |cand AS (SELECT a.vec_id FROM assign a JOIN cells USING (cell)
+       |         WHERE a.vec_id <> $probeId)
+       |SELECT a.vec_id, e.label, a.pq_dist
+       |FROM adc a JOIN cand USING (vec_id) JOIN embeddings e USING (vec_id)
+       |ORDER BY a.pq_dist, a.vec_id
+       |LIMIT $k""".stripMargin
+
   /** Measured recall@k of PQ-ADC against the exact squared-L2 top-k (the
     * metric PQ approximates) — kept visible in a gate row like
     * `ann_ivf_recall`, so quantization quality is a number, not a hope. */
