@@ -185,6 +185,8 @@ object SparkEntry {
     "ann_pq_recall" -> ((s, d) => Similarity.pqRecallAtK(s, d, P.IvfProbe, P.IvfK)),
     // the composed stack: IVF prunes which cells are read, PQ codes score
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
+    // same semantics over the MATERIALIZED code artifact (shared oracle)
+    "ann_pq_indexed" -> ((s, d) => Similarity.pqTopKIndexed(s, d, P.IvfProbe, P.IvfK)),
     // --- text analysis ---
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     // the end-to-end corpus-prep composition: language gate → quality
@@ -366,6 +368,7 @@ object SparkEntry {
     "ann_pq_topk" -> Similarity.pqTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_recall" -> Similarity.pqRecallAtKOracle(P.IvfProbe, P.IvfK),
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
+    "ann_pq_indexed" -> Similarity.pqTopKOracle(P.IvfProbe, P.IvfK),
     "text_langid" -> TextAnalysis.languageIdOracle,
     "corpus_prep" -> CorpusPrep.corpusPrepOracle(),
     "corpus_quality_cut" -> CorpusPrep.qualityCutOracle,

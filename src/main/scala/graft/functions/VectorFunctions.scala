@@ -80,6 +80,38 @@ object VectorFunctions {
   def cosineKernelD(a: ArrayData, b: ArrayData): Double =
     dotKernelD(a, b) / (math.sqrt(dotKernelD(a, a)) * math.sqrt(dotKernelD(b, b)))
 
+  /** All M PQ codes in ONE eval: per subspace `sub`, the argmin-squared-L2
+    * codeword over the flattened (m, cid, cemb) codebook array. Arithmetic
+    * is the same left-to-right widened-float fold as the composed
+    * `aggregate(zip_with(...))` spelling (PqKernelSpec pins bit-parity);
+    * ties break to the smallest cid independent of codebook array order. */
+  def pqEncodeKernel(emb: ArrayData, books: ArrayData, m: Int, dim: Int): ArrayData = {
+    val best = new Array[Long](m)
+    val bestD = new Array[Double](m)
+    java.util.Arrays.fill(bestD, Double.PositiveInfinity)
+    var i = 0
+    val n = books.numElements()
+    while (i < n) {
+      val row = books.getStruct(i, 3)
+      val sub = row.getInt(0)
+      val cid = row.getLong(1)
+      val cemb = row.getArray(2)
+      var d = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = emb.getFloat(sub * dim + j).toDouble - cemb.getDouble(j)
+        d += x * x
+        j += 1
+      }
+      if (d < bestD(sub) || (d == bestD(sub) && cid < best(sub))) {
+        bestD(sub) = d
+        best(sub) = cid
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(best)
+  }
+
   def dotF(a: Column, b: Column): Column =
     GraftShim.column(DotProductExpr(GraftShim.expression(a), GraftShim.expression(b)))
 
@@ -91,6 +123,10 @@ object VectorFunctions {
 
   def cosineDF(a: Column, b: Column): Column =
     GraftShim.column(CosineSimDExpr(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def pqEncodeF(emb: Column, books: Column, m: Int, dim: Int): Column =
+    GraftShim.column(PqEncodeExpr(
+      GraftShim.expression(emb), GraftShim.expression(books), m, dim))
 }
 
 /** Ragged inputs (len(a) != len(b)) evaluate to NULL — matching the
@@ -179,4 +215,27 @@ case class LshSignatureExpr(child: Expression, planes: Int)
       s"graft.functions.VectorFunctions.lshKernel($e, $planes)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** All M PQ codes for one embedding against the flattened codebook array
+  * (left: array<float> embedding; right: array<struct<m,cid,cemb>>).
+  * NULL input → NULL; `m`/`dim` are plan-time constants. */
+case class PqEncodeExpr(left: Expression, right: Expression, m: Int, dim: Int)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else VectorFunctions.pqEncodeKernel(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], m, dim)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorFunctions.pqEncodeKernel($a, $b, $m, $dim);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

@@ -423,12 +423,28 @@ object Similarity {
 
   /** PQ encoding — the ingest-time product (like the IVF cell
     * assignment): per (vector, subspace), the nearest codeword by squared
-    * L2, computed map-only against the M-row broadcast codebook (argmin =
-    * max of (-dist, -cid) structs, tie → smallest cid). Output:
-    * (vec_id, m, code) — at scale stored as an M-byte column beside the
-    * doc, 32× smaller than the raw floats, which is what makes the coarse
-    * scoring pass I/O-cheap at 100 TB. */
-  private[graft] def pqEncode(e: DataFrame, books: DataFrame): DataFrame = {
+    * L2, computed map-only against the ONE-ROW broadcast codebook array by
+    * the native codegen kernel (all M codes in one eval — the interpreted
+    * composed spelling below is the bit-parity twin, PqKernelSpec). Ties →
+    * smallest cid. Output: (vec_id, m, code) — at scale stored as an
+    * M-byte column beside the doc, 32× smaller than the raw floats, which
+    * is what makes the coarse scoring pass I/O-cheap at 100 TB. */
+  private[graft] def pqEncode(e: DataFrame, books: DataFrame): DataFrame =
+    pqCodesWide(e, books)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+
+  /** One row per vector with the whole code array — the artifact shape. */
+  private[graft] def pqCodesWide(e: DataFrame, books: DataFrame): DataFrame = {
+    val bArr = books.agg(array_sort(collect_list(
+      struct(col("m"), col("cid"), col("cemb")))).as("bk"))
+    e.crossJoin(broadcast(bArr))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.pqEncodeF(
+          col("embedding"), col("bk"), PqM, PqDim).as("codes"))
+  }
+
+  /** Interpreted composed-HOF twin of the kernel encode (spec-only). */
+  private[graft] def pqEncodeComposed(e: DataFrame, books: DataFrame): DataFrame = {
     val byM = books.groupBy(col("m"))
       .agg(array_sort(collect_list(struct(col("cid"), col("cemb")))).as("bs"))
     e.withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
@@ -454,7 +470,12 @@ object Similarity {
              mod: Long = 25L): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val books = pqCodebooks(e, mod)
-    val codes = pqEncode(e, books)
+    pqAdcTopK(pqEncode(e, books), books, e, probeId, k)
+  }
+
+  /** Shared ADC scoring tail of the inline and indexed PQ spellings. */
+  private def pqAdcTopK(codes: DataFrame, books: DataFrame, e: DataFrame,
+                        probeId: Long, k: Int): DataFrame = {
     val probe = e.filter(col("vec_id") === probeId)
       .select(col("embedding").as("pemb"))
     val lut = books.crossJoin(broadcast(probe))
@@ -471,6 +492,42 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("pq_dist"))
       .orderBy(col("pq_dist"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Write-once PQ codes artifact — the ingest product: one row per
+    * vector, the whole M-code array, vec_id-clustered. At 100 TB this is
+    * the 8-byte column the coarse pass scans INSTEAD of the vectors. */
+  def ensurePqCodes(spark: SparkSession, dir: String, e: DataFrame,
+                    books: DataFrame, version: Int = 1): String =
+    graft.Materialize.ensure(spark, s"graft_pqcodes_m${PqM}k$PqK", dir, version) { p =>
+      pqCodesWide(e, books)
+        .repartition(8, col("vec_id")).sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** Incremental codes maintenance: a new vector batch encodes against
+    * the SAME frozen subspace codebooks and appends as new files —
+    * encoding is row-local, so append-then-read == rebuild-then-read
+    * (IncrementalIndexSpec pins it, same as postings/IVF). */
+  def appendToPqCodes(spark: SparkSession, dir: String, batch: DataFrame,
+                      books: DataFrame, version: Int = 1): String =
+    graft.Materialize.append(spark, s"graft_pqcodes_m${PqM}k$PqK", dir, version) { p =>
+      pqCodesWide(batch, books)
+        .repartition(2, col("vec_id")).sortWithinPartitions(col("vec_id"))
+        .write.mode("append").parquet(p)
+    }
+
+  /** PQ-ADC top-k over the MATERIALIZED codes artifact — identical
+    * semantics to [[pqTopK]] (the shared oracle gates both); the query
+    * reads only the code column, never the float vectors (except the
+    * 1-row probe fetch and the final label fetch of k rows). */
+  def pqTopKIndexed(spark: SparkSession, dir: String, probeId: Long, k: Int,
+                    mod: Long = 25L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val books = pqCodebooks(e, mod)
+    val codes = spark.read.parquet(ensurePqCodes(spark, dir, e, books))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+    pqAdcTopK(codes, books, e, probeId, k)
   }
 
   /** IVF-PQ — the composed stack SCALE.md describes: IVF prunes WHICH

@@ -157,6 +157,31 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PQ codes: append-then-read == rebuild-then-read; indexed query == inline") {
+    val e = Tables.embeddings(spark, dir)
+    // frozen subspace codebooks from the FULL table (the id cap keeps them
+    // stable), passed explicitly to both paths — same rule as the IVF test
+    val books = Similarity.pqCodebooks(e, 25L)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val batch = e.filter(col("vec_id") % 3 === 0)
+    val appended = Similarity.ensurePqCodes(spark, dir, base, books, version = 901)
+    Similarity.appendToPqCodes(spark, dir, batch, books, version = 901)
+    val rebuilt = Similarity.ensurePqCodes(spark, dir, e, books, version = 902)
+    def rows(p: String): Seq[(Long, Seq[Long])] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    val a = rows(appended)
+    assert(a.nonEmpty && a == rows(rebuilt))
+    // operator-version artifact so pqTopKIndexed reads it
+    Similarity.ensurePqCodes(spark, dir, base, books, version = 1)
+    Similarity.appendToPqCodes(spark, dir, batch, books, version = 1)
+    val viaIndex = Similarity.pqTopKIndexed(spark, dir, probeId = 7L, k = 10)
+      .collect().toSeq
+    val inline = Similarity.pqTopK(spark, dir, probeId = 7L, k = 10)
+      .collect().toSeq
+    assert(viaIndex.nonEmpty && viaIndex == inline)
+  }
+
   test("regenerating a data dir in place keys a FRESH artifact (mtime fingerprint)") {
     import spark.implicits._
     val data = Files.createTempDirectory("graft-fp-data").toString

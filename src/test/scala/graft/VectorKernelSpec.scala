@@ -42,6 +42,15 @@ class VectorKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff == 0)
   }
 
+  test("PQ encode kernel is bit-identical to the composed argmin, every (vector, subspace)") {
+    val books = Similarity.pqCodebooks(emb, 25L)
+    val fast = Similarity.pqEncode(emb, books).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val slow = Similarity.pqEncodeComposed(emb, books).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fast.nonEmpty && fast == slow)
+  }
+
   test("LSH signature kernel matches the composed form") {
     val diff = emb
       .select(Similarity.lshSignature(col("embedding"), 8).as("fast"),
