@@ -194,6 +194,9 @@ object SparkEntry {
     "corpus_prep" -> ((s, d) => CorpusPrep.corpusPrep(s, d)),
     // percentile-anchored quality gate: median as a scalar subquery
     "corpus_quality_cut" -> ((s, d) => CorpusPrep.qualityCut(s, d)),
+    // eval-set decontamination: train docs sharing an 8-token window with
+    // the eval slice are flagged (n-gram overlap decontamination)
+    "corpus_decontaminate" -> ((s, d) => CorpusPrep.decontaminate(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -372,6 +375,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.languageIdOracle,
     "corpus_prep" -> CorpusPrep.corpusPrepOracle(),
     "corpus_quality_cut" -> CorpusPrep.qualityCutOracle,
+    "corpus_decontaminate" -> CorpusPrep.decontaminateOracle(),
     "text_quality" -> TextAnalysis.qualityScoreOracle,
     "text_tokens" -> TextAnalysis.tokenCountsOracle,
     "text_fingerprint" -> TextAnalysis.fingerprintOracle,

@@ -32,6 +32,66 @@ object CorpusPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** Eval-doc stride and window width for [[decontaminate]]. Mod 7 keeps
+    * the flag NON-VACUOUS on the synthetic corpus (the near-dup families
+    * must straddle the eval slice for any contamination to exist: 9
+    * flagged docs at sf0.01, 7 at sf0.001 — a sparser eval slice like
+    * mod 41 flags zero and the gate would prove nothing). */
+  val EvalMod = 7L
+  val ContamWin = 8
+
+  /** Eval-set decontamination — the training-pipeline step the dedup
+    * family does NOT cover: mark every TRAIN document that shares any
+    * `win`-token window with any EVAL document (here the deterministic
+    * `doc_id % evalMod == 0` slice stands in for a benchmark suite). The
+    * standard n-gram-overlap decontamination of LLM training corpora:
+    * token windows explode on both sides and overlap is an equi-join on
+    * the window key — at 100 TB the eval side is a benchmark suite
+    * (thousands of docs, millions of windows), so its distinct windows
+    * BROADCAST and candidate marking is a map-side semi-join; no train-
+    * side self-join ever happens. Output keeps every train doc with its
+    * flag (the downstream cut is one `filter`), ordered for the gate. */
+  def decontaminate(spark: SparkSession, dir: String, evalMod: Long = EvalMod,
+                    win: Int = ContamWin): DataFrame = {
+    val d = graft.Tables.documents(spark, dir)
+    val tok = d.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(lower(col("text"))).as("tk"))
+    val wins = tok.select(col("doc_id"), explode(
+      when(size(col("tk")) >= win,
+        transform(sequence(lit(0), size(col("tk")) - win),
+          i => array_join(slice(col("tk"), i + lit(1), lit(win)), " ")))
+        .otherwise(array().cast("array<string>"))).as("w"))
+    val evalW = wins.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+      .select(col("w")).distinct()
+    val hits = wins.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .join(broadcast(evalW), "w")
+      .select(col("doc_id")).distinct()
+    d.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .join(hits.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lang"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminateOracle(evalMod: Long = EvalMod, win: Int = ContamWin): String = {
+    val toks = graft.oracle.OracleSql.tokens("lower(text)")
+    s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),
+       |w AS (SELECT doc_id,
+       |             unnest(CASE WHEN len(tk) >= $win
+       |               THEN list_transform(range(0, len(tk) - $win + 1),
+       |                      i -> array_to_string(tk[i + 1 : i + $win], ' '))
+       |               ELSE [] END) AS w
+       |      FROM tok),
+       |ew AS (SELECT DISTINCT w FROM w WHERE doc_id % $evalMod = 0),
+       |hits AS (SELECT DISTINCT w.doc_id
+       |         FROM w JOIN ew USING (w) WHERE w.doc_id % $evalMod <> 0)
+       |SELECT d.doc_id, d.source, d.lang,
+       |       (h.doc_id IS NOT NULL) AS contaminated
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |WHERE d.doc_id % $evalMod <> 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def corpusPrepOracle(minQuality: Double = MinQuality): String =
     s"""SELECT l.doc_id, l.lang_pred, q.quality_score
        |FROM (${TextAnalysis.languageIdOracle}) l

@@ -157,6 +157,15 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decontamination flags a non-empty train subset, never an eval doc") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.CorpusPrep.decontaminate(spark, dir).collect()
+    val flagged = rows.filter(_.getBoolean(3)).map(_.getLong(0))
+    assert(flagged.nonEmpty, "zero contaminated docs — the gate row proves nothing")
+    assert(flagged.length < rows.length)
+    assert(rows.forall(_.getLong(0) % graft.operators.CorpusPrep.EvalMod != 0))
+  }
+
   test("PQ codes: every vector gets one code per subspace, codes come from the sample") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, dir)
