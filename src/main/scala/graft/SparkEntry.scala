@@ -198,6 +198,8 @@ object SparkEntry {
     // the eval slice are flagged (n-gram overlap decontamination)
     "corpus_decontaminate" -> ((s, d) => CorpusPrep.decontaminate(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    // intra-doc repetition (Gopher-style dup/top n-gram fractions)
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_tf_topk" -> ((s, d) => TextAnalysis.termDfTopK(s, d, TextAnalysis.TermTopK)),
@@ -377,6 +379,7 @@ object SparkEntry {
     "corpus_quality_cut" -> CorpusPrep.qualityCutOracle,
     "corpus_decontaminate" -> CorpusPrep.decontaminateOracle(),
     "text_quality" -> TextAnalysis.qualityScoreOracle,
+    "text_repetition" -> TextAnalysis.repetitionOracle(),
     "text_tokens" -> TextAnalysis.tokenCountsOracle,
     "text_fingerprint" -> TextAnalysis.fingerprintOracle,
     "text_tf_topk" -> TextAnalysis.termDfTopKOracle(TextAnalysis.TermTopK),

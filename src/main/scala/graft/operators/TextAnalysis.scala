@@ -326,4 +326,65 @@ object TextAnalysis {
        |SELECT doc_id, n_bigrams, sum_freq,
        |       sum_freq::DOUBLE / n_bigrams::DOUBLE AS bigram_score
        |FROM j ORDER BY doc_id""".stripMargin
+
+  /** Intra-document repetition signals (the Gopher-style repetition
+    * rules): per doc, the fraction of duplicate token `win`-grams and the
+    * share of the single most frequent one — catches loop-generated /
+    * boilerplate-stuffed documents that per-corpus dedup never sees
+    * (the repetition is WITHIN one doc). Exploded gram counts group on
+    * the per-doc key (map-side-combinable, one shuffle keyed by doc —
+    * grows with the corpus); fractions are exact-integer divisions, so
+    * the row is bit-identical cross-engine. Docs too short for a single
+    * window report zeros, not nulls. */
+  def repetition(spark: SparkSession, dir: String, win: Int = 3): DataFrame = {
+    val d = graft.Tables.documents(spark, dir)
+    val tok = d.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(lower(col("text"))).as("tk"))
+    val grams = tok.select(col("doc_id"), explode(
+      when(size(col("tk")) >= win,
+        transform(sequence(lit(0), size(col("tk")) - win),
+          i => array_join(slice(col("tk"), i + lit(1), lit(win)), " ")))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val stats = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("distinct_grams"),
+        max(col("c")).as("top_c"))
+    d.select(col("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("distinct_grams"), lit(0L)).as("distinct_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise((col("n_grams") - col("distinct_grams")).cast("double") /
+            col("n_grams").cast("double")).as("dup_frac"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("top_c").cast("double") /
+            col("n_grams").cast("double")).as("top_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def repetitionOracle(win: Int = 3): String = {
+    val toks = graft.oracle.OracleSql.tokens("lower(text)")
+    s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),
+       |g AS (SELECT doc_id,
+       |             unnest(CASE WHEN len(tk) >= $win
+       |               THEN list_transform(range(0, len(tk) - $win + 1),
+       |                      i -> array_to_string(tk[i + 1 : i + $win], ' '))
+       |               ELSE [] END) AS g
+       |      FROM tok),
+       |pc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+       |st AS (SELECT doc_id, sum(c)::BIGINT AS n_grams,
+       |              count(*) AS distinct_grams, max(c) AS top_c
+       |       FROM pc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(st.n_grams, 0) AS n_grams,
+       |       coalesce(st.distinct_grams, 0) AS distinct_grams,
+       |       CASE WHEN coalesce(st.n_grams, 0) = 0 THEN 0.0
+       |            ELSE (st.n_grams - st.distinct_grams)::DOUBLE / st.n_grams::DOUBLE
+       |       END AS dup_frac,
+       |       CASE WHEN coalesce(st.n_grams, 0) = 0 THEN 0.0
+       |            ELSE st.top_c::DOUBLE / st.n_grams::DOUBLE
+       |       END AS top_frac
+       |FROM documents d LEFT JOIN st USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

@@ -107,17 +107,34 @@ object GeoIngest {
       .write.mode("overwrite")
       .parquet(outPath)
 
-  def materialize(df: DataFrame, outPath: String, latBands: Int = 32): Unit =
+  private def withLatBand(df: DataFrame, latBands: Int): DataFrame =
     df.withColumn("lat_band",
-        // NULL latitude → dedicated band -1 (NOT folded into the equator
-        // band, which would poison that band's min/max pruning stats);
-        // latitude 90.0 clamps into the top band instead of a 1-row
-        // out-of-range band latBands.
-        when(col("latitude").isNull, lit(-1L))
-          .otherwise(least(floor((col("latitude") + 90.0) / (180.0 / latBands)),
-            lit(latBands - 1L))))
+      // NULL latitude → dedicated band -1 (NOT folded into the equator
+      // band, which would poison that band's min/max pruning stats);
+      // latitude 90.0 clamps into the top band instead of a 1-row
+      // out-of-range band latBands.
+      when(col("latitude").isNull, lit(-1L))
+        .otherwise(least(floor((col("latitude") + 90.0) / (180.0 / latBands)),
+          lit(latBands - 1L))))
+
+  def materialize(df: DataFrame, outPath: String, latBands: Int = 32): Unit =
+    withLatBand(df, latBands)
       .repartition(col("lat_band"))
       .write.mode("overwrite")
+      .partitionBy("lat_band")
+      .parquet(outPath)
+
+  /** Incremental cache maintenance — the SOURCE-layout face of the
+    * reference's `add_entity` (geo_manager.py:451-476): a new shape batch
+    * lands as new files inside the existing lat-band directories (banding
+    * is row-local, so append-then-read == rebuild-then-read; IngestSpec
+    * pins it). Together with the posting/IVF/PQ-code appends this makes
+    * the whole ingest chain an incremental pipeline; `compact` restores
+    * per-band file counts after enough batches. */
+  def append(df: DataFrame, outPath: String, latBands: Int = 32): Unit =
+    withLatBand(df, latBands)
+      .repartition(col("lat_band"))
+      .write.mode("append")
       .partitionBy("lat_band")
       .parquet(outPath)
 }

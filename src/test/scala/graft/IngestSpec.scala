@@ -123,6 +123,27 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("lat-band cache append == rebuild; new batch lands inside existing band dirs") {
+    val base = Files.createTempDirectory("geo_append").toFile.getAbsolutePath
+    val all = graft.operators.GeoShapes.shapes(spark, "/root/testdata/sf0.001")
+      .select(col("id"), col("latitude"), col("longitude"), col("country"))
+    val first = all.filter(col("id") % 5 =!= 0)
+    val batch = all.filter(col("id") % 5 === 0)
+    GeoIngest.materialize(first, s"$base/appended")
+    GeoIngest.append(batch, s"$base/appended")
+    GeoIngest.materialize(all, s"$base/rebuilt")
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("id"), col("latitude"), col("lat_band").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq.sorted
+    val a = rows(s"$base/appended")
+    assert(a.nonEmpty && a == rows(s"$base/rebuilt"))
+    // band-pruned reads still work over the appended layout
+    val band = spark.read.parquet(s"$base/appended")
+      .filter(col("lat_band") === 22).count()
+    assert(band == spark.read.parquet(s"$base/rebuilt")
+      .filter(col("lat_band") === 22).count())
+  }
+
   test("incremental add_entity equals full rebuild (postings are a derivation)") {
     import spark.implicits._
     val base = Seq((1L, "nashville"), (2L, "nash county")).toDF("id", "clean_value")
