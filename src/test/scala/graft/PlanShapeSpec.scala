@@ -101,6 +101,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("decontamination joins the eval window set as a broadcast (benchmark-suite-sized)") {
+    val p = finalPlan("corpus_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("stratified sample's only shuffle is the output ordering") {
     val p = finalPlan("sample_stratified")
     val shuffles = "Exchange (hash|range|Single)partitioning".r.findAllIn(p).size
