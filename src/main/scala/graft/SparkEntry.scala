@@ -220,6 +220,8 @@ object SparkEntry {
     // weighted source interleave (mixture scheduling) via scaled-integer
     // positions — global stream head is distributed top-k
     "mix_interleave" -> ((s, d) => Pipeline.mixInterleave(s, d)),
+    // tau=0.5 temperature mix: emission rate ∝ sqrt(source size)
+    "mix_temperature" -> ((s, d) => Pipeline.mixTemperature(s, d)),
     // concat-then-chunk sequence packing: per-source prefix sums → exact
     // integer pack assignment
     "doc_pack" -> ((s, d) => Pipeline.docPack(s, d)),
@@ -318,6 +320,7 @@ object SparkEntry {
     "sample_stratified" -> Pipeline.sampleStratifiedOracle,
     "corpus_split" -> Pipeline.corpusSplitOracle,
     "mix_interleave" -> Pipeline.mixInterleaveOracle,
+    "mix_temperature" -> Pipeline.mixTemperatureOracle(),
     "doc_pack" -> Pipeline.docPackOracle,
     "doc_chunks" -> Pipeline.docChunksOracle,
     "corpus_shuffle" -> Pipeline.corpusShuffleOracle,

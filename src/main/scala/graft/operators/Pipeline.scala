@@ -121,6 +121,55 @@ object Pipeline {
        |FROM t ORDER BY seq""".stripMargin
   }
 
+  /** Pos-scale for temperature strides: floor(1e6 / √count). */
+  val MixTempScale = 1000000.0
+
+  /** Temperature-weighted source mixing (τ = 0.5) — the standard rare-
+    * source upsampling knob of multilingual/multi-source training mixes:
+    * emission rate ∝ count^τ instead of ∝ count, so a source 100× larger
+    * appears only 10× more often. Same deterministic stride-interleave
+    * plan as [[mixInterleave]], but the strides DERIVE from the corpus
+    * (floor(1e6/√count) — IEEE sqrt is correctly rounded, so the integer
+    * stride is bit-identical cross-engine) rather than from a hardcoded
+    * weight list; the per-source count table is tiny and broadcasts. */
+  def mixTemperature(spark: SparkSession, dir: String,
+                     limit: Int = MixLimit): DataFrame =
+    mixTemperatureOver(Tables.documents(spark, dir), limit)
+
+  /** Core over an arbitrary (doc_id, source, …) frame — PipelineSpec pins
+    * the upsampling semantics on a SKEWED crafted corpus (the driver's
+    * synthetic sources are uniform, where τ-sampling degenerates to
+    * proportional and the gate row alone would not prove the knob). */
+  private[graft] def mixTemperatureOver(d: DataFrame, limit: Int): DataFrame = {
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .withColumn("stride",
+        floor(lit(MixTempScale) / sqrt(col("c").cast("double"))).cast("long"))
+      .select(col("source"), col("stride"))
+    val perSource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val top = d.join(broadcast(counts), "source")
+      .withColumn("pos", row_number().over(perSource).cast("long") * col("stride"))
+      .orderBy(col("pos"), col("source"), col("doc_id"))
+      .limit(limit)
+    top.withColumn("seq", row_number()
+        .over(Window.orderBy(col("pos"), col("source"), col("doc_id"))).cast("long"))
+      .select(col("seq"), col("doc_id"), col("source"), col("pos"))
+      .orderBy(col("seq"))
+  }
+
+  def mixTemperatureOracle(limit: Int = MixLimit): String =
+    s"""WITH c AS (SELECT source,
+       |             floor($MixTempScale / sqrt(count(*)::DOUBLE))::BIGINT AS stride
+       |           FROM documents GROUP BY source),
+       |f AS (SELECT d.doc_id, d.source,
+       |             row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)::BIGINT
+       |               * c.stride AS pos
+       |      FROM documents d JOIN c USING (source)),
+       |t AS (SELECT doc_id, source, pos FROM f
+       |      ORDER BY pos, source, doc_id LIMIT $limit)
+       |SELECT row_number() OVER (ORDER BY pos, source, doc_id)::BIGINT AS seq,
+       |       doc_id, source, pos
+       |FROM t ORDER BY seq""".stripMargin
+
   // ----------------------------------------------------- train/val/test
 
   val SplitSalt = "split:"

@@ -72,6 +72,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.count() == 0)
   }
 
+  test("temperature mix upsamples the rare source to its sqrt share on skewed data") {
+    import spark.implicits._
+    // big: 100 docs, rare: 4. Strides: floor(1e6/10)=100000, floor(1e6/2)=500000.
+    // Merged ascending positions, top 30 = 26 big + ALL 4 rare — a sqrt-share
+    // ~1/6 emission vs the proportional ~1/26 a straight interleave gives.
+    val d = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 104).map(i => (i.toLong, "rare"))).toDF("doc_id", "source")
+    val out = Pipeline.mixTemperatureOver(d, limit = 30).collect()
+    assert(out.length == 30)
+    val bySrc = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySrc == Map("big" -> 26, "rare" -> 4), bySrc.toString)
+    // seq is a total order 1..30
+    assert(out.map(_.getLong(0)).toSeq == (1L to 30L))
+  }
+
   test("CDC merge applies updates and removes deletions") {
     val merged = Cdc.mergeUpsert(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(3))).toMap
