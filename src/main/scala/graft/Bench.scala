@@ -13,9 +13,12 @@ import org.apache.spark.sql.SparkSession
   * reps — the build is ingest-time work, the query pays the read.
   * Total = sum of per-query medians. */
 object Bench {
+  /** Lower-middle median: with an even count (a failed rep, REPS=2) this
+    * reports the BETTER surviving timing — the steady-state estimate —
+    * instead of letting a transient hiccup inflate the row. */
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
-    s(s.length / 2)
+    s((s.length - 1) / 2)
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,12 +56,15 @@ object Bench {
           None
         }
       }
-      name -> (if (times.isEmpty) 0.0 else median(times))
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // An all-reps-failed query must NOT appear as a 0.0s timing — diff
+    // tooling would read that as a huge speedup; it is only in `errors`.
+    val qs = results.collect { case (k, ts) if ts.nonEmpty =>
+      s"\"" + k + "\":" + median(ts)
+    }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }

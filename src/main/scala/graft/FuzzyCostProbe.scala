@@ -61,12 +61,10 @@ object FuzzyCostProbe {
       val candidates = postings.join(qGrams, "ngram").count()
       val pairs = postings.join(qGrams, "ngram")
         .select(col("qid"), col("id")).distinct().count()
-      // the opt-in stop-gram cut's effect (batchFuzzySearchStopGram):
-      // candidate rows with df > N/10 grams excluded from candidate gen
-      val allowed = postings.groupBy(col("ngram"))
-        .agg(count(lit(1)).as("df")).filter(col("df") * 10L <= n)
-        .select(col("ngram"))
-      val cutCandidates = postings.join(broadcast(allowed), "ngram")
+      // the opt-in stop-gram cut's effect — the OPERATOR's own allowed-set
+      // derivation, so the published numbers track the shipped semantics
+      val cutCandidates = postings
+        .join(broadcast(FuzzySearch.allowedGrams(postings, n, dfCapInverse = 10L)), "ngram")
         .join(qGrams, "ngram").count()
       val t0 = System.nanoTime()
       FuzzySearch.batchFuzzySearch(spark, dir, numResults = 20).count()

@@ -14,18 +14,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    checkout path: relocated repos and concurrent sessions with distinct
   *    warehouses cannot collide.
   *  - **Write-once, append-extend** — an artifact is keyed by (kind, input
-  *    dir fingerprint, version) and only built when its `_SUCCESS` marker
-  *    is absent, so repeat queries pay the pruned read, not the rebuild.
-  *    This mirrors the production split: index build at ingest, index scan
-  *    per query. New data batches extend an existing artifact via
-  *    [[append]] (new files in the same layout) — no wholesale rebuild per
-  *    ingest increment.
+  *    dir, version) and only built when its `_SUCCESS` marker is absent,
+  *    so repeat queries pay the pruned read, not the rebuild. This mirrors
+  *    the production split: index build at ingest, index scan per query.
+  *    New data batches extend an existing artifact via [[append]] (new
+  *    files in the same layout) — no wholesale rebuild per ingest
+  *    increment.
+  *  - **Staleness-guarded** — each artifact records a manifest of the
+  *    input dir's direct children (name → mtime) at build/append time. A
+  *    recorded child later MODIFIED or REMOVED marks the artifact stale:
+  *    `ensure` rebuilds it, `append` refuses (the base the append would
+  *    extend no longer exists). NEW children alone are a legitimate
+  *    ingest increment — the key stays stable so the append lifecycle
+  *    works — which is exactly the distinction a fingerprint folded into
+  *    the key cannot make (it re-keys on every increment and the
+  *    incremental path can never fire).
   *  - **Versioned** — callers bump `version` whenever the derivation
   *    changes; a stale layout written by earlier code is then simply a
-  *    different path and can never be read by mistake. The key also folds
-  *    in a cheap fingerprint of the input dir (latest mtime of its direct
-  *    children), so regenerating test data IN PLACE keys a fresh artifact
-  *    instead of silently reusing a stale one.
+  *    different path and can never be read by mistake.
   *
   * Concurrency limit (documented, not guarded): exists-then-build is not
   * atomic. Two sessions sharing ONE warehouse can both miss the `_SUCCESS`
@@ -46,33 +52,72 @@ object Materialize {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Cheap input-data fingerprint: the latest modification time among the
-    * input dir's direct children (the per-table parquet entries), hex.
-    * One driver-side `listStatus` — no data read, no job. Catches in-place
-    * regeneration of a data dir; does NOT catch an edit that preserves
-    * every child mtime (then the dir must be re-pathed or `version`
-    * bumped). */
-  def fingerprint(spark: SparkSession, dir: String): String = {
+  def artifactPath(spark: SparkSession, kind: String, dir: String, version: Int): String =
+    s"${root(spark)}/$kind/${tag(dir)}_v$version"
+
+  private val ManifestFile = "_GRAFT_INPUTS"
+
+  /** Input-dir snapshot: direct children name → mtime. One driver-side
+    * `listStatus` — no data read, no job. Does NOT catch an edit that
+    * preserves a child's mtime (then the dir must be re-pathed or
+    * `version` bumped). */
+  private def listInputs(spark: SparkSession, dir: String): Map[String, Long] = {
     val p = new Path(dir)
     val fs = fsOf(spark, p)
-    try {
-      val kids = fs.listStatus(p)
-      if (kids.isEmpty) "0" else kids.map(_.getModificationTime).max.toHexString
-    } catch { case _: java.io.IOException => "0" }
+    try fs.listStatus(p).map(s => s.getPath.getName -> s.getModificationTime).toMap
+    catch { case _: java.io.IOException => Map.empty[String, Long] }
   }
 
-  def artifactPath(spark: SparkSession, kind: String, dir: String, version: Int): String =
-    s"${root(spark)}/$kind/${tag(dir)}_${fingerprint(spark, dir)}_v$version"
+  private def readManifest(spark: SparkSession, artifact: String): Option[Map[String, Long]] = {
+    val mp = new Path(artifact, ManifestFile)
+    val fs = fsOf(spark, mp)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { l =>
+          val cut = l.lastIndexOf('\t')
+          l.substring(0, cut) -> l.substring(cut + 1).toLong
+        }.toMap)
+      finally in.close()
+    }
+  }
 
-  /** Write-once parquet materialization: `build(path)` runs only when the
-    * artifact is absent (no `_SUCCESS` marker). Returns the artifact path.
-    * `build` must finish with a committed write to `path` (parquet commit
-    * protocol drops the marker). */
+  private def writeManifest(spark: SparkSession, artifact: String,
+                            inputs: Map[String, Long]): Unit = {
+    val mp = new Path(artifact, ManifestFile)
+    val out = fsOf(spark, mp).create(mp, true)
+    try out.write(inputs.toSeq.sortBy(_._1)
+      .map { case (n, t) => s"$n\t$t" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Stale iff a RECORDED input child was modified or removed; children
+    * that are only NEW are an increment, not staleness. */
+  private def staleAgainst(recorded: Map[String, Long],
+                           current: Map[String, Long]): Boolean =
+    recorded.exists { case (name, mtime) => !current.get(name).contains(mtime) }
+
+  /** Write-once parquet materialization: `build(path)` runs when the
+    * artifact is absent (no `_SUCCESS` marker) — or STALE (a recorded
+    * input child modified/removed since the build; see class doc), in
+    * which case the old artifact is dropped and rebuilt. Returns the
+    * artifact path. `build` must finish with a committed write to `path`
+    * (parquet commit protocol drops the marker). */
   def ensure(spark: SparkSession, kind: String, dir: String, version: Int)
             (build: String => Unit): String = {
     val p = artifactPath(spark, kind, dir, version)
     val marker = new Path(p, "_SUCCESS")
-    if (!fsOf(spark, marker).exists(marker)) build(p)
+    val fs = fsOf(spark, marker)
+    val current = listInputs(spark, dir)
+    val exists = fs.exists(marker)
+    // a pre-manifest artifact (None) is treated as stale: provenance unknown
+    val stale = exists && readManifest(spark, p).forall(staleAgainst(_, current))
+    if (stale) fs.delete(new Path(p), true)
+    if (!exists || stale) {
+      build(p)
+      writeManifest(spark, p, current)
+    }
     p
   }
 
@@ -97,7 +142,13 @@ object Materialize {
     val marker = new Path(p, "_SUCCESS")
     require(fsOf(spark, marker).exists(marker),
       s"append to absent artifact $p — build it with ensure() first")
+    val current = listInputs(spark, dir)
+    require(readManifest(spark, p).exists(m => !staleAgainst(m, current)),
+      s"append to STALE artifact $p — a recorded input of $dir was " +
+        "modified or removed; rebuild with ensure() first")
     appendBuild(p)
+    // future staleness checks compare against the post-append input state
+    writeManifest(spark, p, current)
     p
   }
 
@@ -121,11 +172,15 @@ object Materialize {
       s"compact of absent artifact $p — build it with ensure() first")
     val tmp = new Path(p + ".compacting")
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    val manifest = readManifest(spark, p)
     rewrite(spark.read.parquet(p), tmp.toString)
     require(fs.exists(new Path(tmp, "_SUCCESS")),
       s"rewrite did not commit to $tmp")
     fs.delete(cur, true)
     fs.rename(tmp, cur)
+    // compaction reorganizes files, it does not re-derive: provenance of
+    // the contents (the input manifest) carries over unchanged
+    manifest.foreach(writeManifest(spark, p, _))
     p
   }
 

@@ -99,6 +99,16 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(trim(c), WsClass + "+"), t => length(t) > 0)
 
+  /** Token `win`-gram windows of a token-array column, one space-joined
+    * string per window; fewer than `win` tokens → empty array. The ONE
+    * window derivation decontamination and repetition both use — a fix
+    * here and in OracleSql.tokenWindows cannot drift per-operator. */
+  def tokenWindows(tk: Column, win: Int): Column =
+    when(size(tk) >= win,
+      transform(sequence(lit(0), size(tk) - win),
+        i => array_join(slice(tk, i + lit(1), lit(win)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** Deterministic polynomial rolling hash of a string:
     * fold over code points, `h = (h*31 + code) mod 1000000007`.
     * Oracle-replicable in ANSI SQL (DuckDB `list_reduce`), unlike Spark's

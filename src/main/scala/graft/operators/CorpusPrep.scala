@@ -57,10 +57,7 @@ object CorpusPrep {
     val tok = d.select(col("doc_id"),
       graft.functions.TextFunctions.tokens(lower(col("text"))).as("tk"))
     val wins = tok.select(col("doc_id"), explode(
-      when(size(col("tk")) >= win,
-        transform(sequence(lit(0), size(col("tk")) - win),
-          i => array_join(slice(col("tk"), i + lit(1), lit(win)), " ")))
-        .otherwise(array().cast("array<string>"))).as("w"))
+      graft.functions.TextFunctions.tokenWindows(col("tk"), win)).as("w"))
     val evalW = wins.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
       .select(col("w")).distinct()
     val hits = wins.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
@@ -77,10 +74,7 @@ object CorpusPrep {
     val toks = graft.oracle.OracleSql.tokens("lower(text)")
     s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),
        |w AS (SELECT doc_id,
-       |             unnest(CASE WHEN len(tk) >= $win
-       |               THEN list_transform(range(0, len(tk) - $win + 1),
-       |                      i -> array_to_string(tk[i + 1 : i + $win], ' '))
-       |               ELSE [] END) AS w
+       |             unnest(${graft.oracle.OracleSql.tokenWindows("tk", win)}) AS w
        |      FROM tok),
        |ew AS (SELECT DISTINCT w FROM w WHERE doc_id % $evalMod = 0),
        |hits AS (SELECT DISTINCT w.doc_id

@@ -330,11 +330,7 @@ object FuzzySearch {
       explode(charNgramSet(col("clean_q"), 3)).as("ngram"))
     val postings = c.select(col("id"),
       explode(charNgrams(col("clean_value"), 3)).as("ngram"))
-    val allowed = postings.groupBy(col("ngram"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") * dfCapInverse <= n)
-      .select(col("ngram"))
-    val hits = postings.join(broadcast(allowed), "ngram")
+    val hits = postings.join(broadcast(allowedGrams(postings, n, dfCapInverse)), "ngram")
       .join(qGrams, "ngram")
       .groupBy(col("qid"), col("id")).agg(count(lit(1)).as("ngram_hits"))
     val capW = org.apache.spark.sql.expressions.Window
@@ -343,6 +339,17 @@ object FuzzySearch {
       .filter(col("crn") <= math.max(numResults, cap)).drop("crn")
     scoreBatch(capped, c, queries, numResults)
   }
+
+  /** The stop-gram cut's allowed set: grams whose multiplicity df clears
+    * df · dfCapInverse ≤ n. ONE derivation shared by the operator and
+    * FuzzyCostProbe, so the published candidate-volume measurements can
+    * never drift from what the shipped operator does. */
+  private[graft] def allowedGrams(postings: DataFrame, n: Long,
+                                  dfCapInverse: Long): DataFrame =
+    postings.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") * dfCapInverse <= n)
+      .select(col("ngram"))
 
   /** Shared scoring tail of the two batch spellings. */
   private def scoreBatch(capped: DataFrame, c: DataFrame, queries: DataFrame,

@@ -341,10 +341,7 @@ object TextAnalysis {
     val tok = d.select(col("doc_id"),
       graft.functions.TextFunctions.tokens(lower(col("text"))).as("tk"))
     val grams = tok.select(col("doc_id"), explode(
-      when(size(col("tk")) >= win,
-        transform(sequence(lit(0), size(col("tk")) - win),
-          i => array_join(slice(col("tk"), i + lit(1), lit(win)), " ")))
-        .otherwise(array().cast("array<string>"))).as("g"))
+      graft.functions.TextFunctions.tokenWindows(col("tk"), win)).as("g"))
     val stats = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("distinct_grams"),
@@ -366,10 +363,7 @@ object TextAnalysis {
     val toks = graft.oracle.OracleSql.tokens("lower(text)")
     s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),
        |g AS (SELECT doc_id,
-       |             unnest(CASE WHEN len(tk) >= $win
-       |               THEN list_transform(range(0, len(tk) - $win + 1),
-       |                      i -> array_to_string(tk[i + 1 : i + $win], ' '))
-       |               ELSE [] END) AS g
+       |             unnest(${graft.oracle.OracleSql.tokenWindows("tk", win)}) AS g
        |      FROM tok),
        |pc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
        |st AS (SELECT doc_id, sum(c)::BIGINT AS n_grams,

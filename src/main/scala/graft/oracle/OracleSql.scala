@@ -85,6 +85,15 @@ object OracleSql {
   def tokens(e: String): String =
     s"list_filter(string_split_regex(trim($e), '[ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0)"
 
+  /** Token win-gram windows of a token-list expr — mirrors
+    * TextFunctions.tokenWindows (inclusive sequence(0, n-win) ↔
+    * range(0, n-win+1), 1-based win-length slices, space-joined). */
+  def tokenWindows(tk: String, win: Int): String =
+    s"""CASE WHEN len($tk) >= $win
+       | THEN list_transform(range(0, len($tk) - $win + 1),
+       |        i -> array_to_string($tk[i + 1 : i + $win], ' '))
+       | ELSE [] END""".stripMargin.replaceAll("\n", " ")
+
   /** Polynomial rolling hash of a string expr — mirrors
     * TextFunctions.polyHash: fold (acc*31 + code) mod 1e9+7 over code
     * points, empty string → 0. */

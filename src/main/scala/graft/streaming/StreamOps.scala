@@ -85,10 +85,13 @@ object StreamOps {
     * its OWN row, so per-micro-batch evaluation is exact regardless of
     * how requests chunk into batches (StreamingSpec pins stream-total ==
     * `fuzzy_batch` on the same query set, split across batches).
-    * Index/corpus are re-planned per micro-batch (stream-static join
-    * semantics), so an index APPEND (Materialize.append) is picked up on
-    * the next batch without restarting the query. */
-  def fuzzyStream(queries: DataFrame, postings: DataFrame, corpus: DataFrame,
+    * `postings`/`corpus` are BY-NAME: each micro-batch re-evaluates them,
+    * so a caller passing `spark.read.parquet(path)` gets a FRESH file
+    * listing per batch and an index APPEND (Materialize.append) is picked
+    * up on the next batch without restarting the query (spec-pinned). A
+    * pre-built DataFrame would pin its InMemoryFileIndex at creation and
+    * never see new files. */
+  def fuzzyStream(queries: DataFrame, postings: => DataFrame, corpus: => DataFrame,
                   numResults: Int,
                   cap: Int = graft.operators.FuzzySearch.DefaultCap)
                  (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
@@ -110,9 +113,10 @@ object StreamOps {
     * so per-micro-batch evaluation is exact regardless of how requests
     * chunk into batches (StreamingSpec pins stream-total ==
     * `geo_radius_batch` on the same probe set, split across batches).
-    * The shape table is re-planned per micro-batch, so an ingest append
-    * is picked up on the next batch without restarting the query. */
-  def radiusStream(probes: DataFrame, shapes: DataFrame, radiusMiles: Double)
+    * `shapes` is BY-NAME — re-evaluated per micro-batch, so an ingest
+    * append (GeoIngest.append) is picked up on the next batch when the
+    * caller passes a fresh read (see fuzzyStream). */
+  def radiusStream(probes: DataFrame, shapes: => DataFrame, radiusMiles: Double)
                   (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     probes.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -132,9 +136,11 @@ object StreamOps {
     * cells), per-probe exact re-rank. A probe's top-k depends only on its
     * own row, so per-micro-batch evaluation is exact under any request
     * chunking (StreamingSpec pins stream-total == `ann_ivf_batch` on the
-    * same probe set, split across batches). An index APPEND
-    * (`Similarity.appendToIvfIndex`) is visible on the next micro-batch. */
-  def annStream(probes: DataFrame, indexed: DataFrame, cent: DataFrame,
+    * same probe set, split across batches). `indexed`/`cent` are BY-NAME —
+    * re-evaluated per micro-batch, so an index APPEND
+    * (`Similarity.appendToIvfIndex`) is visible on the next micro-batch
+    * when the caller passes a fresh read (see fuzzyStream). */
+  def annStream(probes: DataFrame, indexed: => DataFrame, cent: => DataFrame,
                 k: Int, nprobe: Int)
                (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     probes.writeStream

@@ -182,16 +182,42 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaIndex.nonEmpty && viaIndex == inline)
   }
 
-  test("regenerating a data dir in place keys a FRESH artifact (mtime fingerprint)") {
+  test("modified input => ensure rebuilds and append refuses; NEW input => increment, no rebuild") {
     import spark.implicits._
-    val data = Files.createTempDirectory("graft-fp-data").toString
-    Seq((1L, "one"), (2L, "two")).toDF("id", "v")
+    val data = Files.createTempDirectory("graft-manifest-data").toString
+    Seq((1L, "one")).toDF("id", "v")
       .write.mode("overwrite").parquet(s"$data/t.parquet")
-    val p1 = Materialize.artifactPath(spark, "graft_fp_test", data, version = 1)
+    var builds = 0
+    def build(tag: String)(p: String): Unit = {
+      builds += 1
+      Seq(tag).toDF("content").write.mode("overwrite").parquet(p)
+    }
+    def content(p: String): String =
+      spark.read.parquet(p).collect().head.getString(0)
+
+    val p1 = Materialize.ensure(spark, "graft_mf_test", data, 1)(build("v1"))
+    assert(builds == 1 && content(p1) == "v1")
+
+    // a NEW child is an ingest increment: key stable, NO rebuild, append OK
+    Seq((2L, "two")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$data/t2.parquet")
+    val p2 = Materialize.ensure(spark, "graft_mf_test", data, 1)(build("v2"))
+    assert(p2 == p1 && builds == 1 && content(p2) == "v1")
+    Materialize.append(spark, "graft_mf_test", data, 1) { p =>
+      Seq("appended").toDF("content").write.mode("append").parquet(p)
+    }
+    assert(spark.read.parquet(p1).count() == 2)
+
+    // a MODIFIED recorded child marks the artifact stale: append refuses,
+    // ensure drops and rebuilds at the SAME key
     Thread.sleep(1100) // mtime granularity is a second on some filesystems
-    Seq((1L, "uno"), (2L, "dos")).toDF("id", "v")
+    Seq((1L, "uno")).toDF("id", "v")
       .write.mode("overwrite").parquet(s"$data/t.parquet")
-    val p2 = Materialize.artifactPath(spark, "graft_fp_test", data, version = 1)
-    assert(p1 != p2, "in-place regeneration must not reuse the stale artifact key")
+    intercept[IllegalArgumentException] {
+      Materialize.append(spark, "graft_mf_test", data, 1)(_ => ())
+    }
+    val p3 = Materialize.ensure(spark, "graft_mf_test", data, 1)(build("v3"))
+    assert(p3 == p1 && builds == 2 && content(p3) == "v3")
+    assert(spark.read.parquet(p3).count() == 1, "stale artifact fully replaced")
   }
 }

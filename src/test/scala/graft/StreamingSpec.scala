@@ -299,6 +299,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       want.sortBy(_.mkString("|")).toList)
   }
 
+  test("a posting-index append is visible to the running stream on the next micro-batch") {
+    import graft.operators.FuzzySearch
+    import org.apache.spark.sql.functions.{col, count, lit, pmod}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val c = FuzzySearch.corpus(spark, dir)
+    val batchDocs = c.filter(pmod(col("id"), lit(7)) === 0)
+    val baseDocs = c.filter(pmod(col("id"), lit(7)) =!= 0)
+    // drop any artifact a previous run left (it would carry the append)
+    val stale = new org.apache.hadoop.fs.Path(
+      graft.Materialize.artifactPath(spark, "graft_postings", dir, 905))
+    stale.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(stale, true)
+    val path = FuzzySearch.ensurePostingsIndex(spark, dir, baseDocs, version = 905)
+    // target: an appended-batch doc that is its name group's WINNER under
+    // the dedup order (score desc ⇒ highest population for an exact-match
+    // query, tie → smallest id) — once indexed it must surface for its own
+    // name, and cannot before (it has no postings yet)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("clean_value"))
+      .orderBy(col("population").desc, col("id"))
+    val target = c
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(batchDocs.select(col("id")), "id")
+      .orderBy(col("id"))
+      .select(col("id"), col("clean_value")).head()
+    val (targetId, targetQ) = (target.getLong(0), target.getString(1))
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("qid", "clean_q")
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    // the static sides are BY-NAME: a fresh read (fresh file listing) per batch
+    val q = StreamOps.fuzzyStream(sdf, spark.read.parquet(path), c, 20) { (out, bid) =>
+      perBatch(bid) = out.collect().map(_.getLong(1)).toSet
+    }
+    try {
+      stream.addData((1L, targetQ))
+      q.processAllAvailable()
+      FuzzySearch.appendToPostingsIndex(spark, dir, batchDocs, version = 905)
+      stream.addData((2L, targetQ))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(!perBatch(0L).contains(targetId),
+      s"target $targetId indexed before the append: ${perBatch(0L)}")
+    assert(perBatch(1L).contains(targetId),
+      s"append not visible on the next micro-batch: ${perBatch(1L)}")
+  }
+
   test("streaming radius search matches the batch flagship on the same probe set") {
     import graft.operators.{GeoShapes, RadiusSearch}
     import org.apache.spark.sql.functions.{col, pmod, lit}

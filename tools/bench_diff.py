@@ -141,6 +141,11 @@ def main():
         ns_ = f"{n:7.2f}" if n is not None else "      -"
         print(f"  {name:<{w}} {os_} -> {ns_}  {status}")
 
+    # A query erroring out of the NEW run is the worst regression there is
+    # (Bench omits it from 'queries', so no ratio exists to flag it).
+    new_errors = new.get("errors") or []
+    if new_errors:
+        print(f"ERRORED in new run (no timing emitted): {', '.join(new_errors)}")
     if drift_regression:
         print(f"SUITE-WIDE REGRESSION: median drift {med:.2f}x > {ratio_lim}x "
               f"in two consecutive diffs")
@@ -151,7 +156,7 @@ def main():
         print(f"REGRESSIONS (flagged twice consecutively): {', '.join(regressions)}")
     if flagged:
         print(f"watch (first flag, within 2-run tolerance): {', '.join(flagged)}")
-    if regressions or drift_regression:
+    if regressions or drift_regression or new_errors:
         sys.exit(1)
 
 
