@@ -182,11 +182,15 @@ object SparkEntry {
     // product quantization: 8-byte codes + ADC lookup-table scoring (the
     // compressed coarse pass at 100 TB); recall vs exact L2 kept visible
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, P.IvfProbe, P.IvfK)),
-    "ann_pq_recall" -> ((s, d) => Similarity.pqRecallAtK(s, d, P.IvfProbe, P.IvfK)),
+    "ann_pq_recall" -> ((s, d) => Similarity.pqMeanRecall(s, d, P.IvfK)),
     // the composed stack: IVF prunes which cells are read, PQ codes score
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     // same semantics over the MATERIALIZED code artifact (shared oracle)
     "ann_pq_indexed" -> ((s, d) => Similarity.pqTopKIndexed(s, d, P.IvfProbe, P.IvfK)),
+    // per-subspace L2 Lloyd-trained codebooks (the proper PQ trainer);
+    // recall row shows what training buys over the raw sample
+    "ann_pq_trained" -> ((s, d) => KMeans.pqTrainedTopK(s, d, P.IvfProbe, P.IvfK)),
+    "ann_pq_trained_recall" -> ((s, d) => KMeans.pqTrainedRecall(s, d, P.IvfK)),
     // --- text analysis ---
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     // the end-to-end corpus-prep composition: language gate → quality
@@ -374,9 +378,11 @@ object SparkEntry {
     "ann_ivf_trained" -> KMeans.ivfTrainedTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf_batch" -> Similarity.ivfBatchTopKOracle(P.IvfK, nprobe = P.IvfNprobe),
     "ann_pq_topk" -> Similarity.pqTopKOracle(P.IvfProbe, P.IvfK),
-    "ann_pq_recall" -> Similarity.pqRecallAtKOracle(P.IvfProbe, P.IvfK),
+    "ann_pq_recall" -> Similarity.pqMeanRecallOracle(P.IvfK),
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_pq_indexed" -> Similarity.pqTopKOracle(P.IvfProbe, P.IvfK),
+    "ann_pq_trained" -> KMeans.pqTrainedTopKOracle(P.IvfProbe, P.IvfK),
+    "ann_pq_trained_recall" -> KMeans.pqTrainedRecallOracle(P.IvfK),
     "text_langid" -> TextAnalysis.languageIdOracle,
     "corpus_prep" -> CorpusPrep.corpusPrepOracle(),
     "corpus_quality_cut" -> CorpusPrep.qualityCutOracle,

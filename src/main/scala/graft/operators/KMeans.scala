@@ -213,6 +213,119 @@ object KMeans {
        |LIMIT $k""".stripMargin
   }
 
+  // ------------------------------------------------------------ PQ trainer
+
+  /** Per-subspace L2 Lloyd — the PROPER product-quantization codebook
+    * trainer (PQ minimizes per-subspace squared L2, so its Lloyd step is
+    * the plain quantized mean: no normalization, unlike the spherical
+    * trainer above). Assignment per iteration IS the PQ encode (the same
+    * native kernel the query path uses — one eval per vector for all M
+    * subspaces); the update explodes subvector dims and integer-quantizes
+    * exactly like [[update]], so trained codewords are bit-identical
+    * cross-engine. A codeword losing all members in a subspace drops out
+    * of that subspace's book (standard Lloyd). Materialized write-once:
+    * training is an ingest job; queries read the tiny M×K artifact. */
+  def trainedPqBooks(spark: SparkSession, dir: String, iters: Int = DefaultIters,
+                     mod: Long = 25L): DataFrame = {
+    val path = graft.Materialize.ensure(
+      spark, s"graft_pqbooks_i${iters}_m$mod", dir, version = 1) { p =>
+      val e = Tables.embeddings(spark, dir)
+      (1 to iters).foldLeft(Similarity.pqCodebooks(e, mod)) { (books, _) =>
+        pqUpdate(e, Similarity.pqEncode(e, books))
+      }.write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** One PQ Lloyd update: per-(subspace, codeword, dim) quantized means
+    * over the members' raw subvector elements. */
+  private def pqUpdate(e: DataFrame, codes: DataFrame): DataFrame = {
+    val subEl = e
+      .withColumn("m", explode(sequence(lit(0), lit(Similarity.PqM - 1))))
+      .select(col("vec_id"), col("m"),
+        posexplode(slice(col("embedding"), col("m") * Similarity.PqDim + 1,
+          lit(Similarity.PqDim)).cast("array<double>")).as(Seq("idx", "el")))
+    subEl.join(codes, Seq("vec_id", "m"))
+      .withColumn("q", floor(col("el") * QuantScale.toDouble).cast("long"))
+      .groupBy(col("m"), col("code"), col("idx"))
+      .agg(sum(col("q")).as("qs"), count(lit(1)).as("n"))
+      .groupBy(col("m"), col("code"))
+      .agg(array_sort(collect_list(struct(col("idx"), cval.as("cv")))).as("s"))
+      .select(col("m"), col("code").as("cid"),
+        transform(col("s"), x => x("cv")).as("cemb"))
+  }
+
+  /** PQ-ADC top-k over the TRAINED subspace codebooks — `pqTopK` with the
+    * Lloyd-trained books in place of the raw sample; same encode kernel,
+    * same LUT + m-ordered fold tail, shared plan machinery. */
+  def pqTrainedTopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
+                    iters: Int = DefaultIters, mod: Long = 25L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val books = trainedPqBooks(spark, dir, iters, mod)
+    Similarity.pqAdcTopK(Similarity.pqEncode(e, books), books, e, probeId, k)
+  }
+
+  /** Measured MEAN recall@k of the trained-codebook ADC vs exact squared
+    * L2 over the probe stride — the number that shows what training buys
+    * over the raw sample (`ann_pq_recall` is the sample anchor; the mean
+    * is the comparison single-probe recall is too noisy to support). */
+  def pqTrainedRecall(spark: SparkSession, dir: String, k: Int,
+                      iters: Int = DefaultIters, mod: Long = 25L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.pqMeanRecallWith(e, trainedPqBooks(spark, dir, iters, mod), k)
+  }
+
+  /** CTE chain `sub, pb0, pa1, px1, pu1, pb1, …` reproducing the
+    * per-subspace L2 training fold in DuckDB, ending in a `books`
+    * relation compatible with Similarity.pqAdcCtes. */
+  def pqTrainCtes(iters: Int, mod: Long): String = {
+    import Similarity.{PqDim, PqK, PqM}
+    val sub =
+      s"""sub AS (SELECT e.vec_id, ms.m,
+         |               list_transform(range(1, ${PqDim + 1}),
+         |                 i -> e.embedding[ms.m * $PqDim + i]::DOUBLE) AS sv
+         |        FROM embeddings e
+         |        CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms)""".stripMargin
+    val pb0 =
+      s"""pb0 AS (SELECT m, vec_id AS cid, sv AS cemb FROM sub
+         |        WHERE vec_id % $mod = 0 AND vec_id < ${mod * PqK})""".stripMargin
+    val steps = (1 to iters).map { t =>
+      val dist = Similarity.l2sqSql(i => s"s.sv[$i]", "b.cemb")
+      s"""pa$t AS (SELECT s.vec_id, s.m, b.cid AS code
+         |        FROM sub s JOIN pb${t - 1} b ON b.m = s.m
+         |        QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.m
+         |                                   ORDER BY $dist, b.cid) = 1),
+         |px$t AS (SELECT a.m, a.code,
+         |                unnest(range(len(s.sv))) AS idx,
+         |                unnest(s.sv) AS el
+         |         FROM sub s JOIN pa$t a ON a.vec_id = s.vec_id AND a.m = s.m),
+         |pu$t AS (SELECT m, code, idx,
+         |                sum(floor(el * $QuantScale.0)::BIGINT) AS qs,
+         |                count(*) AS n
+         |         FROM px$t GROUP BY m, code, idx),
+         |pb$t AS (SELECT m, code AS cid,
+         |                list(qs::DOUBLE / (n::DOUBLE * $QuantScale.0) ORDER BY idx) AS cemb
+         |         FROM pu$t GROUP BY m, code)""".stripMargin
+    }
+    (sub +: pb0 +: steps).mkString(",\n") +
+      s",\nbooks AS (SELECT m, cid, cemb FROM pb$iters)"
+  }
+
+  def pqTrainedTopKOracle(probeId: Long, k: Int, iters: Int = DefaultIters,
+                          mod: Long = 25L): String =
+    s"""WITH ${pqTrainCtes(iters, mod)},
+       |${Similarity.pqAdcCtes(probeId)}
+       |SELECT a.vec_id, e.label, a.pq_dist
+       |FROM adc a JOIN embeddings e USING (vec_id)
+       |WHERE a.vec_id <> $probeId
+       |ORDER BY a.pq_dist, a.vec_id
+       |LIMIT $k""".stripMargin
+
+  def pqTrainedRecallOracle(k: Int, iters: Int = DefaultIters,
+                            mod: Long = 25L): String =
+    s"""WITH ${pqTrainCtes(iters, mod)},
+       |${Similarity.pqMeanRecallSql(k)}""".stripMargin
+
   // ----------------------------------------------------------------- oracle
 
   /** CTE chain `cent0, a1, x1, u1, cent1, …, cent$iters` reproducing the

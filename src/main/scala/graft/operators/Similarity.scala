@@ -404,7 +404,7 @@ object Similarity {
 
   /** Left-to-right squared-L2 fold — same operation order as the oracle's
     * `list_reduce` fold, so results are bit-identical cross-engine. */
-  private def l2sq(a: Column, b: Column): Column =
+  private[graft] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
@@ -473,9 +473,10 @@ object Similarity {
     pqAdcTopK(pqEncode(e, books), books, e, probeId, k)
   }
 
-  /** Shared ADC scoring tail of the inline and indexed PQ spellings. */
-  private def pqAdcTopK(codes: DataFrame, books: DataFrame, e: DataFrame,
-                        probeId: Long, k: Int): DataFrame = {
+  /** Shared ADC scoring tail of the inline, indexed, and trained PQ
+    * spellings. */
+  private[graft] def pqAdcTopK(codes: DataFrame, books: DataFrame, e: DataFrame,
+                               probeId: Long, k: Int): DataFrame = {
     val probe = e.filter(col("vec_id") === probeId)
       .select(col("embedding").as("pemb"))
     val lut = books.crossJoin(broadcast(probe))
@@ -590,24 +591,52 @@ object Similarity {
        |ORDER BY a.pq_dist, a.vec_id
        |LIMIT $k""".stripMargin
 
-  /** Measured recall@k of PQ-ADC against the exact squared-L2 top-k (the
-    * metric PQ approximates) — kept visible in a gate row like
-    * `ann_ivf_recall`, so quantization quality is a number, not a hope. */
-  def pqRecallAtK(spark: SparkSession, dir: String, probeId: Long, k: Int,
-                  mod: Long = 25L): DataFrame = {
+  /** Measured MEAN recall@k of PQ-ADC against the exact squared-L2 top-k
+    * (the metric PQ approximates), averaged over the `BatchProbeMod`
+    * probe stride — single-probe recall@10 is 1-3 hits of noise, useless
+    * for comparing codebooks; the mean over the probe set is the number
+    * that shows what (e.g.) Lloyd training buys over the raw sample. */
+  def pqMeanRecall(spark: SparkSession, dir: String, k: Int,
+                   mod: Long = 25L): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val probe = e.filter(col("vec_id") === probeId)
-      .select(col("embedding").cast("array<double>").as("pemb"))
-    val exact = e.filter(col("vec_id") =!= probeId).crossJoin(broadcast(probe))
-      .select(col("vec_id"),
+    pqMeanRecallWith(e, pqCodebooks(e, mod), k)
+  }
+
+  private[graft] def pqMeanRecallWith(e: DataFrame, books: DataFrame,
+                                      k: Int): DataFrame = {
+    val probes = e.filter(col("vec_id") % BatchProbeMod === 0)
+      .select(col("vec_id").as("pid"),
+        col("embedding").cast("array<double>").as("pemb"))
+    val exW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("l2"), col("vec_id"))
+    val exact = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
         l2sq(col("embedding").cast("array<double>"), col("pemb")).as("l2"))
-      .orderBy(col("l2"), col("vec_id")).limit(k)
-      .select(col("vec_id"))
-    val approx = pqTopK(spark, dir, probeId, k, mod).select(col("vec_id"))
-    exact.agg(count(lit(1)).as("k_exact"))
-      .crossJoin(exact.join(approx, "vec_id").agg(count(lit(1)).as("hits")))
-      .select(col("k_exact"), col("hits"),
-        (col("hits").cast("double") / col("k_exact").cast("double")).as("recall"))
+      .withColumn("rk", row_number().over(exW)).filter(col("rk") <= k)
+      .select(col("pid"), col("vec_id"))
+    val lut = books.crossJoin(broadcast(probes))
+      .select(col("pid"), col("m"), col("cid").as("code"),
+        l2sq(slice(col("pemb"), col("m") * PqDim + 1, lit(PqDim)),
+          col("cemb")).as("d"))
+    val apW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("pq_dist"), col("vec_id"))
+    val approx = pqEncode(e, books).join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("pid"), col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("d")))).as("ds"))
+      .select(col("pid"), col("vec_id"),
+        aggregate(col("ds"), lit(0.0), (acc, x) => acc + x("d")).as("pq_dist"))
+      .filter(col("vec_id") =!= col("pid"))
+      .withColumn("rk", row_number().over(apW)).filter(col("rk") <= k)
+      .select(col("pid"), col("vec_id"))
+    val perHit = exact.join(approx, Seq("pid", "vec_id"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("pid")).agg(count(lit(1)).as("kx"))
+      .join(perHit, Seq("pid"), "left")
+      .select(col("pid"), col("kx"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("kx")).as("k_total"),
+        sum(col("hits")).as("hits_total"),
+        (sum(col("hits")).cast("double") / sum(col("kx")).cast("double")).as("recall"))
   }
 
   // ---------------------------------------------------------- PQ oracles
@@ -615,24 +644,34 @@ object Similarity {
   /** Oracle fragment: squared L2 between `PqDim`-dim sublists, the same
     * left-to-right fold as [[l2sq]]. `aSub(i)` must yield the i-th (1-based)
     * element of the subvector. */
-  private def l2sqSql(aSub: Int => String, b: String): String = {
+  private[graft] def l2sqSql(aSub: Int => String, b: String): String = {
     val terms = (1 to PqDim).map(i => s"(${aSub(i)} - $b[$i]) * (${aSub(i)} - $b[$i])")
     s"list_reduce(list_prepend(0.0, [${terms.mkString(", ")}]), (acc, x) -> acc + x)"
   }
 
-  private def pqCtes(probeId: Long, mod: Long): String = {
-    val encDist = l2sqSql(i => s"e.embedding[b.m * $PqDim + $i]::DOUBLE", "b.cemb")
-    val lutDist = l2sqSql(i => s"p.pemb[b.m * $PqDim + $i]::DOUBLE", "b.cemb")
+  /** The deterministic-sample codebook as a `books` CTE. */
+  private[graft] def pqSampleBooksCte(mod: Long): String =
     s"""books AS (SELECT ms.m, e.vec_id AS cid,
        |                 list_transform(range(1, ${PqDim + 1}),
        |                   i -> e.embedding[ms.m * $PqDim + i]::DOUBLE) AS cemb
        |          FROM embeddings e
        |          CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms
-       |          WHERE e.vec_id % $mod = 0 AND e.vec_id < ${mod * PqK}),
-       |codes AS (SELECT e.vec_id, b.m, b.cid AS code
+       |          WHERE e.vec_id % $mod = 0 AND e.vec_id < ${mod * PqK})""".stripMargin
+
+  /** Encode CTE over a pre-defined `books` relation. */
+  private[graft] def pqCodesCte: String = {
+    val encDist = l2sqSql(i => s"e.embedding[b.m * $PqDim + $i]::DOUBLE", "b.cemb")
+    s"""codes AS (SELECT e.vec_id, b.m, b.cid AS code
        |          FROM embeddings e CROSS JOIN books b
        |          QUALIFY row_number() OVER (PARTITION BY e.vec_id, b.m
-       |                                     ORDER BY $encDist, b.cid) = 1),
+       |                                     ORDER BY $encDist, b.cid) = 1)""".stripMargin
+  }
+
+  /** Encode + probe LUT + ADC CTEs over a pre-defined `books` relation —
+    * shared by the sample and the Lloyd-trained codebook oracles. */
+  private[graft] def pqAdcCtes(probeId: Long): String = {
+    val lutDist = l2sqSql(i => s"p.pemb[b.m * $PqDim + $i]::DOUBLE", "b.cemb")
+    s"""$pqCodesCte,
        |probe AS (SELECT embedding AS pemb FROM embeddings WHERE vec_id = $probeId),
        |lut AS (SELECT b.m, b.cid AS code, $lutDist AS d
        |        FROM books b CROSS JOIN probe p),
@@ -643,6 +682,45 @@ object Similarity {
        |        GROUP BY c.vec_id)""".stripMargin
   }
 
+  /** Multi-probe mean-recall CTEs + final SELECT over pre-defined `books`
+    * — mirrors [[pqMeanRecallWith]]. */
+  private[graft] def pqMeanRecallSql(k: Int): String = {
+    val full = l2sqFullSql("e.embedding", "p.pemb")
+    val lutDist = l2sqSql(i => s"p.pemb[b.m * $PqDim + $i]::DOUBLE", "b.cemb")
+    s"""$pqCodesCte,
+       |pr AS (SELECT vec_id AS pid, embedding AS pemb FROM embeddings
+       |       WHERE vec_id % $BatchProbeMod = 0),
+       |ex AS (SELECT p.pid, e.vec_id
+       |       FROM embeddings e CROSS JOIN pr p WHERE e.vec_id <> p.pid
+       |       QUALIFY row_number() OVER (PARTITION BY p.pid
+       |                                  ORDER BY $full, e.vec_id) <= $k),
+       |plut AS (SELECT p.pid, b.m, b.cid AS code, $lutDist AS d
+       |         FROM books b CROSS JOIN pr p),
+       |padc AS (SELECT l.pid, c.vec_id,
+       |                list_reduce(list_prepend(0.0, list(l.d ORDER BY c.m)),
+       |                            (acc, x) -> acc + x) AS pq_dist
+       |         FROM codes c JOIN plut l ON l.m = c.m AND l.code = c.code
+       |         GROUP BY l.pid, c.vec_id),
+       |ap AS (SELECT pid, vec_id FROM padc WHERE vec_id <> pid
+       |       QUALIFY row_number() OVER (PARTITION BY pid
+       |                                  ORDER BY pq_dist, vec_id) <= $k),
+       |perx AS (SELECT pid, count(*) AS kx FROM ex GROUP BY pid),
+       |perh AS (SELECT e.pid, count(*) AS hits FROM ex e
+       |         JOIN ap a ON a.pid = e.pid AND a.vec_id = e.vec_id
+       |         GROUP BY e.pid)
+       |SELECT count(*) AS n_probes, sum(px.kx)::BIGINT AS k_total,
+       |       coalesce(sum(ph.hits), 0)::BIGINT AS hits_total,
+       |       coalesce(sum(ph.hits), 0)::DOUBLE / sum(px.kx)::DOUBLE AS recall
+       |FROM perx px LEFT JOIN perh ph USING (pid)""".stripMargin
+  }
+
+  def pqMeanRecallOracle(k: Int, mod: Long = 25L): String =
+    s"""WITH ${pqSampleBooksCte(mod)},
+       |${pqMeanRecallSql(k)}""".stripMargin
+
+  private def pqCtes(probeId: Long, mod: Long): String =
+    pqSampleBooksCte(mod) + ",\n" + pqAdcCtes(probeId)
+
   def pqTopKOracle(probeId: Long, k: Int, mod: Long = 25L): String =
     s"""WITH ${pqCtes(probeId, mod)}
        |SELECT a.vec_id, e.label, a.pq_dist
@@ -651,24 +729,8 @@ object Similarity {
        |ORDER BY a.pq_dist, a.vec_id
        |LIMIT $k""".stripMargin
 
-  def pqRecallAtKOracle(probeId: Long, k: Int, mod: Long = 25L): String = {
-    val full = l2sqFullSql("e.embedding", "p.pemb")
-    s"""WITH ${pqCtes(probeId, mod)},
-       |exact AS (SELECT e.vec_id
-       |          FROM embeddings e CROSS JOIN probe p
-       |          WHERE e.vec_id <> $probeId
-       |          ORDER BY $full, e.vec_id LIMIT $k),
-       |approx AS (SELECT a.vec_id FROM adc a JOIN embeddings e USING (vec_id)
-       |           WHERE a.vec_id <> $probeId
-       |           ORDER BY a.pq_dist, a.vec_id LIMIT $k)
-       |SELECT (SELECT count(*) FROM exact) AS k_exact,
-       |       (SELECT count(*) FROM exact JOIN approx USING (vec_id)) AS hits,
-       |       (SELECT count(*) FROM exact JOIN approx USING (vec_id))::DOUBLE /
-       |         (SELECT count(*) FROM exact)::DOUBLE AS recall""".stripMargin
-  }
-
   /** Full-width squared L2 (64 dims), same left-to-right fold. */
-  private def l2sqFullSql(a: String, b: String): String =
+  private[graft] def l2sqFullSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${PqM * PqDim + 1}),
        | i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))),
        | (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", " ")
