@@ -160,6 +160,16 @@ object SparkEntry {
     // measured precision/recall of the LSH-minhash detector vs exact
     // shingle-set jaccard ground truth
     "dedup_minhash_recall" -> ((s, d) => Dedup.minhashRecall(s, d)),
+    // CCNet-style segment ("line") boilerplate removal: corpus-frequent
+    // normalized segments dropped, docs reconstructed in order
+    "dedup_lines" -> ((s, d) => Dedup.segmentDedup(s, d)),
+    // incremental near-dup screen of a new ingest batch against the
+    // standing corpus: batch band keys bloom-probe the corpus band
+    // derivation below the join exchange (q14 machinery)
+    "dedup_incremental" -> ((s, d) => Dedup.incrementalNearDups(s, d)),
+    // SemDeDup: cell-local cosine pairs within the trained k-means
+    // clustering (candidates bounded by the largest cell)
+    "dedup_semantic" -> ((s, d) => Dedup.semanticNearDups(s, d, P.EmbDupThreshold)),
     // --- similarity search ---
     "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, P.CosineProbe, P.CosineK)),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(s, d, planes = 8)),
@@ -206,6 +216,11 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // trained quality classifier: full-batch GD (8 one-aggregate passes
+    // over the materialized feature relation, quantized gradients, no
+    // driver loop) recovering a deterministic teacher labeling
+    "quality_lr_train" -> ((s, d) => QualityModel.lrTrain(s, d)),
+    "quality_lr_score" -> ((s, d) => QualityModel.lrScore(s, d)),
     "text_tf_topk" -> ((s, d) => TextAnalysis.termDfTopK(s, d, TextAnalysis.TermTopK)),
     "text_pii_mask" -> ((s, d) => TextAnalysis.piiMask(s, d)),
     // corpus-LM fluency proxy: per-doc mean corpus frequency of its word
@@ -369,6 +384,9 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,
     "dedup_canonical_pick" -> Dedup.canonicalPickOracle,
     "dedup_minhash_recall" -> Dedup.minhashRecallOracle,
+    "dedup_lines" -> Dedup.segmentDedupOracle,
+    "dedup_incremental" -> Dedup.incrementalNearDupsOracle,
+    "dedup_semantic" -> Dedup.semanticNearDupsOracle(P.EmbDupThreshold),
     "ann_cosine_topk" -> Similarity.cosineTopKOracle(P.CosineProbe, P.CosineK),
     "ann_lsh_buckets" -> Similarity.lshBucketsOracle(8),
     "ann_ivf_topk" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
@@ -391,6 +409,8 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.repetitionOracle(),
     "text_tokens" -> TextAnalysis.tokenCountsOracle,
     "text_fingerprint" -> TextAnalysis.fingerprintOracle,
+    "quality_lr_train" -> QualityModel.lrTrainOracle,
+    "quality_lr_score" -> QualityModel.lrScoreOracle,
     "text_tf_topk" -> TextAnalysis.termDfTopKOracle(TextAnalysis.TermTopK),
     "text_pii_mask" -> TextAnalysis.piiMaskOracle,
     "mm_decode_stats" -> Multimodal.decodeStatsOracle,

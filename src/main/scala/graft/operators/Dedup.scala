@@ -184,7 +184,10 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def minhashPairsOracle: String = {
+  /** CTE chain `tok, sh, shh, sig, bands` reproducing the signature +
+    * band derivation in DuckDB — shared by the pairs oracle and the
+    * incremental (batch-vs-corpus) oracle so the spellings cannot drift. */
+  def minhashBandCtes: String = {
     val P = HashMod
     val toks = OracleSql.tokens("lower(text)")
     val shingles = s"""(CASE WHEN len(tk) <= $ShingleWords THEN [array_to_string(tk, ' ')]
@@ -201,12 +204,16 @@ object Dedup {
     val bandsUnion = bandExprs.zipWithIndex.map { case (e, i) =>
       s"SELECT doc_id, sig, $i AS band_idx, $e AS band_hash FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),
+    s"""tok AS (SELECT doc_id, $toks AS tk FROM documents),
        |sh AS (SELECT doc_id, $shingles AS shingles FROM tok),
        |shh AS (SELECT doc_id, $shHash AS sh FROM sh),
        |sig AS (SELECT doc_id, $sigList AS sig FROM shh),
        |bands AS (
-       |  $bandsUnion),
+       |  $bandsUnion)""".stripMargin
+  }
+
+  def minhashPairsOracle: String =
+    s"""WITH $minhashBandCtes,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
        |  FROM bands a JOIN bands b
@@ -215,7 +222,6 @@ object Dedup {
        |       len(list_filter(range(1, ${MinHashK + 1}), i -> sig_a[i] = sig_b[i]))::DOUBLE / $MinHashK.0 AS est_jaccard
        |FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // ----------------------------------------------- embedding-cosine near-dup
 
@@ -599,4 +605,214 @@ object Dedup {
        |       quality_score AS rep_quality
        |FROM r WHERE rn = 1
        |ORDER BY canonical_id""".stripMargin
+
+  // -------------------------------- segment-level boilerplate removal
+
+  /** Segment ("line") width in tokens and the corpus-frequency cut. The
+    * driver corpus has no newline structure, so the CCNet "line" unit is a
+    * fixed-width token segment; the semantics are identical — drop any
+    * segment whose exact normalized form recurs across the corpus at least
+    * `SegDfCut` times, keep the rest in order. At sf0.01, cut=3 drops 133
+    * of 5 638 segments across 91 docs (and at sf0.001/0.1 also fully
+    * empties 2/18 docs — both branches gate-exercised). */
+  val SegWin = 5
+  val SegDfCut = 3
+
+  /** CCNet-style boilerplate removal (Wenzek et al. 2020 dedups the corpus
+    * by exact hashes of normalized LINES before any document-level pass):
+    * tokenize, cut into consecutive `SegWin`-token segments, count each
+    * segment's corpus-wide occurrences, drop segments occurring >=
+    * `SegDfCut` times, and reconstruct each document from its surviving
+    * segments in order.
+    *
+    * Scale shape: segment derivation is narrow (in-row transform); the
+    * corpus frequency attaches via a WINDOW count over the segment
+    * partition (one exchange on the segment key — data-derived, grows with
+    * the corpus; same reasoning as text_bigram_score: the groupBy+re-join
+    * spelling scans the corpus twice because column pruning breaks
+    * exchange reuse); the per-doc reconstruction is one more shuffle on
+    * doc_id with an in-aggregate ordered rebuild (`array_sort` of
+    * (seg_idx, seg) structs — collect_list drops the null'd dropped
+    * segments). The doc-emptied edge returns '' (md5-stable), not NULL. */
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tk = tokens(lower(col("text")))
+    val nseg = floor((size(col("tk")) + lit(SegWin - 1)).cast("double") / SegWin.toDouble).cast("int")
+    val segs = when(size(col("tk")) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(col("tk"), i * SegWin + 1, lit(SegWin)), " ")))
+    val seg = d.select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), posexplode(segs).as(Seq("seg_idx", "seg")))
+    val withC = seg.withColumn("c",
+      count(lit(1)).over(Window.partitionBy(col("seg"))))
+    val rolled = withC.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("c") >= SegDfCut, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("c") < SegDfCut,
+            struct(col("seg_idx"), col("seg"))))),
+          x => x("seg")), " ").as("kept"))
+    d.select(col("doc_id")).join(rolled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        md5(coalesce(col("kept"), lit(""))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  def segmentDedupOracle: String = {
+    val toks = OracleSql.tokens("lower(text)")
+    s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),
+       |seg AS (SELECT doc_id,
+       |         unnest(range(0, (len(tk) + ${SegWin - 1}) // $SegWin)) AS seg_idx,
+       |         unnest(list_transform(range(0, (len(tk) + ${SegWin - 1}) // $SegWin),
+       |                i -> array_to_string(tk[i * $SegWin + 1 : i * $SegWin + $SegWin], ' '))) AS seg
+       |        FROM tok),
+       |w AS (SELECT doc_id, seg_idx, seg,
+       |             count(*) OVER (PARTITION BY seg) AS c FROM seg),
+       |r AS (SELECT doc_id, count(*) AS n_segments,
+       |             sum(CASE WHEN c >= $SegDfCut THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       |             coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+       |                      FILTER (WHERE c < $SegDfCut), '') AS kept
+       |      FROM w GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(r.n_segments, 0) AS n_segments,
+       |       coalesce(r.n_dropped, 0) AS n_dropped,
+       |       md5(coalesce(r.kept, '')) AS kept_md5
+       |FROM documents d LEFT JOIN r USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ------------------------------ incremental batch-vs-corpus near-dup
+
+  /** Deterministic batch split: docs with doc_id % IncMod == IncRem are
+    * the "new ingest batch"; the rest are the standing corpus. */
+  val IncMod = 10L
+  val IncRem = 7L
+  val IncEstThreshold: Double = PipelineEstThreshold
+  val IncBloomItems = 100000L
+  val IncBloomBits = 800000L
+
+  /** Incremental near-dup screening of a new ingest batch against the
+    * standing corpus — the continuous-pipeline face of dedup_minhash: a
+    * new batch must not re-run the corpus self-join, only probe it. Each
+    * batch doc is flagged if it shares an LSH band bucket with a corpus
+    * doc AND the signature-estimated Jaccard clears the pipeline
+    * threshold; `dup_of` is the smallest such corpus partner.
+    *
+    * Scale shape: the batch side is small by construction (one ingest
+    * increment), so its (band_idx, band_hash) keys fold into ONE bloom
+    * blob (scalar subquery) that probes the CORPUS band derivation below
+    * the join exchange — the q14 machinery: only corpus rows whose band
+    * key might match a batch key reach the shuffle, so the corpus-side
+    * cost is a scan + bloom pass, not a full band join. False positives
+    * only cost pruning efficiency (the exact band equi-join removes
+    * them); at 100 TB the corpus bands are the materialized artifact the
+    * posting/IVF indexes already model (Materialize + appendTo*), and the
+    * probe reads it instead of re-deriving signatures. */
+  def incrementalNearDups(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchFunctions._
+    val bands = minhashSignatures(spark, dir)
+      .select(col("doc_id"), col("sig"),
+        posexplode(array((0 until Bands).map { b =>
+          polyHashLongs(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))
+        }: _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+    // One long key per band row: hash is < HashMod (< 2^30), so * Bands
+    // + idx is collision-free.
+    def bandKey = col("band_hash") * Bands + col("band_idx")
+    val batch = bands.filter(col("doc_id") % IncMod === IncRem)
+    val corpus = bands.filter(col("doc_id") % IncMod =!= IncRem)
+    val bloom = batch.agg(
+      bloomFilterAgg(bandKey, IncBloomItems, IncBloomBits).as("bf"))
+    val corpusPruned = corpus.filter(mightContain(bloom.scalar(), bandKey))
+    val est = size(filter(sequence(lit(1), lit(MinHashK)),
+      i => element_at(col("a.sig"), i) === element_at(col("b.sig"), i)))
+      .cast("double") / MinHashK.toDouble
+    val partners = batch.as("a").join(corpusPruned.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner"),
+        est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= IncEstThreshold)
+      .select(col("doc_id"), col("partner")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_partners"), min(col("partner")).as("dup_of"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % IncMod === IncRem)
+      .select(col("doc_id")).join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("dup_of").isNotNull.as("is_dup"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"), col("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  def incrementalNearDupsOracle: String =
+    s"""WITH $minhashBandCtes,
+       |ba AS (SELECT * FROM bands WHERE doc_id % $IncMod = $IncRem),
+       |co AS (SELECT * FROM bands WHERE doc_id % $IncMod <> $IncRem),
+       |p AS (SELECT DISTINCT a.doc_id, b.doc_id AS partner
+       |      FROM ba a JOIN co b
+       |        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |      WHERE len(list_filter(range(1, ${MinHashK + 1}),
+       |              i -> a.sig[i] = b.sig[i]))::DOUBLE / $MinHashK.0 >= $IncEstThreshold),
+       |g AS (SELECT doc_id, count(*)::BIGINT AS n_partners, min(partner) AS dup_of
+       |      FROM p GROUP BY doc_id)
+       |SELECT d.doc_id, g.dup_of IS NOT NULL AS is_dup,
+       |       coalesce(g.n_partners, 0) AS n_partners, g.dup_of
+       |FROM documents d LEFT JOIN g USING (doc_id)
+       |WHERE d.doc_id % $IncMod = $IncRem
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------- semantic (cluster-local) dedup
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embed, k-means
+    * cluster, and search for near-dup pairs ONLY within each cluster —
+    * the all-pairs cosine join is bounded by the largest cell, never the
+    * corpus. Candidates here come from the Lloyd-TRAINED codebook's cell
+    * assignment (KMeans.trainedCentroids — a map-only argmax over the
+    * one-row broadcast codebook), then one shuffle on the cell key that
+    * BOTH self-join sides reuse (same ReusedExchange shape as
+    * dedup_embedding's LSH buckets), exact cosine verifies. Complementary
+    * detectors: LSH buckets catch near-identical vectors across the
+    * space; cell-local search catches semantic duplicates the 8-plane
+    * bucket split may separate. At 100 TB the assignment is the
+    * ingest-time IVF product (ann_ivf_bucketed), so candidate gen reads
+    * cell-partitioned files and the join is cell-co-located. */
+  def semanticNearDups(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cent = KMeans.trainedCentroids(spark, dir)
+    val assigned = KMeans.assign(e, cent)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .repartition(col("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim", round(Similarity.cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cosine_sim") >= threshold && !isnan(col("cosine_sim")))
+      .select(col("cell"), col("id_a"), col("id_b"), col("cosine_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def semanticNearDupsOracle(threshold: Double,
+                             iters: Int = KMeans.DefaultIters, mod: Long = 25L,
+                             numCentroids: Int = Similarity.IvfNumCentroids): String = {
+    val cosA = Similarity.cosineSql("e.embedding", "c.cemb")
+    val cosP = Similarity.cosineSql("a.embedding", "b.embedding")
+    s"""WITH ${KMeans.trainCtes(iters, mod, numCentroids)},
+       |af AS (SELECT e.vec_id, c.cid AS cell
+       |       FROM embeddings e CROSS JOIN cent$iters c
+       |       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |                                  ORDER BY $cosA DESC, c.cid) = 1),
+       |p AS (SELECT x.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+       |             round($cosP, 4) AS cosine_sim
+       |      FROM af x JOIN af y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |      JOIN embeddings a ON a.vec_id = x.vec_id
+       |      JOIN embeddings b ON b.vec_id = y.vec_id)
+       |SELECT cell, id_a, id_b, cosine_sim FROM p
+       |WHERE cosine_sim >= $threshold AND NOT isnan(cosine_sim)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }

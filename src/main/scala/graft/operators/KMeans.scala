@@ -53,7 +53,7 @@ object KMeans {
   /** Map-only cell assignment: fold the codebook to one broadcast row of
     * sorted (cid, cemb) structs, then per-row argmax cosine (tie → smallest
     * cid) without any join multiplication or shuffle. */
-  private def assign(e: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def assign(e: DataFrame, cent: DataFrame): DataFrame = {
     val centArr = cent
       .agg(array_sort(collect_list(struct(col("cid"), col("cemb")))).as("cents"))
     e.crossJoin(broadcast(centArr))

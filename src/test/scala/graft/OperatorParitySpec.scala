@@ -214,4 +214,74 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // point branch: self + point 2; aggregate branch: bbox 100 only
     assert(got == Set((1L, false), (2L, false), (100L, true)), got.toString)
   }
+
+  test("segment dedup bites: drops, full emptying, and count invariants") {
+    val rows = Dedup.segmentDedup(spark, dir).collect()
+    // (doc_id, n_segments, n_dropped, kept_md5)
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(rows.exists(r => r.getLong(2) > 0), "no segment dropped — cut is vacuous")
+    assert(rows.exists(r => r.getLong(2) == 0), "every doc lost segments — cut too hot")
+    // a fully-emptied doc reconstructs to '' (md5 of the empty string)
+    val emptied = rows.filter(r => r.getLong(1) > 0 && r.getLong(2) == r.getLong(1))
+    assert(emptied.nonEmpty, "emptied-doc branch not exercised on the gate corpus")
+    assert(emptied.forall(_.getString(3) == "d41d8cd98f00b204e9800998ecf8427e"))
+  }
+
+  test("incremental near-dup screen == the batch-straddling slice of minhashPairs") {
+    import org.apache.spark.sql.functions._
+    val t = Dedup.IncEstThreshold
+    val mod = Dedup.IncMod; val rem = Dedup.IncRem
+    // ground truth from the full self-join: pairs over threshold with
+    // exactly one side in the batch, folded to (batch doc -> min partner)
+    val pairs = Dedup.minhashPairs(spark, dir)
+      .filter(col("est_jaccard") >= t)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (a % mod == rem, b % mod == rem) match {
+          case (true, false) => Seq(a -> b)
+          case (false, true) => Seq(b -> a)
+          case _ => Seq.empty
+        }
+      }
+    val want = pairs.groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2).min }
+    val got = Dedup.incrementalNearDups(spark, dir).collect()
+      .filter(_.getBoolean(1))
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == want, s"got=$got want=$want")
+    assert(got.nonEmpty, "no batch doc flagged — the screen is vacuous")
+  }
+
+  test("semantic near-dups contain every same-cell LSH near-dup pair") {
+    import org.apache.spark.sql.functions._
+    val t = 0.40
+    val sem = Dedup.semanticNearDups(spark, dir, t).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(sem.nonEmpty)
+    // LSH-bucket pairs >= t whose two vectors share a k-means cell are a
+    // subset of the cell-local search by construction
+    val e = Tables.embeddings(spark, dir)
+    val cells = graft.operators.KMeans
+      .assign(e, graft.operators.KMeans.trainedCentroids(spark, dir))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Dedup.embeddingNearDups(spark, dir, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cells(a) == cells(b) }
+    assert(lsh.forall(sem.contains), s"missing: ${lsh.filterNot(sem.contains).toSeq}")
+  }
+
+  test("trained quality classifier beats the base rate on the teacher labels") {
+    val rows = graft.operators.QualityModel.lrScore(spark, dir).collect()
+    val n = rows.length.toDouble
+    val acc = rows.count(_.getBoolean(4)) / n
+    val base = math.max(rows.count(_.getDouble(1) == 1.0) / n,
+      rows.count(_.getDouble(1) == 0.0) / n)
+    assert(acc > base + 0.1, s"accuracy $acc does not beat base rate $base")
+    // the length feature carries positive teacher weight — training must
+    // recover its sign
+    val w = graft.operators.QualityModel.lrTrain(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(1) > 0, s"w1 should be positive, got ${w(1)}")
+  }
 }

@@ -94,6 +94,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bloom probe not below the exchange:\n$p")
   }
 
+  test("incremental dedup blooms the corpus band scan below the join exchange") {
+    val p = finalPlan("dedup_incremental")
+    assert(p.contains("might_contain"), p)
+    // the batch-key bloom must prune corpus band rows BEFORE they shuffle —
+    // a full corpus band join would re-run the self-join cost per ingest
+    val probeAt = p.indexOf("might_contain")
+    val exchangeAt = p.indexOf("Exchange")
+    assert(exchangeAt >= 0 && probeAt > exchangeAt,
+      s"bloom probe not below the exchange:\n$p")
+  }
+
+  test("semantic dedup computes the cell exchange once (ReusedExchange)") {
+    val p = finalPlan("dedup_semantic")
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("stop-gram df table joins broadcast (gram-space-bounded stat, no shuffle side)") {
     val p = finalPlan("fuzzy_batch_stopgram")
     assert(p.contains("BroadcastHashJoin"), p)
