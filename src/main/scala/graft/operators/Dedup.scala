@@ -710,22 +710,35 @@ object Dedup {
     * them); at 100 TB the corpus bands are the materialized artifact the
     * posting/IVF indexes already model (Materialize + appendTo*), and the
     * probe reads it instead of re-deriving signatures. */
-  def incrementalNearDups(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.SketchFunctions._
-    val bands = minhashSignatures(spark, dir)
+  /** Signature + LSH band rows (doc_id, sig, band_idx, band_hash) for any
+    * (doc_id, text) relation — the derivation minhashPairs explodes,
+    * factored so the incremental screen can band the BATCH side and the
+    * corpus side independently (streaming face: the batch is a
+    * micro-batch; the corpus bands are the standing artifact). */
+  private[graft] def bandRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.MinHashSignature.minhashSignature(
+          lower(col("text")), ShingleWords, MinHashK).as("sig"))
       .select(col("doc_id"), col("sig"),
         posexplode(array((0 until Bands).map { b =>
           polyHashLongs(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))
         }: _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+
+  /** The screen over explicit batch/corpus relations — the core both the
+    * gate query and the streaming face (StreamOps.dedupScreenStream) run.
+    * `corpusBands` is BY-NAME: each caller evaluation (e.g. a streaming
+    * micro-batch) re-derives it, so a fresh read of an appended band
+    * artifact is picked up without restart. */
+  def incrementalNearDupsOver(batchDocs: DataFrame, corpusBands: => DataFrame): DataFrame = {
+    import graft.functions.SketchFunctions._
     // One long key per band row: hash is < HashMod (< 2^30), so * Bands
     // + idx is collision-free.
     def bandKey = col("band_hash") * Bands + col("band_idx")
-    val batch = bands.filter(col("doc_id") % IncMod === IncRem)
-    val corpus = bands.filter(col("doc_id") % IncMod =!= IncRem)
+    val batch = bandRows(batchDocs)
     val bloom = batch.agg(
       bloomFilterAgg(bandKey, IncBloomItems, IncBloomBits).as("bf"))
-    val corpusPruned = corpus.filter(mightContain(bloom.scalar(), bandKey))
+    val corpusPruned = corpusBands.filter(mightContain(bloom.scalar(), bandKey))
     val est = size(filter(sequence(lit(1), lit(MinHashK)),
       i => element_at(col("a.sig"), i) === element_at(col("b.sig"), i)))
       .cast("double") / MinHashK.toDouble
@@ -738,13 +751,19 @@ object Dedup {
       .select(col("doc_id"), col("partner")).distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_partners"), min(col("partner")).as("dup_of"))
-    Tables.documents(spark, dir)
-      .filter(col("doc_id") % IncMod === IncRem)
-      .select(col("doc_id")).join(partners, Seq("doc_id"), "left")
+    batchDocs.select(col("doc_id")).join(partners, Seq("doc_id"), "left")
       .select(col("doc_id"),
         col("dup_of").isNotNull.as("is_dup"),
         coalesce(col("n_partners"), lit(0L)).as("n_partners"), col("dup_of"))
       .orderBy(col("doc_id"))
+  }
+
+  def incrementalNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    incrementalNearDupsOver(
+      d.filter(col("doc_id") % IncMod === IncRem).select(col("doc_id"), col("text")),
+      bandRows(d.filter(col("doc_id") % IncMod =!= IncRem)
+        .select(col("doc_id"), col("text"))))
   }
 
   def incrementalNearDupsOracle: String =

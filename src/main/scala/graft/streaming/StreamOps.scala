@@ -150,6 +150,30 @@ object StreamOps {
       }
       .start()
 
+  // --------------------------------------- streaming ingest dedup screen
+
+  /** Streaming face of the incremental near-dup screen: a STREAM of new
+    * documents (`doc_id`, `text`) screened against the STANDING corpus's
+    * LSH band relation — the ingest-gate shape of dedup_incremental: every
+    * arriving document is flagged before it enters the corpus, without
+    * ever re-running the corpus self-join. Each micro-batch runs the exact
+    * `Dedup.incrementalNearDupsOver` plan (batch band keys fold into a
+    * bloom probed inside the corpus band scan, exact band join +
+    * estimated-Jaccard verify). A doc's screen result depends only on its
+    * own row vs the static corpus, so per-micro-batch evaluation is exact
+    * under any request chunking (StreamingSpec pins stream-total ==
+    * `dedup_incremental` on the same batch split across micro-batches).
+    * `corpusBands` is BY-NAME — re-evaluated per micro-batch, so a corpus
+    * band append is visible on the next batch when the caller passes a
+    * fresh read (see fuzzyStream). */
+  def dedupScreenStream(docs: DataFrame, corpusBands: => DataFrame)
+                       (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Dedup.incrementalNearDupsOver(batch, corpusBands), batchId)
+      }
+      .start()
+
   // ------------------------------------------------- streaming CDC apply
 
   case class Change(key: Long, version: Long, price: Double, op: String)

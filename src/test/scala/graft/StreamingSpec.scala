@@ -299,6 +299,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       want.sortBy(_.mkString("|")).toList)
   }
 
+  test("streaming ingest dedup screen matches the batch incremental screen") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val d = Tables.documents(spark, dir)
+    val batchDocs = d.filter(col("doc_id") % Dedup.IncMod === Dedup.IncRem)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(batchDocs.length >= 2, "batch too small to split across micro-batches")
+    val corpusBands = Dedup.bandRows(
+      d.filter(col("doc_id") % Dedup.IncMod =!= Dedup.IncRem)
+        .select(col("doc_id"), col("text")))
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = StreamOps.dedupScreenStream(sdf, corpusBands) { (out, _) =>
+      buf ++= out.collect().map(_.toSeq)
+    }
+    try {
+      // A doc's screen result depends only on its own row vs the static
+      // corpus — chunking must not change the union of results.
+      val (a, b) = batchDocs.splitAt(batchDocs.length / 2)
+      stream.addData(a.toSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = Dedup.incrementalNearDups(spark, dir).collect().map(_.toSeq)
+    assert(buf.exists(_(1) == true), "no dup flagged — the stream pin is vacuous")
+    assert(buf.sortBy(_.mkString("|")).toList ==
+      want.sortBy(_.mkString("|")).toList)
+  }
+
   test("a posting-index append is visible to the running stream on the next micro-batch") {
     import graft.operators.FuzzySearch
     import org.apache.spark.sql.functions.{col, count, lit, pmod}
