@@ -170,6 +170,9 @@ object SparkEntry {
     // SemDeDup: cell-local cosine pairs within the trained k-means
     // clustering (candidates bounded by the largest cell)
     "dedup_semantic" -> ((s, d) => Dedup.semanticNearDups(s, d, P.EmbDupThreshold)),
+    // exact duplicated-span detection (Lee et al. ExactSubstr): maximal
+    // per-doc spans of corpus-repeated 8-token windows, gaps-and-islands
+    "dedup_spans" -> ((s, d) => Dedup.spanDedup(s, d)),
     // --- similarity search ---
     "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, P.CosineProbe, P.CosineK)),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(s, d, planes = 8)),
@@ -387,6 +390,7 @@ object SparkEntry {
     "dedup_lines" -> Dedup.segmentDedupOracle,
     "dedup_incremental" -> Dedup.incrementalNearDupsOracle,
     "dedup_semantic" -> Dedup.semanticNearDupsOracle(P.EmbDupThreshold),
+    "dedup_spans" -> Dedup.spanDedupOracle,
     "ann_cosine_topk" -> Similarity.cosineTopKOracle(P.CosineProbe, P.CosineK),
     "ann_lsh_buckets" -> Similarity.lshBucketsOracle(8),
     "ann_ivf_topk" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),

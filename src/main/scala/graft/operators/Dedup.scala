@@ -683,6 +683,88 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ----------------------------------- span-level exact substring dedup
+
+  /** Window length for the duplicated-span detector — 8 tokens, the same
+    * unit corpus_decontaminate probes (a span must contain a full window
+    * to be flagged, so W is the minimum detectable duplicate length). */
+  val SpanWin = 8
+
+  /** Exact duplicated-SPAN detection (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * their suffix-array ExactSubstr pass, re-expressed relationally): a
+    * token position is duplicated iff some `SpanWin`-token window through
+    * it occurs at least twice ANYWHERE in the corpus (another doc or the
+    * same one); overlapping/adjacent duplicated windows merge into
+    * MAXIMAL spans per doc. The remaining dedup granularity between
+    * whole-document (exact/minhash/simhash/semantic) and fixed segments
+    * (dedup_lines): a doc that quotes 60 tokens of another doc gets
+    * exactly that span flagged, not the whole doc and not arbitrary
+    * segment boundaries.
+    *
+    * Scale shape: stride-1 windows explode in-row (bounded by corpus
+    * token count); occurrence counts attach via a WINDOW count over the
+    * window-key partition (ONE exchange on a data-derived key — the
+    * suffix array's job done by hash grouping); span merging is the
+    * classic gaps-and-islands: per-doc running `max(end)` over preceding
+    * rows marks island breaks, a running sum numbers them — one exchange
+    * on doc_id, all-integer arithmetic (bit-exact trivially). */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupOver(Tables.documents(spark, dir))
+
+  /** The detector over an explicit (doc_id, text) relation — the core the
+    * gate query runs; OperatorParitySpec drives it over crafted docs to
+    * pin the island merge (multi-span, gap, adjacency, intra-doc repeat)
+    * that the driver corpus's whole-doc duplicates never exercise. */
+  def spanDedupOver(d: DataFrame): DataFrame = {
+    val w = d.select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokenWindows(col("tk"), SpanWin))
+          .as(Seq("pos", "wkey")))
+    val dup = w
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("wkey"))))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        (col("pos") + SpanWin - 1).cast("long").as("e"))
+    val prevMax = max(col("e")).over(Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos")).rowsBetween(Window.unboundedPreceding, -1))
+    val islands = dup
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevMax, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"), max(col("e")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  def spanDedupOracle: String = {
+    val toks = OracleSql.tokens("lower(text)")
+    val W = SpanWin
+    s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),
+       |w AS (SELECT doc_id,
+       |        unnest(range(0, greatest(len(tk) - $W + 1, 0))) AS pos,
+       |        unnest(${OracleSql.tokenWindows("tk", W)}) AS wkey
+       |      FROM tok),
+       |c AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY wkey) AS c FROM w),
+       |dup AS (SELECT doc_id, pos, pos + $W - 1 AS e FROM c WHERE c >= 2),
+       |isl AS (SELECT doc_id, pos, e,
+       |         CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |              THEN 1 ELSE 0 END AS brk
+       |        FROM dup),
+       |g AS (SELECT doc_id, pos, e,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |      FROM isl),
+       |sp AS (SELECT doc_id, island, min(pos) AS span_start, max(e) AS span_end,
+       |              count(*) AS n_windows
+       |       FROM g GROUP BY doc_id, island)
+       |SELECT doc_id, span_start, span_end, n_windows
+       |FROM sp ORDER BY doc_id, span_start""".stripMargin
+  }
+
   // ------------------------------ incremental batch-vs-corpus near-dup
 
   /** Deterministic batch split: docs with doc_id % IncMod == IncRem are

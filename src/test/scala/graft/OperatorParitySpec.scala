@@ -271,6 +271,28 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.forall(sem.contains), s"missing: ${lsh.filterNot(sem.contains).toSeq}")
   }
 
+  test("span dedup islands: multi-span, gap, adjacency, and intra-doc repeat") {
+    import spark.implicits._
+    // A (8 toks) is shared by docs 1+2, B by docs 1+3; C repeats INSIDE
+    // doc 4 at positions 0 and 8 (adjacent islands -> ONE merged span).
+    val A = (1 to 8).map("a" + _).mkString(" ")
+    val B = (1 to 8).map("b" + _).mkString(" ")
+    val C = (1 to 8).map("c" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"$A u1 u2 u3 $B"), // spans [0,7] and [11,18] — gap preserved
+      (2L, s"$A v1 v2 v3"),
+      (3L, s"w1 w2 $B"),
+      (4L, s"$C $C")           // dup windows at 0 and 8 merge: [0,15]
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedupOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == List(
+      (1L, 0L, 7L, 1L), (1L, 11L, 18L, 1L),
+      (2L, 0L, 7L, 1L),
+      (3L, 2L, 9L, 1L),
+      (4L, 0L, 15L, 2L)), got.toString)
+  }
+
   test("trained quality classifier beats the base rate on the teacher labels") {
     val rows = graft.operators.QualityModel.lrScore(spark, dir).collect()
     val n = rows.length.toDouble
