@@ -41,6 +41,7 @@ object SparkEntry {
     // codebook structure to exploit) — 4 probed cells is the measured
     // recall/read trade; ann_ivf_recall keeps the number visible.
     val IvfProbe = 7L; val IvfK = 10; val IvfNprobe = 4
+    val Bm25Query = Seq("spark", "query", "table"); val Bm25K = 15
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -229,6 +230,9 @@ object SparkEntry {
     // corpus-LM fluency proxy: per-doc mean corpus frequency of its word
     // bigrams (integer-exact counts, one final division)
     "text_bigram_score" -> ((s, d) => TextAnalysis.bigramScore(s, d)),
+    // BM25 keyword retrieval (rational-idf variant, quantized per-term
+    // sums — the no-transcendental house rule)
+    "text_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d, P.Bm25Query, P.Bm25K)),
     // schema'd JSONL ingest with PERMISSIVE corrupt-record rescue (raw
     // crawl-dump reading; oracle derives the outcome from documents)
     "src_jsonl_rescue" -> ((s, d) => graft.sources.CorpusIngest.jsonlRescue(s, d)),
@@ -435,6 +439,7 @@ object SparkEntry {
     "ev_downsample_ohlc" -> EventOps.downsampleOhlcOracle,
     "ev_pivot_daily" -> EventOps.pivotDailyOracle,
     "text_bigram_score" -> TextAnalysis.bigramScoreOracle,
+    "text_bm25_topk" -> TextAnalysis.bm25TopKOracle(P.Bm25Query, P.Bm25K),
     "ev_lag_delta" -> EventOps.lagDeltasOracle,
     "ev_exact_distinct" -> EventOps.exactDistinctUsersOracle,
   )

@@ -359,6 +359,81 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------- BM25 keyword search
+
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  /** Quantization scale for per-term score summation (KMeans.QuantScale
+    * technique: groupBy sums floats in partition order, so per-term scores
+    * are floor-quantized to longs first — associative, order-free). */
+  val Bm25Quant = 1000000L
+
+  /** BM25 top-k document retrieval (Robertson/Spärck Jones probabilistic
+    * relevance framework) — the keyword-search face of the engine. One
+    * DOCUMENTED deviation for cross-engine bit-exactness: the idf factor
+    * is the RATIONAL odds (N - df + 0.5)/(df + 0.5), not its log — log's
+    * last ulp differs between libm and the JVM, and the house rule is no
+    * transcendental in any gated value (see qualityScore / bigramScore).
+    * Per-term weighting is the same monotone statistic; score SUMS weight
+    * rare terms more steeply than log-BM25, which is the trade stated
+    * here.
+    *
+    * Scale shape: tokens explode once; the query-term filter cuts the
+    * relation to |Q| terms' postings BEFORE any aggregation (at 100 TB
+    * this is the materialized word-posting read — fuzzy_indexed's layout
+    * keyed by term instead of trigram); df and the corpus length stats
+    * are tiny broadcast aggregates; per-(doc, term) scores quantize to
+    * longs and sum per doc (map-side combinable); top-k is
+    * TakeOrderedAndProject. */
+  def bm25TopK(spark: SparkSession, dir: String, query: Seq[String], k: Int): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tok = d.select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+    val dl = tok.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val m = tok.select(col("doc_id"), explode(col("tk")).as("term"))
+      .filter(array_contains(typedLit(query), col("term")))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = m.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = (col("n").cast("double") - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5)
+    val tfNorm = (col("tf").cast("double") * (Bm25K1 + 1.0)) /
+      (col("tf").cast("double") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+        lit(Bm25B) * col("dl").cast("double") / (col("sdl").cast("double") / col("n").cast("double"))))
+    val sc = m.join(broadcast(df), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"),
+        floor(idf * tfNorm * Bm25Quant.toDouble).cast("long").as("qs"))
+    sc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("qs")).as("score_q"))
+      .select(col("doc_id"), col("n_terms"),
+        (col("score_q").cast("double") / Bm25Quant.toDouble).as("bm25"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def bm25TopKOracle(query: Seq[String], k: Int): String = {
+    val toks = OracleSql.tokens("lower(text)")
+    val q = query.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),
+       |dl AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM tok),
+       |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl FROM dl),
+       |t AS (SELECT doc_id, unnest(tk) AS term FROM tok),
+       |m AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
+       |      WHERE list_contains($q, term) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),
+       |sc AS (SELECT m.doc_id,
+       |         floor(((st.n::DOUBLE - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5))
+       |           * (m.tf::DOUBLE * ($Bm25K1 + 1.0))
+       |           / (m.tf::DOUBLE + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl.dl::DOUBLE
+       |                / (st.sdl::DOUBLE / st.n::DOUBLE)))
+       |           * $Bm25Quant.0)::BIGINT AS qs
+       |       FROM m JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+       |agg AS (SELECT doc_id, count(*)::BIGINT AS n_terms, sum(qs)::BIGINT AS score_q
+       |        FROM sc GROUP BY doc_id)
+       |SELECT doc_id, n_terms, score_q::DOUBLE / $Bm25Quant.0 AS bm25
+       |FROM agg ORDER BY score_q DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   def repetitionOracle(win: Int = 3): String = {
     val toks = graft.oracle.OracleSql.tokens("lower(text)")
     s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),

@@ -110,6 +110,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("ReusedExchange"), p)
   }
 
+  test("BM25 top-k: broadcast stats joins and a TakeOrderedAndProject head") {
+    val p = finalPlan("text_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("stop-gram df table joins broadcast (gram-space-bounded stat, no shuffle side)") {
     val p = finalPlan("fuzzy_batch_stopgram")
     assert(p.contains("BroadcastHashJoin"), p)
