@@ -42,6 +42,13 @@ object SparkEntry {
     // recall/read trade; ann_ivf_recall keeps the number visible.
     val IvfProbe = 7L; val IvfK = 10; val IvfNprobe = 4
     val Bm25Query = Seq("spark", "query", "table"); val Bm25K = 15
+    // batch search request table: (qid, term) — multi-term requests of
+    // differing selectivity, one qid with a term absent from the corpus
+    val Bm25Batch: Seq[(Long, String)] = Seq(
+      0L -> "spark", 0L -> "query", 0L -> "table",
+      1L -> "join", 1L -> "merge",
+      2L -> "window", 2L -> "stream", 2L -> "sort",
+      3L -> "customer", 3L -> "zzznothere")
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -233,6 +240,11 @@ object SparkEntry {
     // BM25 keyword retrieval (rational-idf variant, quantized per-term
     // sums — the no-transcendental house rule)
     "text_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d, P.Bm25Query, P.Bm25K)),
+    // batch BM25: a search-request TABLE in one plan (per-qid rank cap)
+    "text_bm25_batch" -> ((s, d) => Retrieval.bm25Batch(s, d, P.Bm25Batch, P.Bm25K)),
+    // hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
+    // (all-integer contributions, full-outer pool join)
+    "search_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d, P.Bm25Query, P.CosineProbe, P.Bm25K)),
     // schema'd JSONL ingest with PERMISSIVE corrupt-record rescue (raw
     // crawl-dump reading; oracle derives the outcome from documents)
     "src_jsonl_rescue" -> ((s, d) => graft.sources.CorpusIngest.jsonlRescue(s, d)),
@@ -440,6 +452,8 @@ object SparkEntry {
     "ev_pivot_daily" -> EventOps.pivotDailyOracle,
     "text_bigram_score" -> TextAnalysis.bigramScoreOracle,
     "text_bm25_topk" -> TextAnalysis.bm25TopKOracle(P.Bm25Query, P.Bm25K),
+    "text_bm25_batch" -> Retrieval.bm25BatchOracle(P.Bm25Batch, P.Bm25K),
+    "search_hybrid_rrf" -> Retrieval.hybridRrfOracle(P.Bm25Query, P.CosineProbe, P.Bm25K),
     "ev_lag_delta" -> EventOps.lagDeltasOracle,
     "ev_exact_distinct" -> EventOps.exactDistinctUsersOracle,
   )

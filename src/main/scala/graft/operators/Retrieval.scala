@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+import graft.oracle.OracleSql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval over the documents corpus: batch BM25 (a query TABLE resolved
+  * in one plan — the serving shape of text_bm25_topk, exactly as
+  * fuzzy_batch is the serving shape of fuzzy_search) and hybrid
+  * lexical+dense fusion by Reciprocal Rank Fusion (Cormack et al. 2009,
+  * the standard score-free combiner in modern search stacks).
+  *
+  * Same bit-exactness posture as TextAnalysis.bm25TopK: rational-odds idf
+  * (no transcendental), per-(qid, doc, term) scores floor-quantized to
+  * longs before the order-nondeterministic parallel sum, RRF contributions
+  * as floor of one double division of exact integers.
+  */
+object Retrieval {
+
+  /** Batch BM25 over an explicit (qid, term) query relation — the core the
+    * gate query and the streaming face (StreamOps.searchStream) share.
+    * Plan: tokens explode ONCE; the distinct query-term set (broadcast)
+    * cuts the relation to the union of all queries' postings BEFORE any
+    * aggregation; df and corpus length stats are tiny broadcast
+    * aggregates computed once for the whole batch; per-(qid, doc) sums are
+    * map-side combinable over quantized longs; the per-qid top-k is a
+    * rank-window (Spark's WindowGroupLimit applies the cap map-side).
+    * `docs` is BY-NAME so a streaming micro-batch re-evaluates a fresh
+    * corpus read (see StreamOps.fuzzyStream). */
+  def bm25BatchOver(queries: DataFrame, docs: => DataFrame, k: Int): DataFrame = {
+    import TextAnalysis.{Bm25K1, Bm25B, Bm25Quant}
+    val tok = docs.select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+    val dl = tok.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val qTerms = queries.select(col("term")).distinct()
+    // (doc, term, tf) restricted to terms ANY query uses — the posting read
+    val matched = tok.select(col("doc_id"), explode(col("tk")).as("term"))
+      .join(broadcast(qTerms), "term")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = (col("n").cast("double") - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5)
+    val tfNorm = (col("tf").cast("double") * (Bm25K1 + 1.0)) /
+      (col("tf").cast("double") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+        lit(Bm25B) * col("dl").cast("double") / (col("sdl").cast("double") / col("n").cast("double"))))
+    val perQuery = matched.join(broadcast(df), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), col("term"),
+        floor(idf * tfNorm * Bm25Quant.toDouble).cast("long").as("qs"))
+      .join(broadcast(queries), "term")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("qs")).as("score_q"))
+    perQuery
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score_q").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("doc_id"), col("n_terms"),
+        (col("score_q").cast("double") / Bm25Quant.toDouble).as("bm25"))
+      .orderBy(col("qid"), col("bm25").desc, col("doc_id"))
+  }
+
+  /** Gate form: the fixed query table from SparkEntry's shared params. */
+  def bm25Batch(spark: SparkSession, dir: String, queryTable: Seq[(Long, String)],
+                k: Int): DataFrame = {
+    import spark.implicits._
+    bm25BatchOver(queryTable.toDF("qid", "term"), Tables.documents(spark, dir), k)
+  }
+
+  def bm25BatchOracle(queryTable: Seq[(Long, String)], k: Int): String = {
+    import TextAnalysis.{Bm25K1, Bm25B, Bm25Quant}
+    val toks = OracleSql.tokens("lower(text)")
+    val vals = queryTable.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH q(qid, term) AS (VALUES $vals),
+       |tok AS (SELECT doc_id, $toks AS tk FROM documents),
+       |dl AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM tok),
+       |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl FROM dl),
+       |t AS (SELECT doc_id, unnest(tk) AS term FROM tok),
+       |m AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
+       |      WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),
+       |sc AS (SELECT m.doc_id, m.term,
+       |         floor(((st.n::DOUBLE - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5))
+       |           * (m.tf::DOUBLE * ($Bm25K1 + 1.0))
+       |           / (m.tf::DOUBLE + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl.dl::DOUBLE
+       |                / (st.sdl::DOUBLE / st.n::DOUBLE)))
+       |           * $Bm25Quant.0)::BIGINT AS qs
+       |       FROM m JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+       |pq AS (SELECT q.qid, sc.doc_id, count(*)::BIGINT AS n_terms,
+       |              sum(sc.qs)::BIGINT AS score_q
+       |       FROM sc JOIN q USING (term) GROUP BY q.qid, sc.doc_id),
+       |r AS (SELECT qid, doc_id, n_terms, score_q,
+       |             row_number() OVER (PARTITION BY qid
+       |                                ORDER BY score_q DESC, doc_id) AS rk
+       |      FROM pq)
+       |SELECT qid, doc_id, n_terms, score_q::DOUBLE / $Bm25Quant.0 AS bm25
+       |FROM r WHERE rk <= $k
+       |ORDER BY qid, bm25 DESC, doc_id""".stripMargin
+  }
+
+  // -------------------------------------------- hybrid RRF (lexical+dense)
+
+  val RrfK = 60L
+  val RrfScale = 1000000000L
+  /** Pool depth per retriever before fusion. */
+  val RrfPoolN = 50
+
+  /** Hybrid retrieval: the lexical BM25 ranking and the dense cosine
+    * ranking of the SAME corpus (vec_id aligns with doc_id in the driver
+    * tables — in production the two are one table with text + embedding
+    * columns) fused by Reciprocal Rank Fusion:
+    * rrf(d) = Σ_retriever floor(SCALE / (K + rank_r(d))), missing side
+    * contributes 0. Rank-based fusion is score-free (no cross-retriever
+    * calibration) and all-integer here: each contribution is the floor of
+    * ONE double division of exact integers — bit-identical cross-engine.
+    *
+    * Scale shape: both pools are top-N head reads (TakeOrderedAndProject
+    * over their respective scans); the fusion is a full-outer join of two
+    * N-row relations + one more head — negligible next to retrieval. In a
+    * serving stack both pools come from the materialized indexes (word
+    * postings / IVF cells); here they run inline against the gate tables. */
+  def hybridRrf(spark: SparkSession, dir: String, queryTerms: Seq[String],
+                probeId: Long, k: Int): DataFrame = {
+    val lexPool = TextAnalysis.bm25TopK(spark, dir, queryTerms, RrfPoolN)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long").as("lex_rank"))
+    val densePool = Similarity.cosineTopK(spark, dir, probeId, RrfPoolN)
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(Window.orderBy(col("cosine_sim").desc, col("vec_id")))
+          .cast("long").as("dense_rank"))
+    def contrib(rank: org.apache.spark.sql.Column) =
+      when(rank.isNull, 0L).otherwise(
+        floor(lit(RrfScale.toDouble) / (lit(RrfK).cast("double") + rank.cast("double")))
+          .cast("long"))
+    lexPool.join(densePool, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        (contrib(col("lex_rank")) + contrib(col("dense_rank"))).as("rrf_q"))
+      .orderBy(col("rrf_q").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def hybridRrfOracle(queryTerms: Seq[String], probeId: Long, k: Int): String = {
+    val bm25 = TextAnalysis.bm25TopKOracle(queryTerms, RrfPoolN)
+    val cos = Similarity.cosineTopKOracle(probeId, RrfPoolN)
+    def contrib(r: String) =
+      s"CASE WHEN $r IS NULL THEN 0 ELSE floor($RrfScale.0 / ($RrfK.0 + $r::DOUBLE))::BIGINT END"
+    s"""WITH lex AS (SELECT doc_id,
+       |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |       FROM ($bm25)),
+       |dense AS (SELECT vec_id AS doc_id,
+       |         row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS dense_rank
+       |       FROM ($cos))
+       |SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+       |       lex.lex_rank, dense.dense_rank,
+       |       ${contrib("lex.lex_rank")} + ${contrib("dense.dense_rank")} AS rrf_q
+       |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+       |ORDER BY rrf_q DESC, coalesce(lex.doc_id, dense.doc_id)
+       |LIMIT $k""".stripMargin
+  }
+}

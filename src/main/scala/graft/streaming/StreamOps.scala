@@ -174,6 +174,26 @@ object StreamOps {
       }
       .start()
 
+  // --------------------------------------------- streaming keyword search
+
+  /** Streaming face of batch BM25: a STREAM of search requests (`qid`,
+    * `term` — one row per query term) served against the STATIC corpus.
+    * Each micro-batch runs the exact `Retrieval.bm25BatchOver` plan; a
+    * request's ranking depends only on its own terms vs the static corpus
+    * stats, so per-micro-batch evaluation is exact under any chunking
+    * PROVIDED a qid's term rows arrive in one batch (requests are atomic
+    * — the same contract fuzzyStream has for its per-qid rows).
+    * StreamingSpec pins stream-total == `text_bm25_batch` on the same
+    * request set split across micro-batches. `docs` is BY-NAME — see
+    * fuzzyStream. */
+  def searchStream(requests: DataFrame, docs: => DataFrame, k: Int)
+                  (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    requests.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Retrieval.bm25BatchOver(batch, docs, k), batchId)
+      }
+      .start()
+
   // ------------------------------------------------- streaming CDC apply
 
   case class Change(key: Long, version: Long, price: Double, op: String)

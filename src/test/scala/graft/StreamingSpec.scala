@@ -334,6 +334,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       want.sortBy(_.mkString("|")).toList)
   }
 
+  test("streaming keyword search matches batch BM25 on the same request set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val reqs: Seq[(Long, String)] = Seq(
+      0L -> "spark", 0L -> "query", 0L -> "table",
+      1L -> "join", 1L -> "merge",
+      2L -> "window", 2L -> "stream", 2L -> "sort",
+      3L -> "customer", 3L -> "zzznothere")
+    val docs = Tables.documents(spark, dir)
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("qid", "term")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = StreamOps.searchStream(sdf, docs, k = 15) { (out, _) =>
+      buf ++= out.collect().map(_.toSeq)
+    }
+    try {
+      // split BETWEEN requests (qids are atomic): qids 0-1 then 2-3
+      val (a, b) = reqs.partition(_._1 <= 1L)
+      stream.addData(a: _*)
+      q.processAllAvailable()
+      stream.addData(b: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.operators.Retrieval.bm25Batch(spark, dir, reqs, 15)
+      .collect().map(_.toSeq)
+    assert(buf.nonEmpty && buf.sortBy(_.mkString("|")).toList ==
+      want.sortBy(_.mkString("|")).toList)
+  }
+
   test("a posting-index append is visible to the running stream on the next micro-batch") {
     import graft.operators.FuzzySearch
     import org.apache.spark.sql.functions.{col, count, lit, pmod}
