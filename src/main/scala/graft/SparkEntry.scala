@@ -226,6 +226,10 @@ object SparkEntry {
     // intra-doc repetition (Gopher-style dup/top n-gram fractions)
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    // distributed BPE training (one corpus pass, vocabulary-sized merge
+    // iterations, materialized per round) + encoding under the merges
+    "tok_bpe_merges" -> ((s, d) => BpeTrainer.bpeMerges(s, d)),
+    "tok_bpe_encode" -> ((s, d) => BpeTrainer.bpeEncode(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     // trained quality classifier: full-batch GD (8 one-aggregate passes
     // over the materialized feature relation, quantized gradients, no
@@ -431,6 +435,8 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintOracle,
     "quality_lr_train" -> QualityModel.lrTrainOracle,
     "quality_lr_score" -> QualityModel.lrScoreOracle,
+    "tok_bpe_merges" -> BpeTrainer.bpeMergesOracle(),
+    "tok_bpe_encode" -> BpeTrainer.bpeEncodeOracle(),
     "text_tf_topk" -> TextAnalysis.termDfTopKOracle(TextAnalysis.TermTopK),
     "text_pii_mask" -> TextAnalysis.piiMaskOracle,
     "mm_decode_stats" -> Multimodal.decodeStatsOracle,

@@ -293,6 +293,23 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 0L, 15L, 2L)), got.toString)
   }
 
+  test("BPE merge application is greedy non-overlapping (run parity) and feeds back") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "aaaa": overlapping (a,a) chain -> 1st and 3rd occurrences merge
+    // ([aa, aa], never [aa, a, a] or a double-consume); second iteration
+    // must pick the LEARNED symbol pair (aa, aa).
+    val docs = Seq((0L, "aaaa aaaa b")).toDF("doc_id", "text")
+    val (merges, sK) = graft.operators.BpeTrainer.trainOver(docs, 2)
+    val m = merges.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    // iter 1: (a, a) appears 3x per word instance, 2 instances -> 6
+    assert(m(0) == (1L, "a", "a", 6L), m.toSeq.toString)
+    // iter 2: the merged symbol pairs with itself: (aa, aa) count 2
+    assert(m(1) == (2L, "aa", "aa", 2L), m.toSeq.toString)
+    val fin = sK.filter(col("word") === "aaaa").collect().map(_.getString(3)).toSeq
+    assert(fin == Seq("aaaa"), fin.toString)
+  }
+
   test("trained quality classifier beats the base rate on the teacher labels") {
     val rows = graft.operators.QualityModel.lrScore(spark, dir).collect()
     val n = rows.length.toDouble
