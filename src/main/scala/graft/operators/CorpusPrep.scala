@@ -51,24 +51,41 @@ object CorpusPrep {
     * BROADCAST and candidate marking is a map-side semi-join; no train-
     * side self-join ever happens. Output keeps every train doc with its
     * flag (the downstream cut is one `filter`), ordered for the gate. */
-  def decontaminate(spark: SparkSession, dir: String, evalMod: Long = EvalMod,
-                    win: Int = ContamWin): DataFrame = {
-    val d = graft.Tables.documents(spark, dir)
-    val tok = d.select(col("doc_id"),
-      graft.functions.TextFunctions.tokens(lower(col("text"))).as("tk"))
-    val wins = tok.select(col("doc_id"), explode(
-      graft.functions.TextFunctions.tokenWindows(col("tk"), win)).as("w"))
-    val evalW = wins.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
-      .select(col("w")).distinct()
-    val hits = wins.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
-      .join(broadcast(evalW), "w")
+  /** The distinct token-window set of the eval slice — the benchmark-
+    * suite fingerprint the train side is screened against (broadcast-
+    * sized by construction: eval suites are tiny next to the corpus). */
+  def evalWindowSet(spark: SparkSession, dir: String, evalMod: Long = EvalMod,
+                    win: Int = ContamWin): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+      .select(explode(graft.functions.TextFunctions.tokenWindows(
+        graft.functions.TextFunctions.tokens(lower(col("text"))), win)).as("w"))
+      .distinct()
+
+  /** The screen over explicit train docs + eval window set — the core the
+    * gate query and the streaming face (StreamOps.decontaminateStream)
+    * share. `evalWindows` is BY-NAME: a streaming micro-batch re-reads a
+    * refreshed eval suite without restart (see StreamOps.fuzzyStream). */
+  def decontaminateOver(trainDocs: DataFrame, evalWindows: => DataFrame,
+                        win: Int = ContamWin): DataFrame = {
+    val wins = trainDocs.select(col("doc_id"), explode(
+      graft.functions.TextFunctions.tokenWindows(
+        graft.functions.TextFunctions.tokens(lower(col("text"))), win)).as("w"))
+    val hits = wins.join(broadcast(evalWindows), "w")
       .select(col("doc_id")).distinct()
-    d.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+    trainDocs
       .join(hits.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("lang"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
       .orderBy(col("doc_id"))
   }
+
+  def decontaminate(spark: SparkSession, dir: String, evalMod: Long = EvalMod,
+                    win: Int = ContamWin): DataFrame =
+    decontaminateOver(
+      graft.Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0),
+      evalWindowSet(spark, dir, evalMod, win), win)
 
   def decontaminateOracle(evalMod: Long = EvalMod, win: Int = ContamWin): String = {
     val toks = graft.oracle.OracleSql.tokens("lower(text)")

@@ -194,6 +194,27 @@ object StreamOps {
       }
       .start()
 
+  // --------------------------------------- streaming decontamination gate
+
+  /** Streaming face of eval-set decontamination: a STREAM of candidate
+    * training documents (`doc_id`, `source`, `lang`, `text`) screened
+    * against the STATIC eval-suite window set before admission — the
+    * second ingest gate next to dedupScreenStream. Each micro-batch runs
+    * the exact `CorpusPrep.decontaminateOver` plan (train windows ×
+    * broadcast eval window set, distinct semi-join). A doc's flag depends
+    * only on its own windows vs the static eval set, so per-micro-batch
+    * evaluation is exact under any chunking (StreamingSpec pins
+    * stream-total == `corpus_decontaminate` on the same docs split across
+    * micro-batches). `evalWindows` is BY-NAME — a refreshed eval suite is
+    * visible on the next batch (see fuzzyStream). */
+  def decontaminateStream(docs: DataFrame, evalWindows: => DataFrame)
+                         (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.CorpusPrep.decontaminateOver(batch, evalWindows), batchId)
+      }
+      .start()
+
   // ------------------------------------------------- streaming CDC apply
 
   case class Change(key: Long, version: Long, price: Double, op: String)

@@ -364,6 +364,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       want.sortBy(_.mkString("|")).toList)
   }
 
+  test("streaming decontamination gate matches the batch screen on the same docs") {
+    import graft.operators.CorpusPrep
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val train = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(CorpusPrep.EvalMod)) =!= 0)
+      .select(col("doc_id"), col("source"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val evalW = CorpusPrep.evalWindowSet(spark, dir)
+    val stream = MemoryStream[(Long, String, String, String)]
+    val sdf = stream.toDF().toDF("doc_id", "source", "lang", "text")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = StreamOps.decontaminateStream(sdf, evalW) { (out, _) =>
+      buf ++= out.collect().map(_.toSeq)
+    }
+    try {
+      val (a, b) = train.splitAt(train.length / 2)
+      stream.addData(a.toSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = CorpusPrep.decontaminate(spark, dir).collect().map(_.toSeq)
+    assert(buf.exists(_(3) == true), "no contaminated doc — the stream pin is vacuous")
+    assert(buf.sortBy(_.mkString("|")).toList ==
+      want.sortBy(_.mkString("|")).toList)
+  }
+
   test("a posting-index append is visible to the running stream on the next micro-batch") {
     import graft.operators.FuzzySearch
     import org.apache.spark.sql.functions.{col, count, lit, pmod}
