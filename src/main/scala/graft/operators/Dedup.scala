@@ -634,7 +634,13 @@ object Dedup {
     * doc_id with an in-aggregate ordered rebuild (`array_sort` of
     * (seg_idx, seg) structs — collect_list drops the null'd dropped
     * segments). The doc-emptied edge returns '' (md5-stable), not NULL. */
-  def segmentDedup(spark: SparkSession, dir: String): DataFrame = {
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame =
+    segmentDedup(spark, dir, SegDfCut)
+
+  /** Parameterized cut — DedupSpec pins the identity: with an
+    * unreachable cut nothing drops and every doc reconstructs to its
+    * exact normalized token stream (segmentation is lossless). */
+  def segmentDedup(spark: SparkSession, dir: String, cut: Long): DataFrame = {
     val d = Tables.documents(spark, dir)
     val tk = tokens(lower(col("text")))
     val nseg = floor((size(col("tk")) + lit(SegWin - 1)).cast("double") / SegWin.toDouble).cast("int")
@@ -647,9 +653,9 @@ object Dedup {
       count(lit(1)).over(Window.partitionBy(col("seg"))))
     val rolled = withC.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_segments"),
-        sum(when(col("c") >= SegDfCut, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("c") >= cut, 1L).otherwise(0L)).as("n_dropped"),
         array_join(transform(
-          array_sort(collect_list(when(col("c") < SegDfCut,
+          array_sort(collect_list(when(col("c") < cut,
             struct(col("seg_idx"), col("seg"))))),
           x => x("seg")), " ").as("kept"))
     d.select(col("doc_id")).join(rolled, Seq("doc_id"), "left")

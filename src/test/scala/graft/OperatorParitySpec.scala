@@ -227,6 +227,19 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emptied.forall(_.getString(3) == "d41d8cd98f00b204e9800998ecf8427e"))
   }
 
+  test("segment dedup with an unreachable cut is the identity (lossless segmentation)") {
+    import org.apache.spark.sql.functions._
+    val got = Dedup.segmentDedup(spark, dir, cut = Long.MaxValue).collect()
+    assert(got.forall(_.getLong(2) == 0L), "nothing may drop under an unreachable cut")
+    // reconstruction must equal the doc's exact normalized token stream
+    val want = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(array_join(
+        graft.functions.TextFunctions.tokens(lower(col("text"))), " ")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach(r => assert(r.getString(3) == want(r.getLong(0)),
+      s"doc ${r.getLong(0)} did not reconstruct losslessly"))
+  }
+
   test("incremental near-dup screen == the batch-straddling slice of minhashPairs") {
     import org.apache.spark.sql.functions._
     val t = Dedup.IncEstThreshold
