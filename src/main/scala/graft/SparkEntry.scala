@@ -212,6 +212,9 @@ object SparkEntry {
     // recall row shows what training buys over the raw sample
     "ann_pq_trained" -> ((s, d) => KMeans.pqTrainedTopK(s, d, P.IvfProbe, P.IvfK)),
     "ann_pq_trained_recall" -> ((s, d) => KMeans.pqTrainedRecall(s, d, P.IvfK)),
+    // per-vector symmetric int8 quantization with measured reconstruction
+    // error (the 4x codec next to PQ's 32x)
+    "emb_int8" -> ((s, d) => Similarity.int8Quantize(s, d)),
     // --- text analysis ---
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     // the end-to-end corpus-prep composition: language gate → quality
@@ -425,6 +428,7 @@ object SparkEntry {
     "ann_pq_indexed" -> Similarity.pqTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_trained" -> KMeans.pqTrainedTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_trained_recall" -> KMeans.pqTrainedRecallOracle(P.IvfK),
+    "emb_int8" -> Similarity.int8QuantizeOracle,
     "text_langid" -> TextAnalysis.languageIdOracle,
     "corpus_prep" -> CorpusPrep.corpusPrepOracle(),
     "corpus_quality_cut" -> CorpusPrep.qualityCutOracle,
