@@ -225,6 +225,9 @@ object SparkEntry {
     // eval-set decontamination: train docs sharing an 8-token window with
     // the eval slice are flagged (n-gram overlap decontamination)
     "corpus_decontaminate" -> ((s, d) => CorpusPrep.decontaminate(s, d)),
+    // per-source observability rollup: volume, language mix, dedup
+    // health, contamination, quantized mean quality — one plan
+    "corpus_stats" -> ((s, d) => CorpusPrep.corpusStats(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     // intra-doc repetition (Gopher-style dup/top n-gram fractions)
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
@@ -433,6 +436,7 @@ object SparkEntry {
     "corpus_prep" -> CorpusPrep.corpusPrepOracle(),
     "corpus_quality_cut" -> CorpusPrep.qualityCutOracle,
     "corpus_decontaminate" -> CorpusPrep.decontaminateOracle(),
+    "corpus_stats" -> CorpusPrep.corpusStatsOracle,
     "text_quality" -> TextAnalysis.qualityScoreOracle,
     "text_repetition" -> TextAnalysis.repetitionOracle(),
     "text_tokens" -> TextAnalysis.tokenCountsOracle,

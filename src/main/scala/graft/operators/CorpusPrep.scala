@@ -136,4 +136,72 @@ object CorpusPrep {
        |SELECT doc_id, quality_score
        |FROM q, m WHERE quality_score >= m.m
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- per-source observability
+
+  /** Quantization scale for the cross-row quality mean (a parallel float
+    * sum is order-nondeterministic; floor-quantized longs are exact). */
+  val StatsQuant = 1000000L
+
+  /** Per-source pipeline observability — the monitoring rollup every
+    * production corpus pipeline publishes per ingest source: volume
+    * (docs, tokens), language mix (en share under the gate's own
+    * language-ID), dedup health (canonical share under the pipeline
+    * labels), eval contamination count, and mean quality. ONE plan
+    * composing four existing per-doc projections by equi-join on doc_id,
+    * then a single hash aggregate on the source key (bounded cardinality
+    * — sources are feeds, not data). Cross-row quality mean is summed as
+    * floor-quantized longs and divided ONCE (bit-exact; the
+    * KMeans.QuantScale technique). Eval-slice docs carry
+    * contaminated=false (the screen only applies to train docs). */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(spark, dir)
+    val gates = TextAnalysis.docGates(spark, dir)
+      .select(col("doc_id"), col("lang_pred"),
+        floor(col("quality_score") * StatsQuant.toDouble).cast("long").as("q_q"))
+    val toks = d.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(lower(col("text")))).cast("long").as("n_tok"))
+    val canon = Dedup.dedupPipeline(spark, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    val contam = decontaminate(spark, dir)
+      .select(col("doc_id"), col("contaminated"))
+    d.select(col("doc_id"), col("source"))
+      .join(gates, "doc_id").join(toks, "doc_id").join(canon, "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(coalesce(col("contaminated"), lit(false)), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(col("q_q")).as("sum_q"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_en"),
+        col("n_canonical"), col("n_contaminated"),
+        (col("sum_q").cast("double") / (col("n_docs").cast("double") * StatsQuant.toDouble))
+          .as("mean_quality"))
+      .orderBy(col("source"))
+  }
+
+  def corpusStatsOracle: String = {
+    val toks = graft.oracle.OracleSql.tokens("lower(text)")
+    s"""WITH g AS (SELECT l.doc_id, l.lang_pred,
+       |             floor(q.quality_score * $StatsQuant.0)::BIGINT AS q_q
+       |           FROM (${TextAnalysis.languageIdOracle}) l
+       |           JOIN (${TextAnalysis.qualityScoreOracle}) q ON l.doc_id = q.doc_id),
+       |tk AS (SELECT doc_id, len($toks)::BIGINT AS n_tok FROM documents),
+       |c AS (SELECT doc_id, is_canonical FROM (${Dedup.dedupPipelineOracle})),
+       |ct AS (SELECT doc_id, contaminated FROM (${decontaminateOracle()}))
+       |SELECT d.source, count(*) AS n_docs, sum(tk.n_tok)::BIGINT AS n_tokens,
+       |       sum(CASE WHEN g.lang_pred = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+       |       sum(CASE WHEN c.is_canonical THEN 1 ELSE 0 END)::BIGINT AS n_canonical,
+       |       sum(CASE WHEN coalesce(ct.contaminated, false) THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+       |       sum(g.q_q)::DOUBLE / (count(*)::DOUBLE * $StatsQuant.0) AS mean_quality
+       |FROM documents d
+       |JOIN g ON g.doc_id = d.doc_id
+       |JOIN tk ON tk.doc_id = d.doc_id
+       |JOIN c ON c.doc_id = d.doc_id
+       |LEFT JOIN ct ON ct.doc_id = d.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+  }
 }
