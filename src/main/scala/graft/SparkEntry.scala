@@ -215,6 +215,9 @@ object SparkEntry {
     // per-vector symmetric int8 quantization with measured reconstruction
     // error (the 4x codec next to PQ's 32x)
     "emb_int8" -> ((s, d) => Similarity.int8Quantize(s, d)),
+    // measured mean recall@k of cosine search over the int8 tier vs the
+    // float baseline (both sides quantized — the honest serving condition)
+    "ann_int8_recall" -> ((s, d) => Similarity.int8MeanRecall(s, d, P.IvfK)),
     // --- text analysis ---
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     // the end-to-end corpus-prep composition: language gate → quality
@@ -432,6 +435,7 @@ object SparkEntry {
     "ann_pq_trained" -> KMeans.pqTrainedTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_trained_recall" -> KMeans.pqTrainedRecallOracle(P.IvfK),
     "emb_int8" -> Similarity.int8QuantizeOracle,
+    "ann_int8_recall" -> Similarity.int8MeanRecallOracle(P.IvfK),
     "text_langid" -> TextAnalysis.languageIdOracle,
     "corpus_prep" -> CorpusPrep.corpusPrepOracle(),
     "corpus_quality_cut" -> CorpusPrep.qualityCutOracle,

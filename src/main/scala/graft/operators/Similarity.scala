@@ -767,6 +767,96 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Dequantized double vectors under the int8 codec — the compressed
+    * hot tier a serving stack actually searches. */
+  private def int8Dequant(e: DataFrame): DataFrame = {
+    val emb = col("embedding")
+    val scale = array_max(transform(emb, x => abs(x.cast("double")))) / 127.0
+    val codes = when(col("scale") === 0.0,
+        transform(col("embedding"), _ => lit(0L)))
+      .otherwise(transform(col("embedding"),
+        x => floor(x.cast("double") / col("scale") + 0.5).cast("long")))
+    e.select(col("vec_id"), col("label"), col("embedding"), scale.as("scale"))
+      .withColumn("demb", transform(codes, c => c.cast("double") * col("scale")))
+      .select(col("vec_id"), col("label"), col("demb"))
+  }
+
+  /** Measured MEAN recall@k of cosine top-k over the int8-DEQUANTIZED
+    * tier vs the exact float baseline, averaged over the BatchProbeMod
+    * probe stride (probe vectors are quantized too — both sides live in
+    * the compressed tier, the honest serving condition). The codec's
+    * ≤ scale/2 per-element error bound predicts near-perfect ranking
+    * agreement; this row MEASURES it instead of asserting it — the
+    * "measure, don't guess" anchor for emb_int8, exactly as
+    * ann_pq_recall anchors the PQ codes. */
+  def int8MeanRecall(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val exProbes = e.filter(col("vec_id") % BatchProbeMod === 0)
+      .select(col("vec_id").as("pid"),
+        col("embedding").cast("array<double>").as("pemb"))
+    val exW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("cs").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(exProbes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        graft.functions.VectorFunctions.cosineDF(
+          col("embedding").cast("array<double>"), col("pemb")).as("cs"))
+      .filter(!isnan(col("cs")))
+      .withColumn("rk", row_number().over(exW)).filter(col("rk") <= k)
+      .select(col("pid"), col("vec_id"))
+    val dq = int8Dequant(e)
+    val dqProbes = dq.filter(col("vec_id") % BatchProbeMod === 0)
+      .select(col("vec_id").as("pid"), col("demb").as("pemb"))
+    val approx = dq.crossJoin(broadcast(dqProbes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        graft.functions.VectorFunctions.cosineDF(col("demb"), col("pemb")).as("cs"))
+      .filter(!isnan(col("cs")))
+      .withColumn("rk", row_number().over(exW)).filter(col("rk") <= k)
+      .select(col("pid"), col("vec_id"))
+    val perHit = exact.join(approx, Seq("pid", "vec_id"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("pid")).agg(count(lit(1)).as("kx"))
+      .join(perHit, Seq("pid"), "left")
+      .select(col("pid"), col("kx"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("kx")).as("k_total"),
+        sum(col("hits")).as("hits_total"),
+        (sum(col("hits")).cast("double") / sum(col("kx")).cast("double")).as("recall"))
+  }
+
+  def int8MeanRecallOracle(k: Int): String = {
+    val cosF = cosineSql("e.embedding", "p.pemb")
+    val cosD = cosineSql("a.demb", "p.pemb")
+    s"""WITH s AS (SELECT vec_id,
+       |        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+       |      FROM embeddings),
+       |dq AS (SELECT e.vec_id,
+       |        CASE WHEN s.scale = 0 THEN list_transform(e.embedding, x -> 0.0)
+       |             ELSE list_transform(e.embedding,
+       |                    x -> floor(x::DOUBLE / s.scale + 0.5)::DOUBLE * s.scale)
+       |        END AS demb
+       |      FROM embeddings e JOIN s USING (vec_id)),
+       |xp AS (SELECT vec_id AS pid, list_transform(embedding, x -> x::DOUBLE) AS pemb
+       |       FROM embeddings WHERE vec_id % $BatchProbeMod = 0),
+       |exact AS (SELECT p.pid, e.vec_id FROM embeddings e CROSS JOIN xp p
+       |          WHERE e.vec_id <> p.pid AND NOT isnan($cosF)
+       |          QUALIFY row_number() OVER (PARTITION BY p.pid
+       |                   ORDER BY $cosF DESC, e.vec_id) <= $k),
+       |dp AS (SELECT vec_id AS pid, demb AS pemb FROM dq
+       |       WHERE vec_id % $BatchProbeMod = 0),
+       |approx AS (SELECT p.pid, a.vec_id FROM dq a CROSS JOIN dp p
+       |           WHERE a.vec_id <> p.pid AND NOT isnan($cosD)
+       |           QUALIFY row_number() OVER (PARTITION BY p.pid
+       |                    ORDER BY $cosD DESC, a.vec_id) <= $k),
+       |ph AS (SELECT pid, count(*)::BIGINT AS hits
+       |       FROM exact JOIN approx USING (pid, vec_id) GROUP BY pid),
+       |px AS (SELECT pid, count(*)::BIGINT AS kx FROM exact GROUP BY pid)
+       |SELECT count(*)::BIGINT AS n_probes, sum(px.kx)::BIGINT AS k_total,
+       |       coalesce(sum(ph.hits), 0)::BIGINT AS hits_total,
+       |       coalesce(sum(ph.hits), 0)::DOUBLE / sum(px.kx)::DOUBLE AS recall
+       |FROM px LEFT JOIN ph USING (pid)""".stripMargin
+  }
+
   def int8QuantizeOracle: String =
     s"""WITH s AS (SELECT vec_id,
        |        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
