@@ -109,4 +109,35 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("int8 codec: codes bounded, reconstruction within scale/2, zero-safe") {
+    // Same double arithmetic the emb_int8 Column expressions evaluate:
+    // scale = max|x|/127, code = floor(x/scale + 0.5).
+    val vec: Gen[List[Float]] = Gen.chooseNum(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-8.0f, 8.0f)))
+    check(Prop.forAll(vec) { xs =>
+      val m = xs.map(x => math.abs(x.toDouble)).max
+      val scale = m / 127.0
+      if (scale == 0.0) xs.forall(_ == 0.0f)
+      else xs.forall { x =>
+        val code = math.floor(x.toDouble / scale + 0.5).toLong
+        math.abs(code) <= 127 &&
+          math.abs(code * scale - x.toDouble) <= scale / 2.0 + 1e-12
+      }
+    })
+  }
+
+  test("BM25 tf saturation: strictly increasing in tf, bounded by k1+1") {
+    // Same double arithmetic as bm25TopK's tfNorm (k1 = 1.2, b = 0.75).
+    val (k1, b) = (1.2, 0.75)
+    def tfNorm(tf: Long, dl: Long, avgdl: Double): Double =
+      (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    val tfGen = Gen.chooseNum(1L, 1000L)
+    val dlGen = Gen.chooseNum(1L, 500L)
+    val avgGen = Gen.chooseNum(1.0, 500.0)
+    check(Prop.forAll(tfGen, dlGen, avgGen) { (tf, dl, avg) =>
+      val v = tfNorm(tf, dl, avg)
+      v > 0.0 && v < k1 + 1.0 && v < tfNorm(tf + 1, dl, avg)
+    })
+  }
 }
