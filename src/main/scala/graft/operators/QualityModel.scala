@@ -137,7 +137,12 @@ object QualityModel {
 
   // ------------------------------------------------------------- oracle
 
-  /** CTE chain `f, n, w0 … w{iters}` reproducing the training fold. */
+  /** CTE chain `f, n, w0 … w{iters}` reproducing the training fold.
+    * Every multiply-referenced CTE is AS MATERIALIZED — DuckDB's default
+    * inlining re-expands w_{t-1} for both of its consumers (g_t and w_t)
+    * and the chain goes exponential in iters (measured: runtime doubles
+    * per GD iteration inlined; flat materialized). Same lesson as
+    * BpeTrainer.trainCtes. */
   def trainCtes(iters: Int): String = {
     val toks = OracleSql.tokens("lower(text)")
     val en = stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -147,23 +152,23 @@ object QualityModel {
     val eps = s"((doc_id * $NoiseA) % $NoiseMod)::DOUBLE / $NoiseMod.0 * $NoiseScale + $NoiseShift"
     val f =
       s"""tok AS (SELECT doc_id, $toks AS tk FROM documents),
-         |f AS (SELECT doc_id, $x1 AS x1, $x2 AS x2, $x3 AS x3,
+         |f AS MATERIALIZED (SELECT doc_id, $x1 AS x1, $x2 AS x2, $x3 AS x3,
          |        CASE WHEN $TeacherW1 * $x1 + $TeacherW2 * $x2
          |                  + ($TeacherW3) * ($x3) + $eps > $TeacherCut
          |             THEN 1.0 ELSE 0.0 END AS y
          |      FROM tok WHERE len(tk) > 0),
-         |n AS (SELECT count(*)::BIGINT AS n FROM f),
-         |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""".stripMargin
+         |n AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM f),
+         |w0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""".stripMargin
     val steps = (1 to iters).map { t =>
       val zs = "(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
       val s = s"(0.5 + $zs / (2.0 * (1.0 + abs($zs))))"
       def g(x: String) = s"sum(floor(($s - f.y) * $x * $LrQuant.0)::BIGINT)"
       def u(pw: String, gc: String) =
         s"w.$pw - $LrRate * g.$gc::DOUBLE / (n.n::DOUBLE * $LrQuant.0)"
-      s"""g$t AS (SELECT ${g("1.0")} AS g0, ${g("f.x1")} AS g1,
+      s"""g$t AS MATERIALIZED (SELECT ${g("1.0")} AS g0, ${g("f.x1")} AS g1,
          |              ${g("f.x2")} AS g2, ${g("f.x3")} AS g3
          |       FROM f CROSS JOIN w${t - 1} w),
-         |w$t AS (SELECT ${u("w0", "g0")} AS w0, ${u("w1", "g1")} AS w1,
+         |w$t AS MATERIALIZED (SELECT ${u("w0", "g0")} AS w0, ${u("w1", "g1")} AS w1,
          |               ${u("w2", "g2")} AS w2, ${u("w3", "g3")} AS w3
          |        FROM w${t - 1} w CROSS JOIN g$t g CROSS JOIN n)""".stripMargin
     }

@@ -31,26 +31,24 @@ object Retrieval {
     * `docs` is BY-NAME so a streaming micro-batch re-evaluates a fresh
     * corpus read (see StreamOps.fuzzyStream). */
   def bm25BatchOver(queries: DataFrame, docs: => DataFrame, k: Int): DataFrame = {
-    import TextAnalysis.{Bm25K1, Bm25B, Bm25Quant}
+    import TextAnalysis.Bm25Quant
+    // Dedupe request rows: a repeated (qid, term) must not double-count
+    // its term score — the request contract is a term SET per qid.
+    val qRel = queries.select(col("qid"), col("term")).distinct()
     val tok = docs.select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
     val dl = tok.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-    val qTerms = queries.select(col("term")).distinct()
+    val qTerms = qRel.select(col("term")).distinct()
     // (doc, term, tf) restricted to terms ANY query uses — the posting read
     val matched = tok.select(col("doc_id"), explode(col("tk")).as("term"))
       .join(broadcast(qTerms), "term")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf = (col("n").cast("double") - col("df").cast("double") + 0.5) /
-      (col("df").cast("double") + 0.5)
-    val tfNorm = (col("tf").cast("double") * (Bm25K1 + 1.0)) /
-      (col("tf").cast("double") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
-        lit(Bm25B) * col("dl").cast("double") / (col("sdl").cast("double") / col("n").cast("double"))))
     val perQuery = matched.join(broadcast(df), "term").join(dl, "doc_id")
       .crossJoin(broadcast(st))
       .select(col("doc_id"), col("term"),
-        floor(idf * tfNorm * Bm25Quant.toDouble).cast("long").as("qs"))
-      .join(broadcast(queries), "term")
+        TextAnalysis.bm25Qs(col("tf"), col("df"), col("n"), col("sdl"), col("dl")).as("qs"))
+      .join(broadcast(qRel), "term")
       .groupBy(col("qid"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("qs")).as("score_q"))
     perQuery
@@ -70,10 +68,10 @@ object Retrieval {
   }
 
   def bm25BatchOracle(queryTable: Seq[(Long, String)], k: Int): String = {
-    import TextAnalysis.{Bm25K1, Bm25B, Bm25Quant}
+    import TextAnalysis.Bm25Quant
     val toks = OracleSql.tokens("lower(text)")
     val vals = queryTable.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
-    s"""WITH q(qid, term) AS (VALUES $vals),
+    s"""WITH q AS (SELECT DISTINCT qid, term FROM (VALUES $vals) v(qid, term)),
        |tok AS (SELECT doc_id, $toks AS tk FROM documents),
        |dl AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM tok),
        |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl FROM dl),
@@ -82,11 +80,7 @@ object Retrieval {
        |      WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, term),
        |df AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),
        |sc AS (SELECT m.doc_id, m.term,
-       |         floor(((st.n::DOUBLE - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5))
-       |           * (m.tf::DOUBLE * ($Bm25K1 + 1.0))
-       |           / (m.tf::DOUBLE + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl.dl::DOUBLE
-       |                / (st.sdl::DOUBLE / st.n::DOUBLE)))
-       |           * $Bm25Quant.0)::BIGINT AS qs
+       |         ${TextAnalysis.bm25QsSql("m.tf", "df.df", "st.n", "st.sdl", "dl.dl")} AS qs
        |       FROM m JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
        |pq AS (SELECT q.qid, sc.doc_id, count(*)::BIGINT AS n_terms,
        |              sum(sc.qs)::BIGINT AS score_q
@@ -127,7 +121,13 @@ object Retrieval {
       .select(col("doc_id"),
         row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
           .cast("long").as("lex_rank"))
+    // NaN guard: a zero-norm embedding's cosine is NaN, which both
+    // engines sort FIRST under DESC — unguarded it would take dense_rank
+    // 1 and the maximum RRF contribution (the gate corpus has no zero
+    // vectors, so this is invisible to the oracle; same guard as
+    // dedup_embedding / dedup_semantic / ann_int8_recall).
     val densePool = Similarity.cosineTopK(spark, dir, probeId, RrfPoolN)
+      .filter(!isnan(col("cosine_sim")))
       .select(col("vec_id").as("doc_id"),
         row_number().over(Window.orderBy(col("cosine_sim").desc, col("vec_id")))
           .cast("long").as("dense_rank"))
@@ -152,7 +152,7 @@ object Retrieval {
        |       FROM ($bm25)),
        |dense AS (SELECT vec_id AS doc_id,
        |         row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS dense_rank
-       |       FROM ($cos))
+       |       FROM ($cos) WHERE NOT isnan(cosine_sim))
        |SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
        |       lex.lex_rank, dense.dense_rank,
        |       ${contrib("lex.lex_rank")} + ${contrib("dense.dense_rank")} AS rrf_q

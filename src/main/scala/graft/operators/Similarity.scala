@@ -747,16 +747,33 @@ object Similarity {
     * sums), so the row is bit-exact cross-engine, and the measured
     * per-vector reconstruction error (≤ scale/2 by construction —
     * worst 0.0021 on the gate corpus) stays visible in the gate. */
-  def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val emb = col("embedding")
-    val scale = array_max(transform(emb, x => abs(x.cast("double")))) / 127.0
-    val withScale = e.select(col("vec_id"), col("embedding"), scale.as("scale"))
-    val codes = when(col("scale") === 0.0,
-        transform(col("embedding"), _ => lit(0L)))
+  /** The codec's two expressions — ONE spelling shared by the quantize
+    * gate row, the dequantized search tier, and (via [[int8ScaleCte]] /
+    * [[int8CodesSql]]) both SQL oracles, so the codec cannot fork. */
+  private def int8ScaleCol: org.apache.spark.sql.Column =
+    array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0
+
+  /** Requires a `scale` column in scope. */
+  private def int8CodesCol: org.apache.spark.sql.Column =
+    when(col("scale") === 0.0, transform(col("embedding"), _ => lit(0L)))
       .otherwise(transform(col("embedding"),
         x => floor(x.cast("double") / col("scale") + 0.5).cast("long")))
-    val withCodes = withScale.withColumn("codes", codes)
+
+  private[graft] val int8ScaleCte: String =
+    """s AS (SELECT vec_id,
+      |        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+      |      FROM embeddings)""".stripMargin
+
+  /** Int8 code list of `emb` under `scale` (SQL twin of int8CodesCol). */
+  private[graft] def int8CodesSql(emb: String, scale: String): String =
+    s"""CASE WHEN $scale = 0 THEN list_transform($emb, x -> 0::BIGINT)
+       |     ELSE list_transform($emb, x -> floor(x::DOUBLE / $scale + 0.5)::BIGINT)
+       |END""".stripMargin.replaceAll("\n", " ")
+
+  def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val withScale = e.select(col("vec_id"), col("embedding"), int8ScaleCol.as("scale"))
+    val withCodes = withScale.withColumn("codes", int8CodesCol)
     val err = array_max(transform(sequence(lit(1), size(col("codes"))),
       i => abs(element_at(col("codes"), i).cast("double") * col("scale") -
         element_at(col("embedding"), i).cast("double"))))
@@ -768,18 +785,12 @@ object Similarity {
   }
 
   /** Dequantized double vectors under the int8 codec — the compressed
-    * hot tier a serving stack actually searches. */
-  private def int8Dequant(e: DataFrame): DataFrame = {
-    val emb = col("embedding")
-    val scale = array_max(transform(emb, x => abs(x.cast("double")))) / 127.0
-    val codes = when(col("scale") === 0.0,
-        transform(col("embedding"), _ => lit(0L)))
-      .otherwise(transform(col("embedding"),
-        x => floor(x.cast("double") / col("scale") + 0.5).cast("long")))
-    e.select(col("vec_id"), col("label"), col("embedding"), scale.as("scale"))
-      .withColumn("demb", transform(codes, c => c.cast("double") * col("scale")))
+    * hot tier a serving stack actually searches. Same shared codec
+    * expressions as [[int8Quantize]]. */
+  private def int8Dequant(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"), col("embedding"), int8ScaleCol.as("scale"))
+      .withColumn("demb", transform(int8CodesCol, c => c.cast("double") * col("scale")))
       .select(col("vec_id"), col("label"), col("demb"))
-  }
 
   /** Measured MEAN recall@k of cosine top-k over the int8-DEQUANTIZED
     * tier vs the exact float baseline, averaged over the BatchProbeMod
@@ -827,14 +838,10 @@ object Similarity {
   def int8MeanRecallOracle(k: Int): String = {
     val cosF = cosineSql("e.embedding", "p.pemb")
     val cosD = cosineSql("a.demb", "p.pemb")
-    s"""WITH s AS (SELECT vec_id,
-       |        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
-       |      FROM embeddings),
+    s"""WITH $int8ScaleCte,
        |dq AS (SELECT e.vec_id,
-       |        CASE WHEN s.scale = 0 THEN list_transform(e.embedding, x -> 0.0)
-       |             ELSE list_transform(e.embedding,
-       |                    x -> floor(x::DOUBLE / s.scale + 0.5)::DOUBLE * s.scale)
-       |        END AS demb
+       |        list_transform(${int8CodesSql("e.embedding", "s.scale")},
+       |          c -> c::DOUBLE * s.scale) AS demb
        |      FROM embeddings e JOIN s USING (vec_id)),
        |xp AS (SELECT vec_id AS pid, list_transform(embedding, x -> x::DOUBLE) AS pemb
        |       FROM embeddings WHERE vec_id % $BatchProbeMod = 0),
@@ -858,13 +865,9 @@ object Similarity {
   }
 
   def int8QuantizeOracle: String =
-    s"""WITH s AS (SELECT vec_id,
-       |        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
-       |      FROM embeddings),
+    s"""WITH $int8ScaleCte,
        |q AS (SELECT e.vec_id, s.scale,
-       |        CASE WHEN s.scale = 0 THEN list_transform(e.embedding, x -> 0::BIGINT)
-       |             ELSE list_transform(e.embedding, x -> floor(x::DOUBLE / s.scale + 0.5)::BIGINT)
-       |        END AS codes
+       |        ${int8CodesSql("e.embedding", "s.scale")} AS codes
        |      FROM embeddings e JOIN s USING (vec_id))
        |SELECT q.vec_id, q.scale,
        |       list_reduce(list_prepend(0::BIGINT, q.codes), (a, x) -> a + x) AS q_sum,

@@ -385,6 +385,31 @@ object TextAnalysis {
     * are tiny broadcast aggregates; per-(doc, term) scores quantize to
     * longs and sum per doc (map-side combinable); top-k is
     * TakeOrderedAndProject. */
+  /** Per-(doc, term) floor-quantized BM25 score — the ONE Column spelling
+    * both the single and batch forms use. Association is explicit:
+    * (idf * (num/den)) * Q — the SQL twin [[bm25QsSql]] parenthesizes the
+    * quotient identically, because ((idf*num)/den)*Q is a DIFFERENT IEEE
+    * rounding sequence and a score within an ulp of an integer would
+    * floor to different longs on the two engines. */
+  private[operators] def bm25Qs(tf: Column, dfc: Column, n: Column,
+                                sdl: Column, dl: Column): Column = {
+    val idf = (n.cast("double") - dfc.cast("double") + 0.5) /
+      (dfc.cast("double") + 0.5)
+    val tfNorm = (tf.cast("double") * (Bm25K1 + 1.0)) /
+      (tf.cast("double") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+        lit(Bm25B) * dl.cast("double") / (sdl.cast("double") / n.cast("double"))))
+    floor(idf * tfNorm * Bm25Quant.toDouble).cast("long")
+  }
+
+  /** SQL twin of [[bm25Qs]] — same association, parenthesized quotient. */
+  private[operators] def bm25QsSql(tf: String, dfc: String, n: String,
+                                   sdl: String, dl: String): String =
+    s"""floor((($n::DOUBLE - $dfc::DOUBLE + 0.5) / ($dfc::DOUBLE + 0.5))
+       | * (($tf::DOUBLE * ($Bm25K1 + 1.0))
+       |    / ($tf::DOUBLE + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * $dl::DOUBLE
+       |         / ($sdl::DOUBLE / $n::DOUBLE))))
+       | * $Bm25Quant.0)::BIGINT""".stripMargin.replaceAll("\n", " ")
+
   def bm25TopK(spark: SparkSession, dir: String, query: Seq[String], k: Int): DataFrame = {
     val d = Tables.documents(spark, dir)
     val tok = d.select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
@@ -394,15 +419,10 @@ object TextAnalysis {
       .filter(array_contains(typedLit(query), col("term")))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = m.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf = (col("n").cast("double") - col("df").cast("double") + 0.5) /
-      (col("df").cast("double") + 0.5)
-    val tfNorm = (col("tf").cast("double") * (Bm25K1 + 1.0)) /
-      (col("tf").cast("double") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
-        lit(Bm25B) * col("dl").cast("double") / (col("sdl").cast("double") / col("n").cast("double"))))
     val sc = m.join(broadcast(df), "term").join(dl, "doc_id")
       .crossJoin(broadcast(st))
       .select(col("doc_id"),
-        floor(idf * tfNorm * Bm25Quant.toDouble).cast("long").as("qs"))
+        bm25Qs(col("tf"), col("df"), col("n"), col("sdl"), col("dl")).as("qs"))
     sc.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("qs")).as("score_q"))
       .select(col("doc_id"), col("n_terms"),
@@ -422,11 +442,7 @@ object TextAnalysis {
        |      WHERE list_contains($q, term) GROUP BY doc_id, term),
        |df AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),
        |sc AS (SELECT m.doc_id,
-       |         floor(((st.n::DOUBLE - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5))
-       |           * (m.tf::DOUBLE * ($Bm25K1 + 1.0))
-       |           / (m.tf::DOUBLE + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl.dl::DOUBLE
-       |                / (st.sdl::DOUBLE / st.n::DOUBLE)))
-       |           * $Bm25Quant.0)::BIGINT AS qs
+       |         ${bm25QsSql("m.tf", "df.df", "st.n", "st.sdl", "dl.dl")} AS qs
        |       FROM m JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_terms, sum(qs)::BIGINT AS score_q
        |        FROM sc GROUP BY doc_id)
