@@ -41,8 +41,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Materialize {
 
-  /** Filesystem-safe tag for an input data directory. */
-  def tag(dir: String): String = dir.replaceAll("[^0-9a-zA-Z]+", "_")
+  /** Filesystem-safe tag for an input data directory. Always prefixed with
+    * a letter: a leading `_` (what a bare sanitize of `/root/...` yields)
+    * is a HIDDEN path to Spark's default parquet path filter — direct
+    * reads work but any glob/recursive read over the artifact root would
+    * silently skip every artifact ("All paths were ignored"). */
+  def tag(dir: String): String = "d" + dir.replaceAll("[^0-9a-zA-Z]+", "_")
 
   private def root(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.materialize.dir")
@@ -56,6 +60,25 @@ object Materialize {
     s"${root(spark)}/$kind/${tag(dir)}_v$version"
 
   private val ManifestFile = "_GRAFT_INPUTS"
+
+  /** A committed artifact must contain at least one DATA file: `_SUCCESS`
+    * + manifest alone (a partially deleted dir) would otherwise read as a
+    * silently EMPTY relation — a fast "success" that only the oracle gate
+    * could catch, and only for gated queries. Checked on every ensure
+    * (both the fresh build and the reuse path) and after compaction. */
+  private def requireNonEmpty(spark: SparkSession, artifact: String): Unit = {
+    val p = new Path(artifact)
+    val fs = fsOf(spark, p)
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val n = it.next().getPath.getName
+      found = !n.startsWith("_") && !n.startsWith(".")
+    }
+    require(found,
+      s"artifact $artifact is committed but contains no data files — " +
+        "gutted artifact dir; delete it and rebuild with ensure()")
+  }
 
   /** Input-dir snapshot: direct children name → mtime. One driver-side
     * `listStatus` — no data read, no job. Does NOT catch an edit that
@@ -118,6 +141,7 @@ object Materialize {
       build(p)
       writeManifest(spark, p, current)
     }
+    requireNonEmpty(spark, p)
     p
   }
 
@@ -181,6 +205,7 @@ object Materialize {
     // compaction reorganizes files, it does not re-derive: provenance of
     // the contents (the input manifest) carries over unchanged
     manifest.foreach(writeManifest(spark, p, _))
+    requireNonEmpty(spark, p)
     p
   }
 

@@ -182,6 +182,31 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaIndex.nonEmpty && viaIndex == inline)
   }
 
+  test("artifact paths are never hidden: a glob over the artifact root sees them") {
+    import spark.implicits._
+    // a leading '_' in the dir tag would make Spark's path filter treat the
+    // whole artifact as metadata: direct reads work, globs silently skip it
+    assert(!Materialize.tag(dir).startsWith("_") &&
+      !Materialize.tag(dir).startsWith("."))
+    Materialize.ensure(spark, "graft_glob_test", dir, 1) { p =>
+      Seq(1L, 2L, 3L).toDF("x").write.mode("overwrite").parquet(p)
+    }
+    assert(spark.read.parquet(s"$artDir/graft_glob_test/*").count() == 3)
+  }
+
+  test("a gutted artifact dir (committed but no data files) raises, not 0 rows") {
+    import spark.implicits._
+    val p = Materialize.ensure(spark, "graft_gut_test", dir, 1) { p =>
+      Seq(1L).toDF("x").write.mode("overwrite").parquet(p)
+    }
+    new java.io.File(p).listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach(_.delete())
+    intercept[IllegalArgumentException] {
+      Materialize.ensure(spark, "graft_gut_test", dir, 1)(_ => ())
+    }
+  }
+
   test("modified input => ensure rebuilds and append refuses; NEW input => increment, no rebuild") {
     import spark.implicits._
     val data = Files.createTempDirectory("graft-manifest-data").toString
