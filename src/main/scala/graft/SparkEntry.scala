@@ -251,8 +251,9 @@ object SparkEntry {
     // bigrams (integer-exact counts, one final division)
     "text_bigram_score" -> ((s, d) => TextAnalysis.bigramScore(s, d)),
     // BM25 keyword retrieval (rational-idf variant, quantized per-term
-    // sums — the no-transcendental house rule)
-    "text_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d, P.Bm25Query, P.Bm25K)),
+    // sums — the no-transcendental house rule), served from the
+    // materialized word-posting index (In(term) pushed into the scan)
+    "text_bm25_topk" -> ((s, d) => Retrieval.bm25TopK(s, d, P.Bm25Query, P.Bm25K)),
     // batch BM25: a search-request TABLE in one plan (per-qid rank cap)
     "text_bm25_batch" -> ((s, d) => Retrieval.bm25Batch(s, d, P.Bm25Batch, P.Bm25K)),
     // hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion

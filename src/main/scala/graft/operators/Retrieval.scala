@@ -20,26 +20,154 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Batch BM25 over an explicit (qid, term) query relation — the core the
-    * gate query and the streaming face (StreamOps.searchStream) share.
-    * Plan: tokens explode ONCE; the distinct query-term set (broadcast)
-    * cuts the relation to the union of all queries' postings BEFORE any
-    * aggregation; df and corpus length stats are tiny broadcast
-    * aggregates computed once for the whole batch; per-(qid, doc) sums are
-    * map-side combinable over quantized longs; the per-qid top-k is a
-    * rank-window (Spark's WindowGroupLimit applies the cap map-side).
-    * `docs` is BY-NAME so a streaming micro-batch re-evaluates a fresh
-    * corpus read (see StreamOps.fuzzyStream). */
-  def bm25BatchOver(queries: DataFrame, docs: => DataFrame, k: Int): DataFrame = {
+  // --------------------------- materialized word-posting index (serving)
+
+  /** Row-local word-posting derivation: (term, doc_id, tf, dl). The doc
+    * length is DENORMALIZED into every posting row so serving never joins
+    * a corpus-sized doc-length relation — one long per row buys a
+    * join-free read path. Row-local per doc, so
+    * postings(corpus ∪ batch) == postings(corpus) ∪ postings(batch) and
+    * the append lifecycle is exact (IncrementalIndexSpec). */
+  private[graft] def wordPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-batch corpus stats row (n docs, total tokens). ADDITIVE across
+    * batches: the artifact accumulates one row per build/append and the
+    * read sums them — that is what lets a one-row global stat have an
+    * append face at all. */
+  private[graft] def wordStats(docs: DataFrame): DataFrame =
+    docs.select(size(tokens(lower(col("text")))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+
+  /** Canonical posting layout: term-clustered into a fixed file count,
+    * sorted within files so row-group min/max stats prune a term probe to
+    * the probed terms' postings (the graft_postings layout keyed by term
+    * instead of trigram, FuzzySearch.scala's writePostingsLayout). */
+  private def writeWordLayout(rows: DataFrame, path: String): Unit =
+    rows.repartition(32, col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Write-once word index build (at scale this runs at ingest): returns
+    * (postings path, stats path). */
+  def ensureWordIndex(spark: SparkSession, dir: String, docs: DataFrame,
+                      version: Int = 1): (String, String) = {
+    val pp = graft.Materialize.ensure(spark, "graft_wordpostings", dir, version) { p =>
+      writeWordLayout(wordPostings(docs), p)
+    }
+    val sp = graft.Materialize.ensure(spark, "graft_wordstats", dir, version) { p =>
+      wordStats(docs).write.mode("overwrite").parquet(p)
+    }
+    (pp, sp)
+  }
+
+  /** Incremental word-index maintenance: the batch's posting rows land as
+    * new term-clustered files; the stats artifact gains one (n, sdl) row.
+    * Exact because both derivations are row-local per doc. */
+  def appendToWordIndex(spark: SparkSession, dir: String, batch: DataFrame,
+                        version: Int = 1): Unit = {
+    graft.Materialize.append(spark, "graft_wordpostings", dir, version) { p =>
+      wordPostings(batch).repartition(4, col("term")).sortWithinPartitions(col("term"))
+        .write.mode("append").parquet(p)
+    }
+    graft.Materialize.append(spark, "graft_wordstats", dir, version) { p =>
+      wordStats(batch).write.mode("append").parquet(p)
+    }
+  }
+
+  /** Periodic compaction: postings back to the canonical 32-way layout;
+    * stats rows folded to one (sums are associative). Contents unchanged. */
+  def compactWordIndex(spark: SparkSession, dir: String, version: Int = 1): Unit = {
+    graft.Materialize.compact(spark, "graft_wordpostings", dir, version) {
+      (cur, tmp) => writeWordLayout(cur, tmp)
+    }
+    graft.Materialize.compact(spark, "graft_wordstats", dir, version) {
+      (cur, tmp) => cur.agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** Fresh read of the materialized posting relation (ensured on first
+    * call) — BY-NAME consumers (streaming faces) pick up appended files
+    * on each evaluation. */
+  def wordPostingsOf(spark: SparkSession, dir: String): DataFrame = {
+    val (pp, _) = ensureWordIndex(spark, dir, Tables.documents(spark, dir))
+    spark.read.parquet(pp)
+  }
+
+  /** The summed one-row (n, sdl) corpus stats from the artifact. */
+  def wordStatsOf(spark: SparkSession, dir: String): DataFrame = {
+    val (_, sp) = ensureWordIndex(spark, dir, Tables.documents(spark, dir))
+    spark.read.parquet(sp).agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
+  }
+
+  /** Bloom sizing for the batch term probe: build side is the batch's
+    * distinct term set; false positives only cost pruning efficiency (the
+    * exact term equi-join removes them) — same machinery and sizing story
+    * as FuzzySearch.IndexBloom*. */
+  val TermBloomEstItems = 100000L
+  val TermBloomNumBits = 1000000L
+
+  /** Batch BM25 over an explicit (qid, term) query relation, served from
+    * the MATERIALIZED word-posting index — the core the gate query and the
+    * streaming face (StreamOps.searchStream) share. Plan: the batch's
+    * distinct term set folds into a runtime bloom (scalar subquery)
+    * evaluated INSIDE the posting scan stage, so only postings of terms
+    * some query might use survive to any exchange (the q14 machinery, the
+    * round-3 fuzzy_batch_indexed story keyed by term); the exact
+    * broadcast term join removes false positives; df is a tiny aggregate
+    * over the PRUNED postings (identical to corpus-wide df for those
+    * terms); per-(qid, doc) sums are map-side combinable over quantized
+    * longs; the per-qid top-k is a rank-window (WindowGroupLimit applies
+    * the cap map-side). `postings`/`stats` are BY-NAME so a streaming
+    * micro-batch re-evaluates a fresh read of an appended artifact.
+    * At 100 TB the per-batch read cost is O(postings of the union of
+    * query terms) + a bloom pass over scanned rows — never a corpus
+    * tokenize. */
+  def bm25BatchOverPostings(queries: DataFrame, postings: => DataFrame,
+                            stats: => DataFrame, k: Int): DataFrame = {
+    import graft.functions.SketchFunctions._
     import TextAnalysis.Bm25Quant
     // Dedupe request rows: a repeated (qid, term) must not double-count
     // its term score — the request contract is a term SET per qid.
+    val qRel = queries.select(col("qid"), col("term")).distinct()
+    val qTerms = qRel.select(col("term")).distinct()
+    val termBloom = qTerms.agg(
+      bloomFilterAgg(xxhash64(col("term")), TermBloomEstItems, TermBloomNumBits).as("bf"))
+    val matched = postings
+      .filter(mightContain(termBloom.scalar(), xxhash64(col("term"))))
+      .join(broadcast(qTerms), "term")
+    val df = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val perQuery = matched.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        TextAnalysis.bm25Qs(col("tf"), col("df"), col("n"), col("sdl"), col("dl")).as("qs"))
+      .join(broadcast(qRel), "term")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("qs")).as("score_q"))
+    perQuery
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score_q").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("doc_id"), col("n_terms"),
+        (col("score_q").cast("double") / Bm25Quant.toDouble).as("bm25"))
+      .orderBy(col("qid"), col("bm25").desc, col("doc_id"))
+  }
+
+  /** INLINE twin of [[bm25BatchOverPostings]] (tokenize-per-call) — kept
+    * as the spec anchor: indexed == inline over the same corpus
+    * (IncrementalIndexSpec), never the serving path. */
+  private[graft] def bm25BatchInline(queries: DataFrame, docs: DataFrame,
+                                     k: Int): DataFrame = {
+    import TextAnalysis.Bm25Quant
     val qRel = queries.select(col("qid"), col("term")).distinct()
     val tok = docs.select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
     val dl = tok.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
     val qTerms = qRel.select(col("term")).distinct()
-    // (doc, term, tf) restricted to terms ANY query uses — the posting read
     val matched = tok.select(col("doc_id"), explode(col("tk")).as("term"))
       .join(broadcast(qTerms), "term")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -60,11 +188,35 @@ object Retrieval {
       .orderBy(col("qid"), col("bm25").desc, col("doc_id"))
   }
 
-  /** Gate form: the fixed query table from SparkEntry's shared params. */
+  /** Gate form: the fixed query table from SparkEntry's shared params,
+    * served from the materialized index. */
   def bm25Batch(spark: SparkSession, dir: String, queryTable: Seq[(Long, String)],
                 k: Int): DataFrame = {
     import spark.implicits._
-    bm25BatchOver(queryTable.toDF("qid", "term"), Tables.documents(spark, dir), k)
+    bm25BatchOverPostings(queryTable.toDF("qid", "term"),
+      wordPostingsOf(spark, dir), wordStatsOf(spark, dir), k)
+  }
+
+  /** Single-query BM25 top-k served from the materialized index: the
+    * LITERAL term set pushes into the posting scan as `In(term, ...)`
+    * (PushedFilters — row-group stats skip everything but the probed
+    * terms' postings, the fuzzy_indexed read pattern). Identical values
+    * to the inline TextAnalysis.bm25TopK (one shared oracle gates both). */
+  def bm25TopK(spark: SparkSession, dir: String, query: Seq[String], k: Int): DataFrame = {
+    import TextAnalysis.Bm25Quant
+    val (pp, _) = ensureWordIndex(spark, dir, Tables.documents(spark, dir))
+    val matched = spark.read.parquet(pp).filter(col("term").isin(query: _*))
+    val df = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sc = matched.join(broadcast(df), "term")
+      .crossJoin(broadcast(wordStatsOf(spark, dir)))
+      .select(col("doc_id"),
+        TextAnalysis.bm25Qs(col("tf"), col("df"), col("n"), col("sdl"), col("dl")).as("qs"))
+    sc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("qs")).as("score_q"))
+      .select(col("doc_id"), col("n_terms"),
+        (col("score_q").cast("double") / Bm25Quant.toDouble).as("bm25"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(k)
   }
 
   def bm25BatchOracle(queryTable: Seq[(Long, String)], k: Int): String = {
@@ -112,12 +264,14 @@ object Retrieval {
     *
     * Scale shape: both pools are top-N head reads (TakeOrderedAndProject
     * over their respective scans); the fusion is a full-outer join of two
-    * N-row relations + one more head — negligible next to retrieval. In a
-    * serving stack both pools come from the materialized indexes (word
-    * postings / IVF cells); here they run inline against the gate tables. */
+    * N-row relations + one more head — negligible next to retrieval. The
+    * lexical pool reads the materialized word-posting index (In-pushed
+    * term probe); the dense pool here is the exact brute-force anchor —
+    * `hybridRrfIvf` is the serving twin whose dense pool reads the IVF-PQ
+    * index. */
   def hybridRrf(spark: SparkSession, dir: String, queryTerms: Seq[String],
                 probeId: Long, k: Int): DataFrame = {
-    val lexPool = TextAnalysis.bm25TopK(spark, dir, queryTerms, RrfPoolN)
+    val lexPool = bm25TopK(spark, dir, queryTerms, RrfPoolN)
       .select(col("doc_id"),
         row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
           .cast("long").as("lex_rank"))

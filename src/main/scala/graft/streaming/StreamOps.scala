@@ -177,20 +177,23 @@ object StreamOps {
   // --------------------------------------------- streaming keyword search
 
   /** Streaming face of batch BM25: a STREAM of search requests (`qid`,
-    * `term` — one row per query term) served against the STATIC corpus.
-    * Each micro-batch runs the exact `Retrieval.bm25BatchOver` plan; a
-    * request's ranking depends only on its own terms vs the static corpus
-    * stats, so per-micro-batch evaluation is exact under any chunking
-    * PROVIDED a qid's term rows arrive in one batch (requests are atomic
-    * — the same contract fuzzyStream has for its per-qid rows).
-    * StreamingSpec pins stream-total == `text_bm25_batch` on the same
-    * request set split across micro-batches. `docs` is BY-NAME — see
-    * fuzzyStream. */
-  def searchStream(requests: DataFrame, docs: => DataFrame, k: Int)
+    * `term` — one row per query term) served against the MATERIALIZED
+    * word-posting index. Each micro-batch runs the exact
+    * `Retrieval.bm25BatchOverPostings` plan (bloom-probed posting read —
+    * never a corpus tokenize per micro-batch); a request's ranking depends
+    * only on its own terms vs the static corpus stats, so per-micro-batch
+    * evaluation is exact under any chunking PROVIDED a qid's term rows
+    * arrive in one batch (requests are atomic — the same contract
+    * fuzzyStream has for its per-qid rows). StreamingSpec pins
+    * stream-total == `text_bm25_batch` on the same request set split
+    * across micro-batches. `postings`/`stats` are BY-NAME — an appended
+    * index is visible on the next batch (see fuzzyStream). */
+  def searchStream(requests: DataFrame, postings: => DataFrame,
+                   stats: => DataFrame, k: Int)
                   (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     requests.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        sink(graft.operators.Retrieval.bm25BatchOver(batch, docs, k), batchId)
+        sink(graft.operators.Retrieval.bm25BatchOverPostings(batch, postings, stats, k), batchId)
       }
       .start()
 

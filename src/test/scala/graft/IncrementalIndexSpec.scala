@@ -182,6 +182,51 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaIndex.nonEmpty && viaIndex == inline)
   }
 
+  private def docParts(): (DataFrame, DataFrame, DataFrame) = {
+    val d = Tables.documents(spark, dir)
+    (d, d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
+  }
+
+  test("word index: append-then-read == rebuild-then-read, bit-identical (postings + stats)") {
+    import graft.operators.Retrieval
+    val (full, base, batch) = docParts()
+    assert(batch.count() > 0 && base.count() > 0)
+    val (appendedP, appendedS) = Retrieval.ensureWordIndex(spark, dir, base, version = 901)
+    Retrieval.appendToWordIndex(spark, dir, batch, version = 901)
+    val (rebuiltP, rebuiltS) = Retrieval.ensureWordIndex(spark, dir, full, version = 902)
+    def rows(p: String): Seq[(String, Long, Long, Long)] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("tf"), r.getAs[Long]("dl"))).toSeq.sorted
+    val a = rows(appendedP)
+    assert(a.nonEmpty && a == rows(rebuiltP))
+    // stats are additive rows: the SUMS must agree (append lands 2 rows)
+    def stat(p: String): (Long, Long) = {
+      val r = spark.read.parquet(p).agg(sum(col("n")), sum(col("sdl"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(stat(appendedS) == stat(rebuiltS))
+  }
+
+  test("indexed BM25 over an appended word index == inline over the union corpus") {
+    import graft.operators.Retrieval
+    import spark.implicits._
+    val (_, base, batch) = docParts()
+    // Build at the OPERATOR's version so bm25Batch/bm25TopK read the
+    // appended artifact and skip the rebuild.
+    Retrieval.ensureWordIndex(spark, dir, base, version = 1)
+    Retrieval.appendToWordIndex(spark, dir, batch, version = 1)
+    val reqs = Seq(0L -> "spark", 0L -> "query", 1L -> "customer", 1L -> "table")
+    val viaIndex = Retrieval.bm25Batch(spark, dir, reqs, 10).collect().toSeq
+    val inline = Retrieval.bm25BatchInline(reqs.toDF("qid", "term"),
+      Tables.documents(spark, dir), 10).collect().toSeq
+    assert(viaIndex.nonEmpty && viaIndex == inline)
+    // compaction folds the appended file sets; contents (and query) unchanged
+    Retrieval.compactWordIndex(spark, dir, version = 1)
+    val afterCompact = Retrieval.bm25Batch(spark, dir, reqs, 10).collect().toSeq
+    assert(afterCompact == inline)
+  }
+
   test("artifact paths are never hidden: a glob over the artifact root sees them") {
     import spark.implicits._
     // a leading '_' in the dir tag would make Spark's path filter treat the

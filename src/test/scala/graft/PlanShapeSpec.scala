@@ -76,10 +76,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("might_contain"), p)
     // the probe must sit under the scan-side WholeStageCodegen, i.e. appear
     // AFTER (deeper than) the first Exchange line in the printed tree
+    // anchor to the SHUFFLE exchange specifically: a bare indexOf("Exchange")
+    // also matches Broadcast/ReusedExchange and could stay green with the
+    // probe migrated above the shuffle
     val probeAt = p.indexOf("might_contain")
-    val exchangeAt = p.indexOf("Exchange")
+    val exchangeAt = p.indexOf("Exchange hashpartitioning")
     assert(exchangeAt >= 0 && probeAt > exchangeAt,
-      s"bloom probe not below the exchange:\n$p")
+      s"bloom probe not below the shuffle exchange:\n$p")
   }
 
   test("batch index read is runtime-bloom-pruned inside the scan stage") {
@@ -88,10 +91,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the probe must sit under the index-side scan, i.e. appear AFTER
     // (deeper than) the first Exchange line in the printed tree — a full
     // index scan feeding the exchange unfiltered is the round-3 weak grade
+    // anchor to the SHUFFLE exchange specifically: a bare indexOf("Exchange")
+    // also matches Broadcast/ReusedExchange and could stay green with the
+    // probe migrated above the shuffle
     val probeAt = p.indexOf("might_contain")
-    val exchangeAt = p.indexOf("Exchange")
+    val exchangeAt = p.indexOf("Exchange hashpartitioning")
     assert(exchangeAt >= 0 && probeAt > exchangeAt,
-      s"bloom probe not below the exchange:\n$p")
+      s"bloom probe not below the shuffle exchange:\n$p")
   }
 
   test("incremental dedup blooms the corpus band scan below the join exchange") {
@@ -99,10 +105,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("might_contain"), p)
     // the batch-key bloom must prune corpus band rows BEFORE they shuffle —
     // a full corpus band join would re-run the self-join cost per ingest
+    // anchor to the SHUFFLE exchange specifically: a bare indexOf("Exchange")
+    // also matches Broadcast/ReusedExchange and could stay green with the
+    // probe migrated above the shuffle
     val probeAt = p.indexOf("might_contain")
-    val exchangeAt = p.indexOf("Exchange")
+    val exchangeAt = p.indexOf("Exchange hashpartitioning")
     assert(exchangeAt >= 0 && probeAt > exchangeAt,
-      s"bloom probe not below the exchange:\n$p")
+      s"bloom probe not below the shuffle exchange:\n$p")
   }
 
   test("semantic dedup computes the cell exchange once (ReusedExchange)") {
@@ -114,6 +123,29 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = finalPlan("text_bm25_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("BM25 top-k reads the word index with the In(term) pushdown, no corpus scan") {
+    val p = finalPlan("text_bm25_topk")
+    assert(p.contains("In(term"), p)
+    assert(p.contains("graft_wordpostings"), p)
+    // serving must never tokenize the corpus: the only parquet scans are
+    // the posting and stats artifacts
+    assert(!p.contains("documents.parquet"), p)
+  }
+
+  test("batch BM25 posting read is runtime-bloom-pruned inside the scan stage") {
+    val p = finalPlan("text_bm25_batch")
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("graft_wordpostings"), p)
+    assert(!p.contains("documents.parquet"), p)
+    // mirror of the fuzzy_batch_indexed pin: the probe must sit under the
+    // index-side scan, i.e. appear AFTER (deeper than) the first shuffle
+    // exchange line in the printed tree
+    val probeAt = p.indexOf("might_contain")
+    val exchangeAt = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeAt >= 0 && probeAt > exchangeAt,
+      s"bloom probe not below the shuffle exchange:\n$p")
   }
 
   test("stop-gram df table joins broadcast (gram-space-bounded stat, no shuffle side)") {

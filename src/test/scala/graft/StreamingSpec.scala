@@ -343,11 +343,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       1L -> "join", 1L -> "merge",
       2L -> "window", 2L -> "stream", 2L -> "sort",
       3L -> "customer", 3L -> "zzznothere")
-    val docs = Tables.documents(spark, dir)
     val stream = MemoryStream[(Long, String)]
     val sdf = stream.toDF().toDF("qid", "term")
     val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
-    val q = StreamOps.searchStream(sdf, docs, k = 15) { (out, _) =>
+    val q = StreamOps.searchStream(sdf,
+      graft.operators.Retrieval.wordPostingsOf(spark, dir),
+      graft.operators.Retrieval.wordStatsOf(spark, dir), k = 15) { (out, _) =>
       buf ++= out.collect().map(_.toSeq)
     }
     try {
