@@ -795,9 +795,10 @@ object Dedup {
     * key might match a batch key reach the shuffle, so the corpus-side
     * cost is a scan + bloom pass, not a full band join. False positives
     * only cost pruning efficiency (the exact band equi-join removes
-    * them); at 100 TB the corpus bands are the materialized artifact the
-    * posting/IVF indexes already model (Materialize + appendTo*), and the
-    * probe reads it instead of re-deriving signatures. */
+    * them); the corpus bands ARE a materialized artifact (graft_bands,
+    * ensure/append/compact lifecycle below) and the probe reads it —
+    * per-ingest cost is a bloom pass over band files plus the pruned
+    * join, never a corpus signature re-derivation. */
   /** Signature + LSH band rows (doc_id, sig, band_idx, band_hash) for any
     * (doc_id, text) relation — the derivation minhashPairs explodes,
     * factored so the incremental screen can band the BATCH side and the
@@ -812,6 +813,58 @@ object Dedup {
           polyHashLongs(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))
         }: _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+
+  /** Canonical corpus-band layout: band-key-clustered into a fixed file
+    * count, sorted within files so the bloom-surviving read stays tight.
+    * Shared by the initial build and compaction (the graft_postings
+    * pattern keyed by (band_hash, band_idx)). */
+  private def writeBandsLayout(rows: DataFrame, path: String): Unit =
+    rows.repartition(32, col("band_hash"), col("band_idx"))
+      .sortWithinPartitions(col("band_hash"), col("band_idx"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Write-once corpus band artifact (at scale this runs at ingest): the
+    * signature + LSH band derivation of the standing corpus, materialized
+    * so the incremental screen probes files instead of re-deriving
+    * minhash signatures per ingest batch. */
+  def ensureBandsIndex(spark: SparkSession, dir: String, corpus: DataFrame,
+                       version: Int = 1): String =
+    graft.Materialize.ensure(spark, "graft_bands", dir, version) { p =>
+      writeBandsLayout(bandRows(corpus), p)
+    }
+
+  /** Incremental band maintenance: a new corpus batch's band rows land as
+    * new band-clustered files. Exact because the signature derivation is
+    * row-local per doc: bands(corpus ∪ batch) == bands(corpus) ∪
+    * bands(batch) (IncrementalIndexSpec pins append-then-screen ==
+    * rebuild-then-screen). */
+  def appendToBandsIndex(spark: SparkSession, dir: String, batch: DataFrame,
+                         version: Int = 1): String =
+    graft.Materialize.append(spark, "graft_bands", dir, version) { p =>
+      bandRows(batch)
+        .repartition(4, col("band_hash"), col("band_idx"))
+        .sortWithinPartitions(col("band_hash"), col("band_idx"))
+        .write.mode("append").parquet(p)
+    }
+
+  /** Periodic compaction back to the canonical 32-way band-clustered
+    * layout. Pure file reorganization — contents unchanged. */
+  def compactBandsIndex(spark: SparkSession, dir: String,
+                        version: Int = 1): String =
+    graft.Materialize.compact(spark, "graft_bands", dir, version) {
+      (cur, tmp) => writeBandsLayout(cur, tmp)
+    }
+
+  /** Fresh read of the materialized corpus bands (ensured on first call)
+    * — the standing-corpus side of the incremental screen. BY-NAME
+    * consumers (StreamOps.dedupScreenStream) re-evaluate per micro-batch,
+    * so appended band files are visible on the next batch. */
+  def corpusBandsOf(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(spark, dir)
+      .filter(col("doc_id") % IncMod =!= IncRem)
+      .select(col("doc_id"), col("text"))
+    spark.read.parquet(ensureBandsIndex(spark, dir, corpus))
+  }
 
   /** The screen over explicit batch/corpus relations — the core both the
     * gate query and the streaming face (StreamOps.dedupScreenStream) run.
@@ -846,12 +899,15 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Gate form: the ingest batch bands inline (it is one increment, small
+    * by construction); the CORPUS side reads the materialized band
+    * artifact — a parquet scan under the bloom probe, never a per-batch
+    * signature re-derivation (SCALE.md row 69). */
   def incrementalNearDups(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     incrementalNearDupsOver(
       d.filter(col("doc_id") % IncMod === IncRem).select(col("doc_id"), col("text")),
-      bandRows(d.filter(col("doc_id") % IncMod =!= IncRem)
-        .select(col("doc_id"), col("text"))))
+      corpusBandsOf(spark, dir))
   }
 
   def incrementalNearDupsOracle: String =

@@ -227,6 +227,30 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(afterCompact == inline)
   }
 
+  test("band artifact: append-then-screen == rebuild-then-screen") {
+    import graft.operators.Dedup
+    val d = Tables.documents(spark, dir)
+    val corpus = d.filter(col("doc_id") % Dedup.IncMod =!= Dedup.IncRem)
+      .select(col("doc_id"), col("text"))
+    val ingest = d.filter(col("doc_id") % Dedup.IncMod === Dedup.IncRem)
+      .select(col("doc_id"), col("text"))
+    // corpus arrives in two increments: build from the first, append the rest
+    val base = corpus.filter(col("doc_id") % 3 =!= 1)
+    val inc = corpus.filter(col("doc_id") % 3 === 1)
+    assert(base.count() > 0 && inc.count() > 0)
+    val appended = Dedup.ensureBandsIndex(spark, dir, base, version = 901)
+    Dedup.appendToBandsIndex(spark, dir, inc, version = 901)
+    val rebuilt = Dedup.ensureBandsIndex(spark, dir, corpus, version = 902)
+    def screen(bandsPath: String): Seq[Seq[Any]] =
+      Dedup.incrementalNearDupsOver(ingest, spark.read.parquet(bandsPath))
+        .collect().map(_.toSeq).toSeq
+    val a = screen(appended)
+    assert(a.nonEmpty && a == screen(rebuilt))
+    // compaction reorganizes files only: screen unchanged
+    Dedup.compactBandsIndex(spark, dir, version = 901)
+    assert(screen(appended) == a)
+  }
+
   test("artifact paths are never hidden: a glob over the artifact root sees them") {
     import spark.implicits._
     // a leading '_' in the dir tag would make Spark's path filter treat the

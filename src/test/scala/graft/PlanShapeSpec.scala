@@ -114,6 +114,26 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bloom probe not below the shuffle exchange:\n$p")
   }
 
+  /** UNtruncated executed-plan text: finalPlan cuts at the first
+    * "== Initial Plan ==", which for plans whose bloom SUBQUERY is itself
+    * adaptive chops the main tree early — fine for node counts, wrong for
+    * contains-assertions on deep scan lines. Initial-plan duplicates are
+    * harmless for `contains`. */
+  private def fullPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("incremental dedup's corpus side is the band ARTIFACT scan, not a re-derivation") {
+    val p = fullPlan("dedup_incremental")
+    assert(p.contains("graft_bands"), p)
+    // the scan under the bloom probe must be the artifact (a minhash
+    // projection below the probe would mean signatures re-derive per batch)
+    val probeAt = p.indexOf("might_contain")
+    assert(probeAt >= 0 && p.indexOf("graft_bands", probeAt) > probeAt, p)
+  }
+
   test("semantic dedup computes the cell exchange once (ReusedExchange)") {
     val p = finalPlan("dedup_semantic")
     assert(p.contains("ReusedExchange"), p)

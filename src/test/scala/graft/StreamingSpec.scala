@@ -310,13 +310,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     assert(batchDocs.length >= 2, "batch too small to split across micro-batches")
-    val corpusBands = Dedup.bandRows(
-      d.filter(col("doc_id") % Dedup.IncMod =!= Dedup.IncRem)
-        .select(col("doc_id"), col("text")))
     val stream = MemoryStream[(Long, String)]
     val sdf = stream.toDF().toDF("doc_id", "text")
     val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
-    val q = StreamOps.dedupScreenStream(sdf, corpusBands) { (out, _) =>
+    // the corpus side is the MATERIALIZED band artifact, re-read per
+    // micro-batch (by-name) — the same relation the batch gate probes
+    val q = StreamOps.dedupScreenStream(sdf, Dedup.corpusBandsOf(spark, dir)) { (out, _) =>
       buf ++= out.collect().map(_.toSeq)
     }
     try {
