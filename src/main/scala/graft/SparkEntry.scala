@@ -259,6 +259,10 @@ object SparkEntry {
     // hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
     // (all-integer contributions, full-outer pool join)
     "search_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d, P.Bm25Query, P.CosineProbe, P.Bm25K)),
+    // the index-served twin: dense pool candidates from the IVF-PQ stack,
+    // re-ranked exactly by true cosine before fusion (brute form above
+    // stays as the anchor)
+    "search_hybrid_ivf" -> ((s, d) => Retrieval.hybridRrfIvf(s, d, P.Bm25Query, P.CosineProbe, P.Bm25K, P.IvfNprobe)),
     // schema'd JSONL ingest with PERMISSIVE corrupt-record rescue (raw
     // crawl-dump reading; oracle derives the outcome from documents)
     "src_jsonl_rescue" -> ((s, d) => graft.sources.CorpusIngest.jsonlRescue(s, d)),
@@ -473,6 +477,7 @@ object SparkEntry {
     "text_bm25_topk" -> TextAnalysis.bm25TopKOracle(P.Bm25Query, P.Bm25K),
     "text_bm25_batch" -> Retrieval.bm25BatchOracle(P.Bm25Batch, P.Bm25K),
     "search_hybrid_rrf" -> Retrieval.hybridRrfOracle(P.Bm25Query, P.CosineProbe, P.Bm25K),
+    "search_hybrid_ivf" -> Retrieval.hybridRrfIvfOracle(P.Bm25Query, P.CosineProbe, P.Bm25K, P.IvfNprobe),
     "ev_lag_delta" -> EventOps.lagDeltasOracle,
     "ev_exact_distinct" -> EventOps.exactDistinctUsersOracle,
   )

@@ -296,6 +296,73 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Hybrid retrieval SERVED FROM THE INDEXES — the production twin of
+    * [[hybridRrf]] (which stays as the exact brute-force anchor): the
+    * lexical pool reads the word-posting artifact (shared bm25TopK); the
+    * dense pool's CANDIDATES come from the IVF-PQ stack (ivfPqTopK: IVF
+    * prunes which cells are read, PQ codes score the coarse pass), then
+    * the pool is re-ranked EXACTLY — the k-row candidate set joins back to
+    * the float vectors and ranks by true cosine, so PQ approximation
+    * affects only pool MEMBERSHIP, never the rank fed into RRF. Own
+    * oracle (the pool genuinely differs from brute force); OperatorParity
+    * Spec pins pool overlap vs the brute pool at the measured floor
+    * (0.56 at sf0.001, N=50, nprobe=4 — vs 0.66 for plain IVF; the gap
+    * is the PQ L2-vs-cosine approximation trade, not a defect). */
+  def hybridRrfIvf(spark: SparkSession, dir: String, queryTerms: Seq[String],
+                   probeId: Long, k: Int, nprobe: Int): DataFrame = {
+    val lexPool = bm25TopK(spark, dir, queryTerms, RrfPoolN)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long").as("lex_rank"))
+    val e = Tables.embeddings(spark, dir)
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_emb"))
+    val pool = Similarity.ivfPqTopK(spark, dir, probeId, RrfPoolN, nprobe = nprobe)
+      .select(col("vec_id"))
+    val densePool = pool.join(e, "vec_id")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("probe_emb")), 4).as("cosine_sim"))
+      .filter(!isnan(col("cosine_sim")))
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(Window.orderBy(col("cosine_sim").desc, col("vec_id")))
+          .cast("long").as("dense_rank"))
+    def contrib(rank: org.apache.spark.sql.Column) =
+      when(rank.isNull, 0L).otherwise(
+        floor(lit(RrfScale.toDouble) / (lit(RrfK).cast("double") + rank.cast("double")))
+          .cast("long"))
+    lexPool.join(densePool, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        (contrib(col("lex_rank")) + contrib(col("dense_rank"))).as("rrf_q"))
+      .orderBy(col("rrf_q").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def hybridRrfIvfOracle(queryTerms: Seq[String], probeId: Long, k: Int,
+                         nprobe: Int): String = {
+    val bm25 = TextAnalysis.bm25TopKOracle(queryTerms, RrfPoolN)
+    val pool = Similarity.ivfPqTopKOracle(probeId, RrfPoolN, nprobe = nprobe)
+    val cos = Similarity.cosineSql("e.embedding", "p.probe_emb")
+    def contrib(r: String) =
+      s"CASE WHEN $r IS NULL THEN 0 ELSE floor($RrfScale.0 / ($RrfK.0 + $r::DOUBLE))::BIGINT END"
+    s"""WITH lex AS (SELECT doc_id,
+       |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |       FROM ($bm25)),
+       |pool AS (SELECT vec_id FROM ($pool)),
+       |p AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = $probeId),
+       |rr AS (SELECT e.vec_id, round($cos, 4) AS cosine_sim
+       |       FROM pool JOIN embeddings e USING (vec_id) CROSS JOIN p),
+       |dense AS (SELECT vec_id AS doc_id,
+       |         row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS dense_rank
+       |       FROM rr WHERE NOT isnan(cosine_sim))
+       |SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+       |       lex.lex_rank, dense.dense_rank,
+       |       ${contrib("lex.lex_rank")} + ${contrib("dense.dense_rank")} AS rrf_q
+       |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+       |ORDER BY rrf_q DESC, coalesce(lex.doc_id, dense.doc_id)
+       |LIMIT $k""".stripMargin
+  }
+
   def hybridRrfOracle(queryTerms: Seq[String], probeId: Long, k: Int): String = {
     val bm25 = TextAnalysis.bm25TopKOracle(queryTerms, RrfPoolN)
     val cos = Similarity.cosineTopKOracle(probeId, RrfPoolN)
