@@ -34,6 +34,9 @@ object SparkEntry {
     val RadiusFilters = Seq[(String, Any)]("geo_type" -> "City")
     val FuzzyFilters = Seq[(String, Any)]("country" -> "US")
     val JaccardThreshold = 0.55
+    // span df-cap: windows occupying > 1/10000 of all window occurrences
+    // are boilerplate (bites at sf0.01: cuts the c=3 keys, total 23.7k)
+    val SpanCapInv = 10000L
     val EmbDupThreshold = 0.40
     val CosineProbe = 0L; val CosineK = 10
     // nprobe=4 of 16 cells: the recall gate showed nprobe=2 recovers only
@@ -108,6 +111,9 @@ object SparkEntry {
     // OPT-IN stop-gram cut: hottest posting lists (df > N/10) excluded
     // from candidate gen — different results by design, own oracle
     "fuzzy_batch_stopgram" -> ((s, d) => FuzzySearch.batchFuzzySearchStopGram(s, d, P.FuzzyK, P.StopGramInv)),
+    // digits-only query TABLE over the zip corpus: the postal scoring
+    // branch exercised in the batch serving shape (runtime per-row branch)
+    "fuzzy_batch_postal" -> ((s, d) => FuzzySearch.batchFuzzySearchZip(s, d, P.PostalK)),
     // batch bounded-KNN: k nearest within the radius per probe (banded
     // join + per-probe window rank)
     "geo_knn_batch" -> ((s, d) => RadiusSearch.knnBatch(s, d, P.RadiusMiles, 5)),
@@ -181,6 +187,10 @@ object SparkEntry {
     // exact duplicated-span detection (Lee et al. ExactSubstr): maximal
     // per-doc spans of corpus-repeated 8-token windows, gaps-and-islands
     "dedup_spans" -> ((s, d) => Dedup.spanDedup(s, d)),
+    // OPT-IN hot-window df-cap: boilerplate windows (count > total/inv)
+    // dropped from duplicate marking; counts via hash agg, never a
+    // per-key window partition — different results by design, own oracle
+    "dedup_spans_capped" -> ((s, d) => Dedup.spanDedupCapped(s, d, P.SpanCapInv)),
     // --- similarity search ---
     "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, P.CosineProbe, P.CosineK)),
     "ann_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(s, d, planes = 8)),
@@ -388,6 +398,7 @@ object SparkEntry {
     "fuzzy_batch_indexed" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK),
     "fuzzy_batch_stopgram" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK,
       dfCapInverse = Some(P.StopGramInv)),
+    "fuzzy_batch_postal" -> FuzzySearch.batchFuzzySearchZipOracle(P.PostalK),
     "geo_knn_batch" -> RadiusSearch.knnBatchOracle(P.RadiusMiles, 5),
     "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),
     "geo_radius_filtered" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters),
@@ -425,6 +436,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.incrementalNearDupsOracle,
     "dedup_semantic" -> Dedup.semanticNearDupsOracle(P.EmbDupThreshold),
     "dedup_spans" -> Dedup.spanDedupOracle,
+    "dedup_spans_capped" -> Dedup.spanDedupCappedOracle(P.SpanCapInv),
     "ann_cosine_topk" -> Similarity.cosineTopKOracle(P.CosineProbe, P.CosineK),
     "ann_lsh_buckets" -> Similarity.lshBucketsOracle(8),
     "ann_ivf_topk" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),

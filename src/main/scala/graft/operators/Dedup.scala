@@ -723,15 +723,26 @@ object Dedup {
     * pin the island merge (multi-span, gap, adjacency, intra-doc repeat)
     * that the driver corpus's whole-doc duplicates never exercise. */
   def spanDedupOver(d: DataFrame): DataFrame = {
-    val w = d.select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
-      .select(col("doc_id"),
-        posexplode(graft.functions.TextFunctions.tokenWindows(col("tk"), SpanWin))
-          .as(Seq("pos", "wkey")))
+    val w = spanWindows(d)
     val dup = w
       .withColumn("c", count(lit(1)).over(Window.partitionBy(col("wkey"))))
       .filter(col("c") >= 2)
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         (col("pos") + SpanWin - 1).cast("long").as("e"))
+    mergeIslands(dup)
+  }
+
+  /** (doc_id, pos, wkey): the stride-1 window relation both span forms
+    * share. */
+  private def spanWindows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokenWindows(col("tk"), SpanWin))
+          .as(Seq("pos", "wkey")))
+
+  /** Gaps-and-islands merge of duplicated positions into maximal per-doc
+    * spans — the shared tail of both span forms. */
+  private def mergeIslands(dup: DataFrame): DataFrame = {
     val prevMax = max(col("e")).over(Window.partitionBy(col("doc_id"))
       .orderBy(col("pos")).rowsBetween(Window.unboundedPreceding, -1))
     val islands = dup
@@ -744,6 +755,65 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** OPT-IN hot-window df-cap for the span detector — the stop-gram
+    * machinery (FuzzySearch.batchFuzzySearchStopGram) applied to the
+    * window-key occurrence count, mitigating the skew SCALE.md row 71
+    * names: a boilerplate window shared by a large corpus fraction piles
+    * its entire occurrence list into ONE window partition in the uncapped
+    * form. Here counts come from a map-side-combinable hash AGGREGATE
+    * (never a per-key window partition), and keys whose count exceeds
+    * total/`dfCapInverse` are dropped from duplicate marking entirely —
+    * the hot key's occurrence list never shuffles as one partition.
+    * Results CHANGE by design (boilerplate windows stop flagging spans):
+    * own operator + oracle applying the same exact-integer cut
+    * (c * inv <= total), and OperatorParitySpec pins that the cut bites
+    * on a crafted hot window. */
+  def spanDedupCapped(spark: SparkSession, dir: String,
+                      dfCapInverse: Long): DataFrame =
+    spanDedupCappedOver(Tables.documents(spark, dir), dfCapInverse)
+
+  private[graft] def spanDedupCappedOver(d: DataFrame,
+                                         dfCapInverse: Long): DataFrame = {
+    val w = spanWindows(d)
+    val wc = w.groupBy(col("wkey")).agg(count(lit(1)).as("c"))
+    val total = wc.agg(sum(col("c")).as("t"))
+    val dupKeys = wc.crossJoin(broadcast(total))
+      .filter(col("c") >= 2 && col("c") * dfCapInverse <= col("t"))
+      .select(col("wkey"))
+    val dup = w.join(dupKeys, "wkey")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        (col("pos") + SpanWin - 1).cast("long").as("e"))
+    mergeIslands(dup)
+  }
+
+  def spanDedupCappedOracle(dfCapInverse: Long): String = {
+    val toks = OracleSql.tokens("lower(text)")
+    val W = SpanWin
+    s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),
+       |w AS (SELECT doc_id,
+       |        unnest(range(0, greatest(len(tk) - $W + 1, 0))) AS pos,
+       |        unnest(${OracleSql.tokenWindows("tk", W)}) AS wkey
+       |      FROM tok),
+       |wc AS (SELECT wkey, count(*)::BIGINT AS c FROM w GROUP BY wkey),
+       |tt AS (SELECT sum(c)::BIGINT AS t FROM wc),
+       |dk AS (SELECT wkey FROM wc CROSS JOIN tt
+       |       WHERE c >= 2 AND c * $dfCapInverse <= tt.t),
+       |dup AS (SELECT doc_id, pos, pos + $W - 1 AS e FROM w JOIN dk USING (wkey)),
+       |isl AS (SELECT doc_id, pos, e,
+       |         CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |              THEN 1 ELSE 0 END AS brk
+       |        FROM dup),
+       |g AS (SELECT doc_id, pos, e,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |      FROM isl),
+       |sp AS (SELECT doc_id, island, min(pos) AS span_start, max(e) AS span_end,
+       |              count(*) AS n_windows
+       |       FROM g GROUP BY doc_id, island)
+       |SELECT doc_id, span_start, span_end, n_windows
+       |FROM sp ORDER BY doc_id, span_start""".stripMargin
   }
 
   def spanDedupOracle: String = {

@@ -255,6 +255,96 @@ object FuzzySearch {
     scoreBatch(capped, c, queries, numResults)
   }
 
+  /** Query-table stride for the ZIP batch (sf0.001's ~150-shape corpus
+    * keeps exactly one query; sf0.01's 1500 shapes give ~17). */
+  val ZipBatchQueryMod = 89L
+
+  /** Deterministic DIGITS-ONLY query table over the zip corpus: every
+    * `ZipBatchQueryMod`-th shape's zip digit token with its 4th digit
+    * dropped — a postal typo query per stratum, so the postal scoring
+    * branch (geo_manager.py:493-495) runs per ROW in the batch shape
+    * (the part-corpus batch deliberately has no digits-only query). */
+  def batchZipQueries(c: DataFrame): DataFrame = {
+    val tok = substring_index(col("clean_value"), " ", 1)
+    c.filter(pmod(col("id"), lit(ZipBatchQueryMod)) === 0)
+      .select(col("id").as("qid"),
+        concat(tok.substr(lit(1), lit(3)), tok.substr(lit(5), length(tok)))
+          .as("clean_q"))
+  }
+
+  /** BATCH fuzzy search over the ZIP corpus — identical pipeline to
+    * `batchFuzzySearch`, but every query is digits-only, so
+    * `geoSearchScore`'s runtime postal branch (score against the FIRST
+    * SPACE-TOKEN of the source) is exercised in the serving shape too.
+    * Own oracle (the postal branch changes scores by design). */
+  def batchFuzzySearchZip(spark: SparkSession, dir: String, numResults: Int,
+                          cap: Int = DefaultCap): DataFrame = {
+    val c = zipCorpus(spark, dir)
+    val queries = batchZipQueries(c)
+    val qGrams = queries.select(col("qid"),
+      explode(charNgramSet(col("clean_q"), 3)).as("ngram"))
+    val postings = c.select(col("id"),
+      explode(charNgrams(col("clean_value"), 3)).as("ngram"))
+    val hits = postings.join(qGrams, "ngram")
+      .groupBy(col("qid"), col("id")).agg(count(lit(1)).as("ngram_hits"))
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ngram_hits").desc, col("id"))
+    val capped = hits.withColumn("crn", row_number().over(capW))
+      .filter(col("crn") <= math.max(numResults, cap)).drop("crn")
+    scoreBatch(capped, c, queries, numResults)
+  }
+
+  def batchFuzzySearchZipOracle(numResults: Int, cap: Int = DefaultCap): String = {
+    val qsetQ = OracleSql.trigramSet("q.clean_q")
+    val qset = OracleSql.trigramSet("clean_q")
+    val tv = OracleSql.tversky(qset, OracleSql.trigramSet("clean_value"), 0.85, 0.15)
+    val efs = s"($tv * (1.0 + CASE WHEN starts_with(clean_value, clean_q) THEN 0.15 ELSE 0.0 END))"
+    // geoSearchScore's RUNTIME postal branch, mirrored per row: a
+    // digits-only query scores against the first space-token of the
+    // source; ngram_similarity and the DL distance always use the full
+    // source (same split as the single-query postal oracle).
+    val tok = "split_part(clean_value, ' ', 1)"
+    val tvP = OracleSql.tversky(qset, OracleSql.trigramSet(tok), 0.85, 0.15)
+    val efsP = s"($tvP * (1.0 + CASE WHEN starts_with($tok, clean_q) THEN 0.15 ELSE 0.0 END))"
+    val scoreBase =
+      s"(CASE WHEN regexp_matches(clean_q, '^[0-9]+$$') THEN $efsP ELSE $efs END)"
+    val dl = "least(damerau_levenshtein(split_part(clean_q, ',', 1), split_part(clean_value, ',', 1)), " +
+      "damerau_levenshtein(clean_q, clean_value))"
+    s"""WITH corpus AS ($zipCorpusCte),
+       |q AS (SELECT id AS qid,
+       |        substr(split_part(clean_value, ' ', 1), 1, 3) ||
+       |        substr(split_part(clean_value, ' ', 1), 5) AS clean_q
+       |      FROM corpus WHERE id % $ZipBatchQueryMod = 0),
+       |cand AS (
+       |  SELECT q.qid, q.clean_q, c.*,
+       |         len(list_filter(${OracleSql.trigrams("c.clean_value")},
+       |             g -> list_contains($qsetQ, g)))::BIGINT AS ngram_hits
+       |  FROM corpus c CROSS JOIN q),
+       |capped AS (
+       |  SELECT * FROM cand WHERE ngram_hits > 0
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |                             ORDER BY ngram_hits DESC, id) <= ${math.max(numResults, cap)}),
+       |scored AS (
+       |  SELECT qid, clean_q, id, value, clean_value, population,
+       |         $efs AS efs_raw, $scoreBase AS score_base,
+       |         $dl::BIGINT AS distance
+       |  FROM capped),
+       |ranked AS (
+       |  SELECT qid, id, value, clean_value, distance,
+       |         round(efs_raw, 6) AS ngram_similarity,
+       |         round(CASE WHEN population <= 0 OR score_base <= 0.65 THEN score_base * 0.9
+       |                    ELSE score_base * 0.9 + ln(population) * 0.1 END, 6) AS score
+       |  FROM scored),
+       |dedup AS (
+       |  SELECT * FROM ranked
+       |  QUALIFY row_number() OVER (PARTITION BY qid, clean_value
+       |                             ORDER BY score DESC, id) = 1)
+       |SELECT qid, id, value, clean_value, distance, ngram_similarity, score
+       |FROM dedup
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) <= $numResults
+       |ORDER BY qid, score DESC, id""".stripMargin
+  }
+
   /** Bloom sizing for the batch index probe: the build side is the batch's
     * distinct query-gram set (|queries| × ≤ ~50 grams; dup inserts are
     * harmless), so 1M bits (~128 KB broadcast blob) keeps the false-positive

@@ -47,6 +47,12 @@ object QualityModel {
   val TeacherW1 = 2.0; val TeacherW2 = 1.0; val TeacherW3 = -1.5
   val TeacherCut = 1.2
   val NoiseA = 2654435761L; val NoiseMod = 1000L
+  /** doc_id is reduced mod this prime BEFORE the Knuth multiply: Spark
+    * Long multiplication wraps on overflow (and % can then go negative)
+    * while DuckDB RAISES on BIGINT overflow — doc_id ≳ 3.5e9 would crash
+    * the oracle or diverge cross-engine. The reduced product is bounded
+    * by ~2.7e14, safe on both. */
+  val NoisePrime = 100003L
   val NoiseScale = 0.4; val NoiseShift = -0.2
 
   private def stopEn: Seq[String] = TextAnalysis.Stopwords.head._2
@@ -65,7 +71,7 @@ object QualityModel {
     val x1 = least(lit(1.0), nTok / 50.0)
     val x2 = least(lit(1.0), stopHits / nTok * 5.0)
     val x3 = size(array_distinct(col("tk"))).cast("double") / nTok
-    val eps = (col("doc_id") * NoiseA % NoiseMod).cast("double") /
+    val eps = (col("doc_id") % NoisePrime * NoiseA % NoiseMod).cast("double") /
       NoiseMod.toDouble * NoiseScale + NoiseShift
     val teacher = lit(TeacherW1) * x1 + lit(TeacherW2) * x2 + lit(TeacherW3) * x3 + eps
     base.select(col("doc_id"), x1.as("x1"), x2.as("x2"), x3.as("x3"),
@@ -75,7 +81,8 @@ object QualityModel {
   /** Feature relation, materialized write-once: the corpus scan happens
     * once; the training iterations read the narrow artifact. */
   private def featuresMaterialized(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.Materialize.ensure(spark, "graft_lrfeat", dir, version = 1) { p =>
+    // version 2: teacher noise reduces doc_id mod NoisePrime pre-multiply
+    val path = graft.Materialize.ensure(spark, "graft_lrfeat", dir, version = 2) { p =>
       features(spark, dir).write.mode("overwrite").parquet(p)
     }
     spark.read.parquet(path)
@@ -149,7 +156,7 @@ object QualityModel {
     val x1 = "least(1.0, len(tk)::DOUBLE / 50.0)"
     val x2 = s"least(1.0, (len(list_filter(tk, t -> list_contains($en, t)))::DOUBLE / len(tk)::DOUBLE) * 5.0)"
     val x3 = "len(list_distinct(tk))::DOUBLE / len(tk)::DOUBLE"
-    val eps = s"((doc_id * $NoiseA) % $NoiseMod)::DOUBLE / $NoiseMod.0 * $NoiseScale + $NoiseShift"
+    val eps = s"(((doc_id % $NoisePrime) * $NoiseA) % $NoiseMod)::DOUBLE / $NoiseMod.0 * $NoiseScale + $NoiseShift"
     val f =
       s"""tok AS (SELECT doc_id, $toks AS tk FROM documents),
          |f AS MATERIALIZED (SELECT doc_id, $x1 AS x1, $x2 AS x2, $x3 AS x3,

@@ -328,6 +328,26 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 0L, 15L, 2L)), got.toString)
   }
 
+  test("span df-cap bites on a crafted hot window; genuine dup spans survive") {
+    import spark.implicits._
+    // 10 docs of ONE shared 8-token window (the hot boilerplate), 2 docs
+    // sharing a genuine 10-token duplicate, 4 singleton ballast docs.
+    val hot = (1L to 10L).map(i => (i, "h1 h2 h3 h4 h5 h6 h7 h8"))
+    val dup = Seq(21L, 22L).map(i => (i, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"))
+    val solo = (31L to 34L).map(i => (i, s"s$i t$i u$i v$i w$i x$i y$i z$i"))
+    val docs = (hot ++ dup ++ solo).toDF("doc_id", "text")
+    // total windows = 10 + 2*3 + 4 = 20; hot c=10 cut at inv=4 (40 > 20),
+    // dup c=2 kept (8 <= 20)
+    val capped = Dedup.spanDedupCappedOver(docs, dfCapInverse = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(capped == Seq((21L, 0L, 9L), (22L, 0L, 9L)),
+      s"expected only the genuine dup spans, got $capped")
+    // the uncapped form flags the hot docs too — that delta IS the cut
+    val uncapped = Dedup.spanDedupOver(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert((1L to 10L).forall(uncapped.contains), s"uncapped missed hot docs: $uncapped")
+  }
+
   test("BPE merge application is greedy non-overlapping (run parity) and feeds back") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
