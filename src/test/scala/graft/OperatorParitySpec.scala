@@ -348,6 +348,27 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((1L to 10L).forall(uncapped.contains), s"uncapped missed hot docs: $uncapped")
   }
 
+  test("batched BPE: dominance drops conflicting pairs; simultaneous == sequential") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.BpeTrainer
+    // (a,b):3 ranks first; (b,c):2 shares 'b' with it -> dominated;
+    // (d,e):2 is disjoint -> selected second
+    val docs = Seq((0L, "ab ab ab bc bc de de")).toDF("doc_id", "text")
+    val (merges, _) = BpeTrainer.trainOver(docs, rounds = 1, m = 2)
+    val m = merges.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(m.toSeq == Seq((1L, "a", "b", 3L), (2L, "d", "e", 2L)), m.toSeq.toString)
+    // simultaneous application of a disjoint batch == the sequential fold
+    val docs2 = Seq((0L, "ab ab cd cd ef")).toDF("doc_id", "text")
+    def syms(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("word"), col("idx"), col("sym")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq.sorted
+    val batched = BpeTrainer.trainOver(docs2, rounds = 1, m = 2)._2
+    val sequential = BpeTrainer.trainOver(docs2, rounds = 2, m = 1)._2
+    assert(syms(batched).nonEmpty && syms(batched) == syms(sequential))
+  }
+
   test("BPE merge application is greedy non-overlapping (run parity) and feeds back") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
