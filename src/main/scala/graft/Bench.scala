@@ -13,9 +13,9 @@ import org.apache.spark.sql.SparkSession
   * reps — the build is ingest-time work, the query pays the read.
   * Total = sum of per-query medians. */
 object Bench {
-  /** Lower-middle median: with an even count (a failed rep, REPS=2) this
-    * reports the BETTER surviving timing — the steady-state estimate —
-    * instead of letting a transient hiccup inflate the row. */
+  /** Lower-middle median. Even counts only arise from an explicit even
+    * REPS setting — a row with a FAILED rep is excluded entirely (see
+    * below), so a dead rep can no longer bias the row optimistic. */
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     s((s.length - 1) / 2)
@@ -36,8 +36,14 @@ object Bench {
     val only = args.toSet
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown query names: $unknown")
-    val queries = SparkEntry.queries.filter { case (k, _) => only.isEmpty || only(k) }
-      .toSeq.sortBy(_._1) // deterministic run order across invocations
+    // Deterministic run order; SPARK_GRAFT_BENCH_ORDER=desc reverses it —
+    // the suite-position diagnostic (a query inflated by its alphabetical
+    // neighbor's JVM debt moves when the order flips; a plan cost doesn't).
+    val asc = SparkEntry.queries.filter { case (k, _) => only.isEmpty || only(k) }
+      .toSeq.sortBy(_._1)
+    val queries =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("desc")) asc.reverse
+      else asc
     // Untimed warmup: parquet footers + file listing into cache (queries
     // are timed cold w.r.t. their own codegen, warm w.r.t. storage).
     Tables.names.foreach(t => Tables.table(spark, sfDir, t).count())
@@ -58,13 +64,14 @@ object Bench {
       }
       name -> times
     }
-    // An all-reps-failed query must NOT appear as a 0.0s timing — diff
-    // tooling would read that as a huge speedup; it is only in `errors`.
-    val qs = results.collect { case (k, ts) if ts.nonEmpty =>
+    // A query with ANY failed rep is excluded from the timings (it is in
+    // `errors`): a partial-rep median reports the optimistic survivor, and
+    // a 0.0s row would read as a huge speedup to diff tooling.
+    val qs = results.collect { case (k, ts) if ts.length == reps =>
       s"\"" + k + "\":" + median(ts)
     }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
+    val total = results.collect { case (_, ts) if ts.length == reps => median(ts) }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
