@@ -273,6 +273,11 @@ object SparkEntry {
     // re-ranked exactly by true cosine before fusion (brute form above
     // stays as the anchor)
     "search_hybrid_ivf" -> ((s, d) => Retrieval.hybridRrfIvf(s, d, P.Bm25Query, P.CosineProbe, P.Bm25K, P.IvfNprobe)),
+    // DSIR domain-targeted data selection (hashed-ngram importance
+    // weights, rational mean-ratio deviation; Gumbel-free deterministic
+    // top-k) — arithmetic gated here, discrimination pinned by DsirSpec
+    "dsir_weights" -> ((s, d) => Dsir.dsirWeights(s, d)),
+    "dsir_topk" -> ((s, d) => Dsir.dsirTopK(s, d)),
     // schema'd JSONL ingest with PERMISSIVE corrupt-record rescue (raw
     // crawl-dump reading; oracle derives the outcome from documents)
     "src_jsonl_rescue" -> ((s, d) => graft.sources.CorpusIngest.jsonlRescue(s, d)),
@@ -490,6 +495,8 @@ object SparkEntry {
     "text_bm25_batch" -> Retrieval.bm25BatchOracle(P.Bm25Batch, P.Bm25K),
     "search_hybrid_rrf" -> Retrieval.hybridRrfOracle(P.Bm25Query, P.CosineProbe, P.Bm25K),
     "search_hybrid_ivf" -> Retrieval.hybridRrfIvfOracle(P.Bm25Query, P.CosineProbe, P.Bm25K, P.IvfNprobe),
+    "dsir_weights" -> Dsir.dsirWeightsOracle,
+    "dsir_topk" -> Dsir.dsirTopKOracle(),
     "ev_lag_delta" -> EventOps.lagDeltasOracle,
     "ev_exact_distinct" -> EventOps.exactDistinctUsersOracle,
   )

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.oracle.OracleSql
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): select raw-pool documents that resemble a small
+  * target domain by importance weights over hashed n-gram features.
+  *
+  * The shipped shape is the paper's bag-of-hashed-ngrams estimator made
+  * relational:
+  *   1. FIT pass — one corpus scan explodes unigram+bigram features,
+  *      hashes each into one of [[Buckets]] buckets (cross-engine
+  *      polyHash, see TextFunctions.polyHash) and add-1-smoothed bucket
+  *      counts split target-vs-pool. The model is the ≤[[Buckets]]-row
+  *      ratio table — broadcast-sized BY CONSTRUCTION at any corpus size
+  *      (the whole point of feature hashing).
+  *   2. SCORE pass — a second narrow scan explodes pool grams, joins the
+  *      broadcast ratio table, and sums per doc: one exchange keyed by
+  *      doc_id (map-side combinable longs).
+  *   3. SELECT — deterministic top-k by (score_mean, doc_id), a
+  *      TakeOrderedAndProject stream head, never a global sort.
+  *
+  * Documented deviations from the paper, per house rules:
+  *   - NO TRANSCENDENTALS (the rational-odds-idf precedent): the paper's
+  *     log importance weight Σ_b c_b·(log p̂_b − log q̂_b) becomes the
+  *     quantized mean likelihood ratio Σ_b c_b·r̂_b / Σ_b c_b with
+  *     r̂_b = floor((t_b+1)·G / (q_b+1)), G = floor(S·(Q+B)/(T+B)) —
+  *     per-bucket the SAME monotone statistic (up-weights buckets
+  *     overrepresented in the target), exact in integers on both engines;
+  *     the tail emphasis is arithmetic- rather than geometric-mean.
+  *   - NO rand(): the paper's Gumbel-top-k resampling (jitter exists to
+  *     de-duplicate selection under weight ties) becomes deterministic
+  *     top-k with the total order (score_mean DESC, doc_id) — re-running
+  *     selection on a re-ingested corpus picks the same documents.
+  *
+  * The synthetic gate corpus has NO domain axis (all sources draw one
+  * word distribution — measured: per-word target fractions sit inside
+  * multinomial noise), so the oracle gates ARITHMETIC, and
+  * discrimination is pinned by DsirSpec on a crafted corpus where the
+  * target vocabulary is genuinely skewed (held-out target docs must
+  * outrank the pool).
+  *
+  * Overflow audit (Long): polyHash < 1e9+7; G ≤ S·(Q+B) ≤ 1e6·Q;
+  * (t_b+1)·G and per-doc Σ r̂ stay under 2^63 while Q·S < 9e18, i.e.
+  * corpora to ~10^12 pool grams at S=1e6 — beyond that drop S to 1e4
+  * (same floors on both engines, two decimal digits less resolution). */
+object Dsir {
+
+  /** Feature-hash bucket count (paper: 10k; 4096 keeps the ratio table
+    * broadcast-trivial and the crafted-spec collisions improbable). */
+  val Buckets = 4096L
+
+  /** Ratio quantization scale: r̂ carries 6 integer digits of the real
+    * likelihood ratio. */
+  val Scale = 1000000L
+
+  /** The target-domain stand-in on the gate corpus: two sources play the
+    * curated corpus, their even-doc_id half is the FIT slice; the odd
+    * half is scored with the pool as planted held-out positives (the
+    * standard DSIR evaluation: selection should recover them). */
+  val TargetSources: Seq[String] = Seq("src0", "src1")
+
+  val TopK = 100
+
+  /** doc_id, tgt_dom, fit, grams (unigrams ++ bigrams) per document. */
+  private def featured(docs: DataFrame): DataFrame = {
+    val tk = TextFunctions.tokens(lower(col("text")))
+    val tgt = col("source").isin(TargetSources: _*)
+    docs.select(col("doc_id"), tgt.as("tgt_dom"),
+        (tgt && pmod(col("doc_id"), lit(2L)) === 0).as("fit"), tk.as("tk"))
+      .withColumn("grams",
+        concat(col("tk"), TextFunctions.tokenWindows(col("tk"), 2)))
+  }
+
+  /** Per-document importance weights over an explicit corpus — the core
+    * the gate queries and the crafted spec share. Output: one row per
+    * NON-FIT doc (the selection pool plus planted held-out targets):
+    * (doc_id, held_out_target, n_grams, score_sum, score_mean). */
+  def dsirWeightsOver(docs: DataFrame): DataFrame = {
+    val base = featured(docs)
+    val bkt = base.select(col("doc_id"), col("fit"), col("tgt_dom"),
+        explode(col("grams")).as("gram"))
+      .select(col("doc_id"), col("fit"), col("tgt_dom"),
+        pmod(TextFunctions.polyHash(col("gram")), lit(Buckets)).as("bucket"))
+    // FIT: bucket counts target-vs-pool, one corpus scan, ≤ Buckets rows.
+    val stats = bkt.groupBy("bucket").agg(
+      sum(when(col("fit"), 1L).otherwise(0L)).as("t"),
+      sum(when(!col("fit"), 1L).otherwise(0L)).as("q"))
+    // Global factor G folds the corpus totals into every bucket ratio.
+    // Totals come from an unpartitioned WINDOW over the ≤Buckets-row
+    // stats relation — a crossJoin(broadcast(stats.agg(...))) would make
+    // Catalyst DERIVE STATS TWICE (a third corpus scan + explode, plan-
+    // audited); the window consumes the one stats aggregation.
+    val ratio = stats
+      .withColumn("gf", expr(
+        s"($Scale * (sum(q) OVER () + $Buckets)) div (sum(t) OVER () + $Buckets)"))
+      .select(col("bucket"), expr("((t + 1) * gf) div (q + 1)").as("r"))
+    // SCORE: pool grams ⋈ broadcast model → one doc_id exchange.
+    val score = bkt.filter(!col("fit"))
+      .join(broadcast(ratio), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("r")).as("score_sum"))
+    base.filter(!col("fit"))
+      .select(col("doc_id"), col("tgt_dom").as("held_out_target"))
+      .join(score, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("held_out_target"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("score_sum"), lit(0L)).as("score_sum"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          expr("score_sum div n_grams")).otherwise(lit(0L)).as("score_mean"))
+  }
+
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsOver(graft.Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** The selection itself: top-k pool docs by quantized mean likelihood
+    * ratio, deterministic total order (no Gumbel — see object doc). */
+  def dsirTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame =
+    dsirWeightsOver(graft.Tables.documents(spark, dir))
+      .orderBy(col("score_mean").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("held_out_target"), col("score_mean"))
+
+  // ------------------------------------------------------------- oracle
+
+  private def weightsSql: String = {
+    val toks = OracleSql.tokens("lower(text)")
+    val win2 = OracleSql.tokenWindows("tk", 2)
+    val ph = OracleSql.polyHash("gram")
+    val tgtIn = TargetSources.map(s => s"'$s'").mkString("(", ", ", ")")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, (source IN $tgtIn) AS tgt_dom,
+       |         (source IN $tgtIn AND doc_id % 2 = 0) AS fit,
+       |         $toks AS tk
+       |  FROM documents),
+       |bkt AS MATERIALIZED (
+       |  SELECT doc_id, fit, tgt_dom, ($ph) % ${Buckets} AS bucket
+       |  FROM (SELECT doc_id, fit, tgt_dom,
+       |               unnest(list_concat(tk, $win2)) AS gram FROM tok)),
+       |stats AS MATERIALIZED (
+       |  SELECT bucket,
+       |         sum(CASE WHEN fit THEN 1 ELSE 0 END) AS t,
+       |         sum(CASE WHEN NOT fit THEN 1 ELSE 0 END) AS q
+       |  FROM bkt GROUP BY bucket),
+       |gfac AS (SELECT ((${Scale}::BIGINT * (sum(q) + ${Buckets}))
+       |                 // (sum(t) + ${Buckets})) AS gf FROM stats),
+       |ratio AS MATERIALIZED (
+       |  SELECT bucket, (((t + 1) * gf) // (q + 1)) AS r FROM stats, gfac),
+       |score AS MATERIALIZED (
+       |  SELECT b.doc_id, count(*) AS n_grams, sum(r.r) AS score_sum
+       |  FROM bkt b JOIN ratio r USING (bucket)
+       |  WHERE NOT b.fit GROUP BY b.doc_id),
+       |pool AS (
+       |  SELECT t.doc_id, t.tgt_dom AS held_out_target,
+       |         coalesce(s.n_grams, 0) AS n_grams,
+       |         coalesce(s.score_sum, 0) AS score_sum,
+       |         CASE WHEN coalesce(s.n_grams, 0) > 0
+       |              THEN s.score_sum // s.n_grams ELSE 0 END AS score_mean
+       |  FROM tok t LEFT JOIN score s ON t.doc_id = s.doc_id
+       |  WHERE NOT t.fit)""".stripMargin
+  }
+
+  def dsirWeightsOracle: String =
+    s"""$weightsSql
+       |SELECT doc_id, held_out_target, n_grams, score_sum, score_mean
+       |FROM pool ORDER BY doc_id""".stripMargin
+
+  def dsirTopKOracle(k: Int = TopK): String =
+    s"""$weightsSql
+       |SELECT doc_id, held_out_target, score_mean
+       |FROM pool ORDER BY score_mean DESC, doc_id LIMIT $k""".stripMargin
+}

@@ -242,4 +242,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = finalPlan("mm_audio_resample")
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("DSIR: broadcast model join, two corpus scans, top-k stream head") {
+    val p = finalPlan("dsir_weights")
+    // the ≤4096-row hashed-feature model joins the scoring grams as a
+    // BROADCAST hash join — an SMJ here would shuffle the corpus-sized
+    // exploded gram relation on bucket
+    assert(p.contains("BroadcastHashJoin [bucket"), p)
+    assert(!p.contains("SortMergeJoin [bucket"), p)
+    // exactly one bucket exchange: the stats partial aggregation (≤Buckets
+    // combined rows per map task). A second one means the global-factor
+    // window regressed to a duplicated stats derivation.
+    val bucketEx = "Exchange hashpartitioning\\(bucket".r.findAllIn(p).size
+    assert(bucketEx == 1, s"expected 1 bucket exchange, got $bucketEx:\n$p")
+    // fit pass + score pass read text; the pool-roster scan (the left
+    // join keeping zero-gram docs) must stay COLUMN-PRUNED to id+source
+    val textScans = "ReadSchema: struct<doc_id:bigint,text".r.findAllIn(p).size
+    assert(textScans == 2, s"expected 2 text-reading scans, got $textScans:\n$p")
+    val scans = "FileScan parquet \\[doc_id".r.findAllIn(p).size
+    assert(scans == 3, s"expected 3 documents scans total, got $scans:\n$p")
+    // selection is a TakeOrderedAndProject stream head, not a global sort
+    val pk = finalPlan("dsir_topk")
+    assert(pk.contains("TakeOrderedAndProject"), pk)
+  }
 }
