@@ -278,6 +278,9 @@ object SparkEntry {
     // top-k) — arithmetic gated here, discrimination pinned by DsirSpec
     "dsir_weights" -> ((s, d) => Dsir.dsirWeights(s, d)),
     "dsir_topk" -> ((s, d) => Dsir.dsirTopK(s, d)),
+    // the serving twin: scores against the MATERIALIZED additive-count
+    // fit model (graft_dsirmodel) — no re-fit per scoring pass
+    "dsir_weights_indexed" -> ((s, d) => Dsir.dsirWeightsIndexed(s, d)),
     // schema'd JSONL ingest with PERMISSIVE corrupt-record rescue (raw
     // crawl-dump reading; oracle derives the outcome from documents)
     "src_jsonl_rescue" -> ((s, d) => graft.sources.CorpusIngest.jsonlRescue(s, d)),
@@ -497,6 +500,7 @@ object SparkEntry {
     "search_hybrid_ivf" -> Retrieval.hybridRrfIvfOracle(P.Bm25Query, P.CosineProbe, P.Bm25K, P.IvfNprobe),
     "dsir_weights" -> Dsir.dsirWeightsOracle,
     "dsir_topk" -> Dsir.dsirTopKOracle(),
+    "dsir_weights_indexed" -> Dsir.dsirWeightsOracle,
     "ev_lag_delta" -> EventOps.lagDeltasOracle,
     "ev_exact_distinct" -> EventOps.exactDistinctUsersOracle,
   )

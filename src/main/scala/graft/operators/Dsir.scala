@@ -125,6 +125,111 @@ object Dsir {
       .limit(k)
       .select(col("doc_id"), col("held_out_target"), col("score_mean"))
 
+  // ---------------------------------------------- materialized fit model
+
+  val ModelVersion = 1
+
+  /** Dense per-bucket ADDITIVE fit counts over an explicit corpus batch —
+    * all [[Buckets]] rows present (t/q = 0 where unseen), so scoring never
+    * needs an outer join against the model. Additivity (t/q are plain
+    * sums) is what gives a fitted model an append face at all: the read
+    * folds rows by bucket, and folded counts equal a refit over the
+    * unioned corpus EXACTLY (IncrementalIndexSpec pins it). */
+  private[graft] def modelCounts(docs: DataFrame): DataFrame = {
+    val bkt = featured(docs)
+      .select(col("fit"), explode(col("grams")).as("gram"))
+      .select(col("fit"),
+        pmod(TextFunctions.polyHash(col("gram")), lit(Buckets)).as("bucket"))
+    val stats = bkt.groupBy("bucket").agg(
+      sum(when(col("fit"), 1L).otherwise(0L)).as("t"),
+      sum(when(!col("fit"), 1L).otherwise(0L)).as("q"))
+    docs.sparkSession.range(Buckets).select(col("id").as("bucket"))
+      .join(stats, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("t"), lit(0L)).as("t"),
+        coalesce(col("q"), lit(0L)).as("q"))
+  }
+
+  /** Write-once fit (at scale this runs at ingest; every scoring pass is
+    * a read). The artifact is Buckets rows per build/append — one file. */
+  def ensureModel(spark: SparkSession, dir: String, docs: DataFrame,
+                  version: Int = ModelVersion): String =
+    graft.Materialize.ensure(spark, "graft_dsirmodel", dir, version) { p =>
+      modelCounts(docs).coalesce(1).write.mode("overwrite").parquet(p)
+    }
+
+  /** Incremental fit maintenance: a new corpus batch lands as one more
+    * Buckets-row count file; the read's per-bucket fold absorbs it. */
+  def appendToModel(spark: SparkSession, dir: String, batch: DataFrame,
+                    version: Int = ModelVersion): Unit =
+    graft.Materialize.append(spark, "graft_dsirmodel", dir, version) { p =>
+      modelCounts(batch).coalesce(1).write.mode("append").parquet(p)
+    }
+
+  /** Fold appended count files back to one (sums are associative). */
+  def compactModel(spark: SparkSession, dir: String,
+                   version: Int = ModelVersion): Unit =
+    graft.Materialize.compact(spark, "graft_dsirmodel", dir, version) {
+      (cur, tmp) =>
+        cur.groupBy("bucket").agg(sum(col("t")).as("t"), sum(col("q")).as("q"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Fresh read of the materialized model (ensured on first call) —
+    * BY-NAME consumers (the streaming face) see appends per batch. */
+  def modelOf(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(
+      ensureModel(spark, dir, graft.Tables.documents(spark, dir)))
+
+  /** Quantized ratio table from the (possibly multi-batch) count
+    * artifact: fold additive rows by bucket, then the same window/ratio
+    * arithmetic as the inline fit — ≤2·Buckets rows of work, free at any
+    * corpus size, bit-identical to fitting inline. */
+  private def modelRatio(model: DataFrame): DataFrame =
+    model.groupBy("bucket")
+      .agg(sum(col("t")).as("t"), sum(col("q")).as("q"))
+      .withColumn("gf", expr(
+        s"($Scale * (sum(q) OVER () + $Buckets)) div (sum(t) OVER () + $Buckets)"))
+      .select(col("bucket"), expr("((t + 1) * gf) div (q + 1)").as("r"))
+
+  /** Score ARBITRARY documents (doc_id, text) against a materialized fit
+    * model — the serving/streaming core: NO fit derivation in this plan
+    * (the corpus is scanned once for grams, the ratio table broadcasts);
+    * the dense model means the gram join never drops a row. One output
+    * row per input doc (zero-gram docs score 0 via the roster join). */
+  def dsirScoreOver(docs: DataFrame, model: => DataFrame): DataFrame = {
+    val tk = TextFunctions.tokens(lower(col("text")))
+    val grams = docs.select(col("doc_id"), tk.as("tk"))
+      .withColumn("grams",
+        concat(col("tk"), TextFunctions.tokenWindows(col("tk"), 2)))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"),
+        pmod(TextFunctions.polyHash(col("gram")), lit(Buckets)).as("bucket"))
+    val score = grams.join(broadcast(modelRatio(model)), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("r")).as("score_sum"))
+    docs.select(col("doc_id"))
+      .join(score, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("score_sum"), lit(0L)).as("score_sum"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          expr("score_sum div n_grams")).otherwise(lit(0L)).as("score_mean"))
+  }
+
+  /** The indexed twin of [[dsirWeights]]: IDENTICAL output (one oracle
+    * gates both), but the fit comes from the materialized count artifact
+    * — the serving shape: a scoring pass never re-fits the model. */
+  def dsirWeightsIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val tgt = col("source").isin(TargetSources: _*)
+    val pool = graft.Tables.documents(spark, dir)
+      .filter(!(tgt && pmod(col("doc_id"), lit(2L)) === 0))
+    pool.select(col("doc_id"), tgt.as("held_out_target"))
+      .join(dsirScoreOver(pool, modelOf(spark, dir)), "doc_id")
+      .select(col("doc_id"), col("held_out_target"), col("n_grams"),
+        col("score_sum"), col("score_mean"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- oracle
 
   private def weightsSql: String = {

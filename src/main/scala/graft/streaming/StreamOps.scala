@@ -218,6 +218,27 @@ object StreamOps {
       }
       .start()
 
+  // ------------------------------------------- streaming DSIR data gate
+
+  /** Streaming face of DSIR scoring: a STREAM of candidate documents
+    * (`doc_id`, `text`) scored against the MATERIALIZED fit model — the
+    * third ingest gate next to dedupScreenStream and decontaminateStream:
+    * an arriving document gets its domain-resemblance weight before
+    * admission, without ever re-fitting the model. Each micro-batch runs
+    * the exact `Dsir.dsirScoreOver` plan (broadcast ratio table, one
+    * doc_id exchange). A doc's score depends only on its own grams vs the
+    * static model, so per-micro-batch evaluation is exact under any
+    * chunking (StreamingSpec pins stream-total == the batch scoring of
+    * the same docs). `model` is BY-NAME — an appended fit batch is
+    * visible on the next micro-batch (see fuzzyStream). */
+  def dsirStream(docs: DataFrame, model: => DataFrame)
+                (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Dsir.dsirScoreOver(batch, model), batchId)
+      }
+      .start()
+
   // ------------------------------------------------- streaming CDC apply
 
   case class Change(key: Long, version: Long, price: Double, op: String)

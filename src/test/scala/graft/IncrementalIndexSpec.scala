@@ -251,6 +251,36 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(screen(appended) == a)
   }
 
+  test("DSIR model: append-then-score == rebuild-then-score; compact preserves") {
+    import graft.operators.Dsir
+    val d = Tables.documents(spark, dir)
+    // corpus arrives in two increments: fit from the first, append the rest
+    val base = d.filter(col("doc_id") % 3 =!= 1)
+    val inc = d.filter(col("doc_id") % 3 === 1)
+    assert(base.count() > 0 && inc.count() > 0)
+    val appended = Dsir.ensureModel(spark, dir, base, version = 901)
+    Dsir.appendToModel(spark, dir, inc, version = 901)
+    val rebuilt = Dsir.ensureModel(spark, dir, d, version = 902)
+    // additive counts: the folded appended artifact == the one-shot refit
+    def counts(p: String): Seq[(Long, Long, Long)] =
+      spark.read.parquet(p).groupBy("bucket")
+        .agg(sum(col("t")).as("t"), sum(col("q")).as("q"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    val a = counts(appended)
+    assert(a.nonEmpty && a == counts(rebuilt))
+    // scoring through the appended model == scoring through the refit
+    val probe = d.filter(col("doc_id") % 7 === 2).select(col("doc_id"), col("text"))
+    def score(p: String): Seq[Seq[Any]] =
+      Dsir.dsirScoreOver(probe, spark.read.parquet(p))
+        .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val s = score(appended)
+    assert(s.nonEmpty && s == score(rebuilt))
+    // compaction folds count files only: scores unchanged
+    Dsir.compactModel(spark, dir, version = 901)
+    assert(score(appended) == s)
+  }
+
   test("artifact paths are never hidden: a glob over the artifact root sees them") {
     import spark.implicits._
     // a leading '_' in the dir tag would make Spark's path filter treat the

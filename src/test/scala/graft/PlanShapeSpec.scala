@@ -265,4 +265,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pk = finalPlan("dsir_topk")
     assert(pk.contains("TakeOrderedAndProject"), pk)
   }
+
+  test("indexed DSIR scoring reads the fit from the artifact, not the corpus") {
+    val p = finalPlan("dsir_weights_indexed")
+    // ONE text-reading documents scan (the scoring gram explode); a second
+    // means the fit is being re-derived inline instead of read from the
+    // materialized count artifact
+    val textScans = "ReadSchema: struct<doc_id:bigint,text".r.findAllIn(p).size
+    assert(textScans == 1, s"expected 1 text-reading scan, got $textScans:\n$p")
+    assert(p.contains("BroadcastHashJoin [bucket"), p)
+  }
 }
