@@ -255,6 +255,9 @@ object SparkEntry {
     // driver loop) recovering a deterministic teacher labeling
     "quality_lr_train" -> ((s, d) => QualityModel.lrTrain(s, d)),
     "quality_lr_score" -> ((s, d) => QualityModel.lrScore(s, d)),
+    // the serving twin: scores under the MATERIALIZED weight artifact
+    // (graft_lrweights) — a scoring pass never re-runs the GD fold
+    "quality_lr_indexed" -> ((s, d) => QualityModel.lrScoreIndexed(s, d)),
     "text_tf_topk" -> ((s, d) => TextAnalysis.termDfTopK(s, d, TextAnalysis.TermTopK)),
     "text_pii_mask" -> ((s, d) => TextAnalysis.piiMask(s, d)),
     // corpus-LM fluency proxy: per-doc mean corpus frequency of its word
@@ -472,6 +475,7 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintOracle,
     "quality_lr_train" -> QualityModel.lrTrainOracle,
     "quality_lr_score" -> QualityModel.lrScoreOracle,
+    "quality_lr_indexed" -> QualityModel.lrScoreOracle,
     "tok_bpe_merges" -> BpeTrainer.bpeMergesOracle(),
     "tok_bpe_encode" -> BpeTrainer.bpeEncodeOracle(),
     "text_tf_topk" -> TextAnalysis.termDfTopKOracle(TextAnalysis.TermTopK),

@@ -61,8 +61,12 @@ object QualityModel {
     * x1 = length saturation (ntok/50 capped), x2 = stopword-density
     * saturation (ratio×5 capped), x3 = type-token ratio (the repetition
     * signal). Tokenless docs are excluded on both engines. */
-  private def features(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  private def features(spark: SparkSession, dir: String): DataFrame =
+    featuresOver(Tables.documents(spark, dir))
+
+  /** The same feature projection over an EXPLICIT document batch — the
+    * row-local core the streaming face scores arriving docs with. */
+  private[graft] def featuresOver(d: DataFrame): DataFrame = {
     val base = d.select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
       .filter(size(col("tk")) > 0)
     val nTok = size(col("tk")).cast("double")
@@ -131,16 +135,40 @@ object QualityModel {
     * prediction hit — the per-row face whose aggregate is the measured
     * accuracy. Scores ship unrounded (exact same arithmetic both
     * engines). */
-  def lrScore(spark: SparkSession, dir: String): DataFrame = {
-    val f = featuresMaterialized(spark, dir)
-    val w = trainWeights(spark, dir, LrIters)
+  def lrScore(spark: SparkSession, dir: String): DataFrame =
+    scoreWith(featuresMaterialized(spark, dir), trainWeights(spark, dir, LrIters))
+
+  /** Score a feature relation under a one-row weight frame: map-only plus
+    * the output ordering. */
+  private[graft] def scoreWith(f: DataFrame, w: DataFrame): DataFrame =
     f.crossJoin(broadcast(w))
       .select(col("doc_id"), col("y").as("label"),
         sig(z(name => col(name))).as("score"))
       .withColumn("pred", (col("score") >= 0.5).cast("boolean"))
       .withColumn("hit", col("pred") === (col("label") === 1.0))
       .orderBy(col("doc_id"))
-  }
+
+  /** Trained weights, materialized write-once (`graft_lrweights`): at
+    * scale TRAINING is the ingest-time job; a scoring pass must read a
+    * model, not re-run [[LrIters]] gradient aggregates. GD is NOT
+    * additive, so unlike the DSIR count model there is no append face —
+    * a corpus change is staleness and `ensure` refits. */
+  def ensureWeights(spark: SparkSession, dir: String, version: Int = 1): String =
+    graft.Materialize.ensure(spark, "graft_lrweights", dir, version) { p =>
+      trainWeights(spark, dir, LrIters)
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+
+  /** Fresh read of the weight artifact (BY-NAME consumers: the streaming
+    * face picks up a refit on the next micro-batch). */
+  def weightsOf(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(ensureWeights(spark, dir))
+
+  /** The serving twin of [[lrScore]]: IDENTICAL output (one oracle gates
+    * both), weights read from the materialized artifact — the scoring
+    * plan is one map-only pass over the feature relation. */
+  def lrScoreIndexed(spark: SparkSession, dir: String): DataFrame =
+    scoreWith(featuresMaterialized(spark, dir), weightsOf(spark, dir))
 
   // ------------------------------------------------------------- oracle
 

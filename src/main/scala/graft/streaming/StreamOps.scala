@@ -239,6 +239,25 @@ object StreamOps {
       }
       .start()
 
+  // ---------------------------------------- streaming quality-model gate
+
+  /** Streaming face of the trained quality classifier: a STREAM of
+    * candidate documents scored under the MATERIALIZED weight artifact —
+    * the model-based filter applied at ingest (the CCNet/GPT-3 crawl
+    * gate), never re-training per micro-batch. Features are row-local, so
+    * per-micro-batch evaluation is exact under any chunking
+    * (StreamingSpec pins stream-total == `quality_lr_indexed` on the same
+    * docs). `weights` is BY-NAME — a refit (new artifact version/ensure)
+    * is visible on the next micro-batch. */
+  def qualityScoreStream(docs: DataFrame, weights: => DataFrame)
+                        (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.QualityModel.scoreWith(
+          graft.operators.QualityModel.featuresOver(batch), weights), batchId)
+      }
+      .start()
+
   // ------------------------------------------------- streaming CDC apply
 
   case class Change(key: Long, version: Long, price: Double, op: String)

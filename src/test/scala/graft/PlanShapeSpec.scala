@@ -266,6 +266,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pk.contains("TakeOrderedAndProject"), pk)
   }
 
+  test("indexed LR scoring is map-only over features + broadcast weights") {
+    val p = finalPlan("quality_lr_indexed")
+    // weights come from the artifact: NO aggregation anywhere in the
+    // scoring plan (a HashAggregate means the GD fold is re-running)
+    assert(!p.contains("HashAggregate"), s"scoring plan re-trains:\n$p")
+    // and no documents scan: features read from their artifact too
+    assert(!p.contains("documents.parquet"), p)
+  }
+
   test("indexed DSIR scoring reads the fit from the artifact, not the corpus") {
     val p = finalPlan("dsir_weights_indexed")
     // ONE text-reading documents scan (the scoring gram explode); a second
