@@ -241,6 +241,9 @@ object SparkEntry {
     // per-source observability rollup: volume, language mix, dedup
     // health, contamination, quantized mean quality — one plan
     "corpus_stats" -> ((s, d) => CorpusPrep.corpusStats(s, d)),
+    // the serving twin: rollup from the MATERIALIZED per-doc metadata
+    // table (graft_docmeta) — a refresh never re-runs the pipeline
+    "corpus_stats_indexed" -> ((s, d) => CorpusPrep.corpusStatsIndexed(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     // intra-doc repetition (Gopher-style dup/top n-gram fractions)
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
@@ -469,6 +472,7 @@ object SparkEntry {
     "corpus_quality_cut" -> CorpusPrep.qualityCutOracle,
     "corpus_decontaminate" -> CorpusPrep.decontaminateOracle(),
     "corpus_stats" -> CorpusPrep.corpusStatsOracle,
+    "corpus_stats_indexed" -> CorpusPrep.corpusStatsOracle,
     "text_quality" -> TextAnalysis.qualityScoreOracle,
     "text_repetition" -> TextAnalysis.repetitionOracle(),
     "text_tokens" -> TextAnalysis.tokenCountsOracle,

@@ -154,7 +154,16 @@ object CorpusPrep {
     * floor-quantized longs and divided ONCE (bit-exact; the
     * KMeans.QuantScale technique). Eval-slice docs carry
     * contaminated=false (the screen only applies to train docs). */
-  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    statsRollup(docMeta(spark, dir))
+
+  /** The per-doc label relation every pipeline stage contributes to —
+    * doc_id, source, lang_pred, quantized quality, token count, dedup
+    * canonicality, contamination flag. This IS the cleaned corpus's
+    * metadata table: at 100 TB it persists next to the corpus (see
+    * [[ensureDocMeta]]) and observability aggregates READ it instead of
+    * re-running language-ID + dedup + decontamination per refresh. */
+  private[graft] def docMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = graft.Tables.documents(spark, dir)
     val gates = TextAnalysis.docGates(spark, dir)
       .select(col("doc_id"), col("lang_pred"),
@@ -168,19 +177,43 @@ object CorpusPrep {
     d.select(col("doc_id"), col("source"))
       .join(gates, "doc_id").join(toks, "doc_id").join(canon, "doc_id")
       .join(contam, Seq("doc_id"), "left")
-      .groupBy(col("source"))
+      .select(col("doc_id"), col("source"), col("lang_pred"), col("q_q"),
+        col("n_tok"), col("is_canonical"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
+  /** Write-once per-doc metadata artifact (`graft_docmeta`). NO append
+    * face on purpose: `is_canonical` is a whole-corpus property (a new
+    * batch can demote an old doc's canonicality), so an ingest increment
+    * is staleness and `ensure` re-labels — unlike the additive count
+    * artifacts (wordstats, dsirmodel). */
+  def ensureDocMeta(spark: SparkSession, dir: String, version: Int = 1): String =
+    graft.Materialize.ensure(spark, "graft_docmeta", dir, version) { p =>
+      docMeta(spark, dir).write.mode("overwrite").parquet(p)
+    }
+
+  /** The rollup both stats faces share: one hash aggregate on the source
+    * key (bounded cardinality — sources are feeds, not data). */
+  private def statsRollup(meta: DataFrame): DataFrame =
+    meta.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
         sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"),
         sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canonical"),
-        sum(when(coalesce(col("contaminated"), lit(false)), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
         sum(col("q_q")).as("sum_q"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_en"),
         col("n_canonical"), col("n_contaminated"),
         (col("sum_q").cast("double") / (col("n_docs").cast("double") * StatsQuant.toDouble))
           .as("mean_quality"))
       .orderBy(col("source"))
-  }
+
+  /** The serving twin of [[corpusStats]]: IDENTICAL output (one oracle
+    * gates both) rolled up from the MATERIALIZED metadata table — a
+    * dashboard refresh reads ~7 narrow columns/doc, it does not re-run
+    * the cleaning pipeline. */
+  def corpusStatsIndexed(spark: SparkSession, dir: String): DataFrame =
+    statsRollup(spark.read.parquet(ensureDocMeta(spark, dir)))
 
   def corpusStatsOracle: String = {
     val toks = graft.oracle.OracleSql.tokens("lower(text)")

@@ -266,6 +266,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pk.contains("TakeOrderedAndProject"), pk)
   }
 
+  test("indexed corpus stats read the metadata table, not the pipeline") {
+    val p = finalPlan("corpus_stats_indexed")
+    // ONE scan (the docmeta artifact): any documents/embeddings read means
+    // language-ID/dedup/decontamination are re-running per refresh
+    assert(!p.contains("documents.parquet"), p)
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 artifact scan, got $scans:\n$p")
+  }
+
   test("indexed LR scoring is map-only over features + broadcast weights") {
     val p = finalPlan("quality_lr_indexed")
     // weights come from the artifact: NO aggregation anywhere in the
