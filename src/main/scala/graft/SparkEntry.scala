@@ -238,6 +238,9 @@ object SparkEntry {
     // eval-set decontamination: train docs sharing an 8-token window with
     // the eval slice are flagged (n-gram overlap decontamination)
     "corpus_decontaminate" -> ((s, d) => CorpusPrep.decontaminate(s, d)),
+    // the graded face: per-doc eval-overlap fraction (exact per-mille),
+    // windows counted with multiplicity — the downstream cut is a knob
+    "corpus_contamination_frac" -> ((s, d) => CorpusPrep.contaminationFrac(s, d)),
     // per-source observability rollup: volume, language mix, dedup
     // health, contamination, quantized mean quality — one plan
     "corpus_stats" -> ((s, d) => CorpusPrep.corpusStats(s, d)),
@@ -471,6 +474,7 @@ object SparkEntry {
     "corpus_prep" -> CorpusPrep.corpusPrepOracle(),
     "corpus_quality_cut" -> CorpusPrep.qualityCutOracle,
     "corpus_decontaminate" -> CorpusPrep.decontaminateOracle(),
+    "corpus_contamination_frac" -> CorpusPrep.contaminationFracOracle(),
     "corpus_stats" -> CorpusPrep.corpusStatsOracle,
     "corpus_stats_indexed" -> CorpusPrep.corpusStatsOracle,
     "text_quality" -> TextAnalysis.qualityScoreOracle,

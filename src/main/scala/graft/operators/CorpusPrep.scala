@@ -87,6 +87,65 @@ object CorpusPrep {
         .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0),
       evalWindowSet(spark, dir, evalMod, win), win)
 
+  /** Per-doc contamination FRACTION — the graded face of the boolean
+    * screen (the GPT-3 appendix-C practice: report how dirty a document
+    * is, not just whether; the downstream cut point is then a policy
+    * knob, e.g. drop >50%, flag >0%). For each train doc: the share of
+    * its token windows present in the eval window set, as an exact
+    * per-mille integer (windows are counted WITH multiplicity — a doc
+    * that repeats a leaked phrase is dirtier than one that uses it once).
+    * Same plan spine as [[decontaminateOver]]: windows explode once, the
+    * eval set broadcasts, one doc_id exchange for the count rollup —
+    * docs with fewer tokens than the window width have 0 windows and
+    * report 0. */
+  def contaminationFracOver(trainDocs: DataFrame, evalWindows: => DataFrame,
+                            win: Int = ContamWin): DataFrame = {
+    val wins = trainDocs.select(col("doc_id"), explode(
+      graft.functions.TextFunctions.tokenWindows(
+        graft.functions.TextFunctions.tokens(lower(col("text"))), win)).as("w"))
+    val counts = wins
+      .join(broadcast(evalWindows.withColumn("hit", lit(1L))), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_dirty"))
+    trainDocs.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dirty"), lit(0L)).as("n_dirty"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          expr("n_dirty * 1000 div n_windows")).otherwise(lit(0L))
+          .as("dirty_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  def contaminationFrac(spark: SparkSession, dir: String,
+                        evalMod: Long = EvalMod, win: Int = ContamWin): DataFrame =
+    contaminationFracOver(
+      graft.Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0),
+      evalWindowSet(spark, dir, evalMod, win), win)
+
+  def contaminationFracOracle(evalMod: Long = EvalMod, win: Int = ContamWin): String = {
+    val toks = graft.oracle.OracleSql.tokens("lower(text)")
+    s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),
+       |w AS (SELECT doc_id,
+       |             unnest(${graft.oracle.OracleSql.tokenWindows("tk", win)}) AS w
+       |      FROM tok),
+       |ew AS (SELECT DISTINCT w FROM w WHERE doc_id % $evalMod = 0),
+       |cnt AS (SELECT w.doc_id, count(*) AS n_windows,
+       |               sum(CASE WHEN ew.w IS NOT NULL THEN 1 ELSE 0 END) AS n_dirty
+       |        FROM w LEFT JOIN ew ON w.w = ew.w
+       |        WHERE w.doc_id % $evalMod <> 0 GROUP BY w.doc_id)
+       |SELECT d.doc_id, coalesce(c.n_windows, 0) AS n_windows,
+       |       coalesce(c.n_dirty, 0) AS n_dirty,
+       |       CASE WHEN coalesce(c.n_windows, 0) > 0
+       |            THEN (c.n_dirty * 1000) // c.n_windows ELSE 0 END AS dirty_permille
+       |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+       |WHERE d.doc_id % $evalMod <> 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def decontaminateOracle(evalMod: Long = EvalMod, win: Int = ContamWin): String = {
     val toks = graft.oracle.OracleSql.tokens("lower(text)")
     s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),

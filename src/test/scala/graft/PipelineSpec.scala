@@ -109,4 +109,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, ns.toSeq.toString)
     assert(ns.head > 0)
   }
+
+  test("contamination fraction agrees with the boolean screen, graded strictly") {
+    import graft.operators.CorpusPrep
+    val frac = CorpusPrep.contaminationFrac(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val flag = CorpusPrep.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(frac.keySet == flag.keySet)
+    // dirty_permille > 0 ⟺ contaminated — the graded face never disagrees
+    // with the screen on WHO is dirty, only says how much
+    frac.foreach { case (id, pm) =>
+      assert((pm > 0) == flag(id), s"doc $id: permille=$pm flag=${flag(id)}")
+    }
+    // non-vacuous AND strictly graded: a partially-dirty doc exists
+    val dirty = frac.values.filter(_ > 0)
+    assert(dirty.nonEmpty, "no contaminated doc — pin is vacuous")
+    assert(dirty.exists(pm => pm < 1000L),
+      s"every dirty doc is 100% dirty — grading shows nothing: $dirty")
+  }
 }
