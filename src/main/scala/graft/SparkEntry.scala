@@ -300,6 +300,9 @@ object SparkEntry {
     // deterministic 80/10/10 train/val/test split (hash-coin, map-only;
     // a doc's split never changes as the corpus grows)
     "corpus_split" -> ((s, d) => Pipeline.corpusSplit(s, d)),
+    // split-leakage audit: near-dup pairs straddling train/val/test (the
+    // eval-inflation check) — banded candidates, map-only split labels
+    "split_leakage" -> ((s, d) => Pipeline.splitLeakage(s, d)),
     // weighted source interleave (mixture scheduling) via scaled-integer
     // positions — global stream head is distributed top-k
     "mix_interleave" -> ((s, d) => Pipeline.mixInterleave(s, d)),
@@ -402,6 +405,7 @@ object SparkEntry {
     "src_jsonl_rescue" -> graft.sources.CorpusIngest.jsonlRescueOracle,
     "sample_stratified" -> Pipeline.sampleStratifiedOracle,
     "corpus_split" -> Pipeline.corpusSplitOracle,
+    "split_leakage" -> Pipeline.splitLeakageOracle(),
     "mix_interleave" -> Pipeline.mixInterleaveOracle,
     "mix_temperature" -> Pipeline.mixTemperatureOracle(),
     "doc_pack" -> Pipeline.docPackOracle,

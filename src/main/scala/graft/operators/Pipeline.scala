@@ -205,6 +205,70 @@ object Pipeline {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------- split-leakage audit
+
+  /** Minimum estimated Jaccard for a straddling pair to count as leakage
+    * (the dedup family's standard near-dup threshold). */
+  val LeakageThreshold = 0.5
+
+  /** Split assignment as a PURE EXPRESSION of a doc-id column — what lets
+    * the leakage audit label both pair sides map-only, with no join
+    * against the split relation. */
+  private def splitOf(docId: Column): Column = {
+    val bucket = pmod(
+      polyHash(concat(lit(SplitSalt), docId.cast("string"))), lit(1000L))
+    when(bucket < SplitTrainUpto, "train")
+      .when(bucket < SplitValUpto, "val")
+      .otherwise("test")
+  }
+
+  /** Split-leakage audit — the pipeline-QA step the split + dedup
+    * families exist to enable (Lee et al. 2022, arXiv:2107.06499: test-set
+    * near-duplicates of training documents inflate eval): every near-dup
+    * pair whose two sides land in DIFFERENT splits. Candidates come from
+    * the same banded-LSH generation as `dedup_minhash` (one band-key
+    * exchange, never all-pairs); the split labels attach as pure
+    * hash-expressions on the pair columns (zero extra joins, zero extra
+    * scans); pairs at or above [[LeakageThreshold]] estimated Jaccard with
+    * differing splits are the audit's findings. Empty output is the
+    * healthy state on a properly deduped corpus — the gate corpus is NOT
+    * deduped, so the audit is non-vacuous there (spec-asserted). */
+  def splitLeakage(spark: SparkSession, dir: String,
+                   threshold: Double = LeakageThreshold): DataFrame =
+    graft.operators.Dedup.minhashPairs(spark, dir)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        splitOf(col("doc_a")).as("split_a"),
+        splitOf(col("doc_b")).as("split_b"),
+        col("est_jaccard"))
+      .filter(col("split_a") =!= col("split_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def splitLeakageOracle(threshold: Double = LeakageThreshold): String = {
+    def splitSql(c: String) = {
+      val b = OracleSql.polyHash(s"('$SplitSalt' || $c::VARCHAR)")
+      s"""CASE WHEN $b % 1000 < $SplitTrainUpto THEN 'train'
+         |     WHEN $b % 1000 < $SplitValUpto THEN 'val'
+         |     ELSE 'test' END""".stripMargin.replaceAll("\n", " ")
+    }
+    s"""WITH ${graft.operators.Dedup.minhashBandCtes},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT doc_a, doc_b,
+       |         len(list_filter(range(1, ${graft.operators.Dedup.MinHashK + 1}),
+       |             i -> sig_a[i] = sig_b[i]))::DOUBLE / ${graft.operators.Dedup.MinHashK}.0 AS est_jaccard
+       |  FROM pairs)
+       |SELECT doc_a, doc_b, ${splitSql("doc_a")} AS split_a,
+       |       ${splitSql("doc_b")} AS split_b, est_jaccard
+       |FROM est
+       |WHERE est_jaccard >= $threshold
+       |  AND ${splitSql("doc_a")} <> ${splitSql("doc_b")}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ------------------------------------------------- deterministic shuffle
 
   val ShuffleSalt = "shuf:"

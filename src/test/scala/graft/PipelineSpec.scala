@@ -110,6 +110,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ns.head > 0)
   }
 
+  test("split leakage agrees with dedup_minhash ⋈ corpus_split recomposed") {
+    import graft.operators.{Dedup, Pipeline}
+    // threshold 0: EVERY straddling banded pair counts — the consistency
+    // surface is maximal and sf0.001 is guaranteed non-vacuous
+    val got = Pipeline.splitLeakage(spark, dir, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    val splits = Pipeline.corpusSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val want = Dedup.minhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) => (a, b, splits(a), splits(b)) }
+      .filter { case (_, _, sa, sb) => sa != sb }.toSet
+    assert(want.nonEmpty, "no straddling banded pair — the pin is vacuous")
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("contamination fraction agrees with the boolean screen, graded strictly") {
     import graft.operators.CorpusPrep
     val frac = CorpusPrep.contaminationFrac(spark, dir).collect()
