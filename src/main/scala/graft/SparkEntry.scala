@@ -290,6 +290,9 @@ object SparkEntry {
     // the serving twin: scores against the MATERIALIZED additive-count
     // fit model (graft_dsirmodel) — no re-fit per scoring pass
     "dsir_weights_indexed" -> ((s, d) => Dsir.dsirWeightsIndexed(s, d)),
+    // the resampling step itself: deterministic hash-Bernoulli keep with
+    // propensity ∝ importance weight (capped) — map-only over the pool
+    "dsir_resample" -> ((s, d) => Dsir.dsirResample(s, d)),
     // schema'd JSONL ingest with PERMISSIVE corrupt-record rescue (raw
     // crawl-dump reading; oracle derives the outcome from documents)
     "src_jsonl_rescue" -> ((s, d) => graft.sources.CorpusIngest.jsonlRescue(s, d)),
@@ -517,6 +520,7 @@ object SparkEntry {
     "dsir_weights" -> Dsir.dsirWeightsOracle,
     "dsir_topk" -> Dsir.dsirTopKOracle(),
     "dsir_weights_indexed" -> Dsir.dsirWeightsOracle,
+    "dsir_resample" -> Dsir.dsirResampleOracle,
     "ev_lag_delta" -> EventOps.lagDeltasOracle,
     "ev_exact_distinct" -> EventOps.exactDistinctUsersOracle,
   )

@@ -114,8 +114,12 @@ object TextFunctions {
     * Oracle-replicable in ANSI SQL (DuckDB `list_reduce`), unlike Spark's
     * murmur3 `hash()` / `xxhash64()` which have no DuckDB equivalent.
     * ANSI-safe: intermediate `acc*31 + code` <= ~3.1e10 << Long.MaxValue.
-    */
-  def polyHash(c: Column): Column = {
+    * NATIVE codegen kernel (PolyHashExpr) — the composed twin below is
+    * kept for the FunctionsSpec bit-parity pin. */
+  def polyHash(c: Column): Column = PolyHashExpr.polyHashF(c)
+
+  /** Composed-HOF reference implementation (interpreted; spec-only). */
+  def polyHashComposed(c: Column): Column = {
     // NOT split(c, ""): Java regex split keeps a trailing "" at limit -1,
     // which would fold in a spurious 0. sequence() needs the empty guard
     // because Spark's sequence(1, 0) infers step -1 (yields [1, 0]).

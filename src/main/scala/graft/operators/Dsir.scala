@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -66,14 +66,27 @@ object Dsir {
 
   val TopK = 100
 
-  /** doc_id, tgt_dom, fit, grams (unigrams ++ bigrams) per document. */
+  /** text → hashed feature buckets, NATIVE kernel (GramBucketsExpr: one
+    * tight-loop eval per doc instead of four interpreted lambda trees
+    * re-run by the explode's pushdown filter — the MinHashSignature
+    * lesson, ~8× on the whole query at sf0.1). */
+  private def gramBuckets(text: Column): Column =
+    graft.functions.GramBucketsExpr.gramBucketsF(lower(text), Buckets)
+
+  /** Composed-HOF reference implementation (interpreted; spec-only —
+    * DsirSpec pins bit parity, order included). */
+  private[graft] def gramBucketsComposed(text: Column): Column = {
+    val tk = TextFunctions.tokens(lower(text))
+    transform(concat(tk, TextFunctions.tokenWindows(tk, 2)),
+      g => pmod(TextFunctions.polyHash(g), lit(Buckets)))
+  }
+
+  /** doc_id, tgt_dom, fit, bks (hashed gram buckets) per document. */
   private def featured(docs: DataFrame): DataFrame = {
-    val tk = TextFunctions.tokens(lower(col("text")))
     val tgt = col("source").isin(TargetSources: _*)
     docs.select(col("doc_id"), tgt.as("tgt_dom"),
-        (tgt && pmod(col("doc_id"), lit(2L)) === 0).as("fit"), tk.as("tk"))
-      .withColumn("grams",
-        concat(col("tk"), TextFunctions.tokenWindows(col("tk"), 2)))
+      (tgt && pmod(col("doc_id"), lit(2L)) === 0).as("fit"),
+      gramBuckets(col("text")).as("bks"))
   }
 
   /** Per-document importance weights over an explicit corpus — the core
@@ -83,9 +96,7 @@ object Dsir {
   def dsirWeightsOver(docs: DataFrame): DataFrame = {
     val base = featured(docs)
     val bkt = base.select(col("doc_id"), col("fit"), col("tgt_dom"),
-        explode(col("grams")).as("gram"))
-      .select(col("doc_id"), col("fit"), col("tgt_dom"),
-        pmod(TextFunctions.polyHash(col("gram")), lit(Buckets)).as("bucket"))
+      explode(col("bks")).as("bucket"))
     // FIT: bucket counts target-vs-pool, one corpus scan, ≤ Buckets rows.
     val stats = bkt.groupBy("bucket").agg(
       sum(when(col("fit"), 1L).otherwise(0L)).as("t"),
@@ -125,6 +136,42 @@ object Dsir {
       .limit(k)
       .select(col("doc_id"), col("held_out_target"), col("score_mean"))
 
+  /** Per-mille keep propensity: score_mean div (Scale/1000) maps a
+    * likelihood ratio of 1.0 to ~1000‰; capped at certainty. */
+  val ResampleDiv: Long = Scale / 1000L
+  val ResampleSalt = "dsir:"
+
+  /** The RESAMPLING step itself (the paper's R): keep each pool document
+    * with propensity proportional to its importance weight — capped at
+    * certainty — via the engine's deterministic hash-Bernoulli coin (the
+    * sample_stratified/corpus_split design: a doc's fate depends only on
+    * its own id, so re-ingestion reproduces the sample; no rand()).
+    * Documents resembling the target domain survive at a higher rate,
+    * which is importance resampling with the arithmetic-mean weight
+    * deviation documented above. Map-only over the scored pool. */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val coin = pmod(graft.functions.TextFunctions.polyHash(
+      concat(lit(ResampleSalt), col("doc_id").cast("string"))), lit(1000L))
+    dsirWeightsOver(graft.Tables.documents(spark, dir))
+      .withColumn("keep_permille",
+        least(lit(1000L), expr(s"score_mean div $ResampleDiv")))
+      .filter(coin < col("keep_permille"))
+      .select(col("doc_id"), col("held_out_target"), col("score_mean"),
+        col("keep_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dsirResampleOracle: String = {
+    val coin = graft.oracle.OracleSql.polyHash(
+      s"('$ResampleSalt' || doc_id::VARCHAR)")
+    s"""$weightsSql
+       |SELECT doc_id, held_out_target, score_mean,
+       |       least(1000, score_mean // $ResampleDiv) AS keep_permille
+       |FROM pool
+       |WHERE ($coin) % 1000 < least(1000, score_mean // $ResampleDiv)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------- materialized fit model
 
   val ModelVersion = 1
@@ -137,9 +184,7 @@ object Dsir {
     * unioned corpus EXACTLY (IncrementalIndexSpec pins it). */
   private[graft] def modelCounts(docs: DataFrame): DataFrame = {
     val bkt = featured(docs)
-      .select(col("fit"), explode(col("grams")).as("gram"))
-      .select(col("fit"),
-        pmod(TextFunctions.polyHash(col("gram")), lit(Buckets)).as("bucket"))
+      .select(col("fit"), explode(col("bks")).as("bucket"))
     val stats = bkt.groupBy("bucket").agg(
       sum(when(col("fit"), 1L).otherwise(0L)).as("t"),
       sum(when(!col("fit"), 1L).otherwise(0L)).as("q"))
@@ -197,13 +242,8 @@ object Dsir {
     * the dense model means the gram join never drops a row. One output
     * row per input doc (zero-gram docs score 0 via the roster join). */
   def dsirScoreOver(docs: DataFrame, model: => DataFrame): DataFrame = {
-    val tk = TextFunctions.tokens(lower(col("text")))
-    val grams = docs.select(col("doc_id"), tk.as("tk"))
-      .withColumn("grams",
-        concat(col("tk"), TextFunctions.tokenWindows(col("tk"), 2)))
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"),
-        pmod(TextFunctions.polyHash(col("gram")), lit(Buckets)).as("bucket"))
+    val grams = docs
+      .select(col("doc_id"), explode(gramBuckets(col("text"))).as("bucket"))
     val score = grams.join(broadcast(modelRatio(model)), "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), sum(col("r")).as("score_sum"))

@@ -61,6 +61,55 @@ class DsirSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ranked(2) == 20L, s"order: $ranked")
   }
 
+  test("resampling keeps target-like docs at a strictly higher rate") {
+    // crafted corpus again, many docs per class so rates are observable:
+    // 40 pool + 20 held-out target (even target ids are the fit slice)
+    import spark.implicits._
+    val fit = (0 until 20).map(i => (i * 2L, "src0", "alpha beta gamma alpha"))
+    val held = (0 until 20).map(i => (i * 2 + 1L, "src0", "alpha beta gamma beta"))
+    val poolD = (0 until 40).map(i => (1000L + i, "srcP", "delta epsilon zeta delta"))
+    val docs = (fit ++ held ++ poolD).toDF("doc_id", "source", "text")
+    val w = Dsir.dsirWeightsOver(docs)
+      .withColumn("keep_permille", org.apache.spark.sql.functions.least(
+        org.apache.spark.sql.functions.lit(1000L),
+        org.apache.spark.sql.functions.expr(s"score_mean div ${Dsir.ResampleDiv}")))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(5))).toSeq
+    val heldP = w.filter(_._2).map(_._3)
+    val poolP = w.filter(!_._2).map(_._3)
+    assert(heldP.nonEmpty && poolP.nonEmpty)
+    // target-resembling docs carry a strictly higher keep propensity
+    assert(heldP.min > poolP.max,
+      s"held-out propensities $heldP not above pool $poolP")
+    // and the pool is neither kept with certainty nor dropped outright
+    assert(poolP.max < 1000L && poolP.min > 0L, poolP.toString)
+  }
+
+  test("native gram-bucket kernel == composed twin, order included") {
+    import org.apache.spark.sql.functions.col
+    val texts = Seq("alpha beta gamma", "one", "", "   ", "a  b\tc",
+      "Mixed CASE Words here", "café au lait", "x " + ("y " * 200) + "z")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    import spark.implicits._
+    val df = texts.toDF("doc_id", "text")
+    val native = df.select(col("doc_id"),
+      graft.functions.GramBucketsExpr.gramBucketsF(
+        org.apache.spark.sql.functions.lower(col("text")), Dsir.Buckets).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val composed = df.select(col("doc_id"),
+      Dsir.gramBucketsComposed(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(native == composed, s"native=$native\ncomposed=$composed")
+    // gate corpus too: every doc agrees at sf0.001
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = d.select(
+      graft.functions.GramBucketsExpr.gramBucketsF(
+        org.apache.spark.sql.functions.lower(col("text")), Dsir.Buckets).as("n"),
+      Dsir.gramBucketsComposed(col("text")).as("c"))
+      .collect()
+    assert(both.nonEmpty && both.forall(r =>
+      r.getSeq[Long](0).toList == r.getSeq[Long](1).toList))
+  }
+
   test("gram accounting: unigrams + bigrams, empty text scores zero") {
     import spark.implicits._
     val docs = Seq(

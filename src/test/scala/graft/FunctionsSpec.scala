@@ -62,6 +62,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(eval1(charNgrams(lit("abc"), 3)).asInstanceOf[scala.collection.Seq[String]].toList == Seq("abc"))
   }
 
+  test("native polyHash == composed twin, bit-exact (incl. non-ASCII)") {
+    val cases = Seq("", "a", "Z", "hello world", "smal widget",
+      "the quick brown fox jumps over the lazy dog 0123456789",
+      "café", "日本語", "a\tbc", "x" * 500)
+    cases.foreach { s =>
+      val native = eval1(polyHash(lit(s)))
+      val composed = eval1(polyHashComposed(lit(s)))
+      assert(native == composed, s"polyHash('$s'): $native != $composed")
+    }
+    // the known anchor: empty folds to 0
+    assert(eval1(polyHash(lit(""))) == 0L)
+  }
+
   test("cleanEntity (geo_manager.py:445-449)") {
     assert(eval1(cleanEntity(lit("Nashville, TN!"))) == "nashville tn")
     assert(eval1(cleanEntity(lit("A-B_C 1"))) == "abc 1")
