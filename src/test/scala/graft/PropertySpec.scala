@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{CharNgramsExpr, DamerauLevenshtein}
+import graft.functions.{CharNgramsExpr, DamerauLevenshtein, GramBucketsExpr, PolyHashExpr, TextFunctions}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
@@ -138,6 +139,45 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAll(tfGen, dlGen, avgGen) { (tf, dl, avg) =>
       val v = tfNorm(tf, dl, avg)
       v > 0.0 && v < k1 + 1.0 && v < tfNorm(tf + 1, dl, avg)
+    })
+  }
+
+  // Text soup for the hash kernels: words, whitespace runs (the WsClass
+  // members), accents, CJK, and a SUPPLEMENTARY-plane char (surrogate
+  // pair — the case a charAt-based fold would get wrong).
+  private val soupChar: Gen[String] = Gen.frequency(
+    8 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf(" ", "\t", "\n", "", "\f", "\r"),
+    1 -> Gen.oneOf("é", "ß", "日", "語", "𝄞"))
+  private val soup: Gen[String] = Gen.chooseNum(0, 60).flatMap(n =>
+    Gen.listOfN(n, soupChar).map(_.mkString))
+
+  private def refPolyHash(s: String): Long = {
+    var h = 0L
+    s.codePoints().forEach(cp => h = (h * 31L + cp) % 1000000007L)
+    h
+  }
+
+  test("PolyHash kernel == code-point fold reference, for ALL strings") {
+    check(Prop.forAll(soup) { s =>
+      PolyHashExpr.kernel(UTF8String.fromString(s)) == refPolyHash(s)
+    })
+  }
+
+  test("GramBuckets rolling join == hashing the materialized gram string") {
+    // the kernel never builds "tok1 tok2" strings; this pins that the
+    // rolling 0x20 fold is EXACTLY polyHash of the joined gram, and that
+    // tokenization/order match the composed derivation
+    val B = 4096L
+    check(Prop.forAll(soup) { s =>
+      val toks = s.trim.split(TextFunctions.WsClass + "+").filter(_.nonEmpty)
+      val grams = toks.toSeq ++ toks.toSeq.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" "))
+      val expect = grams.map(g => refPolyHash(g) % B)
+      val got = GramBucketsExpr(null, B)
+        .nullSafeEval(UTF8String.fromString(s)).asInstanceOf[ArrayData]
+        .toLongArray().toSeq
+      got == expect
     })
   }
 }
