@@ -306,6 +306,9 @@ object SparkEntry {
     // split-leakage audit: near-dup pairs straddling train/val/test (the
     // eval-inflation check) — banded candidates, map-only split labels
     "split_leakage" -> ((s, d) => Pipeline.splitLeakage(s, d)),
+    // export manifest: per-shard doc/token volume + order-free integrity
+    // checksum — the record a training job trusts its input by
+    "corpus_manifest" -> ((s, d) => Pipeline.corpusManifest(s, d)),
     // weighted source interleave (mixture scheduling) via scaled-integer
     // positions — global stream head is distributed top-k
     "mix_interleave" -> ((s, d) => Pipeline.mixInterleave(s, d)),
@@ -409,6 +412,7 @@ object SparkEntry {
     "sample_stratified" -> Pipeline.sampleStratifiedOracle,
     "corpus_split" -> Pipeline.corpusSplitOracle,
     "split_leakage" -> Pipeline.splitLeakageOracle(),
+    "corpus_manifest" -> Pipeline.corpusManifestOracle,
     "mix_interleave" -> Pipeline.mixInterleaveOracle,
     "mix_temperature" -> Pipeline.mixTemperatureOracle(),
     "doc_pack" -> Pipeline.docPackOracle,

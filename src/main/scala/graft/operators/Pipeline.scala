@@ -302,6 +302,43 @@ object Pipeline {
        |FROM r ORDER BY shard, pos""".stripMargin
   }
 
+  /** Export manifest — the record a training job consumes to trust its
+    * input: one row per shard of the shuffled corpus with document count,
+    * token volume, and an ORDER-FREE integrity checksum (sum of per-doc
+    * content hashes mod P — parallel summation commutes, so the checksum
+    * is reproducible under any partitioning; a dropped, duplicated, or
+    * altered doc changes it). The per-shard rollup is one hash aggregate
+    * on the shard key (bounded: [[NumShards]] rows) over the same
+    * map-only shard assignment as `corpus_shuffle` — no window, no sort
+    * beyond the output ordering. */
+  def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
+    val h = polyHash(concat(lit(ShuffleSalt), col("doc_id").cast("string")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"),
+        size(graft.functions.TextFunctions.tokens(lower(col("text"))))
+          .cast("long").as("n_tok"),
+        polyHash(col("text")).as("content_hash"))
+      .withColumn("shard", pmod(col("h"), lit(NumShards.toLong)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        pmod(sum(col("content_hash")), lit(graft.functions.TextFunctions.HashMod))
+          .as("checksum"))
+      .orderBy(col("shard"))
+  }
+
+  def corpusManifestOracle: String = {
+    val h = OracleSql.polyHash(s"('$ShuffleSalt' || doc_id::VARCHAR)")
+    val ch = OracleSql.polyHash("text")
+    val toks = OracleSql.tokens("lower(text)")
+    s"""WITH s AS (SELECT doc_id, ($h) % $NumShards AS shard,
+       |                  len($toks)::BIGINT AS n_tok, ($ch) AS content_hash
+       |           FROM documents)
+       |SELECT shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       |       sum(content_hash) % ${graft.functions.TextFunctions.HashMod} AS checksum
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val ShardProbe = 3L
 
   /** The training-reader side of `corpusShuffle`: the permutation is

@@ -127,6 +127,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("manifest shard volumes agree with the shuffle permutation") {
+    import graft.operators.Pipeline
+    val manifest = Pipeline.corpusManifest(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shuffle = Pipeline.corpusShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val perShard = shuffle.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    assert(manifest == perShard, s"manifest=$manifest shuffle=$perShard")
+    assert(manifest.size == Pipeline.NumShards && manifest.values.forall(_ > 0),
+      s"empty shard: $manifest")
+    assert(manifest.values.sum == Tables.documents(spark, dir).count())
+  }
+
   test("contamination fraction agrees with the boolean screen, graded strictly") {
     import graft.operators.CorpusPrep
     val frac = CorpusPrep.contaminationFrac(spark, dir).collect()
