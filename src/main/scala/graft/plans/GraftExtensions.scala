@@ -88,7 +88,16 @@ object GraftExtensions {
     ("cosine_similarity_d",
       info("cosine_similarity_d",
         "cosine_similarity_d(a, b) - cosine of two double arrays (trained centroids)."),
-      arity("cosine_similarity_d", 2)(args => CosineSimDExpr(args(0), args(1)))))
+      arity("cosine_similarity_d", 2)(args => CosineSimDExpr(args(0), args(1)))),
+    ("poly_hash",
+      info("poly_hash",
+        "poly_hash(s) - polynomial code-point hash, (h*31+cp) mod 1e9+7; empty -> 0."),
+      arity("poly_hash", 1)(args => PolyHashExpr(args(0)))),
+    ("gram_buckets",
+      info("gram_buckets",
+        "gram_buckets(s, buckets) - hashed feature buckets of unigrams ++ bigrams (DSIR)."),
+      arity("gram_buckets", 2)(args =>
+        GramBucketsExpr(args(0), intLit(args(1), "buckets").toLong))))
 
   /** Programmatic registration on a live session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

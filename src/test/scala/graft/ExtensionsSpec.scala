@@ -56,6 +56,18 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(3) >= 0 && r.getLong(3) < (1L << 48))
   }
 
+  test("hash kernels are callable from SQL") {
+    val r = spark.sql(
+      """SELECT poly_hash('') AS z, poly_hash('ab') AS h,
+        |       gram_buckets('one two', 4096) AS gb
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == (97L * 31 + 98) % 1000000007L) // 'a','b' fold
+    // unigrams then the bigram window: 3 buckets, all in [0, 4096)
+    assert(r.getSeq[Long](2).length == 3 &&
+      r.getSeq[Long](2).forall(b => b >= 0 && b < 4096))
+  }
+
   test("non-literal plane count is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT lsh_signature(array(1.0F), length('ab'))").collect()
