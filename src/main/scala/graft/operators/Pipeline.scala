@@ -310,7 +310,14 @@ object Pipeline {
     * altered doc changes it). The per-shard rollup is one hash aggregate
     * on the shard key (bounded: [[NumShards]] rows) over the same
     * map-only shard assignment as `corpus_shuffle` — no window, no sort
-    * beyond the output ordering. */
+    * beyond the output ordering.
+    *
+    * Overflow bound: the intermediate sum is docs_per_shard × (P-1), so
+    * Long is safe to ~9.4e9 docs per shard (beyond it Spark wraps while
+    * DuckDB promotes to HUGEINT — they would diverge, the teacher-noise
+    * lesson). Production sharding targets fixed shard SIZE (NumShards
+    * grows with the corpus; ~1e6-1e7 docs/shard), so the bound holds by
+    * three orders of magnitude at any corpus scale. */
   def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
     val h = polyHash(concat(lit(ShuffleSalt), col("doc_id").cast("string")))
     Tables.documents(spark, dir)
