@@ -36,28 +36,40 @@ case class GramBucketsExpr(child: Expression, buckets: Long)
     val text = input.asInstanceOf[UTF8String].toString
     val toks = text.trim.split(TextFunctions.WsClass + "+").filter(_.nonEmpty)
     val n = toks.length
-    // fold a token's code points into a running polyHash state
-    def foldTok(w: String, h0: Long): Long = {
-      var h = h0
-      var i = 0
+    // Each token's code points are folded EXACTLY ONCE: the bigram hash
+    // composes from per-token (raw hash, 31^codepoints) pairs via the
+    // affine identity fold(w, h0) = (h0·31^|w| + fold(w, 0)) mod P —
+    // the naive spelling re-folds every token up to 3× (its unigram plus
+    // both adjacent bigrams). All intermediates < P² ≈ 1e18 < 2^63.
+    val raw = new Array[Long](n)
+    val pw = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val w = toks(i)
+      var h = 0L
+      var p = 1L
+      var j = 0
       val m = w.length
-      while (i < m) {
-        val cp = w.codePointAt(i)
+      while (j < m) {
+        val cp = w.codePointAt(j)
         h = (h * 31L + cp) % P
-        i += Character.charCount(cp)
+        p = (p * 31L) % P
+        j += Character.charCount(cp)
       }
-      h
+      raw(i) = h
+      pw(i) = p
+      i += 1
     }
     val out = new Array[Long](if (n >= 2) 2 * n - 1 else n)
-    var i = 0
+    i = 0
     while (i < n) { // unigrams, in token order
-      out(i) = foldTok(toks(i), 0L) % buckets
+      out(i) = raw(i) % buckets
       i += 1
     }
     i = 0
     while (i + 1 < n) { // bigrams "tok_i tok_i+1", in window order
-      val h = foldTok(toks(i + 1), (foldTok(toks(i), 0L) * 31L + 32L) % P)
-      out(n + i) = h % buckets
+      val pre = (raw(i) * 31L + 32L) % P // ... the joining space
+      out(n + i) = ((pre * pw(i + 1)) % P + raw(i + 1)) % P % buckets
       i += 1
     }
     new GenericArrayData(out)

@@ -113,8 +113,12 @@ object CorpusPrep {
       .select(col("doc_id"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dirty"), lit(0L)).as("n_dirty"),
+        // CEILING division: one leaked window in a >1000-window doc must
+        // still read as dirty (floor would report 0‰ and break the
+        // permille>0 ⟺ contaminated equivalence the spec pins)
         when(coalesce(col("n_windows"), lit(0L)) > 0,
-          expr("n_dirty * 1000 div n_windows")).otherwise(lit(0L))
+          expr("(n_dirty * 1000 + n_windows - 1) div n_windows"))
+          .otherwise(lit(0L))
           .as("dirty_permille"))
       .orderBy(col("doc_id"))
   }
@@ -140,7 +144,8 @@ object CorpusPrep {
        |SELECT d.doc_id, coalesce(c.n_windows, 0) AS n_windows,
        |       coalesce(c.n_dirty, 0) AS n_dirty,
        |       CASE WHEN coalesce(c.n_windows, 0) > 0
-       |            THEN (c.n_dirty * 1000) // c.n_windows ELSE 0 END AS dirty_permille
+       |            THEN (c.n_dirty * 1000 + c.n_windows - 1) // c.n_windows
+       |            ELSE 0 END AS dirty_permille
        |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
        |WHERE d.doc_id % $evalMod <> 0
        |ORDER BY d.doc_id""".stripMargin

@@ -225,6 +225,13 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     Retrieval.compactWordIndex(spark, dir, version = 1)
     val afterCompact = Retrieval.bm25Batch(spark, dir, reqs, 10).collect().toSeq
     assert(afterCompact == inline)
+    // single-query face: the inline corpus-scan operator stays the pinned
+    // anchor of the indexed path (it has no gate row of its own anymore)
+    val topkIndexed = Retrieval.bm25TopK(spark, dir, Seq("spark", "query"), 10)
+      .collect().toSeq
+    val topkInline = graft.operators.TextAnalysis.bm25TopK(
+      spark, dir, Seq("spark", "query"), 10).collect().toSeq
+    assert(topkIndexed.nonEmpty && topkIndexed == topkInline)
   }
 
   test("band artifact: append-then-screen == rebuild-then-screen") {

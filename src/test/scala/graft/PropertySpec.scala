@@ -147,7 +147,7 @@ class PropertySpec extends AnyFunSuite {
   // pair — the case a charAt-based fold would get wrong).
   private val soupChar: Gen[String] = Gen.frequency(
     8 -> Gen.alphaNumChar.map(_.toString),
-    2 -> Gen.oneOf(" ", "\t", "\n", "", "\f", "\r"),
+    2 -> Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r"),
     1 -> Gen.oneOf("é", "ß", "日", "語", "𝄞"))
   private val soup: Gen[String] = Gen.chooseNum(0, 60).flatMap(n =>
     Gen.listOfN(n, soupChar).map(_.mkString))
