@@ -228,6 +228,9 @@ object SparkEntry {
     // measured mean recall@k of cosine search over the int8 tier vs the
     // float baseline (both sides quantized — the honest serving condition)
     "ann_int8_recall" -> ((s, d) => Similarity.int8MeanRecall(s, d, P.IvfK)),
+    // cosine top-k SERVED from the materialized int8 code artifact —
+    // the hot tier searched without ever re-reading float embeddings
+    "ann_int8_topk" -> ((s, d) => Similarity.int8TopK(s, d, P.CosineProbe, P.CosineK)),
     // --- text analysis ---
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     // the end-to-end corpus-prep composition: language gate → quality
@@ -481,6 +484,7 @@ object SparkEntry {
     "ann_pq_trained_recall" -> KMeans.pqTrainedRecallOracle(P.IvfK),
     "emb_int8" -> Similarity.int8QuantizeOracle,
     "ann_int8_recall" -> Similarity.int8MeanRecallOracle(P.IvfK),
+    "ann_int8_topk" -> Similarity.int8TopKOracle(P.CosineProbe, P.CosineK),
     "text_langid" -> TextAnalysis.languageIdOracle,
     "corpus_prep" -> CorpusPrep.corpusPrepOracle(),
     "corpus_quality_cut" -> CorpusPrep.qualityCutOracle,

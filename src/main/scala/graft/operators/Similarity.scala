@@ -792,6 +792,75 @@ object Similarity {
       .withColumn("demb", transform(int8CodesCol, c => c.cast("double") * col("scale")))
       .select(col("vec_id"), col("label"), col("demb"))
 
+  // ------------------------------------------------ int8 code artifact
+
+  val Int8Version = 1
+
+  /** (vec_id, label, scale, codes) — the stored form of the hot tier.
+    * Row-local derivation, so the artifact is appendable exactly like
+    * the PQ codes (append == rebuild, IncrementalIndexSpec). */
+  private[graft] def int8CodeRows(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"), col("embedding"),
+        int8ScaleCol.as("scale"))
+      .withColumn("codes", int8CodesCol)
+      .select(col("vec_id"), col("label"), col("scale"), col("codes"))
+
+  /** Write-once int8 code artifact (at scale this is the ingest-time
+    * quantization job): the serving tier stores 4×-compressed codes and a
+    * search never touches the float embeddings again. */
+  def ensureInt8Codes(spark: SparkSession, dir: String, e: DataFrame,
+                      version: Int = Int8Version): String =
+    graft.Materialize.ensure(spark, "graft_int8codes", dir, version) { p =>
+      int8CodeRows(e).write.mode("overwrite").parquet(p)
+    }
+
+  def appendToInt8Codes(spark: SparkSession, dir: String, batch: DataFrame,
+                        version: Int = Int8Version): Unit =
+    graft.Materialize.append(spark, "graft_int8codes", dir, version) { p =>
+      int8CodeRows(batch).write.mode("append").parquet(p)
+    }
+
+  def int8CodesOf(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(
+      ensureInt8Codes(spark, dir, Tables.embeddings(spark, dir)))
+
+  /** Cosine top-k SERVED FROM the materialized int8 tier: probe and
+    * candidates both dequantize from stored codes (the honest serving
+    * condition ann_int8_recall measures — recall@10 0.983 vs float);
+    * the plan never scans embeddings.parquet (PlanShapeSpec). Zero
+    * vectors dequantize to zero → NaN cosine → dropped on both engines
+    * (the int8MeanRecall convention). */
+  def int8TopK(spark: SparkSession, dir: String, probeId: Long, k: Int): DataFrame = {
+    val t = int8CodesOf(spark, dir)
+      .withColumn("demb", transform(col("codes"), c => c.cast("double") * col("scale")))
+    val probe = t.filter(col("vec_id") === probeId).select(col("demb").as("pemb"))
+    t.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.VectorFunctions.cosineDF(col("demb"), col("pemb")), 4)
+          .as("cosine_sim"))
+      .filter(!isnan(col("cosine_sim")))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def int8TopKOracle(probeId: Long, k: Int): String = {
+    val codes = int8CodesSql("e.embedding", "s.scale")
+    val cos = cosineSql("d.demb", "p.pemb")
+    s"""WITH $int8ScaleCte,
+       |t AS (SELECT e.vec_id, e.label, s.scale, $codes AS codes
+       |      FROM embeddings e JOIN s USING (vec_id)),
+       |d AS (SELECT vec_id, label,
+       |             list_transform(codes, c -> c::DOUBLE * scale) AS demb
+       |      FROM t),
+       |p AS (SELECT demb AS pemb FROM d WHERE vec_id = $probeId)
+       |SELECT d.vec_id, d.label, round($cos, 4) AS cosine_sim
+       |FROM d CROSS JOIN p
+       |WHERE d.vec_id <> $probeId AND NOT isnan($cos)
+       |ORDER BY cosine_sim DESC, d.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
   /** Measured MEAN recall@k of cosine top-k over the int8-DEQUANTIZED
     * tier vs the exact float baseline, averaged over the BatchProbeMod
     * probe stride (probe vectors are quantized too — both sides live in

@@ -258,6 +258,23 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(screen(appended) == a)
   }
 
+  test("int8 code artifact: append-then-read == rebuild-then-read") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, dir)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val batch = e.filter(col("vec_id") % 3 === 0)
+    assert(base.count() > 0 && batch.count() > 0)
+    val appended = Similarity.ensureInt8Codes(spark, dir, base, version = 901)
+    Similarity.appendToInt8Codes(spark, dir, batch, version = 901)
+    val rebuilt = Similarity.ensureInt8Codes(spark, dir, e, version = 902)
+    def rows(p: String): Seq[(Long, Double, Seq[Long])] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getSeq[Long](3).toSeq))
+        .toSeq.sortBy(_._1)
+    val a = rows(appended)
+    assert(a.nonEmpty && a == rows(rebuilt))
+  }
+
   test("DSIR model: append-then-score == rebuild-then-score; compact preserves") {
     import graft.operators.Dsir
     val d = Tables.documents(spark, dir)

@@ -266,6 +266,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pk.contains("TakeOrderedAndProject"), pk)
   }
 
+  test("int8 top-k serves from the code artifact, never the float table") {
+    val p = finalPlan("ann_int8_topk")
+    // a scan of embeddings.parquet means the tier is being re-quantized
+    // from floats per search instead of read from stored codes
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("indexed corpus stats read the metadata table, not the pipeline") {
     val p = finalPlan("corpus_stats_indexed")
     // ONE scan (the docmeta artifact): any documents/embeddings read means
