@@ -123,6 +123,9 @@ object SparkEntry {
     // radius_search(filters=...) — conjunctive equality dict (utils.py:15-21)
     "geo_radius_filtered" -> ((s, d) => RadiusSearch.radiusSearch(s, d, P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters)),
     "geo_radius_latlng" -> ((s, d) => RadiusSearch.radiusLatLngSearch(s, d, P.LatLng._1, P.LatLng._2, P.LatLng._3)),
+    // the serving twin: reads the lat-band materialized shape cache with
+    // a literal band-range partition filter (plan-time file pruning)
+    "geo_radius_latlng_indexed" -> ((s, d) => RadiusSearch.radiusLatLngSearchIndexed(s, d, P.LatLng._1, P.LatLng._2, P.LatLng._3)),
     // lat/lng full_results branch: normalized == raw, aggregate flag
     // hard-coded true (faithful oddity, geo_manager.py:305-321)
     "geo_radius_latlng_full" -> ((s, d) => RadiusSearch.radiusLatLngSearchFull(s, d, P.LatLng._1, P.LatLng._2, P.LatLng._3)),
@@ -434,6 +437,7 @@ object SparkEntry {
     "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),
     "geo_radius_filtered" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = false, filters = P.RadiusFilters),
     "geo_radius_latlng" -> RadiusSearch.radiusLatLngSearchOracle(P.LatLng._1, P.LatLng._2, P.LatLng._3),
+    "geo_radius_latlng_indexed" -> RadiusSearch.radiusLatLngSearchOracle(P.LatLng._1, P.LatLng._2, P.LatLng._3),
     "geo_radius_latlng_full" -> RadiusSearch.radiusLatLngSearchFullOracle(P.LatLng._1, P.LatLng._2, P.LatLng._3),
     "geo_knn" -> RadiusSearch.knnOracle(P.KnnProbe, P.KnnK),
     "geo_zorder_key" -> RadiusSearch.zorderKeysOracle,

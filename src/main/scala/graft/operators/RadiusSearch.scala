@@ -161,6 +161,40 @@ object RadiusSearch {
       .orderBy(col("id"))
   }
 
+  /** The serving twin of [[radiusLatLngSearch]]: reads the LAT-BAND
+    * materialized shape cache (GeoIngest.materialize — the layout every
+    * SCALE.md geo row is designed around) with a literal band-range
+    * partition filter derived from the probe latitude ± latD. Soundness:
+    * the ellipse test implies |latitude − lat| < latD, and bandOf is
+    * monotone with nulls in a dedicated band the ellipse rejects anyway —
+    * so pruning can never drop a true match. The scan shows
+    * PartitionFilters on lat_band (plan-spec-pinned: 16 of 33 band
+    * directories at the gate probe) — file-level pruning AT PLAN TIME,
+    * which the inline form cannot have because its coordinates are
+    * derived expressions. Identical output; one oracle gates both. */
+  def radiusLatLngSearchIndexed(spark: SparkSession, dir: String, lat: Double,
+                                lng: Double, radiusMiles: Double,
+                                latBands: Int = 32): DataFrame = {
+    val latD = radiusMiles / EarthRadiusMiles * (180.0 / math.Pi)
+    val lngD = radiusMiles / (EarthRadiusMiles * math.cos(math.toRadians(lat))) * (180.0 / math.Pi)
+    val path = graft.Materialize.ensure(spark, "graft_shapes_latband", dir, 1) {
+      p => graft.sources.GeoIngest.materialize(GeoShapes.shapes(spark, dir), p, latBands)
+    }
+    def bandOf(l: Double): Long =
+      math.min(math.floor((l + 90.0) / (180.0 / latBands)).toLong, latBands - 1L)
+    val lo = bandOf(math.max(-90.0, lat - latD))
+    val hi = bandOf(math.min(90.0, lat + latD))
+    spark.read.parquet(path)
+      .filter(col("lat_band") >= lo && col("lat_band") <= hi)
+      .filter(!col("is_aggregate") &&
+        ellipseContains(lit(lat), lit(lng), col("latitude"), col("longitude"),
+          lit(latD), lit(lngD)))
+      .select(col("id"), col("reference_code"), col("latitude"), col("longitude"),
+        round(haversineMiles(lit(lat), lit(lng), col("latitude"), col("longitude")), 4)
+          .as("distance_miles"))
+      .orderBy(col("id"))
+  }
+
   /** radius_search_lat_lng(full_results=True) WITHOUT a reference_code —
     * the reference's raw-point enrichment branch (geo_manager.py:305-321):
     * every result carries {distance, normalized_distance, aggregate} with

@@ -266,6 +266,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pk.contains("TakeOrderedAndProject"), pk)
   }
 
+  test("lat-band radius scan is partition-pruned to the probe's bands") {
+    val p = finalPlan("geo_radius_latlng_indexed")
+    // the literal band range must reach the scan as a PARTITION filter —
+    // a post-scan lat_band Filter means every band directory is read
+    assert("PartitionFilters: \\[[^\\]]*lat_band".r.findFirstIn(p).isDefined,
+      s"no lat_band partition filter in scan:\n$p")
+    assert(!p.contains("customer.parquet"),
+      s"inline shape derivation leaked into the indexed plan:\n$p")
+  }
+
   test("int8 top-k serves from the code artifact, never the float table") {
     val p = finalPlan("ann_int8_topk")
     // a scan of embeddings.parquet means the tier is being re-quantized
