@@ -253,6 +253,9 @@ object SparkEntry {
     // the serving twin: rollup from the MATERIALIZED per-doc metadata
     // table (graft_docmeta) — a refresh never re-runs the pipeline
     "corpus_stats_indexed" -> ((s, d) => CorpusPrep.corpusStatsIndexed(s, d)),
+    // the pipeline gate served from the label table: prep == a filter
+    // over per-doc labels the pipeline already computed
+    "corpus_prep_indexed" -> ((s, d) => CorpusPrep.corpusPrepIndexed(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     // intra-doc repetition (Gopher-style dup/top n-gram fractions)
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
@@ -496,6 +499,7 @@ object SparkEntry {
     "corpus_contamination_frac" -> CorpusPrep.contaminationFracOracle(),
     "corpus_stats" -> CorpusPrep.corpusStatsOracle,
     "corpus_stats_indexed" -> CorpusPrep.corpusStatsOracle,
+    "corpus_prep_indexed" -> CorpusPrep.corpusPrepOracle(),
     "text_quality" -> TextAnalysis.qualityScoreOracle,
     "text_repetition" -> TextAnalysis.repetitionOracle(),
     "text_tokens" -> TextAnalysis.tokenCountsOracle,

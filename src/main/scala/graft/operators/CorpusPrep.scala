@@ -230,7 +230,7 @@ object CorpusPrep {
   private[graft] def docMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = graft.Tables.documents(spark, dir)
     val gates = TextAnalysis.docGates(spark, dir)
-      .select(col("doc_id"), col("lang_pred"),
+      .select(col("doc_id"), col("lang_pred"), col("quality_score"),
         floor(col("quality_score") * StatsQuant.toDouble).cast("long").as("q_q"))
     val toks = d.select(col("doc_id"),
       size(graft.functions.TextFunctions.tokens(lower(col("text")))).cast("long").as("n_tok"))
@@ -241,7 +241,8 @@ object CorpusPrep {
     d.select(col("doc_id"), col("source"))
       .join(gates, "doc_id").join(toks, "doc_id").join(canon, "doc_id")
       .join(contam, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("lang_pred"), col("q_q"),
+      .select(col("doc_id"), col("source"), col("lang_pred"),
+        col("quality_score"), col("q_q"),
         col("n_tok"), col("is_canonical"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
@@ -250,8 +251,9 @@ object CorpusPrep {
     * face on purpose: `is_canonical` is a whole-corpus property (a new
     * batch can demote an old doc's canonicality), so an ingest increment
     * is staleness and `ensure` re-labels — unlike the additive count
-    * artifacts (wordstats, dsirmodel). */
-  def ensureDocMeta(spark: SparkSession, dir: String, version: Int = 1): String =
+    * artifacts (wordstats, dsirmodel). v2: carries the RAW quality_score
+    * next to its quantized form so the prep gate can serve from it. */
+  def ensureDocMeta(spark: SparkSession, dir: String, version: Int = 2): String =
     graft.Materialize.ensure(spark, "graft_docmeta", dir, version) { p =>
       docMeta(spark, dir).write.mode("overwrite").parquet(p)
     }
@@ -278,6 +280,21 @@ object CorpusPrep {
     * the cleaning pipeline. */
   def corpusStatsIndexed(spark: SparkSession, dir: String): DataFrame =
     statsRollup(spark.read.parquet(ensureDocMeta(spark, dir)))
+
+  /** The serving twin of [[corpusPrep]] — the pipeline GATE itself read
+    * from the label table: prep output is by definition a filter over
+    * per-doc labels the pipeline already computed, so serving it is one
+    * narrow artifact scan + a streaming filter (no language-ID, no dedup
+    * self-joins, no decontamination join per call). IDENTICAL output
+    * (raw quality_score column, not its quantized twin); one oracle
+    * gates both. */
+  def corpusPrepIndexed(spark: SparkSession, dir: String,
+                        minQuality: Double = MinQuality): DataFrame =
+    spark.read.parquet(ensureDocMeta(spark, dir))
+      .filter(col("lang_pred") === "en" && col("quality_score") >= minQuality &&
+        col("is_canonical"))
+      .select(col("doc_id"), col("lang_pred"), col("quality_score"))
+      .orderBy(col("doc_id"))
 
   def corpusStatsOracle: String = {
     val toks = graft.oracle.OracleSql.tokens("lower(text)")

@@ -291,6 +291,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("documents.parquet"), p)
     val scans = "FileScan parquet".r.findAllIn(p).size
     assert(scans == 1, s"expected 1 artifact scan, got $scans:\n$p")
+    // and the prep GATE itself: one artifact scan, zero joins
+    val pp = finalPlan("corpus_prep_indexed")
+    assert(!pp.contains("documents.parquet") && !pp.contains("Join"), pp)
+    assert("FileScan parquet".r.findAllIn(pp).size == 1, pp)
   }
 
   test("indexed LR scoring is map-only over features + broadcast weights") {
