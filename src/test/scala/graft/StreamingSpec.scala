@@ -504,6 +504,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"append not visible on the next micro-batch: ${perBatch(1L)}")
   }
 
+  test("a DSIR model append is visible to the running stream on the next micro-batch") {
+    import graft.operators.Dsir
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val d = Tables.documents(spark, dir)
+    val base = d.filter(pmod(col("doc_id"), lit(3)) =!= 1)
+    val inc = d.filter(pmod(col("doc_id"), lit(3)) === 1)
+    // drop any artifact a previous run left (it would carry the append)
+    val stale = new org.apache.hadoop.fs.Path(
+      graft.Materialize.artifactPath(spark, "graft_dsirmodel", dir, 905))
+    stale.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(stale, true)
+    val path = Dsir.ensureModel(spark, dir, base, version = 905)
+    val probe = d.filter(col("doc_id") === 2L).select(col("doc_id"), col("text"))
+    val probeRow = probe.collect().map(r => (r.getLong(0), r.getString(1))).head
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    val perBatch = scala.collection.mutable.Map.empty[Long, Long]
+    // the model is BY-NAME: a fresh read (fresh file listing) per batch
+    val q = StreamOps.dsirStream(sdf, spark.read.parquet(path)) { (out, bid) =>
+      perBatch(bid) = out.collect().head.getLong(2)
+    }
+    try {
+      stream.addData(probeRow)
+      q.processAllAvailable()
+      Dsir.appendToModel(spark, dir, inc, version = 905)
+      stream.addData(probeRow)
+      q.processAllAvailable()
+    } finally q.stop()
+    // exactness on both sides of the append: pre == base-only fit,
+    // post == the union fit (fold-at-read == refit)
+    def scoreUnder(model: org.apache.spark.sql.DataFrame): Long =
+      Dsir.dsirScoreOver(probe, model).collect().head.getLong(2)
+    val beforeWant = scoreUnder(Dsir.modelCounts(base))
+    val afterWant = scoreUnder(Dsir.modelCounts(d))
+    assert(beforeWant != afterWant,
+      "append changed nothing — the visibility pin is vacuous")
+    assert(perBatch(0L) == beforeWant, s"pre-append score: ${perBatch(0L)}")
+    assert(perBatch(1L) == afterWant,
+      s"append not visible on the next micro-batch: ${perBatch(1L)}")
+  }
+
   test("streaming radius search matches the batch flagship on the same probe set") {
     import graft.operators.{GeoShapes, RadiusSearch}
     import org.apache.spark.sql.functions.{col, pmod, lit}
