@@ -45,7 +45,14 @@ object Materialize {
     * a letter: a leading `_` (what a bare sanitize of `/root/...` yields)
     * is a HIDDEN path to Spark's default parquet path filter — direct
     * reads work but any glob/recursive read over the artifact root would
-    * silently skip every artifact ("All paths were ignored"). */
+    * silently skip every artifact ("All paths were ignored").
+    *
+    * Migration note: the `d` prefix (added round 5) renamed every artifact
+    * directory, so artifacts built under the old underscore-leading tags
+    * are orphaned — `ensure()` transparently rebuilds under the new paths
+    * (a one-time cost per warehouse), but stale old-tag directories are
+    * NOT auto-deleted; reclaim disk by removing `_*` dirs under each
+    * `<materialize-root>/<kind>/`. */
   def tag(dir: String): String = "d" + dir.replaceAll("[^0-9a-zA-Z]+", "_")
 
   private def root(spark: SparkSession): String =

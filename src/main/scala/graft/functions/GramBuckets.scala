@@ -34,7 +34,11 @@ case class GramBucketsExpr(child: Expression, buckets: Long)
   override def nullSafeEval(input: Any): Any = {
     val P = 1000000007L
     val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.trim.split(TextFunctions.WsClass + "+").filter(_.nonEmpty)
+    // No Java String.trim here: it strips ALL chars <= U+0020 (control
+    // chars included), while the composed twin / oracle SQL-trim only
+    // space — the split + nonEmpty filter already absorbs boundary
+    // whitespace in WsClass, keeping bit parity on adversarial text.
+    val toks = text.split(TextFunctions.WsClass + "+").filter(_.nonEmpty)
     val n = toks.length
     // Each token's code points are folded EXACTLY ONCE: the bigram hash
     // composes from per-token (raw hash, 31^codepoints) pairs via the

@@ -141,11 +141,11 @@ object CorpusPrep {
        |               sum(CASE WHEN ew.w IS NOT NULL THEN 1 ELSE 0 END) AS n_dirty
        |        FROM w LEFT JOIN ew ON w.w = ew.w
        |        WHERE w.doc_id % $evalMod <> 0 GROUP BY w.doc_id)
-       |SELECT d.doc_id, coalesce(c.n_windows, 0) AS n_windows,
-       |       coalesce(c.n_dirty, 0) AS n_dirty,
-       |       CASE WHEN coalesce(c.n_windows, 0) > 0
-       |            THEN (c.n_dirty * 1000 + c.n_windows - 1) // c.n_windows
-       |            ELSE 0 END AS dirty_permille
+       |SELECT d.doc_id, coalesce(c.n_windows, 0)::BIGINT AS n_windows,
+       |       coalesce(c.n_dirty, 0)::BIGINT AS n_dirty,
+       |       (CASE WHEN coalesce(c.n_windows, 0) > 0
+       |             THEN (c.n_dirty * 1000 + c.n_windows - 1) // c.n_windows
+       |             ELSE 0 END)::BIGINT AS dirty_permille
        |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
        |WHERE d.doc_id % $evalMod <> 0
        |ORDER BY d.doc_id""".stripMargin

@@ -166,7 +166,7 @@ object Dsir {
       s"('$ResampleSalt' || doc_id::VARCHAR)")
     s"""$weightsSql
        |SELECT doc_id, held_out_target, score_mean,
-       |       least(1000, score_mean // $ResampleDiv) AS keep_permille
+       |       least(1000, score_mean // $ResampleDiv)::BIGINT AS keep_permille
        |FROM pool
        |WHERE ($coin) % 1000 < least(1000, score_mean // $ResampleDiv)
        |ORDER BY doc_id""".stripMargin
@@ -301,10 +301,11 @@ object Dsir {
        |  WHERE NOT b.fit GROUP BY b.doc_id),
        |pool AS (
        |  SELECT t.doc_id, t.tgt_dom AS held_out_target,
-       |         coalesce(s.n_grams, 0) AS n_grams,
-       |         coalesce(s.score_sum, 0) AS score_sum,
-       |         CASE WHEN coalesce(s.n_grams, 0) > 0
-       |              THEN s.score_sum // s.n_grams ELSE 0 END AS score_mean
+       |         coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+       |         coalesce(s.score_sum, 0)::BIGINT AS score_sum,
+       |         (CASE WHEN coalesce(s.n_grams, 0) > 0
+       |               THEN s.score_sum // s.n_grams ELSE 0 END)::BIGINT
+       |           AS score_mean
        |  FROM tok t LEFT JOIN score s ON t.doc_id = s.doc_id
        |  WHERE NOT t.fit)""".stripMargin
   }

@@ -197,7 +197,7 @@ object Multimodal {
        |s AS (SELECT *, greatest((greatest(width, height) + ${ResizeBox - 1}) // $ResizeBox, 1) AS scale,
        |             greatest(len // $ResizeSigBytes, 1) AS stride
        |      FROM img)
-       |SELECT media_id, width, height,
+       |SELECT media_id, width::INT AS width, height::INT AS height,
        |       greatest(width // scale, 1) AS out_width,
        |       greatest(height // scale, 1) AS out_height,
        |       list_aggregate(list_transform(

@@ -342,7 +342,8 @@ object Pipeline {
        |                  len($toks)::BIGINT AS n_tok, ($ch) AS content_hash
        |           FROM documents)
        |SELECT shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
-       |       sum(content_hash) % ${graft.functions.TextFunctions.HashMod} AS checksum
+       |       (sum(content_hash) % ${graft.functions.TextFunctions.HashMod})::BIGINT
+       |         AS checksum
        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
   }
 

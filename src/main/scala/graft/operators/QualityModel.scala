@@ -190,7 +190,7 @@ object QualityModel {
          |f AS MATERIALIZED (SELECT doc_id, $x1 AS x1, $x2 AS x2, $x3 AS x3,
          |        CASE WHEN $TeacherW1 * $x1 + $TeacherW2 * $x2
          |                  + ($TeacherW3) * ($x3) + $eps > $TeacherCut
-         |             THEN 1.0 ELSE 0.0 END AS y
+         |             THEN 1.0 ELSE 0.0 END::DOUBLE AS y
          |      FROM tok WHERE len(tk) > 0),
          |n AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM f),
          |w0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""".stripMargin

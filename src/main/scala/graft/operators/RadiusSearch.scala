@@ -165,9 +165,14 @@ object RadiusSearch {
     * materialized shape cache (GeoIngest.materialize — the layout every
     * SCALE.md geo row is designed around) with a literal band-range
     * partition filter derived from the probe latitude ± latD. Soundness:
-    * the ellipse test implies |latitude − lat| < latD, and bandOf is
-    * monotone with nulls in a dedicated band the ellipse rejects anyway —
-    * so pruning can never drop a true match. The scan shows
+    * the ellipse test implies |latitude − lat| < latD, and the reader uses
+    * the WRITER's exact band function (top-clamped floor, no lower clamp —
+    * GeoIngest.withLatBand), which is monotone over ALL real latitudes; so
+    * the band range [bandOf(lat−latD), bandOf(lat+latD)] covers every row
+    * the ellipse can accept, including out-of-range corrupt coordinates
+    * that band negative or pile into the top band. Nulls band to −1 and
+    * are rejected by the ellipse if scanned. Pruning can never drop a true
+    * match — no valid-latitude precondition needed. The scan shows
     * PartitionFilters on lat_band (plan-spec-pinned: 16 of 33 band
     * directories at the gate probe) — file-level pruning AT PLAN TIME,
     * which the inline form cannot have because its coordinates are
@@ -182,8 +187,8 @@ object RadiusSearch {
     }
     def bandOf(l: Double): Long =
       math.min(math.floor((l + 90.0) / (180.0 / latBands)).toLong, latBands - 1L)
-    val lo = bandOf(math.max(-90.0, lat - latD))
-    val hi = bandOf(math.min(90.0, lat + latD))
+    val lo = bandOf(lat - latD)
+    val hi = bandOf(lat + latD)
     spark.read.parquet(path)
       .filter(col("lat_band") >= lo && col("lat_band") <= hi)
       .filter(!col("is_aggregate") &&
@@ -335,7 +340,7 @@ object RadiusSearch {
        |probes(probe_id) AS (VALUES $probes),
        |t AS (SELECT sh.latitude AS t_lat, sh.longitude AS t_lng, sh.is_aggregate AS t_agg
        |      FROM (VALUES ($targetId)) ti(t_id) LEFT JOIN shapes sh ON ti.t_id = sh.id)
-       |SELECT p.probe_id,
+       |SELECT p.probe_id::BIGINT AS probe_id,
        |       coalesce(round($dist, 4), 999.0) AS distance_miles,
        |       (coalesce(s.is_aggregate, false) OR coalesce(t.t_agg, false)) AS aggregate_shape
        |FROM probes p LEFT JOIN shapes s ON p.probe_id = s.id CROSS JOIN t

@@ -241,7 +241,8 @@ object Retrieval {
        |             row_number() OVER (PARTITION BY qid
        |                                ORDER BY score_q DESC, doc_id) AS rk
        |      FROM pq)
-       |SELECT qid, doc_id, n_terms, score_q::DOUBLE / $Bm25Quant.0 AS bm25
+       |SELECT qid::BIGINT AS qid, doc_id, n_terms,
+       |       score_q::DOUBLE / $Bm25Quant.0 AS bm25
        |FROM r WHERE rk <= $k
        |ORDER BY qid, bm25 DESC, doc_id""".stripMargin
   }
