@@ -315,6 +315,8 @@ object SparkEntry {
     // split-leakage audit: near-dup pairs straddling train/val/test (the
     // eval-inflation check) — banded candidates, map-only split labels
     "split_leakage" -> ((s, d) => Pipeline.splitLeakage(s, d)),
+    "corpus_split_clean" -> ((s, d) => Pipeline.corpusSplitClean(s, d)),
+    "split_leakage_clean" -> ((s, d) => Pipeline.splitLeakageClean(s, d)),
     // export manifest: per-shard doc/token volume + order-free integrity
     // checksum — the record a training job trusts its input by
     "corpus_manifest" -> ((s, d) => Pipeline.corpusManifest(s, d)),
@@ -421,6 +423,8 @@ object SparkEntry {
     "sample_stratified" -> Pipeline.sampleStratifiedOracle,
     "corpus_split" -> Pipeline.corpusSplitOracle,
     "split_leakage" -> Pipeline.splitLeakageOracle(),
+    "corpus_split_clean" -> Pipeline.corpusSplitCleanOracle,
+    "split_leakage_clean" -> Pipeline.splitLeakageCleanOracle(),
     "corpus_manifest" -> Pipeline.corpusManifestOracle,
     "mix_interleave" -> Pipeline.mixInterleaveOracle,
     "mix_temperature" -> Pipeline.mixTemperatureOracle(),

@@ -269,6 +269,105 @@ object Pipeline {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --------------------------------------- split-after-dedup (clean splits)
+
+  /** Split assignment over the CANONICAL dedup survivors — dedup FIRST,
+    * then split (Lee et al. 2022 §6, arXiv:2107.06499): `corpusSplit`
+    * assigns splits on the raw corpus, so a near-dup pair can straddle
+    * train/test and inflate eval ([[splitLeakage]] measures exactly that
+    * hazard — 13 straddling pairs on the gate corpus, incl. train↔test at
+    * est 1.0). Splitting survivors instead makes leakage at the pipeline
+    * threshold STRUCTURALLY impossible: every near-dup pair at
+    * est ≥ Dedup.PipelineEstThreshold demotes its larger id from
+    * canonicality (the min-wins rule), so no such pair has both sides in
+    * the split universe at all — [[splitLeakageClean]] audits it and
+    * PipelineSpec pins the audit at zero. Same deterministic hash-coin as
+    * `corpusSplit` (a surviving doc's split never changes as the corpus
+    * grows). Serving shape: ONE narrow scan of the materialized
+    * `graft_docmeta` label table + map-only split expressions — no dedup
+    * re-derivation per call (plan-spec-pinned: no documents scan). */
+  def corpusSplitClean(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      polyHash(concat(lit(SplitSalt), col("doc_id").cast("string"))), lit(1000L))
+    spark.read.parquet(CorpusPrep.ensureDocMeta(spark, dir))
+      .filter(col("is_canonical"))
+      .select(col("doc_id"), col("source"), bucket.as("split_bucket"))
+      .withColumn("split",
+        when(col("split_bucket") < SplitTrainUpto, "train")
+          .when(col("split_bucket") < SplitValUpto, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  def corpusSplitCleanOracle: String =
+    s"""WITH dp AS MATERIALIZED (${graft.operators.Dedup.dedupPipelineOracle})
+       |SELECT s.doc_id, s.source, s.split_bucket, s.split
+       |FROM ($corpusSplitOracle) s JOIN dp ON s.doc_id = dp.doc_id
+       |WHERE dp.is_canonical
+       |ORDER BY s.doc_id""".stripMargin
+
+  /** The audit that closes the split-after-dedup loop, one summary row
+    * over the SAME banded candidate generation as [[splitLeakage]]:
+    *  - `n_naive_leaks`   — near-dup pairs straddling RAW-corpus splits
+    *    (the eval-inflation hazard; nonzero on the gate corpus),
+    *  - `n_surviving_pairs` — near-dup pairs with BOTH sides canonical
+    *    (the clean-split universe; structurally 0, see
+    *    [[corpusSplitClean]]),
+    *  - `n_clean_leaks`   — straddling pairs among those (0 ≤ the above).
+    * Canonicality attaches by joining the narrow docmeta label scan onto
+    * the banded pair relation (linear, never all-pairs); split labels are
+    * pure hash-expressions on the pair id columns. Empty candidate set →
+    * all-zero row (coalesced), so the audit is total. */
+  def splitLeakageClean(spark: SparkSession, dir: String,
+                        threshold: Double = LeakageThreshold): DataFrame = {
+    val meta = spark.read.parquet(CorpusPrep.ensureDocMeta(spark, dir))
+      .select(col("doc_id"), col("is_canonical"))
+    val labeled = graft.operators.Dedup.minhashPairs(spark, dir)
+      .filter(col("est_jaccard") >= threshold)
+      .join(meta.select(col("doc_id").as("doc_a"),
+        col("is_canonical").as("canon_a")), "doc_a")
+      .join(meta.select(col("doc_id").as("doc_b"),
+        col("is_canonical").as("canon_b")), "doc_b")
+      .withColumn("straddle", splitOf(col("doc_a")) =!= splitOf(col("doc_b")))
+    labeled.agg(
+      coalesce(sum(when(col("straddle"), 1L).otherwise(0L)), lit(0L))
+        .as("n_naive_leaks"),
+      coalesce(sum(when(col("canon_a") && col("canon_b"), 1L).otherwise(0L)),
+        lit(0L)).as("n_surviving_pairs"),
+      coalesce(sum(when(col("canon_a") && col("canon_b") && col("straddle"),
+        1L).otherwise(0L)), lit(0L)).as("n_clean_leaks"))
+  }
+
+  def splitLeakageCleanOracle(threshold: Double = LeakageThreshold): String = {
+    def splitSql(c: String) = {
+      val b = OracleSql.polyHash(s"('$SplitSalt' || $c::VARCHAR)")
+      s"""CASE WHEN $b % 1000 < $SplitTrainUpto THEN 'train'
+         |     WHEN $b % 1000 < $SplitValUpto THEN 'val'
+         |     ELSE 'test' END""".stripMargin.replaceAll("\n", " ")
+    }
+    s"""WITH ${graft.operators.Dedup.minhashBandCtes},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT doc_a, doc_b,
+       |         len(list_filter(range(1, ${graft.operators.Dedup.MinHashK + 1}),
+       |             i -> sig_a[i] = sig_b[i]))::DOUBLE / ${graft.operators.Dedup.MinHashK}.0 AS est_jaccard
+       |  FROM pairs),
+       |dp AS MATERIALIZED (${graft.operators.Dedup.dedupPipelineOracle}),
+       |lab AS (
+       |  SELECT (${splitSql("e.doc_a")}) <> (${splitSql("e.doc_b")}) AS straddle,
+       |         a.is_canonical AS canon_a, b.is_canonical AS canon_b
+       |  FROM est e JOIN dp a ON e.doc_a = a.doc_id
+       |             JOIN dp b ON e.doc_b = b.doc_id
+       |  WHERE e.est_jaccard >= $threshold)
+       |SELECT coalesce(sum(CASE WHEN straddle THEN 1 ELSE 0 END), 0)::BIGINT AS n_naive_leaks,
+       |       coalesce(sum(CASE WHEN canon_a AND canon_b THEN 1 ELSE 0 END), 0)::BIGINT AS n_surviving_pairs,
+       |       coalesce(sum(CASE WHEN canon_a AND canon_b AND straddle THEN 1 ELSE 0 END), 0)::BIGINT AS n_clean_leaks
+       |FROM lab""".stripMargin
+  }
+
   // ------------------------------------------------- deterministic shuffle
 
   val ShuffleSalt = "shuf:"

@@ -127,6 +127,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("split-after-dedup: clean splits are leakage-free where raw splits are not") {
+    import graft.operators.Pipeline
+    val Array(naive, surviving, clean) =
+      Pipeline.splitLeakageClean(spark, dir).collect().head
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+    // the hazard is real on the raw corpus (else the pin is vacuous) ...
+    assert(naive > 0, s"no straddling near-dup pair at the threshold — vacuous")
+    // ... and structurally impossible after dedup-then-split: every pair at
+    // est >= PipelineEstThreshold demoted its larger id from canonicality,
+    // so the clean-split universe contains NO near-dup pair at all
+    assert(surviving == 0L, s"$surviving near-dup pairs survived dedup")
+    assert(clean == 0L, s"$clean straddling pairs in clean splits")
+  }
+
+  test("corpus_split_clean is corpus_split restricted to canonical survivors") {
+    import graft.operators.{Dedup, Pipeline}
+    val canon = Dedup.dedupPipeline(spark, dir).collect()
+      .filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    val raw = Pipeline.corpusSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val want = raw.filter(t => canon(t._1)).toSeq
+    val got = Pipeline.corpusSplitClean(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got.nonEmpty && got == want)
+    // a surviving doc's split equals its raw-corpus split: assignment is a
+    // pure function of doc_id, so re-splitting after dedup never MOVES an
+    // eval doc into train (the cross-version contamination guarantee)
+    assert(got.toSet.subsetOf(raw.toSet))
+  }
+
   test("manifest shard volumes agree with the shuffle permutation") {
     import graft.operators.Pipeline
     val manifest = Pipeline.corpusManifest(spark, dir).collect()

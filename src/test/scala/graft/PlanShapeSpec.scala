@@ -306,6 +306,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("documents.parquet"), p)
   }
 
+  test("clean split serves from the docmeta label table, not the dedup pipeline") {
+    val p = finalPlan("corpus_split_clean")
+    // a documents scan means the minhash/dedup pipeline is re-deriving
+    // canonicality per split call instead of reading the label artifact
+    assert(!p.contains("documents.parquet"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"expected 1 artifact scan:\n$p")
+  }
+
   test("indexed DSIR scoring reads the fit from the artifact, not the corpus") {
     val p = finalPlan("dsir_weights_indexed")
     // ONE text-reading documents scan (the scoring gram explode); a second
