@@ -19,7 +19,7 @@ object SparkEntry {
 
   /** Shared parameters for every parameterized query — referenced by BOTH
     * the Spark registration and the oracle registration. */
-  private object P {
+  private[graft] object P {
     val RadiusProbe = 7L; val RadiusMiles = 2000.0
     val LatLng = (35.0, -90.0, 3000.0)
     val KnnProbe = 7L; val KnnK = 15
@@ -44,6 +44,9 @@ object SparkEntry {
     // codebook structure to exploit) — 4 probed cells is the measured
     // recall/read trade; ann_ivf_recall keeps the number visible.
     val IvfProbe = 7L; val IvfK = 10; val IvfNprobe = 4
+    /** Hybrid dense pool reads wider (overlap >= 0.8 target; the ann_ivf_*
+      * rows keep nprobe=4 — they gate the pruned-read plan, not recall). */
+    val HybridNprobe = 12
     val Bm25Query = Seq("spark", "query", "table"); val Bm25K = 15
     // batch search request table: (qid, term) — multi-term requests of
     // differing selectivity, one qid with a term absent from the corpus
@@ -290,7 +293,7 @@ object SparkEntry {
     // the index-served twin: dense pool candidates from the IVF-PQ stack,
     // re-ranked exactly by true cosine before fusion (brute form above
     // stays as the anchor)
-    "search_hybrid_ivf" -> ((s, d) => Retrieval.hybridRrfIvf(s, d, P.Bm25Query, P.CosineProbe, P.Bm25K, P.IvfNprobe)),
+    "search_hybrid_ivf" -> ((s, d) => Retrieval.hybridRrfIvf(s, d, P.Bm25Query, P.CosineProbe, P.Bm25K, P.HybridNprobe)),
     // DSIR domain-targeted data selection (hashed-ngram importance
     // weights, rational mean-ratio deviation; Gumbel-free deterministic
     // top-k) — arithmetic gated here, discrimination pinned by DsirSpec
@@ -536,7 +539,7 @@ object SparkEntry {
     "text_bm25_topk" -> TextAnalysis.bm25TopKOracle(P.Bm25Query, P.Bm25K),
     "text_bm25_batch" -> Retrieval.bm25BatchOracle(P.Bm25Batch, P.Bm25K),
     "search_hybrid_rrf" -> Retrieval.hybridRrfOracle(P.Bm25Query, P.CosineProbe, P.Bm25K),
-    "search_hybrid_ivf" -> Retrieval.hybridRrfIvfOracle(P.Bm25Query, P.CosineProbe, P.Bm25K, P.IvfNprobe),
+    "search_hybrid_ivf" -> Retrieval.hybridRrfIvfOracle(P.Bm25Query, P.CosineProbe, P.Bm25K, P.HybridNprobe),
     "dsir_weights" -> Dsir.dsirWeightsOracle,
     "dsir_topk" -> Dsir.dsirTopKOracle(),
     "dsir_weights_indexed" -> Dsir.dsirWeightsOracle,

@@ -253,6 +253,14 @@ object Retrieval {
   val RrfScale = 1000000000L
   /** Pool depth per retriever before fusion. */
   val RrfPoolN = 50
+  /** Dense candidate widening for the IVF-served pool: the coarse PQ pass
+    * returns `RrfPoolN × RrfRerankWiden` candidates, the exact re-rank
+    * keeps the true-cosine top `RrfPoolN`. Widening removes the coarse
+    * truncation loss ENTIRELY (pool overlap rises to the IVF cell-coverage
+    * ceiling) at the cost of `widen×N` extra 8-byte-code scores and exact
+    * re-ranks — negligible next to the posting/cell reads. Measured at
+    * sf0.001, probe 0, N=50: overlap 0.56 → 0.84 (with nprobe 12). */
+  val RrfRerankWiden = 4
 
   /** Hybrid retrieval: the lexical BM25 ranking and the dense cosine
     * ranking of the SAME corpus (vec_id aligns with doc_id in the driver
@@ -302,13 +310,28 @@ object Retrieval {
     * lexical pool reads the word-posting artifact (shared bm25TopK); the
     * dense pool's CANDIDATES come from the IVF-PQ stack (ivfPqTopK: IVF
     * prunes which cells are read, PQ codes score the coarse pass), then
-    * the pool is re-ranked EXACTLY — the k-row candidate set joins back to
-    * the float vectors and ranks by true cosine, so PQ approximation
-    * affects only pool MEMBERSHIP, never the rank fed into RRF. Own
-    * oracle (the pool genuinely differs from brute force); OperatorParity
-    * Spec pins pool overlap vs the brute pool at the measured floor
-    * (0.56 at sf0.001, N=50, nprobe=4 — vs 0.66 for plain IVF; the gap
-    * is the PQ L2-vs-cosine approximation trade, not a defect). */
+    * the pool is re-ranked EXACTLY — the WIDENED candidate set
+    * ([[RrfRerankWiden]]×N coarse survivors) joins back to the float
+    * vectors and ranks by true cosine, keeping the top N, so PQ
+    * approximation affects only pool MEMBERSHIP, never the rank fed into
+    * RRF. Own oracle (the pool genuinely differs from brute force);
+    * OperatorParitySpec pins pool overlap vs the brute pool at the
+    * measured floor.
+    *
+    * Quality postmortem (round 6): the round-5 overlap of 0.56 (N=50,
+    * nprobe=4, no widening) was previously attributed to a PQ
+    * L2-vs-cosine metric mismatch — WRONG: the table's embeddings are
+    * unit-norm (measured min=mean=max=1.0), where squared-L2 ADC order IS
+    * cosine order. The actual losses were (a) truncating the coarse pool
+    * at N before the exact re-rank — widening to 4N removes this loss
+    * completely — and (b) the IVF cell-coverage ceiling itself (0.66 at
+    * nprobe=4), a DATA property: near-isotropic synthetic vectors have no
+    * cluster structure, so cell recall tracks the corpus fraction read
+    * (measured: Lloyd-trained and spherical k-means centroids do NOT beat
+    * the deterministic sample here). The gate runs nprobe=12/16 to hit
+    * overlap 0.84; production corpora cluster, which is what keeps
+    * nprobe/C small at scale — the knob, not the plan, carries the
+    * quality/cost trade. */
   def hybridRrfIvf(spark: SparkSession, dir: String, queryTerms: Seq[String],
                    probeId: Long, k: Int, nprobe: Int): DataFrame = {
     val lexPool = bm25TopK(spark, dir, queryTerms, RrfPoolN)
@@ -318,7 +341,8 @@ object Retrieval {
     val e = Tables.embeddings(spark, dir)
     val probe = e.filter(col("vec_id") === probeId)
       .select(col("embedding").as("probe_emb"))
-    val pool = Similarity.ivfPqTopK(spark, dir, probeId, RrfPoolN, nprobe = nprobe)
+    val pool = Similarity.ivfPqTopK(spark, dir, probeId,
+        RrfPoolN * RrfRerankWiden, nprobe = nprobe)
       .select(col("vec_id"))
     val densePool = pool.join(e, "vec_id")
       .crossJoin(broadcast(probe))
@@ -328,6 +352,7 @@ object Retrieval {
       .select(col("vec_id").as("doc_id"),
         row_number().over(Window.orderBy(col("cosine_sim").desc, col("vec_id")))
           .cast("long").as("dense_rank"))
+      .filter(col("dense_rank") <= RrfPoolN)
     def contrib(rank: org.apache.spark.sql.Column) =
       when(rank.isNull, 0L).otherwise(
         floor(lit(RrfScale.toDouble) / (lit(RrfK).cast("double") + rank.cast("double")))
@@ -342,7 +367,8 @@ object Retrieval {
   def hybridRrfIvfOracle(queryTerms: Seq[String], probeId: Long, k: Int,
                          nprobe: Int): String = {
     val bm25 = TextAnalysis.bm25TopKOracle(queryTerms, RrfPoolN)
-    val pool = Similarity.ivfPqTopKOracle(probeId, RrfPoolN, nprobe = nprobe)
+    val pool = Similarity.ivfPqTopKOracle(probeId, RrfPoolN * RrfRerankWiden,
+      nprobe = nprobe)
     val cos = Similarity.cosineSql("e.embedding", "p.probe_emb")
     def contrib(r: String) =
       s"CASE WHEN $r IS NULL THEN 0 ELSE floor($RrfScale.0 / ($RrfK.0 + $r::DOUBLE))::BIGINT END"
@@ -353,9 +379,11 @@ object Retrieval {
        |p AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = $probeId),
        |rr AS (SELECT e.vec_id, round($cos, 4) AS cosine_sim
        |       FROM pool JOIN embeddings e USING (vec_id) CROSS JOIN p),
-       |dense AS (SELECT vec_id AS doc_id,
-       |         row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS dense_rank
-       |       FROM rr WHERE NOT isnan(cosine_sim))
+       |dense AS (SELECT doc_id, dense_rank FROM (
+       |         SELECT vec_id AS doc_id,
+       |           row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS dense_rank
+       |         FROM rr WHERE NOT isnan(cosine_sim))
+       |       WHERE dense_rank <= $RrfPoolN)
        |SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
        |       lex.lex_rank, dense.dense_rank,
        |       ${contrib("lex.lex_rank")} + ${contrib("dense.dense_rank")} AS rrf_q

@@ -96,19 +96,21 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val brute = Similarity.cosineTopK(spark, dir, probeId = 0L, n)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     val ivf = Retrieval.hybridRrfIvf(spark, dir, Seq("spark"), probeId = 0L,
-        k = 1000, nprobe = 4)
+        k = 1000, nprobe = SparkEntry.P.HybridNprobe)
       .filter(col("dense_rank").isNotNull)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(ivf.size == n, s"dense pool size ${ivf.size} != $n")
     val overlap = (ivf & brute).size.toDouble / n
-    // Measured floor (deterministic on the sf0.001 tables): 0.56 at N=50,
-    // nprobe=4/16 cells, PQ m8/k16. Plain-IVF recall at the same
-    // parameters is 0.66 — the gap is PQ coarse-scoring cost (PQ
-    // approximates L2; these synthetic embeddings are unnormalized, so
-    // L2 and cosine order diverge). The pin guards a pool COLLAPSE
-    // (wrong cells / broken codes), not the approximation trade.
-    assert(overlap >= 0.55,
-      s"pool overlap $overlap below the measured 0.56 floor")
+    // Measured floor (deterministic on the sf0.001 tables): 0.84 at N=50,
+    // nprobe=12/16 cells, PQ m8/k16, 4N coarse candidates re-ranked by
+    // exact cosine (round 5 measured 0.56 at nprobe=4 with NO widening —
+    // the deficit was coarse-pool truncation plus the cell-coverage
+    // ceiling of near-isotropic unit-norm synthetic vectors, NOT a PQ
+    // metric mismatch; see hybridRrfIvf's postmortem note). The pin
+    // guards a pool collapse (wrong cells / broken codes / lost
+    // widening), not the residual cell-coverage trade.
+    assert(overlap >= 0.80,
+      s"pool overlap $overlap below the measured 0.84 floor")
   }
 
   test("z-order key de-interleaves back to the quantized coordinates") {
