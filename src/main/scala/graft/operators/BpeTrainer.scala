@@ -42,12 +42,25 @@ import org.apache.spark.sql.functions._
   * crossJoin against the pair row, so an empty batch cannot empty the
   * relation — the round-4 ADVICE hazard).
   *
-  * Each round's batch and symbol relation are MATERIALIZED (write-once
-  * artifacts): the per-round persist that keeps the plan linear — the
-  * in-plan fold re-derives s_{t-1} for every consumer and Catalyst would
-  * re-analyze a 4^K-node tree (the dedup_transitive lesson). All
-  * arithmetic is integer; both gate rows are bit-exact against DuckDB's
-  * unrolled MATERIALIZED-CTE replica of the same batched fold.
+  * Each round's batch, symbol relation, and pair-count relation are
+  * MATERIALIZED (write-once artifacts; 3/round + the two t=0 roots): the
+  * per-round persist that keeps the plan linear — the in-plan fold
+  * re-derives s_{t-1} for every consumer and Catalyst would re-analyze a
+  * 4^K-node tree (the dedup_transitive lesson). All arithmetic is
+  * integer; both gate rows are bit-exact against DuckDB's unrolled
+  * MATERIALIZED-CTE replica of the same batched fold.
+  *
+  * DELTA ROUNDS (round 6): after t=0, no stage windows over the full
+  * symbol relation. Matches come from a batch-symbol-filtered self-join;
+  * only touched words pay the rewrite/re-index shuffle; pair counts are
+  * maintained incrementally (pc_t = pc_{t-1} − before + after over the
+  * touched slice, spec-pinned == a full recount). A round's remaining
+  * full-relation cost is the linear scan+write of the symbols artifact —
+  * shuffle and window cost track the BATCH's symbol frequency. This is
+  * what makes vocab-scale training tractable: `graft.BpeScale` measures
+  * K=512 merges at sf0.01 (see SCALE.md). On a preemptible cluster,
+  * replace localCheckpoint with reliable `.checkpoint()` (see
+  * bestPairsFrom note).
   */
 object BpeTrainer {
 
@@ -70,6 +83,16 @@ object BpeTrainer {
     * prefix — measured ~4x more merges/round at P=4. */
   val BpeSelPasses = 4
 
+  /** Scale-run knobs (the K=512 demonstration, `graft.BpeScale`): a
+    * larger disjoint batch needs a wider candidate window and deeper
+    * peeling to FIND that many symbol-disjoint pairs (early rounds are
+    * conflict-limited: with ~30 base characters the max disjoint matching
+    * is ~15 pairs; the bound loosens as merges mint new symbols). The
+    * selection stays driver-trivial — every structure is ≤ window rows. */
+  val BpeScaleM = 64
+  val BpeScaleWindow = 1024
+  val BpeScalePasses = 8
+
   /** (word, cnt) — the ONLY corpus-sized stage. */
   private def wordCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -88,27 +111,57 @@ object BpeTrainer {
     s.withColumn("nxt", lead(col("sym"), 1).over(
       Window.partitionBy(col("word")).orderBy(col("idx"))))
 
-  /** The round's merge batch: corpus-weighted adjacent-pair counts,
-    * total-ordered rank within the candidate window, dominance-filtered
-    * to symbol-disjoint pairs, first `m` survivors. Output (a, b, c,
-    * sel) with sel = 1..m the within-round application order. The window
-    * and its self-join are both ≤ BpeCandWindow rows — driver-trivial. */
-  private def bestPairs(s: DataFrame, m: Int): DataFrame = {
+  /** Corpus-weighted adjacent-pair counts of a symbol relation — the
+    * relation the selection ranks over. Recomputed in full only at t=0;
+    * every later round maintains it by DELTA ([[pairDelta]]). */
+  private[graft] def pairCounts(s: DataFrame): DataFrame =
+    withNext(s).filter(col("nxt").isNotNull)
+      .groupBy(col("sym"), col("nxt")).agg(sum(col("cnt")).as("c"))
+      .select(col("sym").as("a"), col("nxt").as("b"), col("c"))
+
+  /** Incremental pair-count maintenance: merges rewrite ONLY the touched
+    * words, and a word's adjacent pairs depend on that word alone, so
+    *   pc_t = pc_{t-1} − pairs(touched words before) + pairs(after).
+    * Exact integer arithmetic; entries folding to 0 drop out (a vanished
+    * pair must not linger rankable at c=0). The two pair scans window
+    * over TOUCHED rows only — this is what frees a round's shuffle cost
+    * from the full symbol relation (OperatorParitySpec pins
+    * delta == full recount). */
+  private[graft] def pairDelta(pc: DataFrame, oldTouched: DataFrame,
+                               newTouched: DataFrame): DataFrame =
+    pc.join(pairCounts(oldTouched).select(col("a"), col("b"), col("c").as("cb")),
+        Seq("a", "b"), "full_outer")
+      .join(pairCounts(newTouched).select(col("a"), col("b"), col("c").as("ca")),
+        Seq("a", "b"), "full_outer")
+      .select(col("a"), col("b"),
+        (coalesce(col("c"), lit(0L)) - coalesce(col("cb"), lit(0L))
+          + coalesce(col("ca"), lit(0L))).as("c"))
+      .filter(col("c") > 0L)
+
+  /** The round's merge batch from a PAIR-COUNT relation: total-ordered
+    * rank within the candidate window, dominance-filtered to
+    * symbol-disjoint pairs, first `m` survivors. Output (a, b, c, sel)
+    * with sel = 1..m the within-round application order. The window and
+    * its self-join are both ≤ `window` rows — driver-trivial. */
+  private[graft] def bestPairsFrom(pc: DataFrame, m: Int,
+                                   window: Int = BpeCandWindow,
+                                   passes: Int = BpeSelPasses): DataFrame = {
     val rankW = Window.orderBy(col("c").desc, col("a"), col("b"))
     // eager localCheckpoint: the peel fold below references the window
     // ~3x per pass (3^P subtree copies) — over the raw window plan that
     // is a combinatorial Catalyst tree (the dedup_transitive lesson);
-    // over a checkpointed <=128-row leaf it is 3^P leaf refs, trivial
-    val win = withNext(s).filter(col("nxt").isNotNull)
-      .groupBy(col("sym"), col("nxt")).agg(sum(col("cnt")).as("c"))
-      .select(col("sym").as("a"), col("nxt").as("b"), col("c"))
-      .orderBy(col("c").desc, col("a"), col("b")).limit(BpeCandWindow)
+    // over a checkpointed <=window-row leaf it is 3^P leaf refs, trivial.
+    // NOTE localCheckpoint stores blocks on executors — on a preemptible
+    // real cluster use spark.sparkContext.setCheckpointDir + .checkpoint()
+    // (reliable storage) instead; the plan shape is unchanged.
+    val win = pc
+      .orderBy(col("c").desc, col("a"), col("b")).limit(window)
       .withColumn("rank", row_number().over(rankW))
       .localCheckpoint(true)
     // iterated peeling (see BpeSelPasses): every pass's survivors are
     // greedy-kept and pairwise disjoint; conflicts with survivors leave
     // the pool before the next pass
-    val (passes, _) = (1 to BpeSelPasses).foldLeft((Seq.empty[DataFrame], win)) {
+    val (peels, _) = (1 to passes).foldLeft((Seq.empty[DataFrame], win)) {
       case ((acc, rem), _) =>
         val hi = rem.select(col("rank").as("h_rank"), col("a").as("h_a"),
           col("b").as("h_b"))
@@ -124,37 +177,72 @@ object BpeTrainer {
           "left_anti")
         (acc :+ surv, rem2)
     }
-    passes.reduce(_ union _)
+    peels.reduce(_ union _)
       .withColumn("sel", row_number().over(Window.orderBy(col("rank"))))
       .filter(col("sel") <= m)
       .select(col("a"), col("b"), col("c"), col("sel"))
   }
 
+  private[graft] def bestPairs(s: DataFrame, m: Int): DataFrame =
+    bestPairsFrom(pairCounts(s), m)
+
+  /** Match positions of a merge batch — (m_word, m_idx, m_b), m_idx the
+    * pair's LEFT index. Found by a filtered SELF-JOIN on (word, idx+1),
+    * NOT a `lead()` window over the whole symbol relation: each join side
+    * is first semi-joined against the batch's (≤ m-row, broadcast) left /
+    * right symbol sets, so the shuffle carries only rows whose symbol
+    * appears in the batch — a round's match cost tracks the batch's
+    * symbol frequency, not the vocabulary. */
+  private def matchesOf(s: DataFrame, bs: DataFrame): DataFrame = {
+    val la = s.join(broadcast(bs.select(col("a").as("ls")).distinct()),
+        col("sym") === col("ls"), "left_semi")
+      .select(col("word").as("l_word"), col("idx").as("l_idx"),
+        col("sym").as("l_sym"))
+    val rb = s.join(broadcast(bs.select(col("b").as("rs")).distinct()),
+        col("sym") === col("rs"), "left_semi")
+      .select(col("word").as("r_word"), col("idx").as("r_idx"),
+        col("sym").as("r_sym"))
+    la.join(rb, col("l_word") === col("r_word") &&
+        col("r_idx") === col("l_idx") + 1)
+      .join(broadcast(bs), col("l_sym") === col("a") && col("r_sym") === col("b"),
+        "left_semi")
+      .select(col("l_word").as("m_word"), col("l_idx").as("m_idx"),
+        col("r_sym").as("m_b"))
+  }
+
   /** Greedy non-overlapping application of a DISJOINT merge batch:
     * run-parity selection over match positions (each carrying its pair's
     * right symbol for the concat), consumed rows dropped, survivors
-    * re-indexed densely. An empty batch is the identity. Broadcast bound:
-    * the selected-position sets are bounded by occurrences of the
-    * batch's pairs across the VOCABULARY (not the corpus) — a
-    * pathological corpus where every word contains a hot pair makes this
-    * O(vocab), accepted and documented. */
-  private def applyMerges(s: DataFrame, bs: DataFrame): DataFrame = {
-    val n = withNext(s)
-    val m = n.join(broadcast(bs), n("sym") === bs("a") && n("nxt") === bs("b"))
-      .select(col("word").as("m_word"), col("idx").as("m_idx"), bs("b").as("m_b"))
-    val sel = m
+    * re-indexed densely. An empty batch is the identity.
+    *
+    * DELTA SHAPE (round 6): only TOUCHED words (those with ≥1 selected
+    * merge — under run parity, any word with ≥1 match) pay the rewrite;
+    * untouched words stream through an anti-join unchanged, so the
+    * re-index window shuffles touched rows only and a round's shuffle
+    * cost stops being proportional to the full symbol relation. The
+    * full-relation scan+write per round remains (linear I/O, no
+    * shuffle), documented. Broadcast bound: match/selected-position sets
+    * are bounded by occurrences of the batch's pairs across the
+    * VOCABULARY (not the corpus) — a pathological corpus where every
+    * word contains a hot pair makes this O(vocab); the joins carry no
+    * broadcast hint there, so AQE picks broadcast only when they fit. */
+  private[graft] def applyMerges(s: DataFrame, bs: DataFrame): DataFrame = {
+    val sel = matchesOf(s, bs)
       .withColumn("run", col("m_idx") - row_number().over(
         Window.partitionBy(col("m_word")).orderBy(col("m_idx"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("m_word"), col("run")).orderBy(col("m_idx"))))
       .filter(col("rn") % 2 === 1)
       .select(col("m_word"), col("m_idx"), col("m_b"))
+    val touched = sel.select(col("m_word").as("t_word")).distinct()
+    val untouched = s.join(touched, col("word") === col("t_word"), "left_anti")
     val selI = sel.select(col("m_word").as("i_word"), col("m_idx").as("i_idx"),
       col("m_b").as("i_b"))
     val selP = sel.select(col("m_word").as("p_word"), col("m_idx").as("p_idx"))
-    s.join(broadcast(selI),
+    val rewritten = s.join(touched, col("word") === col("t_word"), "left_semi")
+      .join(selI,
         col("word") === col("i_word") && col("idx") === col("i_idx"), "left")
-      .join(broadcast(selP),
+      .join(selP,
         col("word") === col("p_word") && col("idx") === col("p_idx") + 1, "left")
       .filter(col("p_idx").isNull)
       .select(col("word"), col("cnt"), col("idx"),
@@ -163,27 +251,100 @@ object BpeTrainer {
       .withColumn("new_idx", row_number().over(
         Window.partitionBy(col("word")).orderBy(col("idx"))).cast("long") - 1)
       .select(col("word"), col("cnt"), col("new_idx").as("idx"), col("sym"))
+    untouched.select(col("word"), col("cnt"), col("idx"), col("sym"))
+      .union(rewritten)
   }
 
-  /** Materialized training chain; returns (bPath, sPath) of round t.
-    * Version 2: the batched fold (round-4's sequential chain is a
-    * different derivation). */
-  private def ensureIter(spark: SparkSession, dir: String, t: Int): (String, String) = {
-    val sPrev =
-      if (t == 1)
-        graft.Materialize.ensure(spark, "graft_bpe_s0", dir, version = 2) { p =>
-          symbols0(wordCounts(spark, dir)).write.mode("overwrite").parquet(p)
-        }
-      else ensureIter(spark, dir, t - 1)._2
-    val bPath = graft.Materialize.ensure(spark, s"graft_bpe_b$t", dir, version = 2) { p =>
-      bestPairs(spark.read.parquet(sPrev), BpeRoundM)
-        .coalesce(1).write.mode("overwrite").parquet(p)
+  /** Touched word set of a batch against the PRE-rewrite relation; the
+    * pair-count delta restricts BOTH its before and after slices to this
+    * one set (the after side must NOT re-derive matches on the rewritten
+    * relation — its adjacencies have already changed). */
+  private[graft] def touchedWords(s: DataFrame, bs: DataFrame): DataFrame =
+    matchesOf(s, bs).select(col("m_word")).distinct()
+
+  private[graft] def sliceByWords(s: DataFrame, words: DataFrame): DataFrame =
+    s.join(words, col("word") === col("m_word"), "left_semi")
+
+  /** Materialized training chain; returns (bPath, sPath, pcPath) of
+    * round t. Version 3: the DELTA fold — three write-once artifacts per
+    * round (batch, symbols, pair counts; round-5's two-artifact chain
+    * recomputed pair counts from the full relation every round). The
+    * round's batch selects from the MAINTAINED pc artifact, so no round
+    * after t=0 windows over the full symbol relation. `fam` isolates the
+    * scale-demo chain's artifact family from the gate's. */
+  private[graft] def ensureIter(spark: SparkSession, dir: String, t: Int,
+                                m: Int = BpeRoundM, window: Int = BpeCandWindow,
+                                passes: Int = BpeSelPasses, fam: String = "",
+                                words: (SparkSession, String) => DataFrame = wordCounts)
+      : (String, String, String) = {
+    val V = 3
+    def kind(x: String) = s"graft_bpe$fam" + "_" + x
+    if (t == 0) {
+      val sPath = graft.Materialize.ensure(spark, kind("s0"), dir, V) { p =>
+        symbols0(words(spark, dir)).write.mode("overwrite").parquet(p)
+      }
+      val pcPath = graft.Materialize.ensure(spark, kind("pc0"), dir, V) { p =>
+        pairCounts(spark.read.parquet(sPath))
+          .write.mode("overwrite").parquet(p)
+      }
+      ("", sPath, pcPath)
+    } else {
+      val (_, sPrev, pcPrev) =
+        ensureIter(spark, dir, t - 1, m, window, passes, fam, words)
+      val bPath = graft.Materialize.ensure(spark, kind(s"b$t"), dir, V) { p =>
+        bestPairsFrom(spark.read.parquet(pcPrev), m, window, passes)
+          .coalesce(1).write.mode("overwrite").parquet(p)
+      }
+      val sPath = graft.Materialize.ensure(spark, kind(s"s$t"), dir, V) { p =>
+        applyMerges(spark.read.parquet(sPrev), spark.read.parquet(bPath))
+          .write.mode("overwrite").parquet(p)
+      }
+      val pcPath = graft.Materialize.ensure(spark, kind(s"pc$t"), dir, V) { p =>
+        val sOld = spark.read.parquet(sPrev)
+        val bs = spark.read.parquet(bPath)
+        val tw = touchedWords(sOld, bs)
+        pairDelta(spark.read.parquet(pcPrev),
+            sliceByWords(sOld, tw),
+            sliceByWords(spark.read.parquet(sPath), tw))
+          .write.mode("overwrite").parquet(p)
+      }
+      (bPath, sPath, pcPath)
     }
-    val sPath = graft.Materialize.ensure(spark, s"graft_bpe_s$t", dir, version = 2) { p =>
-      applyMerges(spark.read.parquet(sPrev), spark.read.parquet(bPath))
-        .write.mode("overwrite").parquet(p)
+  }
+
+  /** The scale run's corpus: token 2-gram PHRASES as the word unit. The
+    * driver's synthetic documents have a 31-word vocabulary (107 possible
+    * within-word merges — single-word BPE exhausts at ~89, measured), so
+    * the vocabulary-scale demonstration derives a combinatorial word
+    * unit from the same text: distinct phrases ≈ vocab², 901 at sf0.01
+    * with 8,108 possible merges. Same trainer, same relations — only the
+    * t=0 word-count derivation differs. */
+  private[graft] def phraseCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokenWindows(
+        tokens(lower(col("text"))), 2)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** K-merge scale run (driven by `graft.BpeScale`): rounds of the delta
+    * chain at the scale knobs ([[BpeScaleM]] disjoint merges/round,
+    * window [[BpeScaleWindow]], [[BpeScalePasses]] peels) over the phrase
+    * corpus until `target` merges are learned or a round yields none.
+    * Returns (rounds, merges). Artifact count: 2 at t=0 (s0, pc0) + 3 per
+    * round (b, s, pc). */
+  def bpeTrainAtScale(spark: SparkSession, dir: String, target: Int,
+                      maxRounds: Int = 64): (Int, Long) = {
+    var t = 0
+    var total = 0L
+    var lastBatch = -1L
+    while (total < target && t < maxRounds && lastBatch != 0L) {
+      t += 1
+      val (b, _, _) = ensureIter(spark, dir, t,
+        BpeScaleM, BpeScaleWindow, BpeScalePasses, fam = "scale",
+        words = phraseCounts)
+      lastBatch = spark.read.parquet(b).count()
+      total += lastBatch
     }
-    (bPath, sPath)
+    (t, total)
   }
 
   /** Gate query: the learned merge table — global merge index (round
@@ -218,9 +379,12 @@ object BpeTrainer {
     * m=1 the dominance window degenerates to the single argmax pair, so
     * this reproduces the sequential fold exactly — the parity spec pins
     * that equivalence and the run-parity application it inherits. */
-  private[graft] def trainOver(docs: DataFrame, rounds: Int, m: Int = 1): (DataFrame, DataFrame) = {
-    val s0 = symbols0(docs.select(explode(tokens(lower(col("text")))).as("word"))
+  private[graft] def symbols0ForTest(docs: DataFrame): DataFrame =
+    symbols0(docs.select(explode(tokens(lower(col("text")))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt")))
+
+  private[graft] def trainOver(docs: DataFrame, rounds: Int, m: Int = 1): (DataFrame, DataFrame) = {
+    val s0 = symbols0ForTest(docs)
     val (merges, sK) = (1 to rounds).foldLeft((Seq.empty[DataFrame], s0)) {
       case ((ms, s), t) =>
         val bs = bestPairs(s, m)

@@ -371,6 +371,32 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(syms(batched).nonEmpty && syms(batched) == syms(sequential))
   }
 
+  test("BPE delta pair counts equal a full recount after every round") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.BpeTrainer
+    // repeated + overlapping chains + untouched words: the delta must
+    // subtract vanished pairs exactly, add minted-symbol pairs, and leave
+    // untouched words' contributions alone (zero-count entries drop out)
+    val docs = Seq((0L, "abab abab cdcd xyz xyz qq aaaa")).toDF("doc_id", "text")
+    var s = BpeTrainer.symbols0ForTest(docs)
+    var pc = BpeTrainer.pairCounts(s).localCheckpoint(true)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    (1 to 3).foreach { t =>
+      val bs = BpeTrainer.bestPairsFrom(pc, m = 2).localCheckpoint(true)
+      val tw = BpeTrainer.touchedWords(s, bs).localCheckpoint(true)
+      val s2 = BpeTrainer.applyMerges(s, bs).localCheckpoint(true)
+      pc = BpeTrainer.pairDelta(pc,
+        BpeTrainer.sliceByWords(s, tw),
+        BpeTrainer.sliceByWords(s2, tw)).localCheckpoint(true)
+      val full = BpeTrainer.pairCounts(s2)
+      assert(key(pc) == key(full), s"round $t: delta != recount")
+      assert(key(pc).nonEmpty, s"round $t: vacuous")
+      s = s2
+    }
+  }
+
   test("BPE merge application is greedy non-overlapping (run parity) and feeds back") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
