@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measurement harness behind SCALE.md's sf1 serving-tier rehearsal: the
+  * indexed serving families' sub-linear-read claim, MEASURED at 10× the
+  * bench scale instead of extrapolated from sf0.1.
+  *
+  * Usage (one JSON line per dir, in order):
+  *   runMain graft.ServingScaleProbe <dir> [<srcDir>*<k>=<destDir>] ...
+  *
+  * The `src*k=dest` form materializes a k× replica of every table the six
+  * families read (ids offset per replica; `documents.text`, `p_name`, and
+  * embeddings IDENTICAL across replicas — replication preserves the
+  * term/trigram document-frequency shape, so posting lists scale ×k, the
+  * honest "same corpus, bigger" model; geo coordinates DERIVE from the
+  * offset ids, so shapes get k× new distinct locations). Small dimension
+  * tables copy verbatim. Caveat, documented with the numbers: identical
+  * replica text makes every document a 10-clone near-dup cluster, so the
+  * dedup screen's rehearsal is its all-duplicates WORST CASE, an upper
+  * bound — term-stat families are unaffected.
+  *
+  * Per family it reports: `build` = first run (artifact ensure() + read)
+  * and `read` = median of 3 further runs (artifacts exist — the serving
+  * path). Nothing outside dest is written.
+  */
+object ServingScaleProbe {
+
+  /** The indexed serving families of VERDICT r5 "Next #7", plus the
+    * artifact-served stop-gram batch — the mitigation the rehearsal's one
+    * finding (fuzzy_batch_indexed's candidate cliff at sf1) calls for. */
+  val Families: Seq[String] = Seq(
+    "fuzzy_batch_indexed", "fuzzy_batch_stopgram_indexed", "text_bm25_batch",
+    "dedup_incremental", "dsir_weights_indexed", "ann_int8_topk",
+    "geo_radius_latlng_indexed")
+
+  private def replicate(spark: SparkSession, src: String, k: Int, dest: String): Unit = {
+    val reps = spark.range(k).select(col("id").as("rep"))
+    def rep(table: String, idCol: String): Unit = {
+      val t = spark.read.parquet(s"$src/$table.parquet")
+      val maxId = t.agg(max(col(idCol))).head().getLong(0) + 1L
+      t.crossJoin(reps)
+        .withColumn(idCol, col(idCol) + col("rep") * maxId)
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dest/$table.parquet")
+    }
+    rep("documents", "doc_id")
+    rep("embeddings", "vec_id")
+    rep("part", "p_partkey")
+    rep("customer", "c_custkey")
+    Seq("region", "nation", "supplier", "orders", "lineitem", "events")
+      .foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      }
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s((s.length - 1) / 2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ServingScaleProbe <dir | src*k=dest> ...")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val spec = "(.+)\\*(\\d+)=(.+)".r
+    args.foreach { a =>
+      val dir = a match {
+        case spec(src, k, dest) => replicate(spark, src, k.toInt, dest); dest
+        case d => d
+      }
+      val rows = Families.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        val build = (System.nanoTime() - t0) / 1e9
+        val reads = (1 to 3).map { _ =>
+          spark.catalog.clearCache()
+          System.gc()
+          val t1 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t1) / 1e9
+        }
+        f""""$name":{"build":$build%.2f,"read":${median(reads)}%.2f}"""
+      }
+      println(s"""{"metric":"serving_scale","dir":"$dir","families":{${rows.mkString(",")}}}""")
+    }
+    spark.stop()
+  }
+}

@@ -114,6 +114,10 @@ object SparkEntry {
     // OPT-IN stop-gram cut: hottest posting lists (df > N/10) excluded
     // from candidate gen — different results by design, own oracle
     "fuzzy_batch_stopgram" -> ((s, d) => FuzzySearch.batchFuzzySearchStopGram(s, d, P.FuzzyK, P.StopGramInv)),
+    // the same cut SERVED: posting index + gram-space-bounded df stats
+    // artifacts replace every corpus-sized derivation (the sf1 rehearsal's
+    // answer to the indexed batch candidate cliff) — shares stopgram's oracle
+    "fuzzy_batch_stopgram_indexed" -> ((s, d) => FuzzySearch.batchFuzzySearchStopGramIndexed(s, d, P.FuzzyK, P.StopGramInv)),
     // digits-only query TABLE over the zip corpus: the postal scoring
     // branch exercised in the batch serving shape (runtime per-row branch)
     "fuzzy_batch_postal" -> ((s, d) => FuzzySearch.batchFuzzySearchZip(s, d, P.PostalK)),
@@ -441,6 +445,8 @@ object SparkEntry {
     "fuzzy_batch" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK),
     "fuzzy_batch_indexed" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK),
     "fuzzy_batch_stopgram" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK,
+      dfCapInverse = Some(P.StopGramInv)),
+    "fuzzy_batch_stopgram_indexed" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK,
       dfCapInverse = Some(P.StopGramInv)),
     "fuzzy_batch_postal" -> FuzzySearch.batchFuzzySearchZipOracle(P.PostalK),
     "geo_knn_batch" -> RadiusSearch.knnBatchOracle(P.RadiusMiles, 5),

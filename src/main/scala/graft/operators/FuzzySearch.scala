@@ -441,6 +441,109 @@ object FuzzySearch {
       .filter(col("df") * dfCapInverse <= n)
       .select(col("ngram"))
 
+  // ------------- materialized gram-df stats (stop-gram serving path)
+
+  /** Per-batch gram document-frequency rows (ngram, df) — the stop-gram
+    * cut's stats, bounded by the gram space (≤ 37³ keys at any corpus
+    * size). ADDITIVE: posting pairs are row-local, so
+    * df(corpus ∪ batch) == df(corpus) + df(batch) per gram — the artifact
+    * accumulates per-batch rows and the read folds them (the wordstats
+    * pattern, Retrieval.scala). */
+  private[graft] def gramDf(c: DataFrame): DataFrame =
+    NgramIndex.postingPairsMulti(c).groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df"))
+
+  /** Per-batch corpus row count — the `n` of the df·inv ≤ n cut. One row
+    * per build/append; the read sums them. */
+  private[graft] def gramN(c: DataFrame): DataFrame =
+    c.agg(count(lit(1)).as("n"))
+
+  /** Write-once gram-stats build (at scale this runs at ingest alongside
+    * the posting index): returns (df path, n path). The df relation is
+    * gram-space-bounded, so one file suffices at any corpus size. */
+  def ensureGramStats(spark: SparkSession, dir: String, c: DataFrame,
+                      version: Int = 1): (String, String) = {
+    val dp = graft.Materialize.ensure(spark, "graft_gramdf", dir, version) { p =>
+      gramDf(c).coalesce(1).write.mode("overwrite").parquet(p)
+    }
+    val np = graft.Materialize.ensure(spark, "graft_gramn", dir, version) { p =>
+      gramN(c).write.mode("overwrite").parquet(p)
+    }
+    (dp, np)
+  }
+
+  /** Incremental gram-stats maintenance: the batch's (ngram, df) rows and
+    * one (n) row land beside the existing files. Exact by additivity
+    * (IncrementalIndexSpec pins append-then-read == rebuild-then-read). */
+  def appendToGramStats(spark: SparkSession, dir: String, batch: DataFrame,
+                        version: Int = 1): Unit = {
+    graft.Materialize.append(spark, "graft_gramdf", dir, version) { p =>
+      gramDf(batch).coalesce(1).write.mode("append").parquet(p)
+    }
+    graft.Materialize.append(spark, "graft_gramn", dir, version) { p =>
+      gramN(batch).write.mode("append").parquet(p)
+    }
+  }
+
+  /** Periodic compaction: per-batch rows folded (sums are associative);
+    * contents under the fold unchanged. */
+  def compactGramStats(spark: SparkSession, dir: String, version: Int = 1): Unit = {
+    graft.Materialize.compact(spark, "graft_gramdf", dir, version) {
+      (cur, tmp) => cur.groupBy(col("ngram")).agg(sum(col("df")).as("df"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    graft.Materialize.compact(spark, "graft_gramn", dir, version) {
+      (cur, tmp) => cur.agg(sum(col("n")).as("n"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** The stop-gram cut SERVED from artifacts — batchFuzzySearchStopGram's
+    * exact semantics (the same oracle gates both) with every corpus-sized
+    * derivation replaced by a materialized read: candidates come from the
+    * ngram-clustered posting index under the batch's runtime gram bloom
+    * (the batchFuzzySearchIndexed probe), and the df·inv ≤ n cut folds
+    * from the gram-space-bounded `graft_gramdf`/`graft_gramn` stats
+    * artifacts into a broadcast allowed-set.
+    *
+    * Why this exists (SCALE.md, sf1 serving rehearsal): on a low-entropy
+    * corpus the INDEXED batch read path inherits the quadratic candidate
+    * cliff unmitigated — every gram is probed by some query, so the bloom
+    * prunes nothing and the index join re-emits Σ_g qcount(g)·df(g) rows
+    * (measured 81 s at the sf1 replica vs 2.0 s at sf0.1). The serving
+    * tier therefore needs the cut WITHOUT re-deriving df from the corpus:
+    * here the per-batch cost of the cut is a broadcast of a ≤ 37³-row
+    * fold, and the hottest posting lists never leave the index scan stage. */
+  def batchFuzzySearchStopGramIndexed(spark: SparkSession, dir: String,
+                                      numResults: Int, dfCapInverse: Long,
+                                      cap: Int = DefaultCap): DataFrame = {
+    import graft.functions.SketchFunctions._
+    val c = corpus(spark, dir)
+    val path = ensurePostingsIndex(spark, dir, c)
+    val (dp, np) = ensureGramStats(spark, dir, c)
+    val dfRel = spark.read.parquet(dp).groupBy(col("ngram"))
+      .agg(sum(col("df")).as("df"))
+    val nRel = spark.read.parquet(np).agg(sum(col("n")).as("n"))
+    val allowed = dfRel.crossJoin(broadcast(nRel))
+      .filter(col("df") * dfCapInverse <= col("n"))
+      .select(col("ngram"))
+    val queries = batchQueries(c)
+    val qGrams = queries.select(col("qid"),
+      explode(charNgramSet(col("clean_q"), 3)).as("ngram"))
+    val gramBloom = qGrams.agg(
+      bloomFilterAgg(xxhash64(col("ngram")), IndexBloomEstItems, IndexBloomNumBits).as("bf"))
+    val hits = spark.read.parquet(path)
+      .filter(mightContain(gramBloom.scalar(), xxhash64(col("ngram"))))
+      .join(broadcast(allowed), "ngram")
+      .join(qGrams, "ngram")
+      .groupBy(col("qid"), col("id")).agg(count(lit(1)).as("ngram_hits"))
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ngram_hits").desc, col("id"))
+    val capped = hits.withColumn("crn", row_number().over(capW))
+      .filter(col("crn") <= math.max(numResults, cap)).drop("crn")
+    scoreBatch(capped, c, queries, numResults)
+  }
+
   /** Shared scoring tail of the two batch spellings. */
   private def scoreBatch(capped: DataFrame, c: DataFrame, queries: DataFrame,
                          numResults: Int): DataFrame = {

@@ -49,6 +49,24 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty && a == rows(rebuilt))
   }
 
+  test("gram stats: append-then-fold == rebuild-then-fold (df + n additive)") {
+    val (full, base, batch) = corpusParts()
+    val (adf, an) = FuzzySearch.ensureGramStats(spark, dir, base, version = 901)
+    FuzzySearch.appendToGramStats(spark, dir, batch, version = 901)
+    val (rdf, rn) = FuzzySearch.ensureGramStats(spark, dir, full, version = 902)
+    def foldDf(p: String): Seq[(String, Long)] =
+      spark.read.parquet(p).groupBy(col("ngram")).agg(sum(col("df")).as("df"))
+        .collect().map(r => (r.getAs[String]("ngram"), r.getAs[Long]("df"))).toSeq.sorted
+    def foldN(p: String): Long =
+      spark.read.parquet(p).agg(sum(col("n"))).collect().head.getLong(0)
+    val a = foldDf(adf)
+    assert(a.nonEmpty && a == foldDf(rdf))
+    assert(foldN(an) == foldN(rn))
+    // compaction folds per-batch rows; the folded view is unchanged
+    FuzzySearch.compactGramStats(spark, dir, version = 901)
+    assert(foldDf(adf) == a && foldN(an) == foldN(rn))
+  }
+
   test("indexed fuzzy search over an appended index == inline over the union corpus") {
     val (_, base, batch) = corpusParts()
     // Build at the OPERATOR's version so fuzzySearchIndexed's ensure() sees

@@ -53,6 +53,12 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cut.toSeq != uncut.toSeq)
   }
 
+  test("batchFuzzySearchStopGramIndexed (artifact-served cut) == inline stop-gram batch") {
+    val inline = FuzzySearch.batchFuzzySearchStopGram(spark, dir, 20, 10L).collect()
+    val served = FuzzySearch.batchFuzzySearchStopGramIndexed(spark, dir, 20, 10L).collect()
+    assert(served.nonEmpty && served.toSeq == inline.toSeq)
+  }
+
   test("transitive canonicalization is a fixpoint and only lowers labels") {
     val once = Dedup.dedupPipeline(spark, dir)
       .select("doc_id", "canonical_id").collect()

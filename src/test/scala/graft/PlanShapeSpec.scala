@@ -168,6 +168,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bloom probe not below the shuffle exchange:\n$p")
   }
 
+  test("served stop-gram batch reads ONLY artifacts: index scan under the bloom, cut broadcast from stats") {
+    val p = fullPlan("fuzzy_batch_stopgram_indexed")
+    // candidate gen reads the posting-index and gram-stats artifacts —
+    // never part.parquet (the corpus appears only in the bounded fetch/
+    // score tail AFTER the 500-cap, which is candidate-sized, not
+    // corpus-join-sized; the cliff lives in candidate gen)
+    assert(p.contains("graft_postings"), p)
+    assert(p.contains("graft_gramdf"), p)
+    assert(p.contains("graft_gramn"), p)
+    // the bloom probe prunes the index scan below the shuffle exchange
+    // (same invariant as fuzzy_batch_indexed), and the df cut joins
+    // broadcast (gram-space-bounded stat, no shuffle side)
+    val probeAt = p.indexOf("might_contain")
+    val exchangeAt = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeAt >= 0 && probeAt > exchangeAt,
+      s"bloom probe not below the shuffle exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("stop-gram df table joins broadcast (gram-space-bounded stat, no shuffle side)") {
     val p = finalPlan("fuzzy_batch_stopgram")
     assert(p.contains("BroadcastHashJoin"), p)
