@@ -29,11 +29,16 @@ object ServingScaleProbe {
 
   /** The indexed serving families of VERDICT r5 "Next #7", plus the
     * artifact-served stop-gram batch — the mitigation the rehearsal's one
-    * finding (fuzzy_batch_indexed's candidate cliff at sf1) calls for. */
+    * finding (fuzzy_batch_indexed's candidate cliff at sf1) calls for —
+    * plus the remaining indexed/serving-twin rows so the sub-linear-read
+    * claim is measured for the WHOLE serving tier, not a sample. */
   val Families: Seq[String] = Seq(
     "fuzzy_batch_indexed", "fuzzy_batch_stopgram_indexed", "text_bm25_batch",
     "dedup_incremental", "dsir_weights_indexed", "ann_int8_topk",
-    "geo_radius_latlng_indexed")
+    "geo_radius_latlng_indexed",
+    "text_bm25_topk", "ann_pq_indexed", "quality_lr_indexed",
+    "corpus_stats_indexed", "corpus_prep_indexed", "fuzzy_indexed",
+    "search_hybrid_ivf")
 
   private def replicate(spark: SparkSession, src: String, k: Int, dest: String): Unit = {
     val reps = spark.range(k).select(col("id").as("rep"))

@@ -58,11 +58,24 @@ import org.apache.spark.sql.functions._
   * full-relation cost is the linear scan+write of the symbols artifact —
   * shuffle and window cost track the BATCH's symbol frequency. This is
   * what makes vocab-scale training tractable: `graft.BpeScale` measures
-  * K=512 merges at sf0.01 (see SCALE.md). On a preemptible cluster,
-  * replace localCheckpoint with reliable `.checkpoint()` (see
-  * bestPairsFrom note).
+  * K=512 merges at sf0.01 (see SCALE.md). On a preemptible cluster, set
+  * `spark.graft.reliableCheckpoint=true` + a durable checkpoint dir and
+  * every lineage cut switches to reliable `.checkpoint()` (lineageCut).
   */
 object BpeTrainer {
+
+  /** Per-round lineage cut. `localCheckpoint` (executor block storage) by
+    * default — cheapest, and correct wherever executors are stable. Set
+    * `spark.graft.reliableCheckpoint=true` (with
+    * `sparkContext.setCheckpointDir` pointed at durable storage) to switch
+    * every cut to reliable `.checkpoint()`, so a preempted executor cannot
+    * kill a multi-hour training run by taking a round's only copy of the
+    * symbol relation with it. The plan shape downstream is identical either
+    * way (both are materialized leaves); BpeSpec pins result parity. */
+  private[graft] def lineageCut(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.reliableCheckpoint")
+          .contains("true")) df.checkpoint(true)
+    else df.localCheckpoint(true)
 
   /** Total merge budget of the gate training. */
   val BpeMerges = 64
@@ -151,13 +164,11 @@ object BpeTrainer {
     // ~3x per pass (3^P subtree copies) — over the raw window plan that
     // is a combinatorial Catalyst tree (the dedup_transitive lesson);
     // over a checkpointed <=window-row leaf it is 3^P leaf refs, trivial.
-    // NOTE localCheckpoint stores blocks on executors — on a preemptible
-    // real cluster use spark.sparkContext.setCheckpointDir + .checkpoint()
-    // (reliable storage) instead; the plan shape is unchanged.
-    val win = pc
+    // Durability is lineageCut's concern: local blocks by default,
+    // reliable .checkpoint() under spark.graft.reliableCheckpoint=true.
+    val win = lineageCut(pc
       .orderBy(col("c").desc, col("a"), col("b")).limit(window)
-      .withColumn("rank", row_number().over(rankW))
-      .localCheckpoint(true)
+      .withColumn("rank", row_number().over(rankW)))
     // iterated peeling (see BpeSelPasses): every pass's survivors are
     // greedy-kept and pairwise disjoint; conflicts with survivors leave
     // the pool before the next pass
@@ -394,7 +405,7 @@ object BpeTrainer {
         // per-round lineage cut — the in-plan fold otherwise re-derives
         // s_{t-1} for every consumer (2^t tree growth; the gate path
         // materializes to parquet instead)
-        (ms :+ tagged, applyMerges(s, bs).localCheckpoint(true))
+        (ms :+ tagged, lineageCut(applyMerges(s, bs)))
     }
     (merges.reduce(_ union _).orderBy(col("iter")), sK)
   }

@@ -377,6 +377,20 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(syms(batched).nonEmpty && syms(batched) == syms(sequential))
   }
 
+  test("BPE under reliable checkpoint == local lineage cuts (preemptible-cluster mode)") {
+    import spark.implicits._
+    import graft.operators.BpeTrainer
+    val docs = Seq((0L, "ab ab ab bc bc de de xy xy")).toDF("doc_id", "text")
+    val local = BpeTrainer.trainOver(docs, rounds = 2, m = 2)._1.collect().toSeq
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("bpe_ckpt").toString)
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      val reliable = BpeTrainer.trainOver(docs, rounds = 2, m = 2)._1.collect().toSeq
+      assert(reliable.nonEmpty && reliable == local)
+    } finally spark.conf.unset("spark.graft.reliableCheckpoint")
+  }
+
   test("BPE delta pair counts equal a full recount after every round") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
