@@ -378,18 +378,24 @@ object FuzzySearch {
 
   /** The index-probing batch pipeline over an ARBITRARY query table
     * (`qid`, `clean_q`) — the core that `batchFuzzySearchIndexed` (fixed
-    * derived query table) and `StreamOps.fuzzyStream` (per-micro-batch
-    * query table) both run. `postings` is the materialized index relation;
-    * `c` the corpus for the fetch/score tail. */
+    * derived query table), `batchFuzzySearchStopGramIndexed` (same plus
+    * the broadcast allowed-gram cut) and the `StreamOps` fuzzy faces
+    * (per-micro-batch query table) all run. `postings` is the
+    * materialized index relation; `c` the corpus for the fetch/score
+    * tail; `allowed` an optional broadcast-sized allowed-gram set — when
+    * present, grams outside it never leave the index scan stage (the
+    * stop-gram cut). */
   def batchFuzzySearchOver(queries: DataFrame, postings: DataFrame, c: DataFrame,
-                           numResults: Int, cap: Int = DefaultCap): DataFrame = {
+                           numResults: Int, cap: Int = DefaultCap,
+                           allowed: Option[DataFrame] = None): DataFrame = {
     import graft.functions.SketchFunctions._
     val qGrams = queries.select(col("qid"),
       explode(charNgramSet(col("clean_q"), 3)).as("ngram"))
     val gramBloom = qGrams.agg(
       bloomFilterAgg(xxhash64(col("ngram")), IndexBloomEstItems, IndexBloomNumBits).as("bf"))
-    val hits = postings
+    val indexSide = postings
       .filter(mightContain(gramBloom.scalar(), xxhash64(col("ngram"))))
+    val hits = allowed.fold(indexSide)(a => indexSide.join(broadcast(a), "ngram"))
       .join(qGrams, "ngram")
       .groupBy(col("qid"), col("id")).agg(count(lit(1)).as("ngram_hits"))
     val capW = org.apache.spark.sql.expressions.Window
@@ -517,31 +523,25 @@ object FuzzySearch {
   def batchFuzzySearchStopGramIndexed(spark: SparkSession, dir: String,
                                       numResults: Int, dfCapInverse: Long,
                                       cap: Int = DefaultCap): DataFrame = {
-    import graft.functions.SketchFunctions._
     val c = corpus(spark, dir)
     val path = ensurePostingsIndex(spark, dir, c)
+    batchFuzzySearchOver(batchQueries(c), spark.read.parquet(path), c,
+      numResults, cap, Some(allowedGramsIndexed(spark, dir, c, dfCapInverse)))
+  }
+
+  /** The artifact-served allowed-gram set of the df·inv ≤ n cut: folds
+    * the additive `graft_gramdf`/`graft_gramn` stats (ensured on first
+    * call) — gram-space-bounded, so always broadcast-sized. Shared by the
+    * batch operator and the streaming face. */
+  def allowedGramsIndexed(spark: SparkSession, dir: String, c: DataFrame,
+                          dfCapInverse: Long): DataFrame = {
     val (dp, np) = ensureGramStats(spark, dir, c)
     val dfRel = spark.read.parquet(dp).groupBy(col("ngram"))
       .agg(sum(col("df")).as("df"))
     val nRel = spark.read.parquet(np).agg(sum(col("n")).as("n"))
-    val allowed = dfRel.crossJoin(broadcast(nRel))
+    dfRel.crossJoin(broadcast(nRel))
       .filter(col("df") * dfCapInverse <= col("n"))
       .select(col("ngram"))
-    val queries = batchQueries(c)
-    val qGrams = queries.select(col("qid"),
-      explode(charNgramSet(col("clean_q"), 3)).as("ngram"))
-    val gramBloom = qGrams.agg(
-      bloomFilterAgg(xxhash64(col("ngram")), IndexBloomEstItems, IndexBloomNumBits).as("bf"))
-    val hits = spark.read.parquet(path)
-      .filter(mightContain(gramBloom.scalar(), xxhash64(col("ngram"))))
-      .join(broadcast(allowed), "ngram")
-      .join(qGrams, "ngram")
-      .groupBy(col("qid"), col("id")).agg(count(lit(1)).as("ngram_hits"))
-    val capW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("ngram_hits").desc, col("id"))
-    val capped = hits.withColumn("crn", row_number().over(capW))
-      .filter(col("crn") <= math.max(numResults, cap)).drop("crn")
-    scoreBatch(capped, c, queries, numResults)
   }
 
   /** Shared scoring tail of the two batch spellings. */

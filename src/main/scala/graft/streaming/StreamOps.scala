@@ -102,6 +102,30 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming face of the SERVED stop-gram cut
+    * (`FuzzySearch.batchFuzzySearchStopGramIndexed`) — the deployment
+    * plan for low-entropy corpora, where the uncut stream would pay the
+    * candidate cliff on every micro-batch (SCALE.md, sf1 rehearsal).
+    * Identical per-micro-batch plan: bloom-pruned index probe with the
+    * broadcast allowed-gram set joined inside the scan stage. `allowed`
+    * is BY-NAME like `postings`/`corpus`: re-evaluated each micro-batch,
+    * so gram-stats appends (appendToGramStats) are picked up on the next
+    * batch without restarting the query. Exact under any request
+    * chunking for the same reason fuzzyStream is (a query's result
+    * depends only on its own row); StreamingSpec pins stream-total ==
+    * the batch operator on the same query set split across batches. */
+  def fuzzyStopgramStream(queries: DataFrame, postings: => DataFrame,
+                          allowed: => DataFrame, corpus: => DataFrame,
+                          numResults: Int,
+                          cap: Int = graft.operators.FuzzySearch.DefaultCap)
+                         (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.FuzzySearch.batchFuzzySearchOver(
+          batch, postings, corpus, numResults, cap, Some(allowed)), batchId)
+      }
+      .start()
+
   // -------------------------------------------- streaming radius search
 
   /** Streaming face of the radius flagship: a STREAM of probes

@@ -299,6 +299,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       want.sortBy(_.mkString("|")).toList)
   }
 
+  test("streaming stop-gram fuzzy search matches the served batch cut on the same query set") {
+    import graft.operators.FuzzySearch
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val c = FuzzySearch.corpus(spark, dir)
+    val queries = FuzzySearch.batchQueries(c).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(queries.length >= 2, "query table too small to split across batches")
+    val postings = spark.read.parquet(FuzzySearch.ensurePostingsIndex(spark, dir, c))
+    val allowed = FuzzySearch.allowedGramsIndexed(spark, dir, c, 10L)
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("qid", "clean_q")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = StreamOps.fuzzyStopgramStream(sdf, postings, allowed, c, numResults = 20) {
+      (out, _) => buf ++= out.collect().map(_.toSeq)
+    }
+    try {
+      val (a, b) = queries.splitAt(queries.length / 2)
+      stream.addData(a.toSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = FuzzySearch.batchFuzzySearchStopGramIndexed(spark, dir, 20, 10L)
+      .collect().map(_.toSeq)
+    assert(buf.nonEmpty && buf.sortBy(_.mkString("|")).toList ==
+      want.sortBy(_.mkString("|")).toList)
+  }
+
   test("streaming ingest dedup screen matches the batch incremental screen") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.col
