@@ -118,6 +118,9 @@ object SparkEntry {
     // artifacts replace every corpus-sized derivation (the sf1 rehearsal's
     // answer to the indexed batch candidate cliff) — shares stopgram's oracle
     "fuzzy_batch_stopgram_indexed" -> ((s, d) => FuzzySearch.batchFuzzySearchStopGramIndexed(s, d, P.FuzzyK, P.StopGramInv)),
+    // admission control: predict the batch join's EXACT candidate volume
+    // from the broadcast gram-stats artifact before paying the join
+    "fuzzy_batch_cost" -> ((s, d) => FuzzySearch.batchCandidateCost(s, d)),
     // digits-only query TABLE over the zip corpus: the postal scoring
     // branch exercised in the batch serving shape (runtime per-row branch)
     "fuzzy_batch_postal" -> ((s, d) => FuzzySearch.batchFuzzySearchZip(s, d, P.PostalK)),
@@ -448,6 +451,7 @@ object SparkEntry {
       dfCapInverse = Some(P.StopGramInv)),
     "fuzzy_batch_stopgram_indexed" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK,
       dfCapInverse = Some(P.StopGramInv)),
+    "fuzzy_batch_cost" -> FuzzySearch.batchCandidateCostOracle,
     "fuzzy_batch_postal" -> FuzzySearch.batchFuzzySearchZipOracle(P.PostalK),
     "geo_knn_batch" -> RadiusSearch.knnBatchOracle(P.RadiusMiles, 5),
     "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),

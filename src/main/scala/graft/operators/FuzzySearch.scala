@@ -544,6 +544,49 @@ object FuzzySearch {
       .select(col("ngram"))
   }
 
+  /** Candidate-volume PREDICTION for the batch join — the
+    * admission-control face of SCALE.md's cost model: candidate rows =
+    * Σ_g qcount(g)·df(g), with qcount from one narrow pass over the query
+    * batch and df folded from the broadcast gram-stats artifact. The sum
+    * is not a heuristic — it EQUALS the row count the candidate join
+    * would emit (OperatorParitySpec pins equality against the actual join
+    * at sf0.001), but costs a join of two gram-space-bounded relations
+    * instead of the join itself. A serving tier runs this to decide
+    * between the uncut and stop-gram plans BEFORE paying the cliff
+    * (sf1 rehearsal: 245 M rows ≈ 80 s vs a sub-second prediction). */
+  def batchCandidateCost(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val (dp, _) = ensureGramStats(spark, dir, c)
+    val dfRel = spark.read.parquet(dp).groupBy(col("ngram"))
+      .agg(sum(col("df")).as("df"))
+    val queries = batchQueries(c)
+    val qc = queries.select(col("qid"),
+        explode(charNgramSet(col("clean_q"), 3)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("qcount"))
+    qc.join(broadcast(dfRel), "ngram")
+      .agg(coalesce(sum(col("qcount") * col("df")), lit(0L))
+        .cast("long").as("candidate_rows"))
+      .crossJoin(broadcast(
+        queries.agg(count(lit(1)).cast("long").as("n_queries"))))
+  }
+
+  /** DuckDB twin of batchCandidateCost (same derivations, same BIGINT
+    * output types). */
+  val batchCandidateCostOracle: String =
+    s"""WITH corpus AS ($corpusCte),
+       |q AS (SELECT id AS qid,
+       |             ${OracleSql.clean("(substr(value, 1, 3) || substr(value, 5))")} AS clean_q
+       |      FROM corpus WHERE id % $BatchQueryMod = 0),
+       |qg AS (SELECT g AS ngram, count(*) AS qcount
+       |       FROM (SELECT qid, unnest(${OracleSql.trigramSet("clean_q")}) AS g FROM q)
+       |       GROUP BY g),
+       |dfr AS (SELECT g AS ngram, count(*) AS df
+       |        FROM (SELECT unnest(${OracleSql.trigrams("clean_value")}) AS g FROM corpus)
+       |        GROUP BY g)
+       |SELECT coalesce(sum(qg.qcount * dfr.df), 0)::BIGINT AS candidate_rows,
+       |       (SELECT count(*) FROM q)::BIGINT AS n_queries
+       |FROM qg JOIN dfr USING (ngram)""".stripMargin
+
   /** Shared scoring tail of the two batch spellings. */
   private def scoreBatch(capped: DataFrame, c: DataFrame, queries: DataFrame,
                          numResults: Int): DataFrame = {

@@ -53,6 +53,19 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cut.toSeq != uncut.toSeq)
   }
 
+  test("batchCandidateCost predicts the candidate join's EXACT output row count") {
+    import org.apache.spark.sql.functions._
+    val c = FuzzySearch.corpus(spark, dir)
+    val postings = graft.operators.NgramIndex.postingPairsMulti(c)
+    val qGrams = FuzzySearch.batchQueries(c).select(col("qid"),
+      explode(graft.functions.TextFunctions.charNgramSet(col("clean_q"), 3)).as("ngram"))
+    val actual = postings.join(qGrams, "ngram").count()
+    val predicted = FuzzySearch.batchCandidateCost(spark, dir)
+      .collect().head.getLong(0)
+    assert(predicted > 0 && predicted == actual,
+      s"predicted $predicted != actual join output $actual")
+  }
+
   test("batchFuzzySearchStopGramIndexed (artifact-served cut) == inline stop-gram batch") {
     val inline = FuzzySearch.batchFuzzySearchStopGram(spark, dir, 20, 10L).collect()
     val served = FuzzySearch.batchFuzzySearchStopGramIndexed(spark, dir, 20, 10L).collect()
