@@ -344,6 +344,9 @@ object SparkEntry {
     // deterministic training shuffle, shard-then-local-order (parallel
     // per-shard windows — no single-partition global row_number)
     "corpus_shuffle" -> ((s, d) => Pipeline.corpusShuffle(s, d)),
+    // maximal shuffle-order prefix within a token budget (distributed
+    // prefix-sum: bounded shard-offset broadcast + per-shard windows)
+    "corpus_take_budget" -> ((s, d) => Pipeline.corpusTakeBudget(s, d)),
     // shard-partitioned materialization + single-shard pruned read (the
     // training-reader path: scan touches 1/NumShards of the files)
     "corpus_shuffle_read" -> ((s, d) => Pipeline.corpusShuffleRead(s, d)),
@@ -441,6 +444,7 @@ object SparkEntry {
     "doc_pack" -> Pipeline.docPackOracle,
     "doc_chunks" -> Pipeline.docChunksOracle,
     "corpus_shuffle" -> Pipeline.corpusShuffleOracle,
+    "corpus_take_budget" -> Pipeline.corpusTakeBudgetOracle,
     "corpus_shuffle_read" -> Pipeline.corpusShuffleReadOracle,
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = true),
     "geo_radius_batch" -> RadiusSearch.radiusSearchBatchOracle(P.RadiusMiles),

@@ -446,6 +446,75 @@ object Pipeline {
        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** Token budget of `corpusTakeBudget`, as a permille of the corpus's
+    * total tokens — scale-free, so the cut lands mid-corpus at every SF
+    * (an absolute budget would be vacuous or total at the wrong SF). */
+  val TokenBudgetPermille = 600L
+
+  /** Token-budget corpus cut: the maximal PREFIX of the deterministic
+    * shuffle order (corpusShuffle's (shard, h, doc_id) permutation) whose
+    * running token total fits the budget — "give me the first 600B tokens
+    * of the shuffled mix", the final sizing step of a training-data
+    * assembly. The global running sum is the classic distributed
+    * prefix-sum, spelled so NO single-partition window exists at any
+    * corpus size:
+    *  1. per-shard token sums — one hash aggregate, [[NumShards]] rows;
+    *  2. each shard's OFFSET (sum of all earlier shards) — a window over
+    *     that bounded relation (the DSIR bounded-window precedent), then
+    *     broadcast;
+    *  3. the budget — permille of the same bounded relation's total,
+    *     exact integer `div`;
+    *  4. per-shard running sums — windows partitioned BY SHARD, which
+    *     parallelize; global running = offset + local running.
+    * One corpus exchange (the shard hash), bounded broadcasts for
+    * everything global. Production note: NumShards scales with the corpus
+    * (fixed shard SIZE), so per-shard windows stay bounded too. */
+  def corpusTakeBudget(spark: SparkSession, dir: String): DataFrame = {
+    val h = polyHash(concat(lit(ShuffleSalt), col("doc_id").cast("string")))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"),
+        size(graft.functions.TextFunctions.tokens(lower(col("text"))))
+          .cast("long").as("n_tok"))
+      .withColumn("shard", pmod(col("h"), lit(NumShards.toLong)))
+    val shardSums = base.groupBy(col("shard")).agg(sum(col("n_tok")).as("st"))
+    val offW = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = shardSums
+      .withColumn("off", coalesce(sum(col("st")).over(offW), lit(0L)))
+      .select(col("shard"), col("off"))
+    val budget = shardSums.agg(sum(col("st")).as("tot"))
+      .select(expr(s"(tot * $TokenBudgetPermille) div 1000").as("budget"))
+    val runW = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(offsets), "shard")
+      .crossJoin(broadcast(budget))
+      .withColumn("run_tok", col("off") + sum(col("n_tok")).over(runW))
+      .filter(col("run_tok") <= col("budget"))
+      .select(col("shard"), col("doc_id"), col("n_tok"), col("run_tok"))
+      .orderBy(col("shard"), col("run_tok"), col("doc_id"))
+  }
+
+  /** DuckDB twin: single-node, so the global cumulative sum is one window
+    * over the full (shard, h, doc_id) order — semantically identical to
+    * offset + per-shard running. Sum-derived outputs cast ::BIGINT (the
+    * HUGEINT parity rule). */
+  def corpusTakeBudgetOracle: String = {
+    val h = OracleSql.polyHash(s"('$ShuffleSalt' || doc_id::VARCHAR)")
+    val toks = OracleSql.tokens("lower(text)")
+    s"""WITH t AS (SELECT doc_id, ($h) AS h, ($h) % $NumShards AS shard,
+       |                  len($toks)::BIGINT AS n_tok
+       |           FROM documents),
+       |b AS (SELECT (sum(n_tok) * $TokenBudgetPermille) // 1000 AS budget FROM t),
+       |r AS (SELECT shard, doc_id, n_tok,
+       |             sum(n_tok) OVER (ORDER BY shard, h, doc_id
+       |                              ROWS UNBOUNDED PRECEDING)::BIGINT AS run_tok
+       |      FROM t)
+       |SELECT shard, doc_id, n_tok, run_tok
+       |FROM r CROSS JOIN b WHERE run_tok <= budget
+       |ORDER BY shard, run_tok, doc_id""".stripMargin
+  }
+
   val ShardProbe = 3L
 
   /** The training-reader side of `corpusShuffle`: the permutation is

@@ -170,6 +170,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(manifest.values.sum == Tables.documents(spark, dir).count())
   }
 
+  test("token-budget cut is the MAXIMAL prefix of the shuffle order") {
+    import graft.operators.Pipeline
+    val docs = Tables.documents(spark, dir)
+    val total = docs.select(
+      sum(size(graft.functions.TextFunctions.tokens(lower(col("text")))).cast("long")))
+      .collect().head.getLong(0)
+    val budget = total * Pipeline.TokenBudgetPermille / 1000
+    val kept = Pipeline.corpusTakeBudget(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // non-vacuous at both ends: a real cut, not empty and not everything
+    assert(kept.nonEmpty && kept.length < docs.count())
+    // within budget, and the running column is the true cumulative sum
+    val last = kept.map(_._4).max
+    assert(last <= budget, s"run $last > budget $budget")
+    assert(kept.map(_._3).sum == last, "run_tok drifts from the token sum")
+    // MAXIMAL: the first excluded doc in shuffle order would break the
+    // budget (recompose the global order independently of the operator)
+    val keptIds = kept.map(_._2).toSet
+    val ordered = Pipeline.corpusShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val firstOut = ordered.find(t => !keptIds.contains(t._3))
+    firstOut.foreach { case (_, _, id) =>
+      val tok = docs.filter(col("doc_id") === id)
+        .select(size(graft.functions.TextFunctions.tokens(lower(col("text")))).cast("long"))
+        .collect().head.getLong(0)
+      assert(last + tok > budget,
+        s"doc $id (tok=$tok) was excluded but fits: $last + $tok <= $budget")
+      // and everything after the cut point is excluded too (prefix shape)
+      val cutIdx = ordered.indexWhere(_._3 == id)
+      assert(ordered.drop(cutIdx).forall(t => !keptIds.contains(t._3)),
+        "kept docs appear after the first excluded doc — not a prefix")
+    }
+  }
+
   test("contamination fraction agrees with the boolean screen, graded strictly") {
     import graft.operators.CorpusPrep
     val frac = CorpusPrep.contaminationFrac(spark, dir).collect()
