@@ -41,10 +41,15 @@ object ServingScaleProbe {
     "search_hybrid_ivf")
 
   private def replicate(spark: SparkSession, src: String, k: Int, dest: String): Unit = {
+    // dest == src would overwrite the source tables mid-read; the id-space
+    // shift must also survive non-long id columns and empty tables (max of
+    // an empty relation is null → coalesce to 0).
+    require(src != dest, s"replicate: dest must differ from src ($src)")
     val reps = spark.range(k).select(col("id").as("rep"))
     def rep(table: String, idCol: String): Unit = {
       val t = spark.read.parquet(s"$src/$table.parquet")
-      val maxId = t.agg(max(col(idCol))).head().getLong(0) + 1L
+      val maxId = t.agg(coalesce(max(col(idCol).cast("long")), lit(-1L)))
+        .head().getLong(0) + 1L
       t.crossJoin(reps)
         .withColumn(idCol, col(idCol) + col("rep") * maxId)
         .drop("rep")

@@ -136,9 +136,12 @@ object BpeTrainer {
     * words, and a word's adjacent pairs depend on that word alone, so
     *   pc_t = pc_{t-1} − pairs(touched words before) + pairs(after).
     * Exact integer arithmetic; entries folding to 0 drop out (a vanished
-    * pair must not linger rankable at c=0). The two pair scans window
-    * over TOUCHED rows only — this is what frees a round's shuffle cost
-    * from the full symbol relation (OperatorParitySpec pins
+    * pair must not linger rankable at c=0), and a NEGATIVE residual fails
+    * loudly — it can only mean the delta maintenance itself is broken
+    * (subtracting pairs that were never counted), and silently dropping it
+    * would mask the bug as a legitimately vanished pair. The two pair
+    * scans window over TOUCHED rows only — this is what frees a round's
+    * shuffle cost from the full symbol relation (OperatorParitySpec pins
     * delta == full recount). */
   private[graft] def pairDelta(pc: DataFrame, oldTouched: DataFrame,
                                newTouched: DataFrame): DataFrame =
@@ -149,6 +152,11 @@ object BpeTrainer {
       .select(col("a"), col("b"),
         (coalesce(col("c"), lit(0L)) - coalesce(col("cb"), lit(0L))
           + coalesce(col("ca"), lit(0L))).as("c"))
+      .select(col("a"), col("b"),
+        when(col("c") < 0L, raise_error(concat(
+            lit("pairDelta invariant violated: negative pair count for ("),
+            col("a"), lit(","), col("b"), lit(") = "), col("c"))))
+          .otherwise(col("c")).as("c"))
       .filter(col("c") > 0L)
 
   /** The round's merge batch from a PAIR-COUNT relation: total-ordered

@@ -475,6 +475,74 @@ object Dedup {
 
   val MinhashRecallThreshold = 0.5
 
+  /** Count-join row budget for minhashRecall's exact-truth side: below it
+    * the Σdf² posting self-join is the cheapest exact spelling (df ≈ 1
+    * corpora); above it the PPJoin prefix spelling wins because its
+    * candidate join excludes hot shingles. See the measured-crossover
+    * comment in [[minhashRecall]]. */
+  val RecallCandJoinBudget: Long = 8L * 1000 * 1000
+
+  /** Exact truth pairs, count-join spelling: shared shingles per pair =
+    * count of equi-join matches (map-side-combinable group-by), so no
+    * shingle ARRAY ever enters a shuffle and no per-pair array
+    * intersection runs (the array-carrying spelling was 17s at sf0.1;
+    * this is the same result from counting). Join output is Σ df² over
+    * shingles — the dispatch in [[minhashRecall]] only picks this
+    * spelling when that sum is predicted small. */
+  private[graft] def recallTruthCountJoin(ds: DataFrame, ex: DataFrame): DataFrame = {
+    val exR = ex.repartition(col("s"))
+    val pairsIa = exR.as("a").join(exR.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ia"))
+    val sizes = ds.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    pairsIa
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("ia").cast("double") /
+        (col("na") + col("nb") - col("ia")).cast("double") >= MinhashRecallThreshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact truth pairs, PPJoin rarest-prefix spelling — the same filter
+    * dedup_jaccard spells (jaccardPairs): any pair with Jaccard >= t must
+    * share one of each side's (n - ceil(t*n) + 1) globally-rarest
+    * shingles, so the candidate self-join runs on rare postings only —
+    * Σ df(prefix-shingle)² instead of Σ df², and a corpus-hot shingle
+    * (ranked LAST in every doc's df-order) never reaches a prefix, so the
+    * df² cliff cannot materialize. The exact array_intersect verify
+    * defines the result, making this provably identical to the count-join
+    * spelling (DedupSpec pins equality); arrays cross the verify shuffle,
+    * but only |candidates| rows of them. */
+  private[graft] def recallTruthPrefixFilter(ds: DataFrame, ex: DataFrame): DataFrame = {
+    // Shingle document frequency: corpus-sized key space (unlike the ≤37³
+    // trigram alphabet), so this join shuffles instead of broadcasting.
+    val sdf = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = ex.join(sdf, "s")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .withColumn("setsize", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // -1e-9 slop as in jaccardPairs: under-rounding only lengthens the
+      // prefix (recall-safe); over-rounding would drop true pairs.
+      .withColumn("prefix_len", col("setsize") -
+        ceil(lit(MinhashRecallThreshold) * col("setsize") - 1e-9) + 1)
+    val prefixes = ranked.filter(col("rank") <= col("prefix_len"))
+      .select(col("doc_id"), col("s"))
+      .repartition(col("s"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("ia", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("ia").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("ia")).cast("double") >=
+          MinhashRecallThreshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** Measured quality of the minhash/LSH near-dup detector — the dedup
     * analogue of ann_ivf_recall's "measure, don't guess": ground truth is
     * the EXACT shingle-set Jaccard (computed only over pairs sharing at
@@ -493,27 +561,26 @@ object Dedup {
       lower(col("text")), ShingleWords)
     val ds = Tables.documents(spark, dir)
       .select(col("doc_id"), sh.as("sh")).filter(size(col("sh")) > 0)
-    // Exact intersection sizes come FROM the equi-join itself: shared
-    // shingles per pair = count of join matches (map-side-combinable
-    // group-by), so no shingle ARRAY ever enters a shuffle and no
-    // per-pair array intersection runs (the array-carrying spelling was
-    // 17s at sf0.1; this is the same result from counting). Join output
-    // is Σ df² over shingles — fine while no shingle is corpus-hot; a
-    // Zipf-hot corpus escalates to the PPJoin prefix filter exactly as
-    // dedup_jaccard spells it (rarest-prefix candidates, then count).
+    // Exact-truth side with ADMISSION CONTROL (the fuzzy_batch_cost
+    // pattern): the count-join's output is exactly Σ_s df(s)² − Σ_s df(s)
+    // (over 2) rows — predicted here from the gram-df aggregate (one
+    // narrow pass, ≤ |postings| rows) BEFORE paying the join. Benign
+    // corpora (df mostly 1, as the sf0.1 documents measure: Σdf² ≈ 2.5 M
+    // over 260 k postings) keep the cheap count-join; a Zipf-hot shingle
+    // escalates to the PPJoin rarest-prefix spelling, whose candidate
+    // join excludes hot shingles from every doc's prefix. Both spellings
+    // are EXACT (verification defines the result — DedupSpec pins their
+    // equality), so the dispatch can never change the answer, only the
+    // plan. Measured crossover at sf0.1 local[32]: count-join ≈ 1.5 µs ×
+    // Σdf² rows; prefix path ≈ 10 s flat (df join + two windows + array
+    // verify of the ~0.4 M surviving candidates) → escalate near 8 M.
     val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
-      .repartition(col("s"))
-    val pairsIa = ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("ia"))
-    val sizes = ds.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-    val truth = pairsIa
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .filter(col("ia").cast("double") /
-        (col("na") + col("nb") - col("ia")).cast("double") >= MinhashRecallThreshold)
-      .select(col("doc_a"), col("doc_b"))
+    val predicted = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df") * (col("df") - 1L)), lit(0L)))
+      .head().getLong(0) / 2L
+    val truth =
+      (if (predicted <= RecallCandJoinBudget) recallTruthCountJoin(ds, ex)
+       else recallTruthPrefixFilter(ds, ex))
     val pred = minhashPairs(spark, dir)
       .filter(col("est_jaccard") >= MinhashRecallThreshold)
       .select(col("doc_a").as("p_a"), col("doc_b").as("p_b"))

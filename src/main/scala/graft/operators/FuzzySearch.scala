@@ -534,8 +534,8 @@ object FuzzySearch {
     * call) — gram-space-bounded, so always broadcast-sized. Shared by the
     * batch operator and the streaming face. */
   def allowedGramsIndexed(spark: SparkSession, dir: String, c: DataFrame,
-                          dfCapInverse: Long): DataFrame = {
-    val (dp, np) = ensureGramStats(spark, dir, c)
+                          dfCapInverse: Long, version: Int = 1): DataFrame = {
+    val (dp, np) = ensureGramStats(spark, dir, c, version)
     val dfRel = spark.read.parquet(dp).groupBy(col("ngram"))
       .agg(sum(col("df")).as("df"))
     val nRel = spark.read.parquet(np).agg(sum(col("n")).as("n"))

@@ -447,6 +447,75 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fin == Seq("aaaa"), fin.toString)
   }
 
+  test("minhash-recall truth: prefix-filter == count-join; admission prediction exact") {
+    import org.apache.spark.sql.functions._
+    val sh = graft.functions.MinHashSignature.shingleHashes(
+      lower(col("text")), Dedup.ShingleWords)
+    val ds = Tables.documents(spark, dir)
+      .select(col("doc_id"), sh.as("sh")).filter(size(col("sh")) > 0)
+    val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaCount = pairs(Dedup.recallTruthCountJoin(ds, ex))
+    val viaPrefix = pairs(Dedup.recallTruthPrefixFilter(ds, ex))
+    assert(viaCount.nonEmpty && viaPrefix == viaCount)
+    // The dispatch's Σ df(df−1)/2 prediction is EXACT: it equals the
+    // count-join's pre-aggregation output row count (one row per
+    // (pair, shared shingle)).
+    val predicted = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df") * (col("df") - 1L)), lit(0L)))
+      .head().getLong(0) / 2L
+    val actual = ex.as("x").join(ex.as("y"),
+      col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id")).count()
+    assert(predicted == actual, s"predicted $predicted != actual $actual")
+  }
+
+  test("minhash-recall truth spellings agree on a Zipf-hot corpus, and the prefix join shrinks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 60 docs all sharing one corpus-hot shingle ("alpha beta gamma") with
+    // unique tails, plus 4 genuine near-dup pairs that must survive both
+    // spellings. The hot shingle ranks LAST in every doc's df-order, so
+    // the prefix join must emit far fewer rows than the Σdf² count-join.
+    val hot = (1 to 60).map(i =>
+      (i.toLong, s"alpha beta gamma tail$i word$i extra$i more$i"))
+    val dups = (1 to 4).flatMap(i => Seq(
+      (100L + i, s"the quick brown fox jumps over dog number $i variant one"),
+      (200L + i, s"the quick brown fox jumps over dog number $i variant two")))
+    val docs = (hot ++ dups).toDF("doc_id", "text")
+    val sh = graft.functions.MinHashSignature.shingleHashes(
+      lower(col("text")), Dedup.ShingleWords)
+    val ds = docs.select(col("doc_id"), sh.as("sh")).filter(size(col("sh")) > 0)
+    val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaCount = pairs(Dedup.recallTruthCountJoin(ds, ex))
+    val viaPrefix = pairs(Dedup.recallTruthPrefixFilter(ds, ex))
+    assert(viaPrefix == viaCount)
+    assert((1 to 4).forall(i => viaCount.contains((100L + i, 200L + i))),
+      s"near-dup pairs missing from truth: $viaCount")
+    // the escalation bites: count-join candidate rows >= C(60,2) from the
+    // hot shingle alone; the prefix join excludes it
+    val countRows = ex.as("x").join(ex.as("y"),
+      col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id")).count()
+    val sdf = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val rankedPrefix = ex.join(sdf, "s")
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("s"))))
+      .withColumn("setsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .withColumn("prefix_len", col("setsize") -
+        ceil(lit(Dedup.MinhashRecallThreshold) * col("setsize") - 1e-9) + 1)
+      .filter(col("rank") <= col("prefix_len"))
+      .select(col("doc_id"), col("s"))
+    val prefixRows = rankedPrefix.as("x").join(rankedPrefix.as("y"),
+      col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id")).count()
+    assert(countRows >= 60L * 59 / 2, s"hot shingle did not go hot: $countRows")
+    assert(prefixRows * 4 < countRows,
+      s"prefix join ($prefixRows rows) should be far below count join ($countRows)")
+  }
+
   test("trained quality classifier beats the base rate on the teacher labels") {
     val rows = graft.operators.QualityModel.lrScore(spark, dir).collect()
     val n = rows.length.toDouble

@@ -2,7 +2,7 @@ package graft
 
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.{Event, SessionOut}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -327,6 +327,75 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq)
     assert(buf.nonEmpty && buf.sortBy(_.mkString("|")).toList ==
       want.sortBy(_.mkString("|")).toList)
+  }
+
+  test("stop-gram stream picks up gram-stats appends on the next micro-batch") {
+    // The by-name `allowed` claim (StreamOps.fuzzyStopgramStream doc):
+    // appendToGramStats between micro-batches must change the NEXT batch's
+    // results without restarting the query. Exercised for real here — the
+    // thunk re-folds the artifact each micro-batch, stats start at the
+    // base slice, and the append lands mid-stream.
+    import graft.operators.FuzzySearch
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val Ver = 911 // isolated artifact version for this test
+    val c = FuzzySearch.corpus(spark, dir)
+    val base = c.filter(pmod(col("id"), lit(7)) =!= 0)
+    val batch = c.filter(pmod(col("id"), lit(7)) === 0)
+    val postings = spark.read.parquet(FuzzySearch.ensurePostingsIndex(spark, dir, c))
+    def expect(qs: Seq[(Long, String)], allowed: DataFrame): List[Seq[Any]] =
+      FuzzySearch.batchFuzzySearchOver(qs.toDF("qid", "clean_q"), postings, c,
+          20, FuzzySearch.DefaultCap, Some(allowed))
+        .collect().map(_.toSeq).toList.sortBy(_.mkString("|"))
+    // Inline folds of the two stats states (additivity makes the appended
+    // artifact fold equal the full-corpus fold, IncrementalIndexSpec).
+    def allowedOf(rel: DataFrame, inv: Long): DataFrame = {
+      val n = rel.count()
+      FuzzySearch.gramDf(rel).filter(col("df") * inv <= n).select(col("ngram"))
+    }
+    def allowedSet(rel: DataFrame, inv: Long): Set[String] =
+      allowedOf(rel, inv).collect().map(_.getString(0)).toSet
+    // Real query texts rarely flip results under the cut (top-k is robust),
+    // so probe with queries that ARE a single flipped gram — one whose
+    // allowed-status changes with the append, in EITHER direction (df can
+    // outgrow the cap, or n can outgrow a constant df). Such a query can
+    // only reach candidates through itself, so pickup is directly
+    // observable in its results.
+    val pick = Seq(2L, 3L, 5L, 10L, 20L, 50L, 200L).iterator.map { i =>
+      val (ab, af) = (allowedSet(base, i), allowedSet(c, i))
+      val flipped = ((ab diff af) union (af diff ab))
+        .filter(_.matches("[a-z0-9]{3}")).toSeq.sorted
+      (i, flipped)
+    }.find(_._2.nonEmpty)
+    assert(pick.nonEmpty, "no df cap flips a gram's allowed-status on append")
+    val (inv, flipped) = pick.get
+    val texts = flipped.take(3)
+    val qa = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+    val qb = texts.zipWithIndex.map { case (t, i) => ((i + 101).toLong, t) }
+    assert(expect(qb, allowedOf(base, inv)) != expect(qb, allowedOf(c, inv)),
+      "probe queries must observe the stats change")
+    FuzzySearch.ensureGramStats(spark, dir, base, version = Ver)
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("qid", "clean_q")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = StreamOps.fuzzyStopgramStream(sdf, postings,
+      FuzzySearch.allowedGramsIndexed(spark, dir, c, inv, version = Ver),
+      c, numResults = 20) { (out, _) => buf ++= out.collect().map(_.toSeq) }
+    val (got1, got2) = try {
+      stream.addData(qa: _*)
+      q.processAllAvailable()
+      val p1 = buf.toList.sortBy(_.mkString("|"))
+      buf.clear()
+      FuzzySearch.appendToGramStats(spark, dir, batch, version = Ver)
+      stream.addData(qb: _*)
+      q.processAllAvailable()
+      (p1, buf.toList.sortBy(_.mkString("|")))
+    } finally q.stop()
+    assert(got1 == expect(qa, allowedOf(base, inv)),
+      "first micro-batch must serve the pre-append stats")
+    assert(got2 == expect(qb, allowedOf(c, inv)),
+      "second micro-batch must pick up the appended stats")
   }
 
   test("streaming ingest dedup screen matches the batch incremental screen") {

@@ -33,7 +33,7 @@ def norm(v):
 
 
 def types_ok(spark_t, oracle_t):
-    """Exact type-name equality, module the one rename DuckDB's parquet
+    """Exact type-name equality, modulo the one rename DuckDB's parquet
     reader performs (REAL is what `DESCRIBE` calls a parquet FLOAT)."""
     canon = lambda t: "FLOAT" if t.upper() == "REAL" else t.upper()
     return canon(spark_t) == canon(oracle_t)
@@ -120,7 +120,7 @@ def main():
             continue
         gperm = [snames.index(c) for c in gcols]
         eperm = [onames.index(c) for c in ecols]
-        is_float = [stypes[c] in FLOAT_TYPES or stypes[c] == "REAL"
+        is_float = [stypes[c] in FLOAT_TYPES
                     for c in gcols]
         bad = None
         for i, (gr, er) in enumerate(zip(grows, erows)):
