@@ -121,6 +121,10 @@ object SparkEntry {
     // admission control: predict the batch join's EXACT candidate volume
     // from the broadcast gram-stats artifact before paying the join
     "fuzzy_batch_cost" -> ((s, d) => FuzzySearch.batchCandidateCost(s, d)),
+    // the admission decision WIRED: predict, then serve uncut (faithful
+    // cap-after-count) below the budget, the stop-gram cut above it —
+    // the oracle twin dispatches identically in SQL
+    "fuzzy_batch_auto" -> ((s, d) => FuzzySearch.batchFuzzySearchAuto(s, d, P.FuzzyK, P.StopGramInv)),
     // digits-only query TABLE over the zip corpus: the postal scoring
     // branch exercised in the batch serving shape (runtime per-row branch)
     "fuzzy_batch_postal" -> ((s, d) => FuzzySearch.batchFuzzySearchZip(s, d, P.PostalK)),
@@ -456,6 +460,7 @@ object SparkEntry {
     "fuzzy_batch_stopgram_indexed" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK,
       dfCapInverse = Some(P.StopGramInv)),
     "fuzzy_batch_cost" -> FuzzySearch.batchCandidateCostOracle,
+    "fuzzy_batch_auto" -> FuzzySearch.batchFuzzySearchAutoOracle(P.FuzzyK, P.StopGramInv),
     "fuzzy_batch_postal" -> FuzzySearch.batchFuzzySearchZipOracle(P.PostalK),
     "geo_knn_batch" -> RadiusSearch.knnBatchOracle(P.RadiusMiles, 5),
     "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),

@@ -587,6 +587,56 @@ object FuzzySearch {
        |       (SELECT count(*) FROM q)::BIGINT AS n_queries
        |FROM qg JOIN dfr USING (ngram)""".stripMargin
 
+  /** Candidate-row budget for [[batchFuzzySearchAuto]]'s dispatch — the
+    * point where the uncut indexed read stops being the cheaper plan.
+    * Derived from measured reads (SCALE.md §admission-control): the uncut
+    * candidate join costs ≈ 0.33 µs/row + ~1.1 s fixed at local[32]
+    * (2.44 M rows → 1.9 s at sf0.1; 245 M rows → ~80 s at the sf1
+    * replica), while the served stop-gram cut is ~2–3.5 s nearly flat
+    * (its per-batch cost is a gram-space-bounded broadcast fold). The
+    * curves cross near 6–8 M candidate rows; 8 M keeps the uncut plan —
+    * which is the EXACT reference semantics, cap-after-count — wherever
+    * it is not measurably the slower choice. */
+  val BatchCandidateBudget: Long = 8L * 1000 * 1000
+
+  /** The dispatching batch-fuzzy serving entry — admission control WIRED,
+    * not just available: runs [[batchCandidateCost]]'s bounded prediction
+    * (a join of two gram-space-bounded relations; sub-second at any
+    * corpus size) and only then chooses the plan. Below the budget it
+    * serves the uncut indexed batch (faithful cap-after-count semantics,
+    * geo_manager.py:584-586); above it, the stop-gram cut served from the
+    * gram-stats artifacts — the documented semantic deviation that a
+    * low-entropy corpus forces (without it the candidate join pays
+    * Σ qcount·df, measured 44× super-linear per 10× on the sf1 replica).
+    * The oracle twin dispatches the SAME way in SQL, so the gate checks
+    * the dispatch itself, not just the branches; OperatorParitySpec pins
+    * both branches against their direct operators and that a degenerate
+    * corpus selects the cut at the default budget. */
+  def batchFuzzySearchAuto(spark: SparkSession, dir: String, numResults: Int,
+                           dfCapInverse: Long, cap: Int = DefaultCap,
+                           budget: Long = BatchCandidateBudget): DataFrame = {
+    val predicted = batchCandidateCost(spark, dir).head().getLong(0)
+    if (predicted <= budget) batchFuzzySearchIndexed(spark, dir, numResults, cap)
+    else batchFuzzySearchStopGramIndexed(spark, dir, numResults, dfCapInverse, cap)
+  }
+
+  /** DuckDB twin of the DISPATCH: the cost CTE guards two UNION ALL
+    * branches (each the full oracle of its plan), so the oracle selects
+    * the same branch the operator does at the gate's data scale. */
+  def batchFuzzySearchAutoOracle(numResults: Int, dfCapInverse: Long,
+                                 cap: Int = DefaultCap,
+                                 budget: Long = BatchCandidateBudget): String =
+    s"""WITH cost AS ($batchCandidateCostOracle)
+       |SELECT qid, id, value, clean_value, distance, ngram_similarity, score
+       |FROM (
+       |  SELECT * FROM (${batchFuzzySearchOracle(numResults, cap)}) u
+       |  WHERE (SELECT candidate_rows FROM cost) <= $budget
+       |  UNION ALL
+       |  SELECT * FROM (${batchFuzzySearchOracle(numResults, cap, Some(dfCapInverse))}) s
+       |  WHERE (SELECT candidate_rows FROM cost) > $budget
+       |) d
+       |ORDER BY qid, score DESC, id""".stripMargin
+
   /** Shared scoring tail of the two batch spellings. */
   private def scoreBatch(capped: DataFrame, c: DataFrame, queries: DataFrame,
                          numResults: Int): DataFrame = {

@@ -66,6 +66,47 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"predicted $predicted != actual join output $actual")
   }
 
+  test("fuzzy_batch_auto dispatches on the predicted candidate volume — both branches") {
+    // Both sides of the threshold on the SAME corpus by moving the budget
+    // across the real prediction: each branch must equal its direct
+    // operator, and the two branches must differ (the dispatch is not
+    // vacuous).
+    val pred = FuzzySearch.batchCandidateCost(spark, dir)
+      .collect().head.getLong(0)
+    assert(pred > 0)
+    val uncut = FuzzySearch.batchFuzzySearchAuto(spark, dir, 20, 10L, budget = pred)
+      .collect()
+    val cut = FuzzySearch.batchFuzzySearchAuto(spark, dir, 20, 10L, budget = pred - 1)
+      .collect()
+    assert(uncut.toSeq ==
+      FuzzySearch.batchFuzzySearchIndexed(spark, dir, 20).collect().toSeq)
+    assert(cut.toSeq ==
+      FuzzySearch.batchFuzzySearchStopGramIndexed(spark, dir, 20, 10L).collect().toSeq)
+    assert(uncut.nonEmpty && uncut.toSeq != cut.toSeq)
+  }
+
+  test("a degenerate low-entropy corpus selects the stop-gram cut at the DEFAULT budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Near-identical rows: every query gram is near-corpus-hot, so the
+    // uncut candidate join would emit ~ (N/10)·N·|grams| rows — the sf1
+    // cliff in miniature. With N = 8000 the prediction must clear the 8M
+    // default budget and the auto entry must pick the served cut.
+    val tmp = java.nio.file.Files.createTempDirectory("fuzzy_auto_hot").toFile.getAbsolutePath
+    val n = 8000
+    (1 to n).map(i => (i.toLong, s"common product name ${i % 3}"))
+      .toDF("p_partkey", "p_name").write.parquet(s"$tmp/part.parquet")
+    val pred = FuzzySearch.batchCandidateCost(spark, tmp)
+      .collect().head.getLong(0)
+    assert(pred > FuzzySearch.BatchCandidateBudget,
+      s"crafted corpus predicts only $pred candidate rows — not degenerate")
+    val auto = FuzzySearch.batchFuzzySearchAuto(spark, tmp, 20, 10L).collect()
+    val served = FuzzySearch.batchFuzzySearchStopGramIndexed(spark, tmp, 20, 10L)
+      .collect()
+    assert(auto.toSeq == served.toSeq,
+      "auto entry must select the stop-gram cut on the degenerate corpus")
+  }
+
   test("batchFuzzySearchStopGramIndexed (artifact-served cut) == inline stop-gram batch") {
     val inline = FuzzySearch.batchFuzzySearchStopGram(spark, dir, 20, 10L).collect()
     val served = FuzzySearch.batchFuzzySearchStopGramIndexed(spark, dir, 20, 10L).collect()

@@ -339,7 +339,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
-    val Ver = 911 // isolated artifact version for this test
+    val Ver = 911
+    // This test MUTATES artifacts (append mid-stream), so it must not
+    // touch the shared warehouse: a re-run would find the appended stats
+    // already in place (write-once ensure) and double-append. Isolate
+    // under a per-run temp materialize dir, restored afterwards.
+    val prevArtDir = spark.conf.getOption("spark.graft.materialize.dir")
+    spark.conf.set("spark.graft.materialize.dir",
+      java.nio.file.Files.createTempDirectory("graft-stream-artifacts").toString)
     val c = FuzzySearch.corpus(spark, dir)
     val base = c.filter(pmod(col("id"), lit(7)) =!= 0)
     val batch = c.filter(pmod(col("id"), lit(7)) === 0)
@@ -391,7 +398,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       stream.addData(qb: _*)
       q.processAllAvailable()
       (p1, buf.toList.sortBy(_.mkString("|")))
-    } finally q.stop()
+    } finally {
+      q.stop()
+      prevArtDir match {
+        case Some(p) => spark.conf.set("spark.graft.materialize.dir", p)
+        case None => spark.conf.unset("spark.graft.materialize.dir")
+      }
+    }
     assert(got1 == expect(qa, allowedOf(base, inv)),
       "first micro-batch must serve the pre-append stats")
     assert(got2 == expect(qb, allowedOf(c, inv)),
