@@ -52,8 +52,19 @@ object Materialize {
     * are orphaned — `ensure()` transparently rebuilds under the new paths
     * (a one-time cost per warehouse), but stale old-tag directories are
     * NOT auto-deleted; reclaim disk by removing `_*` dirs under each
-    * `<materialize-root>/<kind>/`. */
-  def tag(dir: String): String = "d" + dir.replaceAll("[^0-9a-zA-Z]+", "_")
+    * `<materialize-root>/<kind>/`.
+    *
+    * Long inputs (a DAG stage keyed by its upstream ARTIFACT path, whose
+    * name already contains a tag) are truncated with a hash suffix so the
+    * component never outgrows a filesystem's 255-byte name limit as
+    * chains nest. Short tags — every data-dir tag — are unchanged, so no
+    * existing artifact moves. */
+  def tag(dir: String): String = {
+    val t = "d" + dir.replaceAll("[^0-9a-zA-Z]+", "_")
+    if (t.length <= 100) t
+    else t.take(64) + "_h" + java.lang.Long.toHexString(
+      t.foldLeft(1125899906842597L)((h, c) => 31 * h + c) & Long.MaxValue)
+  }
 
   private def root(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.materialize.dir")
@@ -96,6 +107,22 @@ object Materialize {
     val fs = fsOf(spark, p)
     try fs.listStatus(p).map(s => s.getPath.getName -> s.getModificationTime).toMap
     catch { case _: java.io.IOException => Map.empty[String, Long] }
+  }
+
+  /** Cheap content fingerprint of a directory, for driver-side memo keys
+    * (e.g. admission-control cost predictions cached per stats state):
+    * direct children (name, length, mtime), hashed. One `listStatus`, no
+    * job, no data read. Same caveat as [[listInputs]]: an edit that
+    * preserves a child's name+length+mtime is invisible — acceptable for
+    * a cache whose miss cost is a sub-second re-prediction. */
+  def fingerprint(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val fs = fsOf(spark, p)
+    val entries =
+      try fs.listStatus(p)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      catch { case _: java.io.IOException => Array.empty[String] }
+    entries.sorted.mkString("\n").hashCode.toString
   }
 
   private def readManifest(spark: SparkSession, artifact: String): Option[Map[String, Long]] = {

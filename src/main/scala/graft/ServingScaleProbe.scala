@@ -40,7 +40,7 @@ object ServingScaleProbe {
     "corpus_stats_indexed", "corpus_prep_indexed", "fuzzy_indexed",
     "search_hybrid_ivf")
 
-  private def replicate(spark: SparkSession, src: String, k: Int, dest: String): Unit = {
+  private[graft] def replicate(spark: SparkSession, src: String, k: Int, dest: String): Unit = {
     // dest == src would overwrite the source tables mid-read; the id-space
     // shift must also survive non-long id columns and empty tables (max of
     // an empty relation is null → coalesce to 0).
@@ -50,8 +50,12 @@ object ServingScaleProbe {
       val t = spark.read.parquet(s"$src/$table.parquet")
       val maxId = t.agg(coalesce(max(col(idCol).cast("long")), lit(-1L)))
         .head().getLong(0) + 1L
+      // The shift promotes the id to BIGINT (rep is a long); cast back to
+      // the source column's type — tools/compare.py is type-exact, so a
+      // replica with a widened id would fail the gate it rehearses for.
+      val idType = t.schema(idCol).dataType
       t.crossJoin(reps)
-        .withColumn(idCol, col(idCol) + col("rep") * maxId)
+        .withColumn(idCol, (col(idCol) + col("rep") * maxId).cast(idType))
         .drop("rep")
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dest/$table.parquet")

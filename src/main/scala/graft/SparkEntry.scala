@@ -354,6 +354,11 @@ object SparkEntry {
     // shard-partitioned materialization + single-shard pruned read (the
     // training-reader path: scan touches 1/NumShards of the files)
     "corpus_shuffle_read" -> ((s, d) => Pipeline.corpusShuffleRead(s, d)),
+    // the composed end-to-end corpus DAG: labels → dedup survivors +
+    // splits → train token-budget cut → packing → shard layout →
+    // manifest, each stage a chained materialized artifact reading ONLY
+    // its upstream stage; serves as one scan of the final layout
+    "corpus_e2e" -> ((s, d) => Pipeline.corpusE2e(s, d)),
     // --- multimodal binary columns ---
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
     // frame-sampler plumbing: stride selection + per-frame slicing, one
@@ -450,6 +455,7 @@ object SparkEntry {
     "corpus_shuffle" -> Pipeline.corpusShuffleOracle,
     "corpus_take_budget" -> Pipeline.corpusTakeBudgetOracle,
     "corpus_shuffle_read" -> Pipeline.corpusShuffleReadOracle,
+    "corpus_e2e" -> Pipeline.corpusE2eOracle,
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = true),
     "geo_radius_batch" -> RadiusSearch.radiusSearchBatchOracle(P.RadiusMiles),
     "geo_radius_batch_all" -> RadiusSearch.radiusSearchBatchAllOracle(P.RadiusMiles),

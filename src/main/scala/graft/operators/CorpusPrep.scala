@@ -233,7 +233,10 @@ object CorpusPrep {
       .select(col("doc_id"), col("lang_pred"), col("quality_score"),
         floor(col("quality_score") * StatsQuant.toDouble).cast("long").as("q_q"))
     val toks = d.select(col("doc_id"),
-      size(graft.functions.TextFunctions.tokens(lower(col("text")))).cast("long").as("n_tok"))
+      size(graft.functions.TextFunctions.tokens(lower(col("text")))).cast("long").as("n_tok"),
+      size(regexp_extract_all(lower(col("text")),
+        lit(TextAnalysis.BpePattern), lit(0))).cast("long").as("n_pieces"),
+      graft.functions.TextFunctions.polyHash(col("text")).as("content_hash"))
     val canon = Dedup.dedupPipeline(spark, dir)
       .select(col("doc_id"), col("is_canonical"))
     val contam = decontaminate(spark, dir)
@@ -243,7 +246,7 @@ object CorpusPrep {
       .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("lang_pred"),
         col("quality_score"), col("q_q"),
-        col("n_tok"), col("is_canonical"),
+        col("n_tok"), col("n_pieces"), col("content_hash"), col("is_canonical"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 
@@ -252,8 +255,11 @@ object CorpusPrep {
     * batch can demote an old doc's canonicality), so an ingest increment
     * is staleness and `ensure` re-labels — unlike the additive count
     * artifacts (wordstats, dsirmodel). v2: carries the RAW quality_score
-    * next to its quantized form so the prep gate can serve from it. */
-  def ensureDocMeta(spark: SparkSession, dir: String, version: Int = 2): String =
+    * next to its quantized form so the prep gate can serve from it.
+    * v3: carries the BPE piece count and content hash, so every stage of
+    * the composed corpus_e2e DAG downstream of the labels is label-only —
+    * raw documents are scanned exactly once, here. */
+  def ensureDocMeta(spark: SparkSession, dir: String, version: Int = 3): String =
     graft.Materialize.ensure(spark, "graft_docmeta", dir, version) { p =>
       docMeta(spark, dir).write.mode("overwrite").parquet(p)
     }

@@ -482,6 +482,11 @@ object Dedup {
     * comment in [[minhashRecall]]. */
   val RecallCandJoinBudget: Long = 8L * 1000 * 1000
 
+  /** Memo for [[minhashRecall]]'s dispatch prediction — see the
+    * construction-time-action note there. */
+  private val recallCostMemo =
+    new scala.collection.concurrent.TrieMap[(String, String), Long]
+
   /** Exact truth pairs, count-join spelling: shared shingles per pair =
     * count of equi-join matches (map-side-combinable group-by), so no
     * shingle ARRAY ever enters a shuffle and no per-pair array
@@ -574,10 +579,16 @@ object Dedup {
     // plan. Measured crossover at sf0.1 local[32]: count-join ≈ 1.5 µs ×
     // Σdf² rows; prefix path ≈ 10 s flat (df join + two windows + array
     // verify of the ~0.4 M surviving candidates) → escalate near 8 M.
+    // Memoized (the `.head()` is an action at construction time): the
+    // prediction derives only from the documents table, so it is keyed by
+    // (dir, input fingerprint) — re-predicted when the input dir changes,
+    // driver-side-only on every later construction.
     val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
-    val predicted = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .agg(coalesce(sum(col("df") * (col("df") - 1L)), lit(0L)))
-      .head().getLong(0) / 2L
+    val predicted = recallCostMemo.getOrElseUpdate(
+      (dir, graft.Materialize.fingerprint(spark, dir)),
+      ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .agg(coalesce(sum(col("df") * (col("df") - 1L)), lit(0L)))
+        .head().getLong(0) / 2L)
     val truth =
       (if (predicted <= RecallCandJoinBudget) recallTruthCountJoin(ds, ex)
        else recallTruthPrefixFilter(ds, ex))

@@ -612,10 +612,24 @@ object FuzzySearch {
     * the dispatch itself, not just the branches; OperatorParitySpec pins
     * both branches against their direct operators and that a degenerate
     * corpus selects the cut at the default budget. */
+  /** Memo for the dispatch prediction below: the `.head()` is a real Spark
+    * action at DataFrame-CONSTRUCTION time — unlike every other lazily
+    * built registry entry — so without the memo it re-runs on every
+    * invocation, used or not. Keyed by (dir, input-dir fingerprint,
+    * gram-stats artifact fingerprint): a new ingest increment or a stats
+    * append changes a fingerprint and re-predicts; otherwise construction
+    * is driver-side-only after the first call. */
+  private val costMemo =
+    new scala.collection.concurrent.TrieMap[(String, String, String), Long]
+
   def batchFuzzySearchAuto(spark: SparkSession, dir: String, numResults: Int,
                            dfCapInverse: Long, cap: Int = DefaultCap,
                            budget: Long = BatchCandidateBudget): DataFrame = {
-    val predicted = batchCandidateCost(spark, dir).head().getLong(0)
+    val (dp, _) = ensureGramStats(spark, dir, corpus(spark, dir))
+    val predicted = costMemo.getOrElseUpdate(
+      (dir, graft.Materialize.fingerprint(spark, dir),
+        graft.Materialize.fingerprint(spark, dp)),
+      batchCandidateCost(spark, dir).head().getLong(0))
     if (predicted <= budget) batchFuzzySearchIndexed(spark, dir, numResults, cap)
     else batchFuzzySearchStopGramIndexed(spark, dir, numResults, dfCapInverse, cap)
   }

@@ -476,6 +476,17 @@ object Pipeline {
         size(graft.functions.TextFunctions.tokens(lower(col("text"))))
           .cast("long").as("n_tok"))
       .withColumn("shard", pmod(col("h"), lit(NumShards.toLong)))
+    takeBudgetOver(base)
+      .select(col("shard"), col("doc_id"), col("n_tok"), col("run_tok"))
+      .orderBy(col("shard"), col("run_tok"), col("doc_id"))
+  }
+
+  /** The budget cut's distributed prefix-sum core, over any relation with
+    * (doc_id, h, shard, n_tok, …) — see [[corpusTakeBudget]] for the
+    * stage-by-stage derivation. Keeps every input column and appends
+    * `run_tok`; shared with the composed [[corpusE2e]] DAG's budget
+    * stage. */
+  private[graft] def takeBudgetOver(base: DataFrame): DataFrame = {
     val shardSums = base.groupBy(col("shard")).agg(sum(col("n_tok")).as("st"))
     val offW = Window.orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -491,8 +502,7 @@ object Pipeline {
       .crossJoin(broadcast(budget))
       .withColumn("run_tok", col("off") + sum(col("n_tok")).over(runW))
       .filter(col("run_tok") <= col("budget"))
-      .select(col("shard"), col("doc_id"), col("n_tok"), col("run_tok"))
-      .orderBy(col("shard"), col("run_tok"), col("doc_id"))
+      .drop("off", "budget")
   }
 
   /** DuckDB twin: single-node, so the global cumulative sum is one window
@@ -629,4 +639,177 @@ object Pipeline {
        |       (start_off // $PackBudget)::BIGINT AS pack_id,
        |       (start_off - (start_off // $PackBudget) * $PackBudget)::BIGINT AS pack_off
        |FROM c ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ composed end-to-end DAG
+
+  /** Version of every corpus_e2e stage artifact. Bump TOGETHER on any
+    * stage-derivation change: each stage is keyed by its upstream
+    * artifact's PATH, so a version bump re-paths the whole downstream
+    * chain at once. */
+  val E2eVersion = 1
+
+  /** Stage 2 — clean splits, label-only: read the docmeta label artifact,
+    * keep dedup survivors, attach the deterministic split (the
+    * [[corpusSplitClean]] semantics), and carry exactly the text-derived
+    * columns the downstream stages need (n_tok for the budget, n_pieces
+    * for packing, content_hash for the manifest). Map-only over the
+    * labels; raw documents are NEVER read here (plan-spec-pinned). */
+  private[graft] def e2eCleanFrom(spark: SparkSession, metaPath: String): DataFrame = {
+    val bucket = pmod(
+      polyHash(concat(lit(SplitSalt), col("doc_id").cast("string"))), lit(1000L))
+    spark.read.parquet(metaPath)
+      .filter(col("is_canonical"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("n_pieces"),
+        col("content_hash"))
+      .withColumn("split",
+        when(bucket < SplitTrainUpto, "train")
+          .when(bucket < SplitValUpto, "val")
+          .otherwise("test"))
+  }
+
+  /** Stage 3 — token-budget cut of the TRAIN slice, in the deterministic
+    * shuffle order: the [[corpusTakeBudget]] distributed prefix-sum (no
+    * single-partition window at any size), reading only the clean-split
+    * artifact. The shuffle hash/shard computed here double as stage 5's
+    * permutation keys — same ShuffleSalt, computed once. */
+  private[graft] def e2eBudgetFrom(spark: SparkSession, cleanPath: String): DataFrame = {
+    val base = spark.read.parquet(cleanPath)
+      .filter(col("split") === "train")
+      .drop("split")
+      .withColumn("h",
+        polyHash(concat(lit(ShuffleSalt), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("h"), lit(NumShards.toLong)))
+    takeBudgetOver(base)
+  }
+
+  /** Stage 4 — sequence packing of the budgeted slice: the [[docPack]]
+    * concat-then-chunk assignment (per-source prefix sum over n_pieces),
+    * reading only the budget artifact. */
+  private[graft] def e2ePackFrom(spark: SparkSession, budgetPath: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.read.parquet(budgetPath)
+      .withColumn("start_off", sum(col("n_pieces")).over(w) - col("n_pieces"))
+      .withColumn("pack_id", expr(s"start_off div $PackBudget"))
+      .withColumn("pack_off", col("start_off") - col("pack_id") * PackBudget)
+      .drop("start_off")
+  }
+
+  /** Stage 5 — the deterministic shuffle layout: per-shard position by
+    * (h, doc_id) (the [[corpusShuffle]] permutation — h/shard come from
+    * stage 3's artifact), written shard-partitioned so a training reader
+    * prunes to its shard's files. Reads only the pack artifact. */
+  private[graft] def e2eShardsFrom(spark: SparkSession, packPath: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    spark.read.parquet(packPath)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("n_tok"),
+        col("content_hash"), col("pack_id"), col("pack_off"))
+  }
+
+  /** Stage 6 — the export manifest over the shard layout: per shard, doc
+    * count, token volume, the order-free content checksum (the
+    * [[corpusManifest]] integrity design), and a pack checksum
+    * (order-free sum over pack_id·budget+pack_off = each doc's global
+    * piece offset — any change to the packing assignment changes it).
+    * One bounded hash aggregate over the final artifact only. */
+  private[graft] def e2eManifestFrom(spark: SparkSession, shardsPath: String): DataFrame =
+    e2eManifestOver(spark.read.parquet(shardsPath))
+
+  /** The rollup over any (shard, n_tok, content_hash, pack_id, pack_off)
+    * relation — split out so the spec can pin checksum order-freeness by
+    * feeding a re-partitioned layout. */
+  private[graft] def e2eManifestOver(layout: DataFrame): DataFrame = {
+    val P = graft.functions.TextFunctions.HashMod
+    layout
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        pmod(sum(col("content_hash")), lit(P)).as("checksum"),
+        pmod(sum(pmod(col("pack_id") * PackBudget + col("pack_off"), lit(P))),
+          lit(P)).as("pack_checksum"))
+      .orderBy(col("shard"))
+  }
+
+  /** Builds (once) the composed corpus-assembly DAG — the pipeline the
+    * stage operators exist FOR, as chained MATERIALIZED artifacts:
+    *
+    *   documents → graft_docmeta (labels; the ONE raw-text scan)
+    *             → graft_e2eclean  (dedup survivors + splits, label-only)
+    *             → graft_e2ebudget (train slice, token-budget prefix cut)
+    *             → graft_e2epack   (sequence packing)
+    *             → graft_e2eshards (shuffle layout, shard-partitioned)
+    *
+    * Each stage READS its upstream stage's artifact and nothing else —
+    * at 100 TB every stage is a narrow pass over already-reduced data,
+    * and a re-run of the query serves from the final layout without
+    * touching any earlier stage. Staleness is TRANSITIVE by design: a
+    * stage is keyed by its upstream artifact's path and manifests its
+    * files, so a rebuilt (or appended) upstream marks every downstream
+    * stage stale in turn, all the way from a raw-data change. The chain
+    * deliberately has no append face — budget/pack/shuffle are
+    * prefix-sum stages where an increment shifts every later row, so an
+    * ingest increment rebuilds from the labels down (the labels
+    * themselves are the expensive pass, and are append-refused for the
+    * same reason — see [[CorpusPrep.ensureDocMeta]]). */
+  def ensureCorpusE2e(spark: SparkSession, dir: String): String = {
+    val meta = CorpusPrep.ensureDocMeta(spark, dir)
+    val clean = graft.Materialize.ensure(spark, "graft_e2eclean", meta, E2eVersion) {
+      p => e2eCleanFrom(spark, meta).write.mode("overwrite").parquet(p)
+    }
+    val budget = graft.Materialize.ensure(spark, "graft_e2ebudget", clean, E2eVersion) {
+      p => e2eBudgetFrom(spark, clean).write.mode("overwrite").parquet(p)
+    }
+    val pack = graft.Materialize.ensure(spark, "graft_e2epack", budget, E2eVersion) {
+      p => e2ePackFrom(spark, budget).write.mode("overwrite").parquet(p)
+    }
+    graft.Materialize.ensure(spark, "graft_e2eshards", pack, E2eVersion) { p =>
+      e2eShardsFrom(spark, pack).write.mode("overwrite")
+        .partitionBy("shard").parquet(p)
+    }
+  }
+
+  /** The gated face of the composed DAG: ensure the chain, then serve the
+    * manifest from the final layout — ONE artifact scan once built
+    * (plan-spec-pinned: no documents read anywhere in the serving plan).
+    * The oracle recomputes the whole composition from raw documents in
+    * SQL, so the gate checks every stage's semantics through to the final
+    * checksums. */
+  def corpusE2e(spark: SparkSession, dir: String): DataFrame =
+    e2eManifestFrom(spark, ensureCorpusE2e(spark, dir))
+
+  /** DuckDB twin of the COMPOSITION: survivors (dedup pipeline) → train
+    * split → budget prefix cut in shuffle order (single-node: one global
+    * cumulative window ≡ offset + per-shard running) → per-source pack
+    * offsets → per-shard manifest rollup. start_off equals
+    * pack_id·budget+pack_off exactly, so the pack checksum matches the
+    * Spark spelling term by term. */
+  def corpusE2eOracle: String = {
+    val sb = OracleSql.polyHash(s"('$SplitSalt' || d.doc_id::VARCHAR)")
+    val h = OracleSql.polyHash(s"('$ShuffleSalt' || d.doc_id::VARCHAR)")
+    val ch = OracleSql.polyHash("d.text")
+    val toks = OracleSql.tokens("lower(d.text)")
+    val P = graft.functions.TextFunctions.HashMod
+    s"""WITH dp AS MATERIALIZED (${graft.operators.Dedup.dedupPipelineOracle}),
+       |meta AS (SELECT d.doc_id, d.source,
+       |                len($toks)::BIGINT AS n_tok,
+       |                len(regexp_extract_all(lower(d.text), '${TextAnalysis.BpePattern}'))::BIGINT AS n_pieces,
+       |                ($ch) AS content_hash,
+       |                ($h) AS h, ($h) % $NumShards AS shard
+       |         FROM documents d JOIN dp ON d.doc_id = dp.doc_id
+       |         WHERE dp.is_canonical AND ($sb) % 1000 < $SplitTrainUpto),
+       |b AS (SELECT (sum(n_tok) * $TokenBudgetPermille) // 1000 AS budget FROM meta),
+       |r AS (SELECT *, sum(n_tok) OVER (ORDER BY shard, h, doc_id
+       |                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS run_tok
+       |      FROM meta),
+       |kept AS (SELECT r.* FROM r CROSS JOIN b WHERE run_tok <= budget),
+       |packed AS (SELECT *,
+       |             (sum(n_pieces) OVER (PARTITION BY source ORDER BY doc_id
+       |                                  ROWS UNBOUNDED PRECEDING) - n_pieces)::BIGINT AS start_off
+       |           FROM kept)
+       |SELECT shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       |       (sum(content_hash) % $P)::BIGINT AS checksum,
+       |       (sum(start_off % $P) % $P)::BIGINT AS pack_checksum
+       |FROM packed GROUP BY shard ORDER BY shard""".stripMargin
+  }
 }

@@ -333,7 +333,8 @@ object Retrieval {
     * nprobe/C small at scale — the knob, not the plan, carries the
     * quality/cost trade. */
   def hybridRrfIvf(spark: SparkSession, dir: String, queryTerms: Seq[String],
-                   probeId: Long, k: Int, nprobe: Int): DataFrame = {
+                   probeId: Long, k: Int, nprobe: Int,
+                   numCentroids: Int = Similarity.IvfNumCentroids): DataFrame = {
     val lexPool = bm25TopK(spark, dir, queryTerms, RrfPoolN)
       .select(col("doc_id"),
         row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
@@ -342,7 +343,7 @@ object Retrieval {
     val probe = e.filter(col("vec_id") === probeId)
       .select(col("embedding").as("probe_emb"))
     val pool = Similarity.ivfPqTopK(spark, dir, probeId,
-        RrfPoolN * RrfRerankWiden, nprobe = nprobe)
+        RrfPoolN * RrfRerankWiden, nprobe = nprobe, numCentroids = numCentroids)
       .select(col("vec_id"))
     val densePool = pool.join(e, "vec_id")
       .crossJoin(broadcast(probe))

@@ -105,6 +105,28 @@ object ShapeOps {
       .orderBy(col("id"))
   }
 
+  /** The LIVE face of [[localTimes]] — the reference's actual call shape
+    * (geo_manager.py:151-158 returns datetime.now() shifted into the
+    * shape's timezone): the same projection at the CURRENT instant.
+    * `localtimestamp()` (UTC wall clock under the repo-wide UTC session)
+    * is resolved ONCE per query by Catalyst's ComputeCurrentTime rule, so
+    * every row sees the same now — exactly like the reference's single
+    * now() call — and `as_of_utc` carries that instant so a caller (and
+    * the spec) can verify the offsets without racing the clock. Not
+    * SQL-oracleable (the instant moves between the two engines' runs);
+    * FunctionsSpec pins it instead: an exact java.time recompute from
+    * as_of_utc per zone, plus offset agreement with the fixed-instant
+    * gate rows for DST-free zones. */
+  def localTimesNow(spark: SparkSession, dir: String): DataFrame = {
+    val s = GeoShapes.shapes(spark, dir)
+    val local = convert_timezone(lit("UTC"),
+      coalesce(col("primary_timezone"), lit("UTC")), localtimestamp())
+    s.select(col("id"), col("primary_timezone"),
+        date_format(localtimestamp(), "yyyy-MM-dd HH:mm:ss").as("as_of_utc"),
+        date_format(local, "yyyy-MM-dd HH:mm:ss").as("local_now"))
+      .orderBy(col("id"))
+  }
+
   val localTimesOracle: String = {
     def localAt(instant: String) =
       s"strftime(timezone(coalesce(primary_timezone, 'UTC'), TIMESTAMPTZ '$instant+00'), '%Y-%m-%d %H:%M:%S')"

@@ -570,4 +570,48 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(w(1) > 0, s"w1 should be positive, got ${w(1)}")
   }
+
+  test("live localtime face: one instant per query, exact zone math, fixed-instant agreement") {
+    import java.time.{LocalDateTime, ZoneId, ZoneOffset}
+    import java.time.format.DateTimeFormatter
+    val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val live = graft.operators.ShapeOps.localTimesNow(spark, dir).collect()
+    assert(live.nonEmpty)
+    // every row must carry the SAME as_of instant (ComputeCurrentTime
+    // resolves all localtimestamp() calls once per query — the analogue
+    // of the reference's single datetime.now() call)
+    val instants = live.map(_.getString(2)).distinct
+    assert(instants.length == 1, s"multiple as_of instants: ${instants.toSeq}")
+    val asOf = LocalDateTime.parse(instants.head, fmt)
+    // exact recompute: local_now must be as_of shifted by the zone's
+    // offset AT that instant (java.time is the independent tz oracle)
+    live.foreach { r =>
+      val tz = r.getString(1)
+      val want = asOf.atOffset(ZoneOffset.UTC)
+        .atZoneSameInstant(ZoneId.of(Option(tz).getOrElse("UTC")))
+        .toLocalDateTime.format(fmt)
+      assert(r.getString(3) == want,
+        s"shape ${r.getLong(0)} tz=$tz: got ${r.getString(3)}, want $want")
+    }
+    // tie to the fixed-instant gate rows: for DST-free zones (winter and
+    // summer offsets agree) the live offset equals that same offset
+    val fixed = graft.operators.ShapeOps.localTimes(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    val winter = LocalDateTime.parse(graft.operators.ShapeOps.WinterInstant, fmt)
+    val summer = LocalDateTime.parse(graft.operators.ShapeOps.SummerInstant, fmt)
+    var dstFree = 0
+    live.foreach { r =>
+      val (lw, ls) = fixed(r.getLong(0))
+      val offW = java.time.Duration.between(winter, LocalDateTime.parse(lw, fmt)).toMinutes
+      val offS = java.time.Duration.between(summer, LocalDateTime.parse(ls, fmt)).toMinutes
+      if (offW == offS) {
+        dstFree += 1
+        val offLive = java.time.Duration
+          .between(asOf, LocalDateTime.parse(r.getString(3), fmt)).toMinutes
+        assert(offLive == offW,
+          s"shape ${r.getLong(0)} tz=${r.getString(1)}: live offset $offLive != fixed $offW")
+      }
+    }
+    assert(dstFree > 0, "no DST-free zone in the gate data — agreement check vacuous")
+  }
 }

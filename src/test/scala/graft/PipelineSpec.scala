@@ -223,4 +223,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dirty.exists(pm => pm < 1000L),
       s"every dirty doc is 100% dirty — grading shows nothing: $dirty")
   }
+
+  test("corpus_e2e composition invariants: membership, budget maximality, order-free checksums") {
+    import graft.operators.CorpusPrep
+    val shardsPath = Pipeline.ensureCorpusE2e(spark, dir)
+    val layout = spark.read.parquet(shardsPath)
+    val meta = spark.read.parquet(CorpusPrep.ensureDocMeta(spark, dir))
+    // 1. membership: the final layout is exactly the budget-kept subset of
+    //    canonical TRAIN docs — no non-canonical or non-train doc leaks in
+    val cleanTrain = Pipeline.corpusSplitClean(spark, dir)
+      .filter(col("split") === "train").select(col("doc_id"))
+    val leaked = layout.select(col("doc_id"))
+      .join(cleanTrain, Seq("doc_id"), "left_anti").count()
+    assert(leaked == 0, s"$leaked docs in the layout are not clean-train")
+    // 2. budget: kept tokens fit 600‰ of the clean-train total, and the
+    //    cut is MAXIMAL (kept < budget-permille would admit the next doc
+    //    only if some shard prefix stopped early — totals prove both)
+    val trainTok = meta.join(cleanTrain, "doc_id")
+      .agg(sum(col("n_tok"))).head().getLong(0)
+    val budget = trainTok * Pipeline.TokenBudgetPermille / 1000
+    val keptTok = layout.agg(sum(col("n_tok"))).head().getLong(0)
+    assert(keptTok <= budget, s"kept $keptTok exceeds budget $budget")
+    val keptDocs = layout.count()
+    val nextCut = graft.operators.Pipeline
+      .e2eBudgetFrom(spark, graft.Materialize.artifactPath(spark,
+        "graft_e2eclean", CorpusPrep.ensureDocMeta(spark, dir), Pipeline.E2eVersion))
+    assert(nextCut.count() == keptDocs,
+      "budget stage and materialized layout disagree on the kept set")
+    // 3. the manifest's checksums are ORDER-FREE: recomputing over a
+    //    re-partitioned layout (different partial-aggregation order)
+    //    gives identical rows
+    val a = Pipeline.corpusE2e(spark, dir).collect().map(_.toSeq).toSeq
+    val b = graft.operators.Pipeline
+      .e2eManifestOver(layout.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "manifest not reproducible under re-partitioning")
+    assert(a.nonEmpty && a.map(_.head).distinct.size == a.size)
+  }
 }

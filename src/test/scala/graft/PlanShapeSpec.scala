@@ -343,4 +343,42 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(textScans == 1, s"expected 1 text-reading scan, got $textScans:\n$p")
     assert(p.contains("BroadcastHashJoin [bucket"), p)
   }
+
+  test("corpus_e2e serves from the final shard layout: one scan, no raw reads") {
+    val p = finalPlan("corpus_e2e")
+    // once the chain is built, the manifest is ONE aggregate over the
+    // final artifact — any documents (or earlier-stage) scan means some
+    // stage is re-deriving per call
+    assert(p.contains("graft_e2eshards"), p)
+    assert(!p.contains("documents.parquet"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"expected 1 artifact scan:\n$p")
+  }
+
+  test("no e2e stage re-scans raw documents once its input artifact exists") {
+    import graft.operators.{CorpusPrep, Pipeline}
+    val shards = Pipeline.ensureCorpusE2e(spark, dir) // chain built (or cached)
+    val meta = CorpusPrep.ensureDocMeta(spark, dir)
+    val clean = Materialize.artifactPath(spark, "graft_e2eclean", meta, Pipeline.E2eVersion)
+    val budget = Materialize.artifactPath(spark, "graft_e2ebudget", clean, Pipeline.E2eVersion)
+    val pack = Materialize.artifactPath(spark, "graft_e2epack", budget, Pipeline.E2eVersion)
+    // stage -> (df, upstream artifact kind). A stage may scan its upstream
+    // artifact more than once (the budget stage's prefix-sum derives shard
+    // sums + total from the same relation) — the pin is that EVERY scan is
+    // the upstream artifact, and raw documents are never touched.
+    val stages = Seq(
+      ("clean", Pipeline.e2eCleanFrom(spark, meta), "graft_docmeta"),
+      ("budget", Pipeline.e2eBudgetFrom(spark, clean), "graft_e2eclean"),
+      ("pack", Pipeline.e2ePackFrom(spark, budget), "graft_e2ebudget"),
+      ("shards", Pipeline.e2eShardsFrom(spark, pack), "graft_e2epack"),
+      ("manifest", Pipeline.e2eManifestFrom(spark, shards), "graft_e2eshards"))
+    stages.foreach { case (name, df, upstream) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("documents.parquet"),
+        s"stage $name re-scans raw documents:\n$p")
+      val locations = p.linesIterator.filter(_.contains("Location:")).toSeq
+      assert(locations.nonEmpty && locations.forall(_.contains(upstream)),
+        s"stage $name should read only its upstream artifact $upstream:\n$p")
+    }
+  }
 }

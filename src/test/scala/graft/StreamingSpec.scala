@@ -345,69 +345,74 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // already in place (write-once ensure) and double-append. Isolate
     // under a per-run temp materialize dir, restored afterwards.
     val prevArtDir = spark.conf.getOption("spark.graft.materialize.dir")
-    spark.conf.set("spark.graft.materialize.dir",
-      java.nio.file.Files.createTempDirectory("graft-stream-artifacts").toString)
-    val c = FuzzySearch.corpus(spark, dir)
-    val base = c.filter(pmod(col("id"), lit(7)) =!= 0)
-    val batch = c.filter(pmod(col("id"), lit(7)) === 0)
-    val postings = spark.read.parquet(FuzzySearch.ensurePostingsIndex(spark, dir, c))
-    def expect(qs: Seq[(Long, String)], allowed: DataFrame): List[Seq[Any]] =
-      FuzzySearch.batchFuzzySearchOver(qs.toDF("qid", "clean_q"), postings, c,
-          20, FuzzySearch.DefaultCap, Some(allowed))
-        .collect().map(_.toSeq).toList.sortBy(_.mkString("|"))
-    // Inline folds of the two stats states (additivity makes the appended
-    // artifact fold equal the full-corpus fold, IncrementalIndexSpec).
-    def allowedOf(rel: DataFrame, inv: Long): DataFrame = {
-      val n = rel.count()
-      FuzzySearch.gramDf(rel).filter(col("df") * inv <= n).select(col("ngram"))
-    }
-    def allowedSet(rel: DataFrame, inv: Long): Set[String] =
-      allowedOf(rel, inv).collect().map(_.getString(0)).toSet
-    // Real query texts rarely flip results under the cut (top-k is robust),
-    // so probe with queries that ARE a single flipped gram — one whose
-    // allowed-status changes with the append, in EITHER direction (df can
-    // outgrow the cap, or n can outgrow a constant df). Such a query can
-    // only reach candidates through itself, so pickup is directly
-    // observable in its results.
-    val pick = Seq(2L, 3L, 5L, 10L, 20L, 50L, 200L).iterator.map { i =>
-      val (ab, af) = (allowedSet(base, i), allowedSet(c, i))
-      val flipped = ((ab diff af) union (af diff ab))
-        .filter(_.matches("[a-z0-9]{3}")).toSeq.sorted
-      (i, flipped)
-    }.find(_._2.nonEmpty)
-    assert(pick.nonEmpty, "no df cap flips a gram's allowed-status on append")
-    val (inv, flipped) = pick.get
-    val texts = flipped.take(3)
-    val qa = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
-    val qb = texts.zipWithIndex.map { case (t, i) => ((i + 101).toLong, t) }
-    assert(expect(qb, allowedOf(base, inv)) != expect(qb, allowedOf(c, inv)),
-      "probe queries must observe the stats change")
-    FuzzySearch.ensureGramStats(spark, dir, base, version = Ver)
-    val stream = MemoryStream[(Long, String)]
-    val sdf = stream.toDF().toDF("qid", "clean_q")
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
-    val q = StreamOps.fuzzyStopgramStream(sdf, postings,
-      FuzzySearch.allowedGramsIndexed(spark, dir, c, inv, version = Ver),
-      c, numResults = 20) { (out, _) => buf ++= out.collect().map(_.toSeq) }
-    val (got1, got2) = try {
-      stream.addData(qa: _*)
-      q.processAllAvailable()
-      val p1 = buf.toList.sortBy(_.mkString("|"))
-      buf.clear()
-      FuzzySearch.appendToGramStats(spark, dir, batch, version = Ver)
-      stream.addData(qb: _*)
-      q.processAllAvailable()
-      (p1, buf.toList.sortBy(_.mkString("|")))
+    // The conf.set is the FIRST statement inside the try: an assert firing
+    // anywhere in the setup below must still restore the shared session's
+    // conf in the finally, or the temp dir leaks into every later suite.
+    val (got1, got2, qaExpect, qbExpect) = try {
+      spark.conf.set("spark.graft.materialize.dir",
+        java.nio.file.Files.createTempDirectory("graft-stream-artifacts").toString)
+      val c = FuzzySearch.corpus(spark, dir)
+      val base = c.filter(pmod(col("id"), lit(7)) =!= 0)
+      val batch = c.filter(pmod(col("id"), lit(7)) === 0)
+      val postings = spark.read.parquet(FuzzySearch.ensurePostingsIndex(spark, dir, c))
+      def expect(qs: Seq[(Long, String)], allowed: DataFrame): List[Seq[Any]] =
+        FuzzySearch.batchFuzzySearchOver(qs.toDF("qid", "clean_q"), postings, c,
+            20, FuzzySearch.DefaultCap, Some(allowed))
+          .collect().map(_.toSeq).toList.sortBy(_.mkString("|"))
+      // Inline folds of the two stats states (additivity makes the appended
+      // artifact fold equal the full-corpus fold, IncrementalIndexSpec).
+      def allowedOf(rel: DataFrame, inv: Long): DataFrame = {
+        val n = rel.count()
+        FuzzySearch.gramDf(rel).filter(col("df") * inv <= n).select(col("ngram"))
+      }
+      def allowedSet(rel: DataFrame, inv: Long): Set[String] =
+        allowedOf(rel, inv).collect().map(_.getString(0)).toSet
+      // Real query texts rarely flip results under the cut (top-k is robust),
+      // so probe with queries that ARE a single flipped gram — one whose
+      // allowed-status changes with the append, in EITHER direction (df can
+      // outgrow the cap, or n can outgrow a constant df). Such a query can
+      // only reach candidates through itself, so pickup is directly
+      // observable in its results.
+      val pick = Seq(2L, 3L, 5L, 10L, 20L, 50L, 200L).iterator.map { i =>
+        val (ab, af) = (allowedSet(base, i), allowedSet(c, i))
+        val flipped = ((ab diff af) union (af diff ab))
+          .filter(_.matches("[a-z0-9]{3}")).toSeq.sorted
+        (i, flipped)
+      }.find(_._2.nonEmpty)
+      assert(pick.nonEmpty, "no df cap flips a gram's allowed-status on append")
+      val (inv, flipped) = pick.get
+      val texts = flipped.take(3)
+      val qa = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val qb = texts.zipWithIndex.map { case (t, i) => ((i + 101).toLong, t) }
+      assert(expect(qb, allowedOf(base, inv)) != expect(qb, allowedOf(c, inv)),
+        "probe queries must observe the stats change")
+      FuzzySearch.ensureGramStats(spark, dir, base, version = Ver)
+      val stream = MemoryStream[(Long, String)]
+      val sdf = stream.toDF().toDF("qid", "clean_q")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      val q = StreamOps.fuzzyStopgramStream(sdf, postings,
+        FuzzySearch.allowedGramsIndexed(spark, dir, c, inv, version = Ver),
+        c, numResults = 20) { (out, _) => buf ++= out.collect().map(_.toSeq) }
+      val (p1, p2) = try {
+        stream.addData(qa: _*)
+        q.processAllAvailable()
+        val first = buf.toList.sortBy(_.mkString("|"))
+        buf.clear()
+        FuzzySearch.appendToGramStats(spark, dir, batch, version = Ver)
+        stream.addData(qb: _*)
+        q.processAllAvailable()
+        (first, buf.toList.sortBy(_.mkString("|")))
+      } finally q.stop()
+      (p1, p2, expect(qa, allowedOf(base, inv)), expect(qb, allowedOf(c, inv)))
     } finally {
-      q.stop()
       prevArtDir match {
         case Some(p) => spark.conf.set("spark.graft.materialize.dir", p)
         case None => spark.conf.unset("spark.graft.materialize.dir")
       }
     }
-    assert(got1 == expect(qa, allowedOf(base, inv)),
+    assert(got1 == qaExpect,
       "first micro-batch must serve the pre-append stats")
-    assert(got2 == expect(qb, allowedOf(c, inv)),
+    assert(got2 == qbExpect,
       "second micro-batch must pick up the appended stats")
   }
 
