@@ -339,9 +339,16 @@ object BpeTrainer {
     * with 8,108 possible merges. Same trainer, same relations — only the
     * t=0 word-count derivation differs. */
   private[graft] def phraseCounts(spark: SparkSession, dir: String): DataFrame =
+    phraseCountsN(spark, dir, 2)
+
+  /** The n-gram generalization — n is the VOCABULARY-SCALE knob for the
+    * data-boundedness measurement (sf0.1: n=2 → 931 distinct words,
+    * n=3 → 27k, n=4 → 211k), growing the word relation ~200× from the
+    * same corpus without touching the trainer. */
+  private[graft] def phraseCountsN(spark: SparkSession, dir: String, n: Int): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(graft.functions.TextFunctions.tokenWindows(
-        tokens(lower(col("text"))), 2)).as("word"))
+        tokens(lower(col("text"))), n)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
   /** K-merge scale run (driven by `graft.BpeScale`): rounds of the delta
@@ -350,20 +357,33 @@ object BpeTrainer {
     * corpus until `target` merges are learned or a round yields none.
     * Returns (rounds, merges). Artifact count: 2 at t=0 (s0, pc0) + 3 per
     * round (b, s, pc). */
+  /** One measured round of [[bpeTrainAtScale]]: wall seconds for the
+    * round's three artifact builds (round 1 also pays the t=0 roots),
+    * merges learned, and the post-round symbol/pair-count relation sizes
+    * — the axes of the data-bound-vs-overhead-bound question. */
+  case class BpeRoundStat(round: Int, merges: Long, sec: Double,
+                          symbolRows: Long, pairRows: Long)
+
   def bpeTrainAtScale(spark: SparkSession, dir: String, target: Int,
-                      maxRounds: Int = 64): (Int, Long) = {
+                      maxRounds: Int = 64, n: Int = 2): (Int, Long, Seq[BpeRoundStat]) = {
+    val fam = if (n == 2) "scale" else s"scale$n"
     var t = 0
     var total = 0L
     var lastBatch = -1L
+    val stats = Seq.newBuilder[BpeRoundStat]
     while (total < target && t < maxRounds && lastBatch != 0L) {
       t += 1
-      val (b, _, _) = ensureIter(spark, dir, t,
-        BpeScaleM, BpeScaleWindow, BpeScalePasses, fam = "scale",
-        words = phraseCounts)
+      val t0 = System.nanoTime()
+      val (b, s, pc) = ensureIter(spark, dir, t,
+        BpeScaleM, BpeScaleWindow, BpeScalePasses, fam = fam,
+        words = phraseCountsN(_, _, n))
+      val sec = (System.nanoTime() - t0) / 1e9
       lastBatch = spark.read.parquet(b).count()
       total += lastBatch
+      stats += BpeRoundStat(t, lastBatch, sec,
+        spark.read.parquet(s).count(), spark.read.parquet(pc).count())
     }
-    (t, total)
+    (t, total, stats.result())
   }
 
   /** Gate query: the learned merge table — global merge index (round

@@ -144,6 +144,67 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("lat_band") === 22).count())
   }
 
+  test("version refresh lifecycle: increments extend, a re-publish invalidates downstream") {
+    // The reference's versioned remote fetch (geo_manager.py:671-763,
+    // settings.py:5) reduced to local semantics. "Version N+1 landed"
+    // arrives one of two ways, and the cache + artifact machinery must
+    // treat them differently:
+    //  - INCREMENT: a new batch lands as NEW files in the landing dir
+    //    (the add_entity path; filesystem move, nothing touched) —
+    //    dependent artifacts keep serving and extend via append faces;
+    //  - RE-PUBLISH: the dataset is replaced wholesale — every dependent
+    //    artifact is stale via the Materialize staleness manifest and the
+    //    next ensure() rebuilds from the new version.
+    val tmp = Files.createTempDirectory("geo_refresh").toFile
+    val v1Json = new java.io.File(tmp, "v1.json")
+    Files.write(v1Json.toPath, s"$nashvilleJson\n".getBytes)
+    val v2Line = nashvilleJson.replace("\"id\": 89", "\"id\": 9089")
+      .replace("us__tn__nashville", "us__tn__nashville_v2")
+    val v2Json = new java.io.File(tmp, "v2.json")
+    Files.write(v2Json.toPath, s"$v2Line\n".getBytes)
+    val cache = new java.io.File(tmp, "cache").getAbsolutePath
+    GeoIngest.readJson(spark, v1Json.getAbsolutePath)
+      .write.mode("overwrite").parquet(cache)
+
+    // downstream artifact keyed on the cache dir, counting its builds
+    var builds = 0
+    def ensure(): String =
+      Materialize.ensure(spark, "graft_refresh_probe", cache, version = 1) { p =>
+        builds += 1
+        spark.read.parquet(cache).select(col("id"))
+          .write.mode("overwrite").parquet(p)
+      }
+    ensure(); ensure()
+    assert(builds == 1, "write-once: the second ensure must serve the artifact")
+
+    // increment: stage the v2 batch, MOVE its files in (new children only)
+    val staging = new java.io.File(tmp, "staging").getAbsolutePath
+    GeoIngest.readJson(spark, v2Json.getAbsolutePath)
+      .write.mode("overwrite").parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        assert(f.renameTo(new java.io.File(cache, s"increment-$i.parquet")))
+      }
+    ensure()
+    assert(builds == 1, "an increment (new files only) must not invalidate")
+    Materialize.append(spark, "graft_refresh_probe", cache, version = 1) { p =>
+      spark.read.parquet(cache).filter(col("id") === 9089)
+        .select(col("id")).write.mode("append").parquet(p)
+    }
+    val afterAppend = spark.read.parquet(ensure())
+      .collect().map(_.getLong(0)).toSet
+    assert(builds == 1 && afterAppend == Set(89L, 9089L),
+      "the appended artifact must carry both batches without a rebuild")
+
+    // re-publish: the cache replaced wholesale (recorded children gone)
+    GeoIngest.readJson(spark, v2Json.getAbsolutePath)
+      .write.mode("overwrite").parquet(cache)
+    val rebuilt = spark.read.parquet(ensure()).collect().map(_.getLong(0)).toSet
+    assert(builds == 2, "a re-publish must invalidate and rebuild")
+    assert(rebuilt == Set(9089L), "the rebuilt artifact is the new version only")
+  }
+
   test("incremental add_entity equals full rebuild (postings are a derivation)") {
     import spark.implicits._
     val base = Seq((1L, "nashville"), (2L, "nash county")).toDF("id", "clean_value")
