@@ -278,10 +278,8 @@ object Dedup {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), norm.as("norm"))
     val exact = docs.groupBy(col("norm")).agg(min(col("doc_id")).as("exact_canon"))
     val withExact = docs.join(exact, "norm").select(col("doc_id"), col("exact_canon"))
-    val nearMin = minhashPairs(spark, dir)
-      .filter(col("est_jaccard") >= PipelineEstThreshold)
-      .groupBy(col("doc_b").as("doc_id"))
-      .agg(min(col("doc_a")).as("near_canon"))
+    val nearMin = nearCanonBySig(minhashSignatures(spark, dir))
+      .filter(col("near_canon").isNotNull)
     withExact.join(nearMin, Seq("doc_id"), "left")
       .select(col("doc_id"), col("exact_canon"), col("near_canon"),
         least(col("doc_id"), col("exact_canon"),
@@ -289,6 +287,68 @@ object Dedup {
       .withColumn("is_canonical", col("canonical_id") === col("doc_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** The pipeline's near-dup canonical candidate per doc, factored through
+    * DISTINCT signatures — the round-9 skew-rehearsal fix for the one
+    * quadratic surface the Zipf-hot probe exposed: the previous spelling
+    * consumed `minhashPairs`, whose output on a hot near-dup cluster of B
+    * docs is B(B−1)/2 pairs (measured: 200‰ hot docs at sf0.1 → 499,657
+    * pairs, 99.9% from ONE bucket — a 1M-doc boilerplate cluster at
+    * 100 TB would be 5·10¹¹ rows). Both pair-eligibility tests are pure
+    * functions of the SIGNATURE (band co-membership: band hashes derive
+    * from sig; est_jaccard: positional sig agreement), so the min-doc
+    * derivation factors exactly through signature groups:
+    *
+    *  1. gmin = min doc_id per distinct sig (one exchange on sig; a hot
+    *     cluster of identical docs collapses to ONE group row);
+    *  2. the banded self-join runs over DISTINCT-sig band rows only
+    *     (epm(g) = min partner-group gmin with est ≥ τ) — worst case
+    *     (all sigs distinct) is exactly the old relation, hot case is
+    *     group-count-quadratic, not doc-count-quadratic;
+    *  3. near_canon(b) = min eligible doc < b, reassembled per doc from
+    *     (gmin, epm) — for b ≠ gmin: least(gmin, epm) (a partner min
+    *     above b cannot undercut gmin < b); for b = gmin: epm when
+    *     epm < b (the own group has no smaller member).
+    *
+    * EXACT column-level parity with the pairs spelling (same oracle gates
+    * the pipeline; OperatorParitySpec pins equality on the gate corpus
+    * and on a crafted hot corpus). `minhashPairs` itself keeps its
+    * contract — enumerating the pairs IS its output, necessarily
+    * Ω(pairs); the pipeline just no longer pays that to label docs. */
+  private[graft] def nearCanonBySig(sigs: DataFrame): DataFrame = {
+    val withG = sigs.withColumn("gmin",
+      min(col("doc_id")).over(Window.partitionBy(col("sig"))))
+    val groups = withG.groupBy(col("gmin")).agg(first(col("sig")).as("sig"))
+    val bandsD = groups.select(col("gmin"), col("sig"),
+        posexplode(array((0 until Bands).map { b =>
+          polyHashLongs(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))
+        }: _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+      .repartition(col("band_idx"), col("band_hash"))
+    val est = size(filter(sequence(lit(1), lit(MinHashK)),
+      i => element_at(col("a.sig"), i) === element_at(col("b.sig"), i)))
+      .cast("double") / MinHashK.toDouble
+    val epm = bandsD.as("a").join(bandsD.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.gmin") =!= col("b.gmin"))
+      .filter(est >= PipelineEstThreshold)
+      .groupBy(col("a.gmin").as("gmin")).agg(min(col("b.gmin")).as("epm"))
+    withG.join(epm, Seq("gmin"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") === col("gmin"),
+          when(col("epm") < col("doc_id"), col("epm")))
+          .otherwise(least(col("gmin"), coalesce(col("epm"), col("gmin"))))
+          .as("near_canon"))
+  }
+
+  /** The pre-round-9 pairs-based spelling, kept as the parity reference
+    * for [[nearCanonBySig]] (spec-only; quadratic on hot clusters). */
+  private[graft] def nearCanonByPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir)
+      .filter(col("est_jaccard") >= PipelineEstThreshold)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("near_canon"))
 
   def dedupPipelineOracle: String = {
     val norm = s"array_to_string(${graft.oracle.OracleSql.tokens(graft.oracle.OracleSql.clean("text"))}, ' ')"

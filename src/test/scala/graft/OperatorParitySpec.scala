@@ -571,6 +571,34 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w(1) > 0, s"w1 should be positive, got ${w(1)}")
   }
 
+  test("sig-factored near-canon == pairs spelling, incl. on a Zipf-hot corpus") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, when}
+    // The round-9 skew fix (Dedup.nearCanonBySig doc): both spellings must
+    // agree doc-for-doc — on the gate corpus AND on a crafted corpus where
+    // 200 permille of docs collapse onto one text (one hot sig group;
+    // the pairs spelling pays the B^2 clique there, the sig spelling one
+    // group row — semantics identical either way).
+    def pairsOf(d: String) = Dedup.nearCanonByPairs(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def sigOf(d: String) = Dedup.nearCanonBySig(Dedup.minhashSignatures(spark, d))
+      .filter(col("near_canon").isNotNull).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = sigOf(dir)
+    assert(base == pairsOf(dir) && base.nonEmpty)
+    val work = java.nio.file.Files.createTempDirectory("zipfhot-spec").toString
+    Tables.documents(spark, dir).withColumn("text",
+        when(pmod(col("doc_id"), lit(1000L)) < 200L,
+          lit("the quick brown fox jumps over the lazy dog"))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val hot = sigOf(work)
+    assert(hot == pairsOf(work))
+    // non-vacuous: the hot cluster links every non-min hot doc
+    val hotIds = (0L until 500L).filter(_ % 1000L < 200L)
+    assert(hotIds.drop(1).forall(id => hot.get(id).contains(hotIds.head)),
+      s"hot cluster not canonicalized onto ${hotIds.head}")
+  }
+
   test("live localtime face: one instant per query, exact zone math, fixed-instant agreement") {
     import java.time.{LocalDateTime, ZoneId, ZoneOffset}
     import java.time.format.DateTimeFormatter
