@@ -227,6 +227,11 @@ object SparkEntry {
     // BATCH ANN: IVF top-k for a probe table in one plan (per-probe
     // window ranks; equi-joins on the cell key)
     "ann_ivf_batch" -> ((s, d) => Similarity.ivfBatchTopK(s, d, P.IvfK, nprobe = P.IvfNprobe)),
+    // two-level IVF: the codebook itself quantized (coarse reps over the
+    // fine centroids) so query-side centroid work is O(sqrt(C)) — the
+    // ncells-measurement escalation for ncells ∝ N deployments
+    "ann_ivf2_topk" -> ((s, d) => Similarity.ivf2TopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
+    "ann_ivf2_recall" -> ((s, d) => Similarity.ivf2Recall(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     // product quantization: 8-byte codes + ADC lookup-table scoring (the
     // compressed coarse pass at 100 TB); recall vs exact L2 kept visible
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, P.IvfProbe, P.IvfK)),
@@ -515,6 +520,8 @@ object SparkEntry {
     "ann_kmeans_train" -> KMeans.kmeansTrainOracle(),
     "ann_ivf_trained" -> KMeans.ivfTrainedTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf_batch" -> Similarity.ivfBatchTopKOracle(P.IvfK, nprobe = P.IvfNprobe),
+    "ann_ivf2_topk" -> Similarity.ivf2TopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
+    "ann_ivf2_recall" -> Similarity.ivf2RecallOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_pq_topk" -> Similarity.pqTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_recall" -> Similarity.pqMeanRecallOracle(P.IvfK),
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),

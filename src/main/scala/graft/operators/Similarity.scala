@@ -160,6 +160,118 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-level IVF — the escalation the round-9 ncells measurement calls
+    * for (SCALE.md §ncells): keeping probed rows flat needs ncells ∝ N,
+    * but then the flat coarse-quantizer scan (rank ALL C centroids per
+    * query) grows linearly and becomes its own ANN problem at ~1e7 cells.
+    * Standard answer: quantize the codebook itself. Level 1 groups the C2
+    * fine centroids under C1 coarse reps (deterministic sample of the
+    * fine codebook, same frozen-under-appends pattern); a query ranks the
+    * C1 reps, keeps `nprobe1` groups, ranks ONLY those groups' fine
+    * centroids (≈ nprobe1·C2/C1 rows instead of C2), keeps `nprobe`
+    * cells, then exact-reranks the cells' vectors as usual. Query-side
+    * centroid work drops from O(C2) to O(C1 + nprobe1·C2/C1) — O(√C2) at
+    * the balanced C1 ≈ √C2 — while the data read stays nprobe cells.
+    * With nprobe1 = C1 the coarse level prunes nothing and the result
+    * equals single-level [[ivfTopK]] EXACTLY (OperatorParitySpec pins
+    * it); below that, the coarse pruning is a recall trade measured by
+    * `ann_ivf2_recall`, the same way nprobe/C is. */
+  def ivf2TopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
+               centroidMod: Long = 25L, nprobe: Int = 2,
+               numCentroids: Int = IvfNumCentroids,
+               coarseStride: Long = 4L, numCoarse: Int = 4,
+               nprobe1: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val fine = centroids(e, centroidMod, numCentroids)
+    val coarse = fine
+      .filter(col("cid") % (centroidMod * coarseStride) === 0 &&
+        col("cid") < centroidMod * coarseStride * numCoarse)
+      .select(col("cid").as("gid"), col("cemb").as("gemb"))
+    // fine-centroid → coarse-group assignment: the SAME argmax-cosine
+    // derivation as vector→cell, applied one level up (codebook-sized).
+    val f2c = cellAssignment(
+        fine.select(col("cid").as("vec_id"), col("cemb").as("embedding")),
+        coarse.select(col("gid").as("cid"), col("gemb").as("cemb")))
+      .select(col("vec_id").as("cid"), col("cell").as("gid"))
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("pemb"))
+    val probeGroups = coarse.crossJoin(broadcast(probe))
+      .select(col("gid"), cosine(col("gemb"), col("pemb")).as("gc"))
+      .orderBy(col("gc").desc, col("gid")).limit(nprobe1)
+      .select(col("gid"))
+    val probeCells = fine.join(broadcast(f2c), "cid")
+      .join(broadcast(probeGroups), "gid")
+      .crossJoin(broadcast(probe))
+      .select(col("cid"), cosine(col("cemb"), col("pemb")).as("pc"))
+      .orderBy(col("pc").desc, col("cid")).limit(nprobe)
+      .select(col("cid").as("cell"))
+    val cand = cellAssignment(e, fine).join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= probeId).select("vec_id")
+    e.join(cand, "vec_id").crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("pemb")), 4).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def ivf2TopKOracle(probeId: Long, k: Int, centroidMod: Long = 25L,
+                     nprobe: Int = 2, numCentroids: Int = IvfNumCentroids,
+                     coarseStride: Long = 4L, numCoarse: Int = 4,
+                     nprobe1: Int = 2): String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |              WHERE vec_id % $centroidMod = 0
+       |                AND vec_id < ${centroidMod * numCentroids}),
+       |coarse AS (SELECT cid AS gid, cemb AS gemb FROM cent
+       |           WHERE cid % ${centroidMod * coarseStride} = 0
+       |             AND cid < ${centroidMod * coarseStride * numCoarse}),
+       |f2c AS (SELECT cid, gid FROM (
+       |          SELECT c.cid, g.gid,
+       |                 row_number() OVER (PARTITION BY c.cid
+       |                   ORDER BY ${cosineSql("c.cemb", "g.gemb")} DESC, g.gid) AS rn
+       |          FROM cent c CROSS JOIN coarse g)
+       |        WHERE rn = 1),
+       |probe AS (SELECT embedding AS pemb FROM embeddings WHERE vec_id = $probeId),
+       |pg AS (SELECT gid FROM coarse CROSS JOIN probe
+       |       ORDER BY ${cosineSql("gemb", "pemb")} DESC, gid LIMIT $nprobe1),
+       |pc AS (SELECT cid AS cell FROM cent JOIN f2c USING (cid)
+       |       JOIN pg USING (gid) CROSS JOIN probe
+       |       ORDER BY ${cosineSql("cemb", "pemb")} DESC, cid LIMIT $nprobe),
+       |ac AS (SELECT e.vec_id, c.cid,
+       |              ${cosineSql("e.embedding", "c.cemb")} AS ccos
+       |       FROM embeddings e CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, cid AS cell FROM ac
+       |           QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                                      ORDER BY ccos DESC, cid) = 1),
+       |cand AS (SELECT a.vec_id FROM assign a JOIN pc USING (cell)
+       |         WHERE a.vec_id <> $probeId)
+       |SELECT e.vec_id, e.label,
+       |       round(${cosineSql("e.embedding", "p.pemb")}, 4) AS cosine_sim
+       |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN probe p
+       |ORDER BY cosine_sim DESC, e.vec_id
+       |LIMIT $k""".stripMargin
+
+  /** Recall@k of the two-level path vs exact — the coarse level's recall
+    * trade, measured (the nprobe1/C1 knob's analogue of ivfRecall). */
+  def ivf2Recall(spark: SparkSession, dir: String, probeId: Long, k: Int,
+                 nprobe: Int = 2): DataFrame = {
+    val exact = cosineTopK(spark, dir, probeId, k).select(col("vec_id"))
+    val approx = ivf2TopK(spark, dir, probeId, k, nprobe = nprobe)
+      .select(col("vec_id").as("a_id"))
+    exact.join(broadcast(approx), col("vec_id") === col("a_id"), "left")
+      .agg(count(lit(1)).as("k_exact"), count(col("a_id")).as("hits"))
+      .withColumn("recall",
+        col("hits").cast("double") / col("k_exact").cast("double"))
+      .orderBy(col("k_exact"))
+  }
+
+  def ivf2RecallOracle(probeId: Long, k: Int, nprobe: Int = 2): String =
+    s"""SELECT count(*) AS k_exact, count(a.a_id) AS hits,
+       |       count(a.a_id)::DOUBLE / count(*)::DOUBLE AS recall
+       |FROM (${cosineTopKOracle(probeId, k)}) e
+       |LEFT JOIN (SELECT vec_id AS a_id FROM (${ivf2TopKOracle(probeId, k, nprobe = nprobe)})) a
+       |  ON e.vec_id = a.a_id
+       |ORDER BY k_exact""".stripMargin
+
   /** The fixed-size deterministic codebook: every `centroidMod`-th vector,
     * capped at `numCentroids` — C never scales with N. FROZEN under
     * appends: the id cap (`centroidMod * numCentroids`) means later batches

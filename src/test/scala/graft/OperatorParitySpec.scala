@@ -571,6 +571,21 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w(1) > 0, s"w1 should be positive, got ${w(1)}")
   }
 
+  test("two-level IVF with nprobe1 = C1 degenerates to single-level exactly") {
+    // probing ALL coarse groups makes level 1 prune nothing, so the fine
+    // ranking sees the full codebook and the result must equal ivfTopK
+    // bit-for-bit — the correctness anchor under the coarse pruning knob
+    val single = Similarity.ivfTopK(spark, dir, 7L, 10, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    val two = Similarity.ivf2TopK(spark, dir, 7L, 10, nprobe = 4,
+        numCoarse = 4, nprobe1 = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(two == single && single.nonEmpty)
+    // and the pruned form still returns k rows (coarse pruning is a
+    // recall trade, not a result-size change)
+    assert(Similarity.ivf2TopK(spark, dir, 7L, 10, nprobe = 4).count() == 10)
+  }
+
   test("sig-factored near-canon == pairs spelling, incl. on a Zipf-hot corpus") {
     import org.apache.spark.sql.functions.{col, lit, pmod, when}
     // The round-9 skew fix (Dedup.nearCanonBySig doc): both spellings must
