@@ -30,6 +30,21 @@ object SkewProbe {
         scala.collection.mutable.ArrayBuffer.empty[Long]) += t.taskInfo.duration
     }
     def reset(): Unit = durs.synchronized(durs.clear())
+    /** Listener events arrive on an async bus AFTER the action returns —
+      * and the last-delivered events are exactly the last-FINISHING tasks,
+      * i.e. the stragglers this probe exists to see. Wait until the event
+      * count is stable across two 150 ms windows before reading (or
+      * resetting — a late event crossing a reset would misattribute a
+      * straggler to the NEXT run's stats). No private listener-bus API. */
+    def quiesce(): Unit = {
+      var prev = -1L
+      var stable = 0
+      while (stable < 2) {
+        val cur = durs.synchronized(durs.valuesIterator.map(_.size.toLong).sum)
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        Thread.sleep(150)
+      }
+    }
     /** Top `n` stages by max task duration: (stage, tasks, medianMs, maxMs). */
     def top(n: Int): Seq[(Int, Int, Long, Long)] = durs.synchronized {
       durs.toSeq.map { case (sid, ds) =>
@@ -69,10 +84,12 @@ object SkewProbe {
     val lis = new TaskLis
     spark.sparkContext.addSparkListener(lis)
     def run(name: String)(f: => Long): Unit = {
+      lis.quiesce()
       lis.reset()
       val t0 = System.nanoTime()
       val rows = f
       val sec = (System.nanoTime() - t0) / 1e9
+      lis.quiesce()
       val stages = lis.top(3).map { case (sid, n, med, mx) =>
         s"""{"stage":$sid,"tasks":$n,"median_ms":$med,"max_ms":$mx}"""
       }.mkString("[", ",", "]")

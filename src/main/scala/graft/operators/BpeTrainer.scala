@@ -331,20 +331,15 @@ object BpeTrainer {
     }
   }
 
-  /** The scale run's corpus: token 2-gram PHRASES as the word unit. The
+  /** The scale run's corpus: token n-gram PHRASES as the word unit. The
     * driver's synthetic documents have a 31-word vocabulary (107 possible
     * within-word merges — single-word BPE exhausts at ~89, measured), so
     * the vocabulary-scale demonstration derives a combinatorial word
-    * unit from the same text: distinct phrases ≈ vocab², 901 at sf0.01
-    * with 8,108 possible merges. Same trainer, same relations — only the
-    * t=0 word-count derivation differs. */
-  private[graft] def phraseCounts(spark: SparkSession, dir: String): DataFrame =
-    phraseCountsN(spark, dir, 2)
-
-  /** The n-gram generalization — n is the VOCABULARY-SCALE knob for the
+    * unit from the same text; n is the VOCABULARY-SCALE knob of the
     * data-boundedness measurement (sf0.1: n=2 → 931 distinct words,
-    * n=3 → 27k, n=4 → 211k), growing the word relation ~200× from the
-    * same corpus without touching the trainer. */
+    * n=3 → 27k, n=4 → 211k — a ~200× relation range from the same
+    * corpus). Same trainer, same relations — only the t=0 word-count
+    * derivation differs. */
   private[graft] def phraseCountsN(spark: SparkSession, dir: String, n: Int): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(graft.functions.TextFunctions.tokenWindows(
@@ -358,9 +353,12 @@ object BpeTrainer {
     * Returns (rounds, merges). Artifact count: 2 at t=0 (s0, pc0) + 3 per
     * round (b, s, pc). */
   /** One measured round of [[bpeTrainAtScale]]: wall seconds for the
-    * round's three artifact builds (round 1 also pays the t=0 roots),
-    * merges learned, and the post-round symbol/pair-count relation sizes
-    * — the axes of the data-bound-vs-overhead-bound question. */
+    * round's three artifact builds PLUS its three instrumentation counts
+    * (round 1 also pays the t=0 roots), merges learned, and the
+    * post-round symbol/pair-count relation sizes — the axes of the
+    * data-bound-vs-overhead-bound question. The counts live INSIDE the
+    * timer so Σ per-round sec reconciles with the harness's headline
+    * wall (parquet counts are footer-metadata sums — negligible). */
   case class BpeRoundStat(round: Int, merges: Long, sec: Double,
                           symbolRows: Long, pairRows: Long)
 
@@ -377,11 +375,12 @@ object BpeTrainer {
       val (b, s, pc) = ensureIter(spark, dir, t,
         BpeScaleM, BpeScaleWindow, BpeScalePasses, fam = fam,
         words = phraseCountsN(_, _, n))
-      val sec = (System.nanoTime() - t0) / 1e9
       lastBatch = spark.read.parquet(b).count()
+      val (sRows, pcRows) =
+        (spark.read.parquet(s).count(), spark.read.parquet(pc).count())
+      val sec = (System.nanoTime() - t0) / 1e9
       total += lastBatch
-      stats += BpeRoundStat(t, lastBatch, sec,
-        spark.read.parquet(s).count(), spark.read.parquet(pc).count())
+      stats += BpeRoundStat(t, lastBatch, sec, sRows, pcRows)
     }
     (t, total, stats.result())
   }

@@ -654,18 +654,12 @@ object Pipeline {
     * columns the downstream stages need (n_tok for the budget, n_pieces
     * for packing, content_hash for the manifest). Map-only over the
     * labels; raw documents are NEVER read here (plan-spec-pinned). */
-  private[graft] def e2eCleanFrom(spark: SparkSession, metaPath: String): DataFrame = {
-    val bucket = pmod(
-      polyHash(concat(lit(SplitSalt), col("doc_id").cast("string"))), lit(1000L))
+  private[graft] def e2eCleanFrom(spark: SparkSession, metaPath: String): DataFrame =
     spark.read.parquet(metaPath)
       .filter(col("is_canonical"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("n_pieces"),
         col("content_hash"))
-      .withColumn("split",
-        when(bucket < SplitTrainUpto, "train")
-          .when(bucket < SplitValUpto, "val")
-          .otherwise("test"))
-  }
+      .withColumn("split", splitOf(col("doc_id")))
 
   /** Stage 3 — token-budget cut of the TRAIN slice, in the deterministic
     * shuffle order: the [[corpusTakeBudget]] distributed prefix-sum (no

@@ -647,7 +647,15 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       val (lw, ls) = fixed(r.getLong(0))
       val offW = java.time.Duration.between(winter, LocalDateTime.parse(lw, fmt)).toMinutes
       val offS = java.time.Duration.between(summer, LocalDateTime.parse(ls, fmt)).toMinutes
-      if (offW == offS) {
+      // guard against a legislated base-offset change between the fixed
+      // instants and the test run (tzdb updates): the fixed-instant tie
+      // only holds for zones whose CURRENT rules still give the same
+      // offset at the live instant — java.time is the arbiter of that,
+      // so a future tzdb edit cannot turn this into a flake
+      val zone = ZoneId.of(Option(r.getString(1)).getOrElse("UTC"))
+      val offNowByRules = asOf.atOffset(ZoneOffset.UTC).atZoneSameInstant(zone)
+        .getOffset.getTotalSeconds / 60L
+      if (offW == offS && offNowByRules == offW) {
         dstFree += 1
         val offLive = java.time.Duration
           .between(asOf, LocalDateTime.parse(r.getString(3), fmt)).toMinutes

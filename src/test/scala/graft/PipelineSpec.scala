@@ -236,20 +236,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val leaked = layout.select(col("doc_id"))
       .join(cleanTrain, Seq("doc_id"), "left_anti").count()
     assert(leaked == 0, s"$leaked docs in the layout are not clean-train")
-    // 2. budget: kept tokens fit 600‰ of the clean-train total, and the
-    //    cut is MAXIMAL (kept < budget-permille would admit the next doc
-    //    only if some shard prefix stopped early — totals prove both)
-    val trainTok = meta.join(cleanTrain, "doc_id")
-      .agg(sum(col("n_tok"))).head().getLong(0)
-    val budget = trainTok * Pipeline.TokenBudgetPermille / 1000
+    // 2. budget MAXIMALITY, proven against an INDEPENDENT driver-side
+    //    recomputation (not the operator's own code, which a shared bug
+    //    would satisfy): order the clean-train docs by the shuffle
+    //    permutation (shard, h, doc_id), walk the prefix sum in plain
+    //    Scala, and the kept set must be exactly the maximal prefix whose
+    //    token total fits 600‰ — one doc more would overflow.
+    import graft.functions.TextFunctions.polyHash
+    val ordered = meta.join(cleanTrain, "doc_id")
+      .select(col("doc_id"), col("n_tok"),
+        polyHash(concat(lit(Pipeline.ShuffleSalt), col("doc_id").cast("string")))
+          .as("h"))
+      .withColumn("shard", pmod(col("h"), lit(Pipeline.NumShards.toLong)))
+      .collect().map(r => (r.getLong(3), r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._1, t._2, t._3)) // (shard, h, doc_id)
+    val budget = ordered.map(_._4).sum * Pipeline.TokenBudgetPermille / 1000
+    var run = 0L
+    val expectKept = ordered.takeWhile { case (_, _, _, tok) =>
+      run += tok; run <= budget
+    }.map(_._3).toSet
+    val gotKept = layout.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(gotKept == expectKept,
+      s"layout kept ${gotKept.size} docs != maximal prefix ${expectKept.size}")
     val keptTok = layout.agg(sum(col("n_tok"))).head().getLong(0)
     assert(keptTok <= budget, s"kept $keptTok exceeds budget $budget")
-    val keptDocs = layout.count()
-    val nextCut = graft.operators.Pipeline
-      .e2eBudgetFrom(spark, graft.Materialize.artifactPath(spark,
-        "graft_e2eclean", CorpusPrep.ensureDocMeta(spark, dir), Pipeline.E2eVersion))
-    assert(nextCut.count() == keptDocs,
-      "budget stage and materialized layout disagree on the kept set")
+    // non-vacuous: the cut actually lands mid-corpus at this SF
+    assert(expectKept.nonEmpty && expectKept.size < ordered.length,
+      "budget cut is vacuous or total at this SF")
     // 3. the manifest's checksums are ORDER-FREE: recomputing over a
     //    re-partitioned layout (different partial-aggregation order)
     //    gives identical rows
