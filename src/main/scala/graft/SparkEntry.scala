@@ -232,6 +232,9 @@ object SparkEntry {
     // ncells-measurement escalation for ncells ∝ N deployments
     "ann_ivf2_topk" -> ((s, d) => Similarity.ivf2TopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     "ann_ivf2_recall" -> ((s, d) => Similarity.ivf2Recall(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
+    // the same two-level selection SERVED from the cell-partitioned index
+    // (pruned read of the nprobe cell dirs; shares ivf2_topk's oracle)
+    "ann_ivf2_bucketed" -> ((s, d) => Similarity.ivf2BucketedTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     // product quantization: 8-byte codes + ADC lookup-table scoring (the
     // compressed coarse pass at 100 TB); recall vs exact L2 kept visible
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, P.IvfProbe, P.IvfK)),
@@ -522,6 +525,7 @@ object SparkEntry {
     "ann_ivf_batch" -> Similarity.ivfBatchTopKOracle(P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf2_topk" -> Similarity.ivf2TopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf2_recall" -> Similarity.ivf2RecallOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
+    "ann_ivf2_bucketed" -> Similarity.ivf2TopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_pq_topk" -> Similarity.pqTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_recall" -> Similarity.pqMeanRecallOracle(P.IvfK),
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),

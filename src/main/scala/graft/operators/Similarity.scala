@@ -214,6 +214,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** The SERVED two-level form: the same coarse→fine probe-cell
+    * selection as [[ivf2TopK]] (codebook-sized work, O(√C) query-side),
+    * with candidates read from the cell-partitioned `graft_ivf` index —
+    * the nprobe cell directories only, exactly [[ivfBucketedTopK]]'s
+    * pruned-read path. Identical results to `ivf2TopK` (the probed cells
+    * and exact re-rank are the same; one oracle gates both, and
+    * OperatorParitySpec pins bit-equality), so at ncells ∝ N a serving
+    * tier gets flat probed rows AND sub-linear centroid ranking AND the
+    * partition-pruned read in one plan. */
+  def ivf2BucketedTopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
+                       centroidMod: Long = 25L, nprobe: Int = 2,
+                       numCentroids: Int = IvfNumCentroids,
+                       coarseStride: Long = 4L, numCoarse: Int = 4,
+                       nprobe1: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val fine = centroids(e, centroidMod, numCentroids)
+    val coarse = fine
+      .filter(col("cid") % (centroidMod * coarseStride) === 0 &&
+        col("cid") < centroidMod * coarseStride * numCoarse)
+      .select(col("cid").as("gid"), col("cemb").as("gemb"))
+    val f2c = cellAssignment(
+        fine.select(col("cid").as("vec_id"), col("cemb").as("embedding")),
+        coarse.select(col("gid").as("cid"), col("gemb").as("cemb")))
+      .select(col("vec_id").as("cid"), col("cell").as("gid"))
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("pemb"))
+    val probeGroups = coarse.crossJoin(broadcast(probe))
+      .select(col("gid"), cosine(col("gemb"), col("pemb")).as("gc"))
+      .orderBy(col("gc").desc, col("gid")).limit(nprobe1)
+      .select(col("gid"))
+    val probeCells = fine.join(broadcast(f2c), "cid")
+      .join(broadcast(probeGroups), "gid")
+      .crossJoin(broadcast(probe))
+      .select(col("cid"), cosine(col("cemb"), col("pemb")).as("pc"))
+      .orderBy(col("pc").desc, col("cid")).limit(nprobe)
+      .select(col("cid").as("cell"))
+    val indexPath = ensureIvfIndex(spark, dir, e, fine, centroidMod, numCentroids)
+    spark.read.parquet(indexPath).join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("pemb")), 4).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def ivf2TopKOracle(probeId: Long, k: Int, centroidMod: Long = 25L,
                      nprobe: Int = 2, numCentroids: Int = IvfNumCentroids,
                      coarseStride: Long = 4L, numCoarse: Int = 4,

@@ -584,6 +584,13 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the pruned form still returns k rows (coarse pruning is a
     // recall trade, not a result-size change)
     assert(Similarity.ivf2TopK(spark, dir, 7L, 10, nprobe = 4).count() == 10)
+    // the served (cell-partitioned index) twin is bit-identical to the
+    // inline form at the gate parameters — the shared oracle's premise
+    val inline2 = Similarity.ivf2TopK(spark, dir, 7L, 10, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    val served2 = Similarity.ivf2BucketedTopK(spark, dir, 7L, 10, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(served2 == inline2)
   }
 
   test("sig-factored near-canon == pairs spelling, incl. on a Zipf-hot corpus") {
