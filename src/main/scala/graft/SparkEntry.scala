@@ -241,6 +241,11 @@ object SparkEntry {
     "ann_pq_recall" -> ((s, d) => Similarity.pqMeanRecall(s, d, P.IvfK)),
     // the composed stack: IVF prunes which cells are read, PQ codes score
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
+    // the full serving stack: two-level cell selection (O(sqrt C) centroid
+    // work) + PQ-ADC scoring; _bucketed reads ONLY the probed cells of the
+    // cell-partitioned codes artifact (DPP-pruned 8-byte column, no floats)
+    "ann_ivf2pq_topk" -> ((s, d) => Similarity.ivf2PqTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
+    "ann_ivf2pq_bucketed" -> ((s, d) => Similarity.ivf2PqBucketedTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     // same semantics over the MATERIALIZED code artifact (shared oracle)
     "ann_pq_indexed" -> ((s, d) => Similarity.pqTopKIndexed(s, d, P.IvfProbe, P.IvfK)),
     // per-subspace L2 Lloyd-trained codebooks (the proper PQ trainer);
@@ -529,6 +534,8 @@ object SparkEntry {
     "ann_pq_topk" -> Similarity.pqTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_recall" -> Similarity.pqMeanRecallOracle(P.IvfK),
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
+    "ann_ivf2pq_topk" -> Similarity.ivf2PqTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
+    "ann_ivf2pq_bucketed" -> Similarity.ivf2PqTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_pq_indexed" -> Similarity.pqTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_trained" -> KMeans.pqTrainedTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_trained_recall" -> KMeans.pqTrainedRecallOracle(P.IvfK),

@@ -183,28 +183,10 @@ object Similarity {
                nprobe1: Int = 2): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val fine = centroids(e, centroidMod, numCentroids)
-    val coarse = fine
-      .filter(col("cid") % (centroidMod * coarseStride) === 0 &&
-        col("cid") < centroidMod * coarseStride * numCoarse)
-      .select(col("cid").as("gid"), col("cemb").as("gemb"))
-    // fine-centroid → coarse-group assignment: the SAME argmax-cosine
-    // derivation as vector→cell, applied one level up (codebook-sized).
-    val f2c = cellAssignment(
-        fine.select(col("cid").as("vec_id"), col("cemb").as("embedding")),
-        coarse.select(col("gid").as("cid"), col("gemb").as("cemb")))
-      .select(col("vec_id").as("cid"), col("cell").as("gid"))
     val probe = e.filter(col("vec_id") === probeId)
       .select(col("embedding").as("pemb"))
-    val probeGroups = coarse.crossJoin(broadcast(probe))
-      .select(col("gid"), cosine(col("gemb"), col("pemb")).as("gc"))
-      .orderBy(col("gc").desc, col("gid")).limit(nprobe1)
-      .select(col("gid"))
-    val probeCells = fine.join(broadcast(f2c), "cid")
-      .join(broadcast(probeGroups), "gid")
-      .crossJoin(broadcast(probe))
-      .select(col("cid"), cosine(col("cemb"), col("pemb")).as("pc"))
-      .orderBy(col("pc").desc, col("cid")).limit(nprobe)
-      .select(col("cid").as("cell"))
+    val probeCells = ivf2ProbeCells(fine, probe, centroidMod,
+      coarseStride, numCoarse, nprobe1, nprobe)
     val cand = cellAssignment(e, fine).join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= probeId).select("vec_id")
     e.join(cand, "vec_id").crossJoin(broadcast(probe))
@@ -212,6 +194,35 @@ object Similarity {
         round(cosine(col("embedding"), col("pemb")), 4).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** The shared coarse→fine probe-cell selection of every two-level form:
+    * rank the C1 coarse reps, keep `nprobe1` groups, rank ONLY those
+    * groups' fine centroids, keep `nprobe` cells. All inputs are
+    * codebook-sized; the fine→coarse assignment is the SAME argmax-cosine
+    * derivation as vector→cell, applied one level up. */
+  private[graft] def ivf2ProbeCells(fine: DataFrame, probe: DataFrame,
+                                    centroidMod: Long, coarseStride: Long,
+                                    numCoarse: Int, nprobe1: Int,
+                                    nprobe: Int): DataFrame = {
+    val coarse = fine
+      .filter(col("cid") % (centroidMod * coarseStride) === 0 &&
+        col("cid") < centroidMod * coarseStride * numCoarse)
+      .select(col("cid").as("gid"), col("cemb").as("gemb"))
+    val f2c = cellAssignment(
+        fine.select(col("cid").as("vec_id"), col("cemb").as("embedding")),
+        coarse.select(col("gid").as("cid"), col("gemb").as("cemb")))
+      .select(col("vec_id").as("cid"), col("cell").as("gid"))
+    val probeGroups = coarse.crossJoin(broadcast(probe))
+      .select(col("gid"), cosine(col("gemb"), col("pemb")).as("gc"))
+      .orderBy(col("gc").desc, col("gid")).limit(nprobe1)
+      .select(col("gid"))
+    fine.join(broadcast(f2c), "cid")
+      .join(broadcast(probeGroups), "gid")
+      .crossJoin(broadcast(probe))
+      .select(col("cid"), cosine(col("cemb"), col("pemb")).as("pc"))
+      .orderBy(col("pc").desc, col("cid")).limit(nprobe)
+      .select(col("cid").as("cell"))
   }
 
   /** The SERVED two-level form: the same coarse→fine probe-cell
@@ -230,26 +241,10 @@ object Similarity {
                        nprobe1: Int = 2): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val fine = centroids(e, centroidMod, numCentroids)
-    val coarse = fine
-      .filter(col("cid") % (centroidMod * coarseStride) === 0 &&
-        col("cid") < centroidMod * coarseStride * numCoarse)
-      .select(col("cid").as("gid"), col("cemb").as("gemb"))
-    val f2c = cellAssignment(
-        fine.select(col("cid").as("vec_id"), col("cemb").as("embedding")),
-        coarse.select(col("gid").as("cid"), col("gemb").as("cemb")))
-      .select(col("vec_id").as("cid"), col("cell").as("gid"))
     val probe = e.filter(col("vec_id") === probeId)
       .select(col("embedding").as("pemb"))
-    val probeGroups = coarse.crossJoin(broadcast(probe))
-      .select(col("gid"), cosine(col("gemb"), col("pemb")).as("gc"))
-      .orderBy(col("gc").desc, col("gid")).limit(nprobe1)
-      .select(col("gid"))
-    val probeCells = fine.join(broadcast(f2c), "cid")
-      .join(broadcast(probeGroups), "gid")
-      .crossJoin(broadcast(probe))
-      .select(col("cid"), cosine(col("cemb"), col("pemb")).as("pc"))
-      .orderBy(col("pc").desc, col("cid")).limit(nprobe)
-      .select(col("cid").as("cell"))
+    val probeCells = ivf2ProbeCells(fine, probe, centroidMod,
+      coarseStride, numCoarse, nprobe1, nprobe)
     val indexPath = ensureIvfIndex(spark, dir, e, fine, centroidMod, numCentroids)
     spark.read.parquet(indexPath).join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= probeId)
@@ -710,12 +705,21 @@ object Similarity {
       .select(col("cid").as("cell"))
     val cand = cellAssignment(e, cent).join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= probeId).select("vec_id")
+    adcScore(pqEncode(e, books).join(cand, "vec_id"), books, e, probe, k)
+  }
+
+  /** Shared ADC-over-candidates tail of the IVF+PQ compositions: LUT from
+    * the one-row broadcast probe, lookup-sum per candidate (the same
+    * m-sorted bit-stable fold as [[pqAdcTopK]]), label fetch, top-k.
+    * `codes` arrives already restricted to the probed cells' members (the
+    * probe row excluded upstream). */
+  private[graft] def adcScore(codes: DataFrame, books: DataFrame, e: DataFrame,
+                              probe: DataFrame, k: Int): DataFrame = {
     val lut = books.crossJoin(broadcast(probe))
       .select(col("m"), col("cid").as("code"),
         l2sq(slice(col("pemb"), col("m") * PqDim + 1, lit(PqDim))
           .cast("array<double>"), col("cemb")).as("d"))
-    pqEncode(e, books).join(cand, "vec_id")
-      .join(broadcast(lut), Seq("m", "code"))
+    codes.join(broadcast(lut), Seq("m", "code"))
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("m"), col("d")))).as("ds"))
       .select(col("vec_id"),
@@ -725,6 +729,130 @@ object Similarity {
       .orderBy(col("pq_dist"), col("vec_id"))
       .limit(k)
   }
+
+  /** Two-level IVF + PQ — the composed 100 TB serving stack in one plan:
+    * [[ivf2ProbeCells]] picks WHICH cells are read with O(√C) query-side
+    * centroid work (the ncells ∝ N escalation), and the PQ-ADC lookup sum
+    * scores WHAT is read (8-byte codes, 32× smaller than the vectors).
+    * With nprobe1 = numCoarse the coarse level prunes nothing and the
+    * result equals single-level [[ivfPqTopK]] EXACTLY (OperatorParitySpec
+    * pins it); below that the coarse trade is the one `ann_ivf2_recall`
+    * already measures — the PQ leg is unchanged. */
+  def ivf2PqTopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
+                 centroidMod: Long = 25L, nprobe: Int = 2,
+                 numCentroids: Int = IvfNumCentroids,
+                 coarseStride: Long = 4L, numCoarse: Int = 4,
+                 nprobe1: Int = 2, mod: Long = 25L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val fine = centroids(e, centroidMod, numCentroids)
+    val books = pqCodebooks(e, mod)
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("pemb"))
+    val probeCells = ivf2ProbeCells(fine, probe, centroidMod,
+      coarseStride, numCoarse, nprobe1, nprobe)
+    val cand = cellAssignment(e, fine).join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= probeId).select("vec_id")
+    adcScore(pqEncode(e, books).join(cand, "vec_id"), books, e, probe, k)
+  }
+
+  /** CELL-PARTITIONED PQ codes — the artifact [[ivfPqTopK]]'s docstring
+    * promises at 100 TB ("the codes live beside the cell-partitioned
+    * index files"): one row per vector (vec_id, codes, cell), written
+    * `partitionBy(cell)` like `graft_ivf`, so a probed query reads
+    * nprobe/C of an already-32×-smaller column with partition pruning —
+    * never the float vectors. Same frozen-codebook append story as the
+    * IVF index: encoding and cell assignment are both row-local, so new
+    * batches append into the touched cell directories exactly. */
+  def ensureIvfPqCodes(spark: SparkSession, dir: String, e: DataFrame,
+                       cent: DataFrame, books: DataFrame,
+                       centroidMod: Long, numCentroids: Int,
+                       version: Int = 1): String =
+    graft.Materialize.ensure(
+      spark, s"graft_ivfpq_m${centroidMod}_c${numCentroids}_m${PqM}k$PqK",
+      dir, version) { p =>
+      pqCodesWide(e, books).join(cellAssignment(e, cent), "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(p)
+    }
+
+  /** Incremental maintenance of the cell-partitioned codes: the batch
+    * encodes against the SAME frozen subspace codebooks and assigns
+    * against the SAME frozen coarse codebook — both row-local, so
+    * append-then-read == rebuild-then-read (IncrementalIndexSpec pins the
+    * same law for `graft_ivf` and `graft_pqcodes`; this artifact composes
+    * the two row-local derivations). */
+  def appendToIvfPqCodes(spark: SparkSession, dir: String, batch: DataFrame,
+                         cent: DataFrame, books: DataFrame,
+                         centroidMod: Long, numCentroids: Int,
+                         version: Int = 1): String =
+    graft.Materialize.append(
+      spark, s"graft_ivfpq_m${centroidMod}_c${numCentroids}_m${PqM}k$PqK",
+      dir, version) { p =>
+      pqCodesWide(batch, books).join(cellAssignment(batch, cent), "vec_id")
+        .write.mode("append").partitionBy("cell").parquet(p)
+    }
+
+  /** The SERVED two-level IVF+PQ: [[ivf2ProbeCells]] selection (O(√C)
+    * centroid work), then the nprobe cell directories of the
+    * cell-partitioned codes artifact are the ONLY data read — a
+    * DPP-pruned scan of 8-byte codes (PlanShapeSpec pins the pruning).
+    * The float vectors are touched only for the 1-row probe fetch and
+    * the k-row label join. Identical results to [[ivf2PqTopK]] (one
+    * oracle gates both; OperatorParitySpec pins bit-equality). */
+  def ivf2PqBucketedTopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
+                         centroidMod: Long = 25L, nprobe: Int = 2,
+                         numCentroids: Int = IvfNumCentroids,
+                         coarseStride: Long = 4L, numCoarse: Int = 4,
+                         nprobe1: Int = 2, mod: Long = 25L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val fine = centroids(e, centroidMod, numCentroids)
+    val books = pqCodebooks(e, mod)
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("pemb"))
+    val probeCells = ivf2ProbeCells(fine, probe, centroidMod,
+      coarseStride, numCoarse, nprobe1, nprobe)
+    val path = ensureIvfPqCodes(spark, dir, e, fine, books,
+      centroidMod, numCentroids)
+    val codes = spark.read.parquet(path)
+      .join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+    adcScore(codes, books, e, probe, k)
+  }
+
+  def ivf2PqTopKOracle(probeId: Long, k: Int, centroidMod: Long = 25L,
+                       nprobe: Int = 2, numCentroids: Int = IvfNumCentroids,
+                       coarseStride: Long = 4L, numCoarse: Int = 4,
+                       nprobe1: Int = 2, mod: Long = 25L): String =
+    s"""WITH ${pqCtes(probeId, mod)},
+       |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |         WHERE vec_id % $centroidMod = 0
+       |           AND vec_id < ${centroidMod * numCentroids}),
+       |coarse AS (SELECT cid AS gid, cemb AS gemb FROM cent
+       |           WHERE cid % ${centroidMod * coarseStride} = 0
+       |             AND cid < ${centroidMod * coarseStride * numCoarse}),
+       |f2c AS (SELECT cid, gid FROM (
+       |          SELECT c.cid, g.gid,
+       |                 row_number() OVER (PARTITION BY c.cid
+       |                   ORDER BY ${cosineSql("c.cemb", "g.gemb")} DESC, g.gid) AS rn
+       |          FROM cent c CROSS JOIN coarse g)
+       |        WHERE rn = 1),
+       |pg AS (SELECT gid FROM coarse CROSS JOIN probe
+       |       ORDER BY ${cosineSql("gemb", "pemb")} DESC, gid LIMIT $nprobe1),
+       |pc AS (SELECT cid AS cell FROM cent JOIN f2c USING (cid)
+       |       JOIN pg USING (gid) CROSS JOIN probe
+       |       ORDER BY ${cosineSql("cemb", "pemb")} DESC, cid LIMIT $nprobe),
+       |ac AS (SELECT e.vec_id, c.cid,
+       |              ${cosineSql("e.embedding", "c.cemb")} AS ccos
+       |       FROM embeddings e CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, cid AS cell FROM ac
+       |           QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                                      ORDER BY ccos DESC, cid) = 1),
+       |cand AS (SELECT a.vec_id FROM assign a JOIN pc USING (cell)
+       |         WHERE a.vec_id <> $probeId)
+       |SELECT a.vec_id, e.label, a.pq_dist
+       |FROM adc a JOIN cand USING (vec_id) JOIN embeddings e USING (vec_id)
+       |ORDER BY a.pq_dist, a.vec_id
+       |LIMIT $k""".stripMargin
 
   def ivfPqTopKOracle(probeId: Long, k: Int, centroidMod: Long = 25L,
                       nprobe: Int = 2, numCentroids: Int = IvfNumCentroids,

@@ -200,6 +200,38 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaIndex.nonEmpty && viaIndex == inline)
   }
 
+  test("cell-partitioned PQ codes: append == rebuild; served IVF2-PQ == inline") {
+    val (e, cent, base, batch) = embParts()
+    // both codebooks frozen (id-capped) and passed explicitly to both
+    // paths — the composition of the two row-local derivations the IVF
+    // and flat-codes tests pin separately
+    val books = Similarity.pqCodebooks(e, 25L)
+    val appended = Similarity.ensureIvfPqCodes(spark, dir, base, cent, books,
+      25L, Similarity.IvfNumCentroids, version = 901)
+    Similarity.appendToIvfPqCodes(spark, dir, batch, cent, books,
+      25L, Similarity.IvfNumCentroids, version = 901)
+    val rebuilt = Similarity.ensureIvfPqCodes(spark, dir, e, cent, books,
+      25L, Similarity.IvfNumCentroids, version = 902)
+    def rows(p: String): Seq[(Long, Long, Seq[Long])] =
+      spark.read.parquet(p)
+        .select(col("vec_id"), col("cell").cast("long"), col("codes"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    val a = rows(appended)
+    assert(a.nonEmpty && a == rows(rebuilt))
+    // operator-version artifact so the served query reads the appended one
+    Similarity.ensureIvfPqCodes(spark, dir, base, cent, books,
+      25L, Similarity.IvfNumCentroids, version = 1)
+    Similarity.appendToIvfPqCodes(spark, dir, batch, cent, books,
+      25L, Similarity.IvfNumCentroids, version = 1)
+    val served = Similarity.ivf2PqBucketedTopK(spark, dir, probeId = 7L, k = 10)
+      .collect().toSeq
+    val inline = Similarity.ivf2PqTopK(spark, dir, probeId = 7L, k = 10)
+      .collect().toSeq
+    assert(served.nonEmpty && served == inline)
+  }
+
   private def docParts(): (DataFrame, DataFrame, DataFrame) = {
     val d = Tables.documents(spark, dir)
     (d, d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))

@@ -593,6 +593,26 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served2 == inline2)
   }
 
+  test("two-level IVF+PQ degenerates to single-level IVF-PQ; served == inline") {
+    // nprobe1 = C1 → the coarse level prunes nothing, the probed cells are
+    // single-level ivfPqTopK's, and the PQ-ADC leg is shared — so the
+    // composition must equal ivfPqTopK bit-for-bit
+    val single = Similarity.ivfPqTopK(spark, dir, 7L, 10, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    val two = Similarity.ivf2PqTopK(spark, dir, 7L, 10, nprobe = 4,
+        numCoarse = 4, nprobe1 = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(two == single && single.nonEmpty)
+    // the served twin reads the cell-partitioned codes artifact instead of
+    // encoding inline — bit-identical at the gate parameters (the shared
+    // oracle's premise), and still k rows under coarse pruning
+    val inline2 = Similarity.ivf2PqTopK(spark, dir, 7L, 10, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    val served2 = Similarity.ivf2PqBucketedTopK(spark, dir, 7L, 10, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(served2 == inline2 && inline2.size == 10)
+  }
+
   test("sig-factored near-canon == pairs spelling, incl. on a Zipf-hot corpus") {
     import org.apache.spark.sql.functions.{col, lit, pmod, when}
     // The round-9 skew fix (Dedup.nearCanonBySig doc): both spellings must

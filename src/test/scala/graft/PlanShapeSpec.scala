@@ -59,6 +59,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.toLowerCase.contains("dynamicpruning"), p)
   }
 
+  test("IVF2-PQ served read is DPP-pruned and scans codes, not vectors") {
+    val p = finalPlan("ann_ivf2pq_bucketed")
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    // the graft_ivfpq scan must not materialize the embedding column —
+    // the whole point of the codes artifact is that the coarse pass reads
+    // the 8-byte codes; floats appear only in the probe/label/codebook
+    // reads of the base table
+    val ivfpqScan = p.split("\n").filter(_.contains("graft_ivfpq"))
+      .filter(_.contains("ReadSchema"))
+    assert(ivfpqScan.nonEmpty, p)
+    assert(!ivfpqScan.exists(_.contains("embedding")),
+      s"codes-artifact scan reads the float vectors:\n${ivfpqScan.mkString("\n")}")
+  }
+
   test("union as-of shuffles at most twice (user key + final order)") {
     val p = finalPlan("ev_asof_union")
     val shuffles = "Exchange (hash|range|Single)partitioning".r
