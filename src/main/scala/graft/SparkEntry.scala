@@ -246,6 +246,11 @@ object SparkEntry {
     // cell-partitioned codes artifact (DPP-pruned 8-byte column, no floats)
     "ann_ivf2pq_topk" -> ((s, d) => Similarity.ivf2PqTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     "ann_ivf2pq_bucketed" -> ((s, d) => Similarity.ivf2PqBucketedTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
+    // batch ADC over the cell-partitioned codes: a probe TABLE scored in
+    // one DPP-pruned plan (per-probe LUT broadcast; the ingest-side
+    // compressed scoring pass — ivf_batch's exact re-rank reads floats,
+    // this reads 8-byte codes)
+    "ann_ivfpq_batch" -> ((s, d) => Similarity.ivfPqBatchTopK(s, d, P.IvfK, nprobe = P.IvfNprobe)),
     // same semantics over the MATERIALIZED code artifact (shared oracle)
     "ann_pq_indexed" -> ((s, d) => Similarity.pqTopKIndexed(s, d, P.IvfProbe, P.IvfK)),
     // per-subspace L2 Lloyd-trained codebooks (the proper PQ trainer);
@@ -536,6 +541,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf2pq_topk" -> Similarity.ivf2PqTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf2pq_bucketed" -> Similarity.ivf2PqTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
+    "ann_ivfpq_batch" -> Similarity.ivfPqBatchTopKOracle(P.IvfK, nprobe = P.IvfNprobe),
     "ann_pq_indexed" -> Similarity.pqTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_trained" -> KMeans.pqTrainedTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_trained_recall" -> KMeans.pqTrainedRecallOracle(P.IvfK),

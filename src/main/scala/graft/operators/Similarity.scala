@@ -819,6 +819,117 @@ object Similarity {
     adcScore(codes, books, e, probe, k)
   }
 
+  /** BATCH IVF-PQ — the ingest-side compressed scoring pass at 100 TB: a
+    * whole probe TABLE answered against the cell-partitioned codes
+    * artifact in one plan. Probe cells resolve per-probe exactly as
+    * [[ivfBatchTopKOver]]; the (pid, cell) join against `graft_ivfpq`
+    * yields candidates WITH their probe in one DPP-pruned read (union of
+    * all probes' cells, 8-byte codes — never the float vectors); scoring
+    * is the per-probe ADC LUT (P × M·K rows — broadcastable while the
+    * probe batch is bounded, the standard batch-ADC shape) with the same
+    * m-sorted bit-stable fold as [[pqAdcTopK]]. Per-probe rank by
+    * (pq_dist, vec_id), so each probe's slice equals [[ivfPqTopK]] run
+    * alone (OperatorParitySpec pins it). */
+  def ivfPqBatchTopK(spark: SparkSession, dir: String, k: Int,
+                     centroidMod: Long = 25L, nprobe: Int = 2,
+                     numCentroids: Int = IvfNumCentroids,
+                     mod: Long = 25L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cent = centroids(e, centroidMod, numCentroids)
+    val books = pqCodebooks(e, mod)
+    val probes = e.filter(col("vec_id") % BatchProbeMod === 0)
+      .select(col("vec_id").as("pid"), col("embedding").as("pemb"))
+    val path = ensureIvfPqCodes(spark, dir, e, cent, books,
+      centroidMod, numCentroids)
+    ivfPqBatchTopKOver(probes, spark.read.parquet(path), cent, books,
+      e.select(col("vec_id"), col("label")), k, nprobe)
+  }
+
+  /** The batch IVF-PQ pipeline over an ARBITRARY probe table (`pid`,
+    * `pemb`) and an ARBITRARY cell-partitioned codes relation (`vec_id`,
+    * `codes`, `cell`) — the core [[ivfPqBatchTopK]] (derived probes,
+    * artifact read) and `StreamOps.annPqStream` (per-micro-batch probes)
+    * both run; the [[ivfBatchTopKOver]] analogue for the compressed
+    * path. */
+  def ivfPqBatchTopKOver(probes: DataFrame, codesRel: DataFrame,
+                         cent: DataFrame, books: DataFrame,
+                         labels: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val pcW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("pc").desc, col("cid"))
+    val probeCells = cent.crossJoin(broadcast(probes))
+      .select(col("pid"), col("cid"), cosine(col("cemb"), col("pemb")).as("pc"))
+      .withColumn("prn", row_number().over(pcW)).filter(col("prn") <= nprobe)
+      .select(col("pid"), col("cid").as("cell"))
+    val codes = codesRel
+      .join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+    val lut = books.crossJoin(broadcast(probes))
+      .select(col("pid"), col("m"), col("cid").as("code"),
+        l2sq(slice(col("pemb"), col("m") * PqDim + 1, lit(PqDim))
+          .cast("array<double>"), col("cemb")).as("d"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("pq_dist"), col("vec_id"))
+    codes.join(broadcast(lut), Seq("pid", "m", "code"))
+      .groupBy(col("pid"), col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("d")))).as("ds"))
+      .select(col("pid"), col("vec_id"),
+        aggregate(col("ds"), lit(0.0), (acc, x) => acc + x("d")).as("pq_dist"))
+      .join(labels, "vec_id")
+      .select(col("pid").as("probe_id"), col("vec_id"), col("label"),
+        col("pq_dist"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("label"),
+        col("pq_dist"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  def ivfPqBatchTopKOracle(k: Int, centroidMod: Long = 25L, nprobe: Int = 2,
+                           numCentroids: Int = IvfNumCentroids,
+                           mod: Long = 25L): String = {
+    val lutDist = l2sqSql(i => s"p.pemb[b.m * $PqDim + $i]::DOUBLE", "b.cemb")
+    s"""WITH ${pqSampleBooksCte(mod)},
+       |$pqCodesCte,
+       |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |         WHERE vec_id % $centroidMod = 0
+       |           AND vec_id < ${centroidMod * numCentroids}),
+       |ac AS (SELECT e.vec_id, c.cid,
+       |              ${cosineSql("e.embedding", "c.cemb")} AS ccos
+       |       FROM embeddings e CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, cid AS cell FROM ac
+       |           QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                                      ORDER BY ccos DESC, cid) = 1),
+       |probes AS (SELECT vec_id AS pid, embedding AS pemb FROM embeddings
+       |           WHERE vec_id % $BatchProbeMod = 0),
+       |pc AS (SELECT p.pid, c.cid, ${cosineSql("c.cemb", "p.pemb")} AS pcos
+       |       FROM cent c CROSS JOIN probes p),
+       |cells AS (SELECT pid, cid AS cell FROM pc
+       |          QUALIFY row_number() OVER (PARTITION BY pid
+       |                                     ORDER BY pcos DESC, cid) <= $nprobe),
+       |cand AS (SELECT cl.pid, a.vec_id FROM assign a JOIN cells cl USING (cell)
+       |         WHERE a.vec_id <> cl.pid),
+       |plut AS (SELECT p.pid, b.m, b.cid AS code, $lutDist AS d
+       |         FROM books b CROSS JOIN probes p),
+       |padc AS (SELECT l.pid, c.vec_id,
+       |                list_reduce(list_prepend(0.0, list(l.d ORDER BY c.m)),
+       |                            (acc, x) -> acc + x) AS pq_dist
+       |         FROM codes c JOIN plut l ON l.m = c.m AND l.code = c.code
+       |         GROUP BY l.pid, c.vec_id),
+       |scored AS (SELECT cand.pid AS probe_id, a.vec_id, e.label, a.pq_dist
+       |           FROM padc a
+       |           JOIN cand ON a.pid = cand.pid AND a.vec_id = cand.vec_id
+       |           JOIN embeddings e ON e.vec_id = a.vec_id)
+       |SELECT probe_id,
+       |       row_number() OVER (PARTITION BY probe_id
+       |                          ORDER BY pq_dist, vec_id)::BIGINT AS rank,
+       |       vec_id, label, pq_dist
+       |FROM scored
+       |QUALIFY rank <= $k
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
   def ivf2PqTopKOracle(probeId: Long, k: Int, centroidMod: Long = 25L,
                        nprobe: Int = 2, numCentroids: Int = IvfNumCentroids,
                        coarseStride: Long = 4L, numCoarse: Int = 4,

@@ -174,6 +174,30 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming face of batch IVF-PQ ANN (the COMPRESSED serving path): a
+    * STREAM of probe vectors (`pid`, `pemb`) served against the STATIC
+    * cell-partitioned codes artifact — each micro-batch runs the exact
+    * `Similarity.ivfPqBatchTopKOver` plan (per-probe cells from probes ×
+    * broadcast codebook, candidates by the (pid, cell) join against the
+    * pruned codes read, per-probe ADC LUT scoring — the float vectors are
+    * never scanned). A probe's top-k depends only on its own row, so
+    * per-micro-batch evaluation is exact under any request chunking
+    * (StreamingSpec pins stream-total == the batch core on the same probe
+    * set split across batches). `codes`/`cent`/`books`/`labels` are
+    * BY-NAME — re-evaluated per micro-batch, so a codes APPEND
+    * (`Similarity.appendToIvfPqCodes`) is visible on the next micro-batch
+    * when the caller passes a fresh read (see fuzzyStream). */
+  def annPqStream(probes: DataFrame, codes: => DataFrame, cent: => DataFrame,
+                  books: => DataFrame, labels: => DataFrame,
+                  k: Int, nprobe: Int)
+                 (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    probes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Similarity.ivfPqBatchTopKOver(
+          batch, codes, cent, books, labels, k, nprobe), batchId)
+      }
+      .start()
+
   // --------------------------------------- streaming ingest dedup screen
 
   /** Streaming face of the incremental near-dup screen: a STREAM of new

@@ -613,6 +613,22 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served2 == inline2 && inline2.size == 10)
   }
 
+  test("batch IVF-PQ: each probe's slice == the single-probe form run alone") {
+    import org.apache.spark.sql.functions.col
+    val batch = Similarity.ivfPqBatchTopK(spark, dir, 10, nprobe = 4).collect()
+    val pids = batch.map(_.getLong(0)).distinct.sorted
+    assert(pids.nonEmpty)
+    pids.foreach { pid =>
+      // batch rows for pid, rank column dropped (the single form has none)
+      val slice = batch.filter(_.getLong(0) == pid)
+        .sortBy(_.getLong(1))
+        .map(r => Seq(r.get(2), r.get(3), r.get(4))).toSeq
+      val single = Similarity.ivfPqTopK(spark, dir, pid, 10, nprobe = 4)
+        .collect().map(_.toSeq).toSeq
+      assert(slice == single, s"probe $pid: batch slice != single-probe result")
+    }
+  }
+
   test("sig-factored near-canon == pairs spelling, incl. on a Zipf-hot corpus") {
     import org.apache.spark.sql.functions.{col, lit, pmod, when}
     // The round-9 skew fix (Dedup.nearCanonBySig doc): both spellings must

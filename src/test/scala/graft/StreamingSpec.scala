@@ -737,4 +737,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buf.nonEmpty && buf.sortBy(_.mkString("|")).toList ==
       want.sortBy(_.mkString("|")).toList)
   }
+
+  test("streaming IVF-PQ ANN over the codes artifact matches the batch core") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val (k, nprobe, mod) = (10, 2, 25L)
+    val e = Tables.embeddings(spark, dir)
+    val cent = Similarity.centroids(e, mod, Similarity.IvfNumCentroids)
+    val books = Similarity.pqCodebooks(e, mod)
+    val codesPath = Similarity.ensureIvfPqCodes(spark, dir, e, cent, books,
+      mod, Similarity.IvfNumCentroids)
+    val labels = e.select(col("vec_id"), col("label"))
+    // denser stride than the gate's probe table so the split is non-trivial
+    val probes = e.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(probes.length >= 2, "probe table too small to split across batches")
+    val stream = MemoryStream[(Long, Array[Float])]
+    val sdf = stream.toDF().toDF("pid", "pemb")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = StreamOps.annPqStream(sdf, spark.read.parquet(codesPath), cent,
+        books, labels, k, nprobe) { (out, _) =>
+      buf ++= out.collect().map(_.toSeq)
+    }
+    try {
+      val (a, b) = probes.splitAt(probes.length / 2)
+      stream.addData(a.toSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the batch core with INLINE-encoded, inline-assigned codes — also
+    // pins artifact == inline for the compressed path
+    val want = Similarity.ivfPqBatchTopKOver(
+      probes.toSeq.toDF("pid", "pemb"),
+      Similarity.pqCodesWide(e, books)
+        .join(Similarity.cellAssignment(e, cent), "vec_id"),
+      cent, books, labels, k, nprobe)
+      .collect().map(_.toSeq)
+    assert(buf.nonEmpty && buf.sortBy(_.mkString("|")).toList ==
+      want.sortBy(_.mkString("|")).toList)
+  }
 }
