@@ -38,7 +38,10 @@ object ServingScaleProbe {
     "geo_radius_latlng_indexed",
     "text_bm25_topk", "ann_pq_indexed", "quality_lr_indexed",
     "corpus_stats_indexed", "corpus_prep_indexed", "fuzzy_indexed",
-    "search_hybrid_ivf")
+    "search_hybrid_ivf",
+    // round 9: the two-level + compressed serving stack over graft_ivf /
+    // graft_ivfpq (single-probe served forms and the batch ADC face)
+    "ann_ivf2_bucketed", "ann_ivf2pq_bucketed", "ann_ivfpq_batch")
 
   private[graft] def replicate(spark: SparkSession, src: String, k: Int, dest: String): Unit = {
     // dest == src would overwrite the source tables mid-read; the id-space
@@ -93,7 +96,11 @@ object ServingScaleProbe {
         case spec(src, k, dest) => replicate(spark, src, k.toInt, dest); dest
         case d => d
       }
-      val rows = Families.map { name =>
+      // SPARK_GRAFT_PROBE_FAMILIES=a,b,c restricts the run (local
+      // iteration on a new family without rebuilding the other artifacts)
+      val only = sys.env.get("SPARK_GRAFT_PROBE_FAMILIES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      val rows = Families.filter(n => only.forall(_.contains(n))).map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         fn(spark, dir).count()
