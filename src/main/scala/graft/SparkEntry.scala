@@ -251,6 +251,9 @@ object SparkEntry {
     // compressed scoring pass — ivf_batch's exact re-rank reads floats,
     // this reads 8-byte codes)
     "ann_ivfpq_batch" -> ((s, d) => Similarity.ivfPqBatchTopK(s, d, P.IvfK, nprobe = P.IvfNprobe)),
+    // mean recall of the composed stack (cell pruning + code approximation
+    // losses TOGETHER) vs exact L2 — ivf_recall/pq_recall isolate each leg
+    "ann_ivfpq_recall" -> ((s, d) => Similarity.ivfPqBatchRecall(s, d, P.IvfK, nprobe = P.IvfNprobe)),
     // same semantics over the MATERIALIZED code artifact (shared oracle)
     "ann_pq_indexed" -> ((s, d) => Similarity.pqTopKIndexed(s, d, P.IvfProbe, P.IvfK)),
     // per-subspace L2 Lloyd-trained codebooks (the proper PQ trainer);
@@ -542,6 +545,7 @@ object SparkEntry {
     "ann_ivf2pq_topk" -> Similarity.ivf2PqTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf2pq_bucketed" -> Similarity.ivf2PqTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivfpq_batch" -> Similarity.ivfPqBatchTopKOracle(P.IvfK, nprobe = P.IvfNprobe),
+    "ann_ivfpq_recall" -> Similarity.ivfPqBatchRecallOracle(P.IvfK, nprobe = P.IvfNprobe),
     "ann_pq_indexed" -> Similarity.pqTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_trained" -> KMeans.pqTrainedTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_trained_recall" -> KMeans.pqTrainedRecallOracle(P.IvfK),

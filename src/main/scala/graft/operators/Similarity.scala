@@ -886,11 +886,13 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
-  def ivfPqBatchTopKOracle(k: Int, centroidMod: Long = 25L, nprobe: Int = 2,
-                           numCentroids: Int = IvfNumCentroids,
-                           mod: Long = 25L): String = {
+  /** Shared CTE prefix of the batch IVF-PQ oracles: codebooks, codes,
+    * cell assignment, the probe stride, per-probe cells, candidates, and
+    * the per-probe ADC distances (`padc`). */
+  private def ivfPqBatchCtes(centroidMod: Long, nprobe: Int,
+                             numCentroids: Int, mod: Long): String = {
     val lutDist = l2sqSql(i => s"p.pemb[b.m * $PqDim + $i]::DOUBLE", "b.cemb")
-    s"""WITH ${pqSampleBooksCte(mod)},
+    s"""${pqSampleBooksCte(mod)},
        |$pqCodesCte,
        |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
        |         WHERE vec_id % $centroidMod = 0
@@ -916,7 +918,13 @@ object Similarity {
        |                list_reduce(list_prepend(0.0, list(l.d ORDER BY c.m)),
        |                            (acc, x) -> acc + x) AS pq_dist
        |         FROM codes c JOIN plut l ON l.m = c.m AND l.code = c.code
-       |         GROUP BY l.pid, c.vec_id),
+       |         GROUP BY l.pid, c.vec_id)""".stripMargin
+  }
+
+  def ivfPqBatchTopKOracle(k: Int, centroidMod: Long = 25L, nprobe: Int = 2,
+                           numCentroids: Int = IvfNumCentroids,
+                           mod: Long = 25L): String =
+    s"""WITH ${ivfPqBatchCtes(centroidMod, nprobe, numCentroids, mod)},
        |scored AS (SELECT cand.pid AS probe_id, a.vec_id, e.label, a.pq_dist
        |           FROM padc a
        |           JOIN cand ON a.pid = cand.pid AND a.vec_id = cand.vec_id
@@ -928,6 +936,65 @@ object Similarity {
        |FROM scored
        |QUALIFY rank <= $k
        |ORDER BY probe_id, rank""".stripMargin
+
+  /** Measured MEAN recall@k of the COMPOSED IVF+PQ stack against the
+    * exact squared-L2 top-k, over the probe stride — the quality number
+    * for the full serving path. `ann_ivf_recall` isolates the cell
+    * pruning and `ann_pq_recall` isolates the code approximation; this
+    * row measures both losses together, which is what a caller of the
+    * composed plan actually experiences (and what widening nprobe or
+    * training codebooks must move). */
+  def ivfPqBatchRecall(spark: SparkSession, dir: String, k: Int,
+                       centroidMod: Long = 25L, nprobe: Int = 2,
+                       numCentroids: Int = IvfNumCentroids,
+                       mod: Long = 25L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.filter(col("vec_id") % BatchProbeMod === 0)
+      .select(col("vec_id").as("pid"),
+        col("embedding").cast("array<double>").as("pemb"))
+    val exW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("l2"), col("vec_id"))
+    val exact = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        l2sq(col("embedding").cast("array<double>"), col("pemb")).as("l2"))
+      .withColumn("rk", row_number().over(exW)).filter(col("rk") <= k)
+      .select(col("pid"), col("vec_id"))
+    val approx = ivfPqBatchTopK(spark, dir, k, centroidMod, nprobe,
+        numCentroids, mod)
+      .select(col("probe_id").as("pid"), col("vec_id"))
+    val perHit = exact.join(approx, Seq("pid", "vec_id"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("pid")).agg(count(lit(1)).as("kx"))
+      .join(perHit, Seq("pid"), "left")
+      .select(col("pid"), col("kx"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("kx")).as("k_total"),
+        sum(col("hits")).as("hits_total"),
+        (sum(col("hits")).cast("double") / sum(col("kx")).cast("double")).as("recall"))
+  }
+
+  def ivfPqBatchRecallOracle(k: Int, centroidMod: Long = 25L, nprobe: Int = 2,
+                             numCentroids: Int = IvfNumCentroids,
+                             mod: Long = 25L): String = {
+    val full = l2sqFullSql("e.embedding", "p.pemb")
+    s"""WITH ${ivfPqBatchCtes(centroidMod, nprobe, numCentroids, mod)},
+       |ap AS (SELECT cand.pid, a.vec_id
+       |       FROM padc a
+       |       JOIN cand ON a.pid = cand.pid AND a.vec_id = cand.vec_id
+       |       QUALIFY row_number() OVER (PARTITION BY cand.pid
+       |                                  ORDER BY a.pq_dist, a.vec_id) <= $k),
+       |ex AS (SELECT p.pid, e.vec_id
+       |       FROM embeddings e CROSS JOIN probes p WHERE e.vec_id <> p.pid
+       |       QUALIFY row_number() OVER (PARTITION BY p.pid
+       |                                  ORDER BY $full, e.vec_id) <= $k),
+       |perx AS (SELECT pid, count(*) AS kx FROM ex GROUP BY pid),
+       |perh AS (SELECT e.pid, count(*) AS hits FROM ex e
+       |         JOIN ap a ON a.pid = e.pid AND a.vec_id = e.vec_id
+       |         GROUP BY e.pid)
+       |SELECT count(*) AS n_probes, sum(px.kx)::BIGINT AS k_total,
+       |       coalesce(sum(ph.hits), 0)::BIGINT AS hits_total,
+       |       coalesce(sum(ph.hits), 0)::DOUBLE / sum(px.kx)::DOUBLE AS recall
+       |FROM perx px LEFT JOIN perh ph USING (pid)""".stripMargin
   }
 
   def ivf2PqTopKOracle(probeId: Long, k: Int, centroidMod: Long = 25L,

@@ -20,6 +20,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // scan-node metadata (PartitionFilters, ReadSchema, …) is truncated at
+    // 100 chars by default; in a long-lived suite session the larger
+    // expression IDs push "dynamicpruning" past the cutoff and the DPP
+    // asserts would flake on suite ORDER (seen r9: standalone pass, full
+    // suite fail with "dynamicpruni...")
+    .config("spark.sql.maxMetadataStringLength", "4096")
     .appName("plan-shape-spec")
     .getOrCreate()
 
@@ -66,6 +72,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the whole point of the codes artifact is that the coarse pass reads
     // the 8-byte codes; floats appear only in the probe/label/codebook
     // reads of the base table
+    val ivfpqScan = p.split("\n").filter(_.contains("graft_ivfpq"))
+      .filter(_.contains("ReadSchema"))
+    assert(ivfpqScan.nonEmpty, p)
+    assert(!ivfpqScan.exists(_.contains("embedding")),
+      s"codes-artifact scan reads the float vectors:\n${ivfpqScan.mkString("\n")}")
+  }
+
+  test("batch ADC read is DPP-pruned to the union of probed cells, codes only") {
+    val p = finalPlan("ann_ivfpq_batch")
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
     val ivfpqScan = p.split("\n").filter(_.contains("graft_ivfpq"))
       .filter(_.contains("ReadSchema"))
     assert(ivfpqScan.nonEmpty, p)
