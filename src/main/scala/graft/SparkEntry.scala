@@ -254,6 +254,11 @@ object SparkEntry {
     // mean recall of the composed stack (cell pruning + code approximation
     // losses TOGETHER) vs exact L2 — ivf_recall/pq_recall isolate each leg
     "ann_ivfpq_recall" -> ((s, d) => Similarity.ivfPqBatchRecall(s, d, P.IvfK, nprobe = P.IvfNprobe)),
+    // coarse+refine: ADC shortlist (refine*k deep, DPP-pruned codes read)
+    // re-ranked by int8-dequantized cosine point reads — the full serving
+    // ladder in one plan, back in the family's exact metric
+    "ann_ivf2pq_refine" -> ((s, d) => Similarity.ivf2PqRefineTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
+    "ann_refine_recall" -> ((s, d) => Similarity.ivf2PqRefineRecall(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     // same semantics over the MATERIALIZED code artifact (shared oracle)
     "ann_pq_indexed" -> ((s, d) => Similarity.pqTopKIndexed(s, d, P.IvfProbe, P.IvfK)),
     // per-subspace L2 Lloyd-trained codebooks (the proper PQ trainer);
@@ -546,6 +551,8 @@ object SparkEntry {
     "ann_ivf2pq_bucketed" -> Similarity.ivf2PqTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivfpq_batch" -> Similarity.ivfPqBatchTopKOracle(P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivfpq_recall" -> Similarity.ivfPqBatchRecallOracle(P.IvfK, nprobe = P.IvfNprobe),
+    "ann_ivf2pq_refine" -> Similarity.ivf2PqRefineTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
+    "ann_refine_recall" -> Similarity.ivf2PqRefineRecallOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_pq_indexed" -> Similarity.pqTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_trained" -> KMeans.pqTrainedTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_trained_recall" -> KMeans.pqTrainedRecallOracle(P.IvfK),

@@ -997,6 +997,94 @@ object Similarity {
        |FROM perx px LEFT JOIN perh ph USING (pid)""".stripMargin
   }
 
+  /** Coarse-plus-REFINE — the last stage of the production serving
+    * ladder (float32 master → int8 hot tier → PQ coarse codes): the
+    * served two-level IVF+PQ plan produces a `refine`·k-deep ADC
+    * shortlist (8-byte codes, DPP-pruned cells), and the shortlist's
+    * rows re-rank by dequantized-cosine POINT READS of the int8 tier —
+    * ≤ refine·k rows of a vec_id-keyed artifact, never the float
+    * vectors. The refine stage returns the stack to the family's exact
+    * user-facing metric (cosine, like `ann_ivf2_topk`) at hot-tier cost;
+    * `ann_refine_recall` keeps what it recovers over the raw ADC ranking
+    * visible. Both artifacts appendable under the same frozen codebooks.
+    * Zero vectors dequantize to NaN cosine → dropped (the int8 tier
+    * convention). */
+  def ivf2PqRefineTopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
+                       centroidMod: Long = 25L, nprobe: Int = 2,
+                       numCentroids: Int = IvfNumCentroids,
+                       coarseStride: Long = 4L, numCoarse: Int = 4,
+                       nprobe1: Int = 2, mod: Long = 25L,
+                       refine: Int = 4): DataFrame = {
+    val shortlist = ivf2PqBucketedTopK(spark, dir, probeId, k * refine,
+        centroidMod, nprobe, numCentroids, coarseStride, numCoarse,
+        nprobe1, mod)
+      .select(col("vec_id"))
+    val t = int8CodesOf(spark, dir)
+      .withColumn("demb", transform(col("codes"), c => c.cast("double") * col("scale")))
+    val probe = t.filter(col("vec_id") === probeId).select(col("demb").as("pemb"))
+    t.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.VectorFunctions.cosineDF(col("demb"), col("pemb")), 4)
+          .as("cosine_sim"))
+      .filter(!isnan(col("cosine_sim")))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def ivf2PqRefineTopKOracle(probeId: Long, k: Int, centroidMod: Long = 25L,
+                             nprobe: Int = 2,
+                             numCentroids: Int = IvfNumCentroids,
+                             coarseStride: Long = 4L, numCoarse: Int = 4,
+                             nprobe1: Int = 2, mod: Long = 25L,
+                             refine: Int = 4): String = {
+    val codes = int8CodesSql("e.embedding", "s.scale")
+    val cos = cosineSql("d.demb", "p.pemb")
+    s"""WITH sl AS (SELECT vec_id FROM (
+       |${ivf2PqTopKOracle(probeId, k * refine, centroidMod, nprobe,
+             numCentroids, coarseStride, numCoarse, nprobe1, mod)})),
+       |$int8ScaleCte,
+       |t AS (SELECT e.vec_id, e.label, s.scale, $codes AS codes
+       |      FROM embeddings e JOIN s USING (vec_id)),
+       |d AS (SELECT vec_id, label,
+       |             list_transform(codes, c -> c::DOUBLE * scale) AS demb
+       |      FROM t),
+       |p AS (SELECT demb AS pemb FROM d WHERE vec_id = $probeId)
+       |SELECT d.vec_id, d.label, round($cos, 4) AS cosine_sim
+       |FROM d JOIN sl USING (vec_id) CROSS JOIN p
+       |WHERE NOT isnan($cos)
+       |ORDER BY cosine_sim DESC, d.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
+  /** Recall@k of the coarse+refine path vs the exact float cosine top-k
+    * — the single-probe recall row of the refine knob (the `ivf2Recall`
+    * precedent): shows what the int8 re-rank recovers over the raw ADC
+    * ranking, bounded by the shortlist's coverage (refine·k deep). */
+  def ivf2PqRefineRecall(spark: SparkSession, dir: String, probeId: Long,
+                         k: Int, nprobe: Int = 2,
+                         refine: Int = 4): DataFrame = {
+    val exact = cosineTopK(spark, dir, probeId, k).select(col("vec_id"))
+    val approx = ivf2PqRefineTopK(spark, dir, probeId, k, nprobe = nprobe,
+        refine = refine)
+      .select(col("vec_id").as("a_id"))
+    exact.join(broadcast(approx), col("vec_id") === col("a_id"), "left")
+      .agg(count(lit(1)).as("k_exact"), count(col("a_id")).as("hits"))
+      .withColumn("recall",
+        col("hits").cast("double") / col("k_exact").cast("double"))
+      .orderBy(col("k_exact"))
+  }
+
+  def ivf2PqRefineRecallOracle(probeId: Long, k: Int, nprobe: Int = 2,
+                               refine: Int = 4): String =
+    s"""SELECT count(*) AS k_exact, count(a.a_id) AS hits,
+       |       count(a.a_id)::DOUBLE / count(*)::DOUBLE AS recall
+       |FROM (${cosineTopKOracle(probeId, k)}) e
+       |LEFT JOIN (SELECT vec_id AS a_id FROM (
+       |  ${ivf2PqRefineTopKOracle(probeId, k, nprobe = nprobe, refine = refine)})) a
+       |  ON e.vec_id = a.a_id
+       |ORDER BY k_exact""".stripMargin
+
   def ivf2PqTopKOracle(probeId: Long, k: Int, centroidMod: Long = 25L,
                        nprobe: Int = 2, numCentroids: Int = IvfNumCentroids,
                        coarseStride: Long = 4L, numCoarse: Int = 4,

@@ -629,6 +629,22 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("coarse+refine with full probing degenerates to the int8 tier exactly") {
+    // nprobe = C (all cells), nprobe1 = C1 (no coarse pruning), refine
+    // deep enough to shortlist every candidate → the ADC stage prunes
+    // nothing and the re-rank must equal the int8 tier's own top-k
+    // bit-for-bit (same dequantized cosine, same NaN-drop convention)
+    val full = Similarity.int8TopK(spark, dir, 7L, 10)
+      .collect().map(_.toSeq).toSeq
+    val refined = Similarity.ivf2PqRefineTopK(spark, dir, 7L, 10,
+        nprobe = 16, numCoarse = 4, nprobe1 = 4, refine = 1000)
+      .collect().map(_.toSeq).toSeq
+    assert(refined == full && full.nonEmpty)
+    // the pruned form is still k rows (refine changes ranking, not size)
+    assert(Similarity.ivf2PqRefineTopK(spark, dir, 7L, 10, nprobe = 4)
+      .count() == 10)
+  }
+
   test("sig-factored near-canon == pairs spelling, incl. on a Zipf-hot corpus") {
     import org.apache.spark.sql.functions.{col, lit, pmod, when}
     // The round-9 skew fix (Dedup.nearCanonBySig doc): both spellings must
