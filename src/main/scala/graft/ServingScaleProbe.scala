@@ -40,8 +40,10 @@ object ServingScaleProbe {
     "corpus_stats_indexed", "corpus_prep_indexed", "fuzzy_indexed",
     "search_hybrid_ivf",
     // round 9: the two-level + compressed serving stack over graft_ivf /
-    // graft_ivfpq (single-probe served forms and the batch ADC face)
-    "ann_ivf2_bucketed", "ann_ivf2pq_bucketed", "ann_ivfpq_batch")
+    // graft_ivfpq (single-probe served forms, the batch ADC face, and the
+    // int8-refined full ladder)
+    "ann_ivf2_bucketed", "ann_ivf2pq_bucketed", "ann_ivfpq_batch",
+    "ann_ivf2pq_refine")
 
   private[graft] def replicate(spark: SparkSession, src: String, k: Int, dest: String): Unit = {
     // dest == src would overwrite the source tables mid-read; the id-space
