@@ -318,6 +318,14 @@ object SparkEntry {
     // corpus-LM fluency proxy: per-doc mean corpus frequency of its word
     // bigrams (integer-exact counts, one final division)
     "text_bigram_score" -> ((s, d) => TextAnalysis.bigramScore(s, d)),
+    // trained-LM fluency filter (CCNet-style, arXiv:1911.00359): add-one
+    // bigram LM trained on the deterministic train split, every doc
+    // scored by quantized mean conditional probability (integer division
+    // only — the no-transcendental house rule); the indexed twin serves
+    // from the kind-partitioned graft_lmmodel artifact
+    "lm_train" -> ((s, d) => LmQuality.lmTrain(s, d)),
+    "lm_score" -> ((s, d) => LmQuality.lmScore(s, d)),
+    "lm_score_indexed" -> ((s, d) => LmQuality.lmScoreIndexed(s, d)),
     // BM25 keyword retrieval (rational-idf variant, quantized per-term
     // sums — the no-transcendental house rule), served from the
     // materialized word-posting index (In(term) pushed into the scan)
@@ -596,6 +604,9 @@ object SparkEntry {
     "ev_downsample_ohlc" -> EventOps.downsampleOhlcOracle,
     "ev_pivot_daily" -> EventOps.pivotDailyOracle,
     "text_bigram_score" -> TextAnalysis.bigramScoreOracle,
+    "lm_train" -> LmQuality.lmTrainOracle,
+    "lm_score" -> LmQuality.lmScoreOracle,
+    "lm_score_indexed" -> LmQuality.lmScoreOracle,
     "text_bm25_topk" -> TextAnalysis.bm25TopKOracle(P.Bm25Query, P.Bm25K),
     "text_bm25_batch" -> Retrieval.bm25BatchOracle(P.Bm25Batch, P.Bm25K),
     "search_hybrid_rrf" -> Retrieval.hybridRrfOracle(P.Bm25Query, P.CosineProbe, P.Bm25K),

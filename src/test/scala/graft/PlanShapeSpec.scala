@@ -411,4 +411,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"stage $name should read only its upstream artifact $upstream:\n$p")
     }
   }
+
+  test("indexed LM scoring scans documents once; model reads are kind-pruned") {
+    val p = finalPlan("lm_score_indexed")
+    // the train fold must be served, not re-derived: exactly ONE raw scan
+    // (the scoring pass) — the inline twin needs two more over the split
+    val rawScans = p.linesIterator
+      .count(l => l.contains("Location:") && l.contains("documents.parquet"))
+    assert(rawScans == 1, s"expected 1 raw documents scan, got $rawScans:\n$p")
+    // each model branch prunes to its own kind= partition directory
+    Seq("kind#" -> "big", "kind#" -> "uni", "kind#" -> "v").foreach { case (_, k) =>
+      assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains(s"= $k)")),
+        s"model read not pruned to kind=$k:\n$p")
+    }
+  }
 }
