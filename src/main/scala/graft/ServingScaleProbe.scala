@@ -43,7 +43,10 @@ object ServingScaleProbe {
     // graft_ivfpq (single-probe served forms, the batch ADC face, and the
     // int8-refined full ladder)
     "ann_ivf2_bucketed", "ann_ivf2pq_bucketed", "ann_ivfpq_batch",
-    "ann_ivf2pq_refine")
+    "ann_ivf2pq_refine",
+    // late round 9: the trained-LM fluency filter's serving face
+    // (kind-pruned graft_lmmodel read + bigram-key scoring join)
+    "lm_score_indexed")
 
   private[graft] def replicate(spark: SparkSession, src: String, k: Int, dest: String): Unit = {
     // dest == src would overwrite the source tables mid-read; the id-space

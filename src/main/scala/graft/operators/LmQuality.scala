@@ -189,14 +189,21 @@ object LmQuality {
     * both), model read from the artifact — a scoring pass never re-runs
     * the train fold, and the partition filters prune to one directory
     * per branch. */
-  def lmScoreIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val m = spark.read.parquet(ensureModel(spark, dir))
-    val big = m.filter(col("kind") === "big")
+  def lmScoreIndexed(spark: SparkSession, dir: String): DataFrame =
+    scoreAgainstModel(graft.Tables.documents(spark, dir),
+      spark.read.parquet(ensureModel(spark, dir)))
+
+  /** Score a raw (doc_id, text) relation against the kind-partitioned
+    * model relation — the core the indexed face and the streaming face
+    * share. A doc's score depends only on its own bigrams vs the static
+    * model, so per-micro-batch evaluation is exact under any chunking. */
+  private[graft] def scoreAgainstModel(docs: DataFrame, model: DataFrame): DataFrame = {
+    val big = model.filter(col("kind") === "big")
       .select(col("key").as("bg"), col("c").as("c_big"))
-    val uni = m.filter(col("kind") === "uni")
+    val uni = model.filter(col("kind") === "uni")
       .select(col("key").as("w1"), col("c").as("c_uni"))
-    val v = m.filter(col("kind") === "v").select(col("c").as("v"))
-    scoreWith(bigrams(tokenized(spark, dir)), big, uni, v)
+    val v = model.filter(col("kind") === "v").select(col("c").as("v"))
+    scoreWith(bigrams(tokenize(docs)), big, uni, v)
   }
 
   // ------------------------------------------------------------- oracles

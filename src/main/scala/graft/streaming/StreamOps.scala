@@ -306,6 +306,27 @@ object StreamOps {
       }
       .start()
 
+  // --------------------------------------------- streaming LM-fluency gate
+
+  /** Streaming face of the trained-LM fluency filter: a STREAM of
+    * candidate documents (`doc_id`, `text`) scored under the
+    * MATERIALIZED `graft_lmmodel` artifact — the CCNet-style perplexity
+    * gate applied at ingest, never re-training the LM per micro-batch.
+    * Each micro-batch runs the exact `LmQuality.scoreAgainstModel` plan
+    * (kind-pruned model branches, bigram-key join, one doc_id exchange).
+    * A doc's score depends only on its own bigrams vs the static model,
+    * so per-micro-batch evaluation is exact under any chunking
+    * (StreamingSpec pins stream-total == `lm_score_indexed` on the same
+    * docs). `model` is BY-NAME — a retrained artifact (new
+    * version/ensure) is visible on the next micro-batch. */
+  def lmScoreStream(docs: DataFrame, model: => DataFrame)
+                   (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.LmQuality.scoreAgainstModel(batch.toDF(), model), batchId)
+      }
+      .start()
+
   // ------------------------------------------------- streaming CDC apply
 
   case class Change(key: Long, version: Long, price: Double, op: String)

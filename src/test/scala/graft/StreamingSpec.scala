@@ -573,6 +573,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       want.sortBy(_.mkString("|")).toList)
   }
 
+  test("streaming LM-fluency gate matches indexed batch scoring on the same docs") {
+    import graft.operators.LmQuality
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val model = spark.read.parquet(LmQuality.ensureModel(spark, dir))
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = StreamOps.lmScoreStream(sdf, model) { (out, _) =>
+      buf ++= out.collect().map(_.toSeq)
+    }
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      stream.addData(a.toSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = LmQuality.lmScoreIndexed(spark, dir).collect().map(_.toSeq)
+    assert(buf.exists(_(2).asInstanceOf[Long] > 0L),
+      "every quantized score zero — the stream pin is vacuous")
+    assert(buf.sortBy(_.mkString("|")).toList ==
+      want.sortBy(_.mkString("|")).toList)
+  }
+
   test("a posting-index append is visible to the running stream on the next micro-batch") {
     import graft.operators.FuzzySearch
     import org.apache.spark.sql.functions.{col, count, lit, pmod}
