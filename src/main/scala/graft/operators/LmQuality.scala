@@ -84,16 +84,15 @@ object LmQuality {
     tokenize(graft.Tables.documents(spark, dir))
 
   /** Explode a tokenized relation to (doc_id, bg) space-joined bigram
-    * strings (tokens are whitespace-split, so ' ' cannot occur inside a
-    * token and the joined string is a faithful pair key). Docs with
-    * fewer than 2 tokens have no bigrams and drop out here — the same
-    * contract as [[TextAnalysis.bigramScore]]. */
+    * strings — [[graft.functions.TextFunctions.tokenWindows]] at win=2
+    * (the ONE shared window derivation; tokens are whitespace-split, so
+    * ' ' cannot occur inside a token and the joined window is a faithful
+    * pair key). Docs with fewer than 2 tokens have no bigrams and drop
+    * out here — the same contract as [[TextAnalysis.bigramScore]]. */
   private def bigrams(tok: DataFrame): DataFrame =
     tok.filter(size(col("tk")) >= 2)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("tk")) - 2),
-        i => concat(element_at(col("tk"), i + 1), lit(" "),
-          element_at(col("tk"), i + 2)))).as("bg"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.tokenWindows(col("tk"), 2)).as("bg"))
 
   /** The three trained relations over a tokenized reference slice:
     * (bigram counts keyed by the joined string, context counts keyed by
@@ -113,7 +112,11 @@ object LmQuality {
     * (bigram key, then context key — unseen bigrams still need their
     * context's count), the broadcast vocab scalar, the integer-division
     * quantized probability, one per-doc rollup. The one Column spelling
-    * both the inline and the served face use. */
+    * both the inline and the served face use. The `greatest(v, 1)`
+    * floor keeps the denominator positive even against an EMPTY
+    * reference slice (then every bigram scores (0+1)/(0+1) = 1.0 — a
+    * defined everything-is-fluent degenerate instead of a
+    * divide-by-zero that Spark nulls and DuckDB errors on). */
   private def scoreWith(db: DataFrame, big: DataFrame, uni: DataFrame,
                         v: DataFrame): DataFrame =
     db.join(big, Seq("bg"), "left")
@@ -121,7 +124,7 @@ object LmQuality {
       .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(v))
       .select(col("doc_id"), expr(
-        s"($Quant * (coalesce(c_big, 0) + 1)) div (coalesce(c_uni, 0) + v)")
+        s"($Quant * (coalesce(c_big, 0) + 1)) div (coalesce(c_uni, 0) + greatest(v, 1))")
         .as("qs"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("qs")).as("score_q"))
@@ -181,7 +184,9 @@ object LmQuality {
           col("c_uni").as("c")))
         .unionByName(v.select(lit("v").as("kind"), lit("").as("key"),
           col("v").as("c")))
-        .repartition(col("kind"))
+        // NO repartition(kind): a 3-valued hash partitioning would
+        // funnel the whole vocabulary-sized 'big' relation through one
+        // writer task — partitionBy alone routes rows from every task
         .write.mode("overwrite").partitionBy("kind").parquet(p)
     }
 
@@ -213,8 +218,7 @@ object LmQuality {
     val coin = OracleSql.polyHash(s"('${Pipeline.SplitSalt}' || doc_id::VARCHAR)")
     s"""tok AS (SELECT doc_id, $toks AS tk FROM documents),
        |tr AS (SELECT tk FROM tok WHERE $coin % 1000 < ${Pipeline.SplitTrainUpto}),
-       |tb AS (SELECT unnest(list_transform(range(1, len(tk)),
-       |                     i -> tk[i] || ' ' || tk[i + 1])) AS bg
+       |tb AS (SELECT unnest(${OracleSql.tokenWindows("tk", 2)}) AS bg
        |       FROM tr WHERE len(tk) >= 2),
        |big AS (SELECT bg, count(*)::BIGINT AS c_big FROM tb GROUP BY bg),
        |uni AS (SELECT split_part(bg, ' ', 1) AS w1, count(*)::BIGINT AS c_uni
@@ -233,12 +237,11 @@ object LmQuality {
     s"""WITH ${trainCtes},
        |v AS (SELECT count(DISTINCT w)::BIGINT AS v
        |      FROM (SELECT unnest(tk) AS w FROM tr)),
-       |db AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-       |                     i -> tk[i] || ' ' || tk[i + 1])) AS bg
+       |db AS (SELECT doc_id, unnest(${OracleSql.tokenWindows("tk", 2)}) AS bg
        |       FROM tok WHERE len(tk) >= 2),
        |j AS (SELECT db.doc_id,
        |        ($Quant * (coalesce(big.c_big, 0) + 1))
-       |          // (coalesce(uni.c_uni, 0) + v.v) AS qs
+       |          // (coalesce(uni.c_uni, 0) + greatest(v.v, 1)) AS qs
        |      FROM db LEFT JOIN big ON db.bg = big.bg
        |        LEFT JOIN uni ON split_part(db.bg, ' ', 1) = uni.w1
        |        CROSS JOIN v),

@@ -78,6 +78,16 @@ class LmQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hand-computed mean mismatch: ${scores()(1L)} vs $expected")
   }
 
+  test("empty reference slice scores everything 1.0, never divides by zero") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val s = LmQuality.lmScoreOver(scored(), empty).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // V=0, every count 0 → the greatest(v,1) floor makes every bigram
+    // (0+1)/(0+1): the defined everything-is-fluent degenerate
+    assert(s.keySet == Set(1L, 2L, 3L, 4L) && s.values.forall(_ == 1.0), s.toString)
+  }
+
   test("gate faces agree: indexed serving equals the inline plan") {
     val dir = "/root/testdata/sf0.001"
     val a = LmQuality.lmScore(spark, dir).collect().toSeq

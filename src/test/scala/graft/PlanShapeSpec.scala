@@ -420,7 +420,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(l => l.contains("Location:") && l.contains("documents.parquet"))
     assert(rawScans == 1, s"expected 1 raw documents scan, got $rawScans:\n$p")
     // each model branch prunes to its own kind= partition directory
-    Seq("kind#" -> "big", "kind#" -> "uni", "kind#" -> "v").foreach { case (_, k) =>
+    Seq("big", "uni", "v").foreach { k =>
       assert(p.linesIterator.exists(l =>
         l.contains("PartitionFilters") && l.contains(s"= $k)")),
         s"model read not pruned to kind=$k:\n$p")
