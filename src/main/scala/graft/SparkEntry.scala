@@ -326,6 +326,9 @@ object SparkEntry {
     "lm_train" -> ((s, d) => LmQuality.lmTrain(s, d)),
     "lm_score" -> ((s, d) => LmQuality.lmScore(s, d)),
     "lm_score_indexed" -> ((s, d) => LmQuality.lmScoreIndexed(s, d)),
+    // the filter as a pipeline stage: median-anchored keep over the
+    // SERVED scores (CCNet's percentile-anchored deployment shape)
+    "corpus_lm_cut" -> ((s, d) => LmQuality.lmCut(s, d)),
     // BM25 keyword retrieval (rational-idf variant, quantized per-term
     // sums — the no-transcendental house rule), served from the
     // materialized word-posting index (In(term) pushed into the scan)
@@ -607,6 +610,7 @@ object SparkEntry {
     "lm_train" -> LmQuality.lmTrainOracle,
     "lm_score" -> LmQuality.lmScoreOracle,
     "lm_score_indexed" -> LmQuality.lmScoreOracle,
+    "corpus_lm_cut" -> LmQuality.lmCutOracle,
     "text_bm25_topk" -> TextAnalysis.bm25TopKOracle(P.Bm25Query, P.Bm25K),
     "text_bm25_batch" -> Retrieval.bm25BatchOracle(P.Bm25Batch, P.Bm25K),
     "search_hybrid_rrf" -> Retrieval.hybridRrfOracle(P.Bm25Query, P.CosineProbe, P.Bm25K),

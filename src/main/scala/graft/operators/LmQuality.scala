@@ -211,6 +211,25 @@ object LmQuality {
     scoreWith(bigrams(tokenize(docs)), big, uni, v)
   }
 
+  /** Relative LM-fluency cut — the filter applied as a pipeline stage:
+    * keep documents at or above the corpus MEDIAN trained-LM score (the
+    * CCNet deployment shape: percentile-anchored "drop the worst half",
+    * robust to corpus drift where a constant threshold is not; CCNet's
+    * own head/middle/tail terciles are the same statistic at different
+    * quantiles). Scores come from the SERVED model (`lmScoreIndexed`),
+    * so a cut pass never re-trains; the median is an exact sort-based
+    * percentile evaluated once as a scalar subquery — at 100 TB it
+    * becomes `approx_percentile` (one-pass mergeable sketch) with an
+    * identical plan shape, exact here because the gate demands
+    * bit-equality (the `qualityCut` precedent). */
+  def lmCut(spark: SparkSession, dir: String): DataFrame = {
+    val s = lmScoreIndexed(spark, dir).select(col("doc_id"), col("lm_score"))
+    val med = s.agg(
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY lm_score)").as("m"))
+    s.filter(col("lm_score") >= med.scalar())
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   private def trainCtes: String = {
@@ -251,4 +270,10 @@ object LmQuality {
        |SELECT doc_id, n_bigrams, score_q,
        |       score_q::DOUBLE / (n_bigrams::DOUBLE * $Quant.0) AS lm_score
        |FROM a ORDER BY doc_id""".stripMargin
+
+  def lmCutOracle: String =
+    s"""WITH s AS (SELECT doc_id, lm_score FROM ($lmScoreOracle)),
+       |m AS (SELECT quantile_cont(lm_score, 0.5) AS m FROM s)
+       |SELECT doc_id, lm_score FROM s, m WHERE lm_score >= m.m
+       |ORDER BY doc_id""".stripMargin
 }
