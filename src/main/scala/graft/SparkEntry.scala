@@ -47,6 +47,13 @@ object SparkEntry {
     /** Hybrid dense pool reads wider (overlap >= 0.8 target; the ann_ivf_*
       * rows keep nprobe=4 — they gate the pruned-read plan, not recall). */
     val HybridNprobe = 12
+    /** Ladder hybrid: 3 of 4 coarse groups keeps up to 12 fine cells
+      * visible to the nprobe=12 fine pass — the two-level selection's
+      * analogue of HybridNprobe's 12/16 coverage ceiling. */
+    val HybridNprobe1 = 3
+    /** Containment threshold below Jaccard's 0.55 peer: the asymmetric
+      * measure saturates fast for quote-inclusion (C→1 while J→|A|/|B|). */
+    val ContainThreshold = 0.8
     val Bm25Query = Seq("spark", "query", "table"); val Bm25K = 15
     // batch search request table: (qid, term) — multi-term requests of
     // differing selectivity, one qid with a term absent from the corpus
@@ -175,6 +182,9 @@ object SparkEntry {
     // --- dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d, P.JaccardThreshold)),
+    // asymmetric quote-inclusion dedup: C(A,B)=|A∩B|/|A|, contained-side
+    // prefix filter + full containing-side postings, exact-verified
+    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d, P.ContainThreshold)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d, P.EmbDupThreshold)),
     "dedup_pipeline" -> ((s, d) => Dedup.dedupPipeline(s, d)),
@@ -342,6 +352,10 @@ object SparkEntry {
     // re-ranked exactly by true cosine before fusion (brute form above
     // stays as the anchor)
     "search_hybrid_ivf" -> ((s, d) => Retrieval.hybridRrfIvf(s, d, P.Bm25Query, P.CosineProbe, P.Bm25K, P.HybridNprobe)),
+    // the full-ladder hybrid: dense pool from two-level IVF selection →
+    // DPP-pruned PQ codes shortlist → int8 hot-tier refine; no float
+    // vector scan anywhere in the dense side (the 100 TB serving shape)
+    "search_hybrid_ladder" -> ((s, d) => Retrieval.hybridRrfLadder(s, d, P.Bm25Query, P.CosineProbe, P.Bm25K, P.HybridNprobe, P.HybridNprobe1)),
     // DSIR domain-targeted data selection (hashed-ngram importance
     // weights, rational mean-ratio deviation; Gumbel-free deterministic
     // top-k) — arithmetic gated here, discrimination pinned by DsirSpec
@@ -376,6 +390,9 @@ object SparkEntry {
     "mix_interleave" -> ((s, d) => Pipeline.mixInterleave(s, d)),
     // tau=0.5 temperature mix: emission rate ∝ sqrt(source size)
     "mix_temperature" -> ((s, d) => Pipeline.mixTemperature(s, d)),
+    // epoch-capped mixture plan: tau-weighted token allocation under a
+    // 4-epoch repetition cap, exact integer water-filling
+    "mix_epoch_cap" -> ((s, d) => Pipeline.mixEpochCap(s, d)),
     // concat-then-chunk sequence packing: per-source prefix sums → exact
     // integer pack assignment
     "doc_pack" -> ((s, d) => Pipeline.docPack(s, d)),
@@ -487,6 +504,7 @@ object SparkEntry {
     "corpus_manifest" -> Pipeline.corpusManifestOracle,
     "mix_interleave" -> Pipeline.mixInterleaveOracle,
     "mix_temperature" -> Pipeline.mixTemperatureOracle(),
+    "mix_epoch_cap" -> Pipeline.mixEpochCapOracle,
     "doc_pack" -> Pipeline.docPackOracle,
     "doc_chunks" -> Pipeline.docChunksOracle,
     "corpus_shuffle" -> Pipeline.corpusShuffleOracle,
@@ -531,6 +549,7 @@ object SparkEntry {
     "shape_related" -> ShapeOps.relatedShapesOracle,
     "dedup_exact" -> Dedup.exactDedupOracle,
     "dedup_jaccard" -> Dedup.jaccardPairsOracle(P.JaccardThreshold),
+    "dedup_containment" -> Dedup.containmentPairsOracle(P.ContainThreshold),
     "dedup_minhash" -> Dedup.minhashPairsOracle,
     "dedup_embedding" -> Dedup.embeddingNearDupsOracle(P.EmbDupThreshold),
     "dedup_pipeline" -> Dedup.dedupPipelineOracle,
@@ -615,6 +634,7 @@ object SparkEntry {
     "text_bm25_batch" -> Retrieval.bm25BatchOracle(P.Bm25Batch, P.Bm25K),
     "search_hybrid_rrf" -> Retrieval.hybridRrfOracle(P.Bm25Query, P.CosineProbe, P.Bm25K),
     "search_hybrid_ivf" -> Retrieval.hybridRrfIvfOracle(P.Bm25Query, P.CosineProbe, P.Bm25K, P.HybridNprobe),
+    "search_hybrid_ladder" -> Retrieval.hybridRrfLadderOracle(P.Bm25Query, P.CosineProbe, P.Bm25K, P.HybridNprobe, P.HybridNprobe1),
     "dsir_weights" -> Dsir.dsirWeightsOracle,
     "dsir_topk" -> Dsir.dsirTopKOracle(),
     "dsir_weights_indexed" -> Dsir.dsirWeightsOracle,

@@ -118,6 +118,92 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------------------- trigram containment (A⊆B)
+
+  /** Containment C(A,B) = |A∩B| / |A| — the ASYMMETRIC near-dup measure
+    * Jaccard misses: a record quoted whole inside a longer one scores
+    * containment ≈ 1 while its Jaccard ≈ |A|/|B| can sit far below any
+    * sane threshold. Ordered pairs (id_a ⊆ id_b, id_a ≠ id_b).
+    *
+    * Same exact-prefix-filter shape as [[jaccardPairs]], asymmetric: only
+    * the CONTAINED side can be prefix-pruned (any pair with C ≥ t shares
+    * one of A's s_a − ⌈t·s_a⌉ + 1 rarest trigrams — the containment/ALL
+    * variant of the prefix bound), while the containing side must index
+    * every trigram (no sound df cut exists for B: a superset may touch A
+    * only through A's rare grams). The candidate join is therefore
+    * Σ_a prefix_a·df(g) — rarest-gram-bounded like PPJoin but with full
+    * B-side postings; at 100 TB the admission-control precedent
+    * (`fuzzy_batch_cost`'s predicted candidate volume over the SAME df
+    * relation) is the knob that decides when to serve a stop-gram-cut
+    * variant instead. Verification recomputes exact containment, so the
+    * pruning never defines the result — a brute-force oracle gates it. */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       threshold: Double): DataFrame =
+    containmentPairsOver(
+      FuzzySearch.corpus(spark, dir)
+        .groupBy(col("clean_value")).agg(min(col("id")).as("id"))
+        .select(col("id"), charNgramSet(col("clean_value"), 3).as("grams"))
+        .filter(size(col("grams")) > 0),
+      threshold)
+
+  /** Core over any (id, grams) relation — split out so the spec can pin
+    * the asymmetric catch (quote-inclusion pairs Jaccard misses) and
+    * prefix-filter exactness on a crafted corpus. */
+  private[graft] def containmentPairsOver(c: DataFrame,
+                                          threshold: Double): DataFrame = {
+    val df = c.select(col("id"), explode(col("grams")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val withDf = c.select(col("id"), explode(col("grams")).as("g"))
+      .join(broadcast(df), "g")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+      .withColumn("setsize", count(lit(1)).over(Window.partitionBy(col("id"))))
+      // Same -1e-9 ceil slop as jaccardPairs: under-rounding only widens
+      // the prefix (recall-safe; exact verify defines the output).
+      .withColumn("prefix_len",
+        col("setsize") - ceil(lit(threshold) * col("setsize") - 1e-9) + 1)
+    // One shuffle on the gram; the contained-side prefix probes the full
+    // containing-side postings (both derive from the same exchange).
+    val grams = withDf.select(col("id"), col("g"), col("rank"), col("prefix_len"))
+      .repartition(col("g"))
+    val prefixes = grams.filter(col("rank") <= col("prefix_len"))
+      .select(col("id").as("id_a"), col("g"))
+    val cand = prefixes.join(grams.select(col("id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val ga = c.select(col("id").as("id_a"), col("grams").as("grams_a"))
+    val gb = c.select(col("id").as("id_b"), col("grams").as("grams_b"))
+    cand.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("shared",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("long"))
+      .withColumn("containment", round(col("shared").cast("double") /
+        size(col("grams_a")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force ordered-pair oracle — correct because exact verification,
+    * not the prefix pruning, defines the result. */
+  def containmentPairsOracle(threshold: Double): String = {
+    val sset = OracleSql.trigramSet("clean_value")
+    s"""WITH corpus AS (${FuzzySearch.corpusCte}),
+       |canon AS (SELECT clean_value, min(id) AS id FROM corpus GROUP BY clean_value),
+       |g AS (SELECT id, $sset AS grams FROM canon WHERE len($sset) > 0),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         len(list_intersect(a.grams, b.grams))::BIGINT AS shared,
+       |         len(a.grams) AS size_a
+       |  FROM g a JOIN g b ON a.id <> b.id),
+       |c AS (SELECT id_a, id_b,
+       |             round(shared::DOUBLE / size_a::DOUBLE, 6) AS containment
+       |      FROM pairs WHERE shared > 0)
+       |SELECT id_a, id_b, containment FROM c
+       |WHERE containment >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ------------------------------------------------------------- MinHash
 
   val MinHashK = 16

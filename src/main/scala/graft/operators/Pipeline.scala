@@ -170,6 +170,102 @@ object Pipeline {
        |       doc_id, source, pos
        |FROM t ORDER BY seq""".stripMargin
 
+  // ------------------------------------------- epoch-capped mixture plan
+
+  /** Max repetition per source: ~4 epochs is the published point past
+    * which repeated data stops behaving like fresh data (data-constrained
+    * scaling, Muennighoff et al. 2023). */
+  val EpochCapMax = 4L
+  /** Token target as a permille of the corpus total: 3000 = "train for 3×
+    * the unique-token count", which forces the repetition question. */
+  val EpochTargetPermille = 3000L
+
+  /** Epoch-capped temperature mixing plan — the budget-side complement of
+    * [[mixTemperature]]: given a global token TARGET larger than the
+    * unique corpus, allocate per-source training tokens ∝ √tokens
+    * (τ = 0.5, the same knob), but cap every source at [[EpochCapMax]]
+    * epochs of itself and water-fill the freed budget into the uncapped
+    * sources. Exact closed-form water-filling, not iteration: sort
+    * sources by cap/weight (∝ √tokens, so the sort key is just tokens),
+    * and the saturated set is a PREFIX of that order — row k saturates
+    * iff cap_k·(W − cumW_k) ≤ (T − cumCap_k)·w_k, all-integer after
+    * quantizing w = ⌊√tokens·1000⌋ (one correctly-rounded sqrt+mul+floor
+    * of exact integers — bit-identical cross-engine; the cumulative sums
+    * are then BIGINT-exact, no double running sums anywhere). The final
+    * water level λ = (T − capΣ_sat)/(W − wΣ_sat) allocates
+    * ⌊w·λ⌋ to each uncapped source, so Σalloc = min(T, Σcap) exactly.
+    *
+    * Scale shape: ONE map-side-combined aggregate over the corpus (per-
+    * source token sums), then every window runs over the #sources-sized
+    * relation — bounded and broadcastable at any corpus size. Integer
+    * envelope: cap·W < 2^63 holds through ~10^12 tokens/source at the
+    * milli-quantized weight; a 100 TB deployment drops the ×1000 scale
+    * (w = ⌊√tokens⌋) for 10^6 more headroom at 3 lost digits of τ
+    * precision. PipelineSpec pins the water-filling invariants on a
+    * crafted skewed corpus (uniform synthetic sources never cap). */
+  def mixEpochCap(spark: SparkSession, dir: String): DataFrame =
+    mixEpochCapOver(
+      Tables.documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(sum(size(graft.functions.TextFunctions.tokens(lower(col("text"))))
+          .cast("long")).as("n_tok")))
+
+  private[graft] def mixEpochCapOver(perSource: DataFrame): DataFrame = {
+    val run = Window.orderBy(col("n_tok"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSource
+      .withColumn("w", floor(sqrt(col("n_tok").cast("double")) * 1000.0).cast("long"))
+      .withColumn("cap_tok", col("n_tok") * EpochCapMax)
+      .withColumn("cum_cap", sum(col("cap_tok")).over(run))
+      .withColumn("cum_w", sum(col("w")).over(run))
+      .withColumn("tot_w", sum(col("w")).over(all))
+      .withColumn("target",
+        expr(s"(sum(n_tok) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) * $EpochTargetPermille) div 1000"))
+      .withColumn("sat",
+        col("cap_tok") * (col("tot_w") - col("cum_w")) <=
+          (col("target") - col("cum_cap")) * col("w"))
+      .withColumn("sat_cap", max(when(col("sat"), col("cum_cap")).otherwise(0L)).over(all))
+      .withColumn("sat_w", max(when(col("sat"), col("cum_w")).otherwise(0L)).over(all))
+      .withColumn("alloc_tok",
+        when(col("sat"), col("cap_tok"))
+          .otherwise(expr("(w * (target - sat_cap)) div (tot_w - sat_w)")))
+      .withColumn("epochs_milli", expr("(alloc_tok * 1000) div n_tok"))
+      .select(col("source"), col("n_tok"), col("cap_tok"),
+        col("alloc_tok"), col("epochs_milli"))
+      .orderBy(col("source"))
+  }
+
+  def mixEpochCapOracle: String = {
+    val toks = graft.oracle.OracleSql.tokens("lower(text)")
+    s"""WITH s AS (SELECT source, sum(len($toks))::BIGINT AS n_tok
+       |           FROM documents GROUP BY source),
+       |b AS (SELECT source, n_tok,
+       |             floor(sqrt(n_tok::DOUBLE) * 1000.0)::BIGINT AS w,
+       |             n_tok * $EpochCapMax AS cap_tok
+       |      FROM s),
+       |c AS (SELECT *,
+       |        sum(cap_tok) OVER (ORDER BY n_tok, source ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cap,
+       |        sum(w) OVER (ORDER BY n_tok, source ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_w,
+       |        sum(w) OVER ()::BIGINT AS tot_w,
+       |        (sum(n_tok) OVER () * $EpochTargetPermille) // 1000 AS target
+       |      FROM b),
+       |t AS (SELECT *,
+       |        cap_tok * (tot_w - cum_w) <= (target - cum_cap) * w AS sat
+       |      FROM c),
+       |l AS (SELECT *,
+       |        max(CASE WHEN sat THEN cum_cap ELSE 0 END) OVER ()::BIGINT AS sat_cap,
+       |        max(CASE WHEN sat THEN cum_w ELSE 0 END) OVER ()::BIGINT AS sat_w
+       |      FROM t)
+       |SELECT source, n_tok, cap_tok,
+       |       (CASE WHEN sat THEN cap_tok
+       |             ELSE (w * (target - sat_cap)) // (tot_w - sat_w) END)::BIGINT AS alloc_tok,
+       |       (((CASE WHEN sat THEN cap_tok
+       |               ELSE (w * (target - sat_cap)) // (tot_w - sat_w) END) * 1000) // n_tok)::BIGINT AS epochs_milli
+       |FROM l ORDER BY source""".stripMargin
+  }
+
   // ----------------------------------------------------- train/val/test
 
   val SplitSalt = "split:"

@@ -365,6 +365,70 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Hybrid retrieval served from the COMPLETE compressed ladder — the
+    * 100 TB production shape of [[hybridRrfIvf]]: the lexical pool still
+    * reads the word-posting artifact, but the dense pool comes from
+    * `ivf2PqRefineTopK` — two-level probe-cell selection (O(√C)
+    * centroid work), a `refine`·N-deep ADC shortlist read DPP-pruned
+    * from the cell-partitioned 8-byte codes artifact, re-ranked by int8
+    * hot-tier point reads. The float embeddings are touched ONLY for the
+    * one-row probe fetch: at 100 TB the dense side of the hybrid never
+    * scans a float vector (PlanShapeSpec pins `embedding` out of the
+    * dense pool's scans). The refine re-rank plays the role
+    * [[hybridRrfIvf]]'s exact re-rank plays — pool membership comes from
+    * the coarse pass, the rank fed into RRF comes from the (dequantized)
+    * cosine — so PQ approximation costs pool RECALL, never rank skew.
+    * nprobe1 = 3 of 4 coarse groups keeps up to 12 fine cells visible,
+    * matching the single-level hybrid's nprobe=12/16 coverage ceiling;
+    * OperatorParitySpec pins the measured pool-overlap floor vs the
+    * brute-force dense pool. Own oracle (the pool genuinely differs). */
+  def hybridRrfLadder(spark: SparkSession, dir: String, queryTerms: Seq[String],
+                      probeId: Long, k: Int, nprobe: Int, nprobe1: Int,
+                      refine: Int = RrfRerankWiden): DataFrame = {
+    val lexPool = bm25TopK(spark, dir, queryTerms, RrfPoolN)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long").as("lex_rank"))
+    // NaN guard lives inside the refine ladder (zero vectors dequantize
+    // to NaN cosine and are dropped there), so the pool arrives clean.
+    val densePool = Similarity.ivf2PqRefineTopK(spark, dir, probeId, RrfPoolN,
+        nprobe = nprobe, nprobe1 = nprobe1, refine = refine)
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(Window.orderBy(col("cosine_sim").desc, col("vec_id")))
+          .cast("long").as("dense_rank"))
+    def contrib(rank: org.apache.spark.sql.Column) =
+      when(rank.isNull, 0L).otherwise(
+        floor(lit(RrfScale.toDouble) / (lit(RrfK).cast("double") + rank.cast("double")))
+          .cast("long"))
+    lexPool.join(densePool, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        (contrib(col("lex_rank")) + contrib(col("dense_rank"))).as("rrf_q"))
+      .orderBy(col("rrf_q").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def hybridRrfLadderOracle(queryTerms: Seq[String], probeId: Long, k: Int,
+                            nprobe: Int, nprobe1: Int,
+                            refine: Int = RrfRerankWiden): String = {
+    val bm25 = TextAnalysis.bm25TopKOracle(queryTerms, RrfPoolN)
+    val dense = Similarity.ivf2PqRefineTopKOracle(probeId, RrfPoolN,
+      nprobe = nprobe, nprobe1 = nprobe1, refine = refine)
+    def contrib(r: String) =
+      s"CASE WHEN $r IS NULL THEN 0 ELSE floor($RrfScale.0 / ($RrfK.0 + $r::DOUBLE))::BIGINT END"
+    s"""WITH lex AS (SELECT doc_id,
+       |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |       FROM ($bm25)),
+       |dense AS (SELECT vec_id AS doc_id,
+       |         row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS dense_rank
+       |       FROM ($dense))
+       |SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+       |       lex.lex_rank, dense.dense_rank,
+       |       ${contrib("lex.lex_rank")} + ${contrib("dense.dense_rank")} AS rrf_q
+       |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+       |ORDER BY rrf_q DESC, coalesce(lex.doc_id, dense.doc_id)
+       |LIMIT $k""".stripMargin
+  }
+
   def hybridRrfIvfOracle(queryTerms: Seq[String], probeId: Long, k: Int,
                          nprobe: Int): String = {
     val bm25 = TextAnalysis.bm25TopKOracle(queryTerms, RrfPoolN)

@@ -173,6 +173,52 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pool overlap $overlap below the measured 0.84 floor")
   }
 
+  test("containment catches the quote-inclusion pair Jaccard misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size}
+    import graft.functions.TextFunctions.charNgramSet
+    // id 1 is a strict prefix of id 2: every trigram window of 1 is a
+    // window of 2, so C(1,2)=1.0 while J(1,2)=|A|/|B| sits far below the
+    // jaccard gate's 0.55. id 3 shares nothing.
+    val c = Seq((1L, "main street"),
+        (2L, "main street north building complex"),
+        (3L, "zzz qqq xyxy"))
+      .toDF("id", "clean_value")
+      .select(col("id"), charNgramSet(col("clean_value"), 3).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val pairs = Dedup.containmentPairsOver(c, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)), pairs.toSeq.toString)
+    // the same pair under symmetric Jaccard: below any sane threshold
+    val grams = c.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val j = grams(1L).intersect(grams(2L)).size.toDouble /
+      grams(1L).union(grams(2L)).size
+    assert(j < 0.55, s"jaccard $j should miss the inclusion pair")
+  }
+
+  test("ladder hybrid dense pool overlaps the brute pool at the measured floor") {
+    import graft.operators.Retrieval
+    import org.apache.spark.sql.functions.col
+    val n = Retrieval.RrfPoolN
+    val brute = Similarity.cosineTopK(spark, dir, probeId = 0L, n)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val ladder = Retrieval.hybridRrfLadder(spark, dir, Seq("spark"), probeId = 0L,
+        k = 1000, nprobe = SparkEntry.P.HybridNprobe,
+        nprobe1 = SparkEntry.P.HybridNprobe1)
+      .filter(col("dense_rank").isNotNull)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ladder.size == n, s"dense pool size ${ladder.size} != $n")
+    val overlap = (ladder & brute).size.toDouble / n
+    // Measured 0.82 (deterministic on the sf0.001 tables) vs the
+    // exact-re-rank hybrid's 0.84: the ladder pays three stacked losses —
+    // the coarse-group ceiling (nprobe1=3/4), ADC shortlist membership
+    // (8-byte codes), int8 rank quantization — and the refine stage
+    // recovers nearly all of it. The pin guards a pool collapse (wrong
+    // cells / broken codes / lost refine), not the residual 0.02 trade.
+    assert(overlap >= 0.78,
+      s"ladder pool overlap $overlap below the measured 0.82 floor")
+  }
+
   test("z-order key de-interleaves back to the quantized coordinates") {
     import graft.functions.GeoFunctions
     val rows = graft.operators.RadiusSearch.zorderKeys(spark, dir).collect()

@@ -87,6 +87,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getLong(0)).toSeq == (1L to 30L))
   }
 
+  test("epoch-capped mix water-fills: small sources cap at 4 epochs, budget lands exactly") {
+    import spark.implicits._
+    // Skewed: a and b's sqrt-shares of the 3x target far exceed 4 epochs
+    // of themselves -> both saturate; c absorbs the freed budget.
+    val per = Seq(("a", 100L), ("b", 10000L), ("c", 1000000L)).toDF("source", "n_tok")
+    val out = Pipeline.mixEpochCapOver(per).collect()
+    val m = out.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m("a") == ((100L, 400L, 400L, 4000L)), m.toString)
+    assert(m("b") == ((10000L, 40000L, 40000L, 4000L)), m.toString)
+    // T = (1010100 * 3000) div 1000 = 3030300; the single uncapped source
+    // absorbs the remainder exactly (floor is exact when one source is left)
+    assert(m("c")._3 == 3030300L - 400L - 40000L, m.toString)
+    assert(m("c")._4 == 2989L, m.toString)
+    out.foreach(r => assert(r.getLong(3) <= r.getLong(2), "alloc exceeds cap"))
+  }
+
+  test("epoch-capped mix degenerates to the tau share when nothing caps") {
+    import spark.implicits._
+    val per = Seq(("x", 1000L), ("y", 1000L), ("z", 1000L)).toDF("source", "n_tok")
+    val out = Pipeline.mixEpochCapOver(per).collect()
+    // uniform sources, 3x target, 4-epoch cap: everyone trains 3 epochs
+    out.foreach { r =>
+      assert(r.getLong(3) == 3000L, r.toString)
+      assert(r.getLong(4) == 3000L, r.toString)
+    }
+  }
+
   test("CDC merge applies updates and removes deletions") {
     val merged = Cdc.mergeUpsert(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(3))).toMap

@@ -79,6 +79,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"codes-artifact scan reads the float vectors:\n${ivfpqScan.mkString("\n")}")
   }
 
+  test("ladder hybrid's dense side reads codes + int8 tiers, never a float vector scan") {
+    val p = finalPlan("search_hybrid_ladder")
+    // the shortlist read is the DPP-pruned codes artifact
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    val ivfpqScan = p.split("\n").filter(_.contains("graft_ivfpq"))
+      .filter(_.contains("ReadSchema"))
+    assert(ivfpqScan.nonEmpty, p)
+    assert(!ivfpqScan.exists(_.contains("embedding")),
+      s"codes-artifact scan reads the float vectors:\n${ivfpqScan.mkString("\n")}")
+    // the refine re-rank reads the int8 tier, not float embeddings
+    val int8Scan = p.split("\n").filter(_.contains("graft_int8"))
+      .filter(_.contains("ReadSchema"))
+    assert(int8Scan.nonEmpty, s"expected an int8-tier scan:\n$p")
+    // every scan of the float embeddings table is the 1-row probe fetch
+    // (vec_id pushdown) — no full-width vector scan feeds the dense pool
+    val embScans = p.split("\n")
+      .filter(s => s.contains("embeddings.parquet") && s.contains("ReadSchema")
+        && s.contains("embedding"))
+    assert(embScans.forall(_.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id")),
+      s"float embedding scan without the probe-point pushdown:\n${embScans.mkString("\n")}")
+  }
+
   test("batch ADC read is DPP-pruned to the union of probed cells, codes only") {
     val p = finalPlan("ann_ivfpq_batch")
     assert(p.toLowerCase.contains("dynamicpruning"), p)
