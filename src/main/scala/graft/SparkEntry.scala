@@ -393,6 +393,9 @@ object SparkEntry {
     // epoch-capped mixture plan: tau-weighted token allocation under a
     // 4-epoch repetition cap, exact integer water-filling
     "mix_epoch_cap" -> ((s, d) => Pipeline.mixEpochCap(s, d)),
+    // the plan operationalized: deterministic per-doc repetition schedule
+    // (hash-coin fractional epochs; map-only over the corpus)
+    "mix_epoch_apply" -> ((s, d) => Pipeline.mixEpochApply(s, d)),
     // concat-then-chunk sequence packing: per-source prefix sums → exact
     // integer pack assignment
     "doc_pack" -> ((s, d) => Pipeline.docPack(s, d)),
@@ -505,6 +508,7 @@ object SparkEntry {
     "mix_interleave" -> Pipeline.mixInterleaveOracle,
     "mix_temperature" -> Pipeline.mixTemperatureOracle(),
     "mix_epoch_cap" -> Pipeline.mixEpochCapOracle,
+    "mix_epoch_apply" -> Pipeline.mixEpochApplyOracle,
     "doc_pack" -> Pipeline.docPackOracle,
     "doc_chunks" -> Pipeline.docChunksOracle,
     "corpus_shuffle" -> Pipeline.corpusShuffleOracle,

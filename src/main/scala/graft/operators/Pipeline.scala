@@ -266,6 +266,59 @@ object Pipeline {
        |FROM l ORDER BY source""".stripMargin
   }
 
+  /** Salt for the fractional-epoch hash coin. */
+  val EpochSalt = "epoch:"
+
+  /** Operationalizes [[mixEpochCap]]'s per-source allocation as a
+    * deterministic per-document repetition schedule: every doc of a
+    * source with rate e (milli-epochs) appears ⌊e/1000⌋ times, plus one
+    * more iff its hash coin lands below the fractional part — the
+    * `sampleStratified` hash-Bernoulli design (reproducible, no rand(),
+    * membership depends only on the doc's own id), so per source the
+    * expected token volume is exactly alloc and the schedule never
+    * changes under reprocessing. Downsampling falls out free: a source
+    * allocated under one epoch gets base 0 and keeps each doc with
+    * probability e/1000 — the same coin runs both directions.
+    *
+    * Scale shape: the #sources-sized plan broadcasts; the schedule is
+    * one map-only pass over the corpus (hash + compare per row). A
+    * reader materializes copy k of doc d deterministically (d, k) —
+    * nothing here ever explodes the corpus by its repetition factor. */
+  def mixEpochApply(spark: SparkSession, dir: String): DataFrame =
+    epochScheduleOver(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      mixEpochCap(spark, dir))
+      .orderBy(col("doc_id"))
+
+  /** The schedule core over any (doc_id, source) relation and a mix plan
+    * — split out so the ingest-gate stream (`StreamOps.epochScheduleStream`)
+    * schedules arriving docs under the SAME static plan the batch query
+    * uses (the lmScoreStream pattern: plan by-name, so a re-planned mix
+    * is visible next micro-batch). */
+  private[graft] def epochScheduleOver(docs: DataFrame,
+                                       plan: DataFrame): DataFrame = {
+    val coin = pmod(
+      polyHash(concat(lit(EpochSalt), col("doc_id").cast("string"))), lit(1000L))
+    docs
+      .join(broadcast(plan.select(col("source"), col("epochs_milli"))), "source")
+      .withColumn("n_copies",
+        expr("epochs_milli div 1000") +
+          when(coin < pmod(col("epochs_milli"), lit(1000L)), 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"), col("n_copies"))
+  }
+
+  def mixEpochApplyOracle: String = {
+    val coin = graft.oracle.OracleSql.polyHash(s"('$EpochSalt' || d.doc_id::VARCHAR)")
+    s"""WITH plan AS (${mixEpochCapOracle}),
+       |sched AS (SELECT d.doc_id, d.source,
+       |                 (p.epochs_milli // 1000)
+       |                   + (CASE WHEN ($coin) % 1000 < p.epochs_milli % 1000
+       |                           THEN 1 ELSE 0 END) AS n_copies
+       |          FROM documents d JOIN plan p USING (source))
+       |SELECT doc_id, source, n_copies::BIGINT AS n_copies
+       |FROM sched ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------- train/val/test
 
   val SplitSalt = "split:"

@@ -327,6 +327,21 @@ object StreamOps {
       }
       .start()
 
+  /** Ingest-gate face of the epoch-cap mixture: arriving (doc_id, source)
+    * rows are scheduled under the STATIC water-filled plan (by-name, so a
+    * re-planned mix is visible next micro-batch) — each doc leaves with
+    * its deterministic repetition count. Map-only per batch: the
+    * #sources-sized plan broadcasts, the hash coin is row-local.
+    * StreamingSpec pins stream-total == `mix_epoch_apply` on the same
+    * docs. */
+  def epochScheduleStream(docs: DataFrame, plan: => DataFrame)
+                         (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Pipeline.epochScheduleOver(batch.toDF(), plan), batchId)
+      }
+      .start()
+
   // ------------------------------------------------- streaming CDC apply
 
   case class Change(key: Long, version: Long, price: Double, op: String)

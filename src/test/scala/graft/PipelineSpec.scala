@@ -104,6 +104,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.foreach(r => assert(r.getLong(3) <= r.getLong(2), "alloc exceeds cap"))
   }
 
+  test("epoch schedule lands each source near its allocated token volume") {
+    import org.apache.spark.sql.functions._
+    val plan = Pipeline.mixEpochCap(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val docTok = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(lower(col("text"))))
+          .cast("long").as("tok"))
+    val sched = Pipeline.mixEpochApply(spark, dir)
+    val landed = sched.join(docTok, Seq("doc_id", "source"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_copies") * col("tok")).as("got")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    landed.foreach { case (src, got) =>
+      val want = plan(src).toDouble
+      assert(got > 0.85 * want && got < 1.15 * want,
+        s"$src landed $got vs alloc $want — hash coin off its rate")
+    }
+    // copies only ever take the two adjacent values base/base+1
+    val counts = sched.select(col("source"), col("n_copies")).distinct()
+      .groupBy(col("source")).agg(countDistinct(col("n_copies")).as("k"))
+      .collect()
+    counts.foreach(r => assert(r.getLong(1) <= 2, r.toString))
+  }
+
   test("epoch-capped mix degenerates to the tau share when nothing caps") {
     import spark.implicits._
     val per = Seq(("x", 1000L), ("y", 1000L), ("z", 1000L)).toDF("source", "n_tok")
