@@ -284,6 +284,18 @@ object SparkEntry {
     // cosine top-k SERVED from the materialized int8 code artifact —
     // the hot tier searched without ever re-reading float embeddings
     "ann_int8_topk" -> ((s, d) => Similarity.int8TopK(s, d, P.CosineProbe, P.CosineK)),
+    // deterministic Rademacher random projection d → d/4: the third codec
+    // axis (fewer components) next to int8 (narrower) and PQ (codes);
+    // map-only row-local derivation
+    "emb_rp" -> ((s, d) => Similarity.rpProjectRows(s, d)),
+    // cosine top-k in the projected space (the cheap coarse pass)
+    "ann_rp_topk" -> ((s, d) => Similarity.rpTopK(s, d, P.CosineProbe, P.CosineK)),
+    // the same search SERVED from the materialized 16-double projection
+    // artifact — never re-reads float embeddings (shares rp_topk's oracle)
+    "ann_rp_indexed" -> ((s, d) => Similarity.rpTopKIndexed(s, d, P.CosineProbe, P.CosineK)),
+    // measured mean recall@k of projected-space top-k vs the exact float
+    // baseline (both sides projected — the honest serving condition)
+    "ann_rp_recall" -> ((s, d) => Similarity.rpMeanRecall(s, d, P.IvfK)),
     // --- text analysis ---
     "text_langid" -> ((s, d) => TextAnalysis.languageId(s, d)),
     // the end-to-end corpus-prep composition: language gate → quality
@@ -593,6 +605,10 @@ object SparkEntry {
     "emb_int8" -> Similarity.int8QuantizeOracle,
     "ann_int8_recall" -> Similarity.int8MeanRecallOracle(P.IvfK),
     "ann_int8_topk" -> Similarity.int8TopKOracle(P.CosineProbe, P.CosineK),
+    "emb_rp" -> Similarity.rpProjectRowsOracle,
+    "ann_rp_topk" -> Similarity.rpTopKOracle(P.CosineProbe, P.CosineK),
+    "ann_rp_indexed" -> Similarity.rpTopKOracle(P.CosineProbe, P.CosineK),
+    "ann_rp_recall" -> Similarity.rpMeanRecallOracle(P.IvfK),
     "text_langid" -> TextAnalysis.languageIdOracle,
     "corpus_prep" -> CorpusPrep.corpusPrepOracle(),
     "corpus_quality_cut" -> CorpusPrep.qualityCutOracle,

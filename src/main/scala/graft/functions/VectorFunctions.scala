@@ -62,6 +62,33 @@ object VectorFunctions {
     sig
   }
 
+  /** Rademacher random projection d → dPrime: out_p = Σ_i ±x_i with the
+    * sign for (p, i) drawn from the SAME deterministic hash family as the
+    * LSH hyperplanes (comp(p, i) mod 1000 < 500 → +1 else −1 — no RNG,
+    * reproducible across runs/engines). Sign-only sums keep the fold a
+    * plain left-to-right double addition, bit-identical to the composed
+    * `aggregate(zip_with(...))` twin and the DuckDB oracle's
+    * `list_reduce`. Scaling is omitted: cosine in the projected space is
+    * invariant to the 1/sqrt(dPrime) JL factor. */
+  def rpProjectKernel(emb: ArrayData, dPrime: Int): ArrayData = {
+    val n = emb.numElements()
+    val out = new Array[Double](dPrime)
+    var p = 0
+    while (p < dPrime) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val h = (i * 2654435761L + p.toLong * 40503L + 12345L) % 1000L
+        val x = emb.getFloat(i).toDouble
+        acc += (if (h < 500L) x else -x)
+        i += 1
+      }
+      out(p) = acc
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Double-array twin of `dotKernel` — k-means centroids are
     * Array[Double] (integer-quantized means), so the training assignment
     * reads doubles on both sides; the float kernel stays untouched for the
@@ -127,6 +154,9 @@ object VectorFunctions {
   def pqEncodeF(emb: Column, books: Column, m: Int, dim: Int): Column =
     GraftShim.column(PqEncodeExpr(
       GraftShim.expression(emb), GraftShim.expression(books), m, dim))
+
+  def rpProjectF(emb: Column, dPrime: Int): Column =
+    GraftShim.column(RpProjectExpr(GraftShim.expression(emb), dPrime))
 }
 
 /** Ragged inputs (len(a) != len(b)) evaluate to NULL — matching the
@@ -213,6 +243,24 @@ case class LshSignatureExpr(child: Expression, planes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, e =>
       s"graft.functions.VectorFunctions.lshKernel($e, $planes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Rademacher projection of an Array[Float] embedding to dPrime doubles
+  * (see VectorFunctions.rpProjectKernel); `dPrime` is a plan-time
+  * constant. NULL input → NULL. */
+case class RpProjectExpr(child: Expression, dPrime: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rp_project"
+  override protected def nullSafeEval(e: Any): Any =
+    VectorFunctions.rpProjectKernel(e.asInstanceOf[ArrayData], dPrime)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, e =>
+      s"graft.functions.VectorFunctions.rpProjectKernel($e, $dPrime)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -1497,4 +1497,197 @@ object Similarity {
        |         i -> abs(q.codes[i]::DOUBLE * q.scale - e.embedding[i]::DOUBLE))) AS max_abs_err
        |FROM q JOIN embeddings e USING (vec_id)
        |ORDER BY q.vec_id""".stripMargin
+
+  // ------------------------------------------ random-projection dimension cut
+
+  /** Projected dimensionality: 64 → 16 is the 4× DIMENSIONALITY cut next
+    * to int8's 4× precision cut and PQ's 32× — the third axis of the
+    * serving ladder (fewer components vs narrower components vs codes).
+    * A constant of the codec, like Int8Version / PqM. */
+  val RpDim = 16
+
+  /** Deterministic Rademacher projection of the embedding column to
+    * [[RpDim]] doubles — native codegen'd kernel
+    * (graft.functions.RpProjectExpr); the composed twin below is pinned
+    * bit-identical by VectorKernelSpec. Map-only: the projection is a
+    * row-local expression, so the codec costs one narrow pass at ingest
+    * and nothing at query time beyond reading 4× fewer components. */
+  def rpProject(emb: Column): Column =
+    graft.functions.VectorFunctions.rpProjectF(emb, RpDim)
+
+  /** Composed-HOF reference implementation (interpreted; spec-only).
+    * Unrolled per output component, exactly like lshSignatureComposed. */
+  def rpProjectComposed(emb: Column, dPrime: Int = RpDim): Column =
+    array((0 until dPrime).map { p =>
+      aggregate(
+        zip_with(emb, sequence(lit(0L), size(emb).cast("long") - 1L),
+          (x, i) => when(
+            pmod(i * 2654435761L + lit(p.toLong * 40503L + 12345L), lit(1000L)) < 500L,
+            x.cast("double")).otherwise(-x.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+
+  /** Oracle fragment: the RP component list of embedding column `e` —
+    * unrolled per component (no nested-lambda captures, matching
+    * lshSignatureSql's style). */
+  private[graft] def rpProjectSql(e: String, dPrime: Int = RpDim): String = {
+    val comps = (0 until dPrime).map { p =>
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($e) + 1),
+         | i -> CASE WHEN ((i - 1) * 2654435761 + ${p.toLong * 40503L + 12345L}) % 1000 < 500
+         |           THEN $e[i]::DOUBLE ELSE -($e[i]::DOUBLE) END)), (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", " ")
+    }.mkString(", ")
+    s"[$comps]"
+  }
+
+  /** The codec's gate row: per-vector projected components (4dp — the
+    * house output-rounding convention; internal uses stay unrounded). */
+  def rpProjectRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(rpProject(col("embedding")), x => round(x, 4)).as("rp"))
+      .orderBy(col("vec_id"))
+
+  def rpProjectRowsOracle: String =
+    s"""SELECT vec_id, label,
+       |       list_transform(${rpProjectSql("embedding")}, x -> round(x, 4)) AS rp
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Cosine top-k IN THE PROJECTED SPACE — the cheap coarse pass the
+    * codec buys (probe projected by the same expression). Zero vectors
+    * project to zero → NaN cosine → dropped on both engines (the
+    * int8TopK convention). */
+  def rpTopK(spark: SparkSession, dir: String, probeId: Long, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), rpProject(col("embedding")).as("rp"))
+    val probe = e.filter(col("vec_id") === probeId).select(col("rp").as("prp"))
+    e.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.VectorFunctions.cosineDF(col("rp"), col("prp")), 4)
+          .as("cosine_sim"))
+      .filter(!isnan(col("cosine_sim")))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def rpTopKOracle(probeId: Long, k: Int): String = {
+    val cos = cosineSql("r.rp", "p.prp")
+    s"""WITH r AS (SELECT vec_id, label, ${rpProjectSql("embedding")} AS rp
+       |           FROM embeddings),
+       |p AS (SELECT rp AS prp FROM r WHERE vec_id = $probeId)
+       |SELECT r.vec_id, r.label, round($cos, 4) AS cosine_sim
+       |FROM r CROSS JOIN p
+       |WHERE r.vec_id <> $probeId AND NOT isnan($cos)
+       |ORDER BY cosine_sim DESC, r.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
+  // ------------------------------------------------ RP projection artifact
+
+  val RpVersion = 1
+
+  /** Write-once projected-vector artifact (at scale: the ingest-time
+    * projection job). Row-local derivation → appendable exactly like the
+    * int8/PQ code artifacts (append == rebuild). */
+  def ensureRpProj(spark: SparkSession, dir: String, e: DataFrame,
+                   version: Int = RpVersion): String =
+    graft.Materialize.ensure(spark, "graft_rpproj", dir, version) { p =>
+      e.select(col("vec_id"), col("label"),
+          rpProject(col("embedding")).as("rp"))
+        .write.mode("overwrite").parquet(p)
+    }
+
+  def appendToRpProj(spark: SparkSession, dir: String, batch: DataFrame,
+                     version: Int = RpVersion): Unit =
+    graft.Materialize.append(spark, "graft_rpproj", dir, version) { p =>
+      batch.select(col("vec_id"), col("label"),
+          rpProject(col("embedding")).as("rp"))
+        .write.mode("append").parquet(p)
+    }
+
+  def rpProjOf(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(
+      ensureRpProj(spark, dir, Tables.embeddings(spark, dir)))
+
+  /** rpTopK SERVED from the materialized projected artifact — probe and
+    * candidates both read 16-double rows; the plan never scans
+    * embeddings.parquet (PlanShapeSpec). Shares rpTopK's oracle. */
+  def rpTopKIndexed(spark: SparkSession, dir: String, probeId: Long, k: Int): DataFrame = {
+    val t = rpProjOf(spark, dir)
+    val probe = t.filter(col("vec_id") === probeId).select(col("rp").as("prp"))
+    t.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.VectorFunctions.cosineDF(col("rp"), col("prp")), 4)
+          .as("cosine_sim"))
+      .filter(!isnan(col("cosine_sim")))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Measured MEAN recall@k of projected-space cosine top-k vs the exact
+    * float baseline over the BatchProbeMod probe stride (probes projected
+    * too — both sides live in the reduced space). The JL lemma predicts
+    * bounded angle distortion at d' = 16; this row MEASURES what that
+    * does to top-k ranking instead of asserting it — the codec's
+    * ann_int8_recall / ann_pq_recall anchor. */
+  def rpMeanRecall(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val exProbes = e.filter(col("vec_id") % BatchProbeMod === 0)
+      .select(col("vec_id").as("pid"),
+        col("embedding").cast("array<double>").as("pemb"))
+    val exW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("cs").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(exProbes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        graft.functions.VectorFunctions.cosineDF(
+          col("embedding").cast("array<double>"), col("pemb")).as("cs"))
+      .filter(!isnan(col("cs")))
+      .withColumn("rk", row_number().over(exW)).filter(col("rk") <= k)
+      .select(col("pid"), col("vec_id"))
+    val rp = e.select(col("vec_id"), rpProject(col("embedding")).as("rp"))
+    val rpProbes = rp.filter(col("vec_id") % BatchProbeMod === 0)
+      .select(col("vec_id").as("pid"), col("rp").as("prp"))
+    val approx = rp.crossJoin(broadcast(rpProbes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        graft.functions.VectorFunctions.cosineDF(col("rp"), col("prp")).as("cs"))
+      .filter(!isnan(col("cs")))
+      .withColumn("rk", row_number().over(exW)).filter(col("rk") <= k)
+      .select(col("pid"), col("vec_id"))
+    val perHit = exact.join(approx, Seq("pid", "vec_id"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("pid")).agg(count(lit(1)).as("kx"))
+      .join(perHit, Seq("pid"), "left")
+      .select(col("pid"), col("kx"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("kx")).as("k_total"),
+        sum(col("hits")).as("hits_total"),
+        (sum(col("hits")).cast("double") / sum(col("kx")).cast("double")).as("recall"))
+  }
+
+  def rpMeanRecallOracle(k: Int): String = {
+    val cosF = cosineSql("e.embedding", "p.pemb")
+    val cosR = cosineSql("a.rp", "p.prp")
+    s"""WITH xp AS (SELECT vec_id AS pid, list_transform(embedding, x -> x::DOUBLE) AS pemb
+       |       FROM embeddings WHERE vec_id % $BatchProbeMod = 0),
+       |exact AS (SELECT p.pid, e.vec_id FROM embeddings e CROSS JOIN xp p
+       |          WHERE e.vec_id <> p.pid AND NOT isnan($cosF)
+       |          QUALIFY row_number() OVER (PARTITION BY p.pid
+       |                   ORDER BY $cosF DESC, e.vec_id) <= $k),
+       |r AS (SELECT vec_id, ${rpProjectSql("embedding")} AS rp FROM embeddings),
+       |rp AS (SELECT vec_id AS pid, rp AS prp FROM r
+       |       WHERE vec_id % $BatchProbeMod = 0),
+       |approx AS (SELECT p.pid, a.vec_id FROM r a CROSS JOIN rp p
+       |           WHERE a.vec_id <> p.pid AND NOT isnan($cosR)
+       |           QUALIFY row_number() OVER (PARTITION BY p.pid
+       |                    ORDER BY $cosR DESC, a.vec_id) <= $k),
+       |ph AS (SELECT pid, count(*)::BIGINT AS hits
+       |       FROM exact JOIN approx USING (pid, vec_id) GROUP BY pid),
+       |px AS (SELECT pid, count(*)::BIGINT AS kx FROM exact GROUP BY pid)
+       |SELECT count(*)::BIGINT AS n_probes, sum(px.kx)::BIGINT AS k_total,
+       |       coalesce(sum(ph.hits), 0)::BIGINT AS hits_total,
+       |       coalesce(sum(ph.hits), 0)::DOUBLE / sum(px.kx)::DOUBLE AS recall
+       |FROM px LEFT JOIN ph USING (pid)""".stripMargin
+  }
 }

@@ -325,6 +325,23 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty && a == rows(rebuilt))
   }
 
+  test("RP projection artifact: append-then-read == rebuild-then-read") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, dir)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val batch = e.filter(col("vec_id") % 3 === 0)
+    assert(base.count() > 0 && batch.count() > 0)
+    val appended = Similarity.ensureRpProj(spark, dir, base, version = 901)
+    Similarity.appendToRpProj(spark, dir, batch, version = 901)
+    val rebuilt = Similarity.ensureRpProj(spark, dir, e, version = 902)
+    def rows(p: String): Seq[(Long, Seq[Double])] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](2).toSeq))
+        .toSeq.sortBy(_._1)
+    val a = rows(appended)
+    assert(a.nonEmpty && a == rows(rebuilt))
+  }
+
   test("DSIR model: append-then-score == rebuild-then-score; compact preserves") {
     import graft.operators.Dsir
     val d = Tables.documents(spark, dir)

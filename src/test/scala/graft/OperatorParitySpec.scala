@@ -113,6 +113,13 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served.nonEmpty && served.toSeq == inline.toSeq)
   }
 
+  test("rpTopKIndexed (materialized projection) == rpTopK (inline)") {
+    val inline = Similarity.rpTopK(spark, dir, 0L, 10).collect()
+    val indexed = Similarity.rpTopKIndexed(spark, dir, 0L, 10).collect()
+    assert(indexed.toSeq == inline.toSeq)
+    assert(inline.nonEmpty)
+  }
+
   test("transitive canonicalization is a fixpoint and only lowers labels") {
     val once = Dedup.dedupPipeline(spark, dir)
       .select("doc_id", "canonical_id").collect()

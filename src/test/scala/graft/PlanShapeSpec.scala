@@ -355,6 +355,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("RP top-k serves from the projection artifact, never the float table") {
+    val p = finalPlan("ann_rp_indexed")
+    // a scan of embeddings.parquet means the corpus is being re-projected
+    // from 64 floats per search instead of read as 16 stored doubles
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("indexed corpus stats read the metadata table, not the pipeline") {
     val p = finalPlan("corpus_stats_indexed")
     // ONE scan (the docmeta artifact): any documents/embeddings read means

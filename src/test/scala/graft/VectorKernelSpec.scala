@@ -59,6 +59,16 @@ class VectorKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff == 0)
   }
 
+  test("RP projection kernel is bit-identical to the composed fold, every component") {
+    val diff = emb
+      .select(explode(zip_with(
+        Similarity.rpProject(col("embedding")),
+        Similarity.rpProjectComposed(col("embedding")),
+        (fast, slow) => fast =!= slow)).as("ne"))
+      .filter(col("ne")).count()
+    assert(diff == 0)
+  }
+
   test("MinHash signature expression matches the composed pipeline") {
     val fast = Dedup.minhashSignatures(spark, Sf)
     val slow = Dedup.minhashSignaturesComposed(spark, Sf).withColumnRenamed("sig", "sig2")
