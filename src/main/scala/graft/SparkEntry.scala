@@ -327,6 +327,12 @@ object SparkEntry {
     "tok_bpe_merges" -> ((s, d) => BpeTrainer.bpeMerges(s, d)),
     "tok_bpe_encode" -> ((s, d) => BpeTrainer.bpeEncode(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // winnowing (SIGMOD'03): sampled fingerprints with the guarantee that
+    // any shared run >= K+W-1 tokens is caught — the middle ground between
+    // the whole-doc hash and the stride-1 span relation
+    "text_winnow" -> ((s, d) => TextAnalysis.winnow(s, d)),
+    // overlap pairs over the winnowed selection (>= 2 shared fingerprints)
+    "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(s, d)),
     // trained quality classifier: full-batch GD (8 one-aggregate passes
     // over the materialized feature relation, quantized gradients, no
     // driver loop) recovering a deterministic teacher labeling
@@ -621,6 +627,8 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.repetitionOracle(),
     "text_tokens" -> TextAnalysis.tokenCountsOracle,
     "text_fingerprint" -> TextAnalysis.fingerprintOracle,
+    "text_winnow" -> TextAnalysis.winnowOracle,
+    "dedup_winnow_pairs" -> Dedup.winnowPairsOracle,
     "quality_lr_train" -> QualityModel.lrTrainOracle,
     "quality_lr_score" -> QualityModel.lrScoreOracle,
     "quality_lr_indexed" -> QualityModel.lrScoreOracle,

@@ -1065,6 +1065,44 @@ object Dedup {
        |FROM sp ORDER BY doc_id, span_start""".stripMargin
   }
 
+  // ---------------------------------------------- winnowed overlap pairs
+
+  /** Minimum shared winnowed fingerprints for a pair to surface — one
+    * shared fingerprint is a 7-token run (possible boilerplate); two
+    * distinct selections is the noise cut. */
+  val WinnowMinShared = 2L
+
+  /** Document pairs sharing ≥ [[WinnowMinShared]] winnowed fingerprints
+    * (TextAnalysis.winnowSelect) — overlap DETECTION with winnowing's
+    * guarantee (any shared run ≥ K+W−1 tokens is caught) at 2/(W+1) of
+    * the stride-1 span relation's volume. Scale shape: one repartition on
+    * the fingerprint key consumed by both sides of the self-join
+    * (ReusedExchange); candidates are Σ_fp df(fp)², so a boilerplate-hot
+    * fingerprint escalates exactly like a hot span window — the
+    * spanDedupCapped exact-integer df-cap applies verbatim (SCALE.md). */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sel = TextAnalysis.winnowSelect(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("fp")).distinct()
+      .repartition(col("fp"))
+    val a = sel.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = sel.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def winnowPairsOracle: String =
+    s"""WITH ${TextAnalysis.winnowSelectSql},
+       |sf AS (SELECT DISTINCT doc_id, fp FROM sel)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+       |FROM sf a JOIN sf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING count(*) >= $WinnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------ incremental batch-vs-corpus near-dup
 
   /** Deterministic batch split: docs with doc_id % IncMod == IncRem are

@@ -271,6 +271,80 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------- winnowing fingerprints
+
+  /** Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) parameters: token
+    * k-grams of [[WinnowK]], selection windows of [[WinnowW]] consecutive
+    * gram hashes. Guarantee: any token run shared by two documents of
+    * length ≥ K + W − 1 = 7 contributes at least one IDENTICAL selected
+    * fingerprint to both — the sampled-with-guarantee middle ground
+    * between the whole-doc hash (text_fingerprint) and the stride-1
+    * window relation (dedup_spans, every position kept). */
+  val WinnowK = 4
+  val WinnowW = 4
+
+  /** Position encoding base for the rightmost-min window argmin: the pair
+    * (hash, pos) packs into hash·M + (M−1−pos), so ONE integer `min` per
+    * window frame picks the smallest hash and, among ties, the rightmost
+    * position — the paper's robust-winnowing rule — in exact integer
+    * arithmetic on both engines. polyHash < 1e9+7 and positions < 2^20
+    * keep the key below 2^50. */
+  private val WinnowPosM = 1048576L
+
+  /** Selected fingerprints: (doc_id, pos, fp), DISTINCT argmins over every
+    * full window of W consecutive k-gram hashes. A doc with ≥ K tokens but
+    * fewer than W grams keeps one window over all of them (the pos-0
+    * frame); docs under K tokens have no k-grams and don't participate —
+    * the dedup_spans convention. Expected density 2/(W+1) of positions —
+    * the whole derivation is one narrow pass plus per-doc window frames;
+    * no corpus-keyed exchange. */
+  private[graft] def winnowSelect(d: DataFrame): DataFrame = {
+    val g = d.select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+      .select(col("doc_id"),
+        posexplode(tokenWindows(col("tk"), WinnowK)).as(Seq("pos", "wkey")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        polyHash(col("wkey")).as("h"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    g.withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("k",
+        min(col("h") * WinnowPosM + (lit(WinnowPosM - 1L) - col("pos"))).over(frame))
+      .filter(col("pos") <= greatest(col("n") - WinnowW, lit(0L)))
+      .select(col("doc_id"),
+        (lit(WinnowPosM - 1L) - pmod(col("k"), lit(WinnowPosM))).as("pos"),
+        expr(s"k div $WinnowPosM").as("fp"))
+      .distinct()
+  }
+
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    winnowSelect(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** Oracle fragment: the selected-fingerprint relation (doc_id, pos, fp)
+    * over `documents` — shared by the winnow gate row and the pairs op. */
+  private[graft] def winnowSelectSql: String = {
+    val toks = OracleSql.tokens("lower(text)")
+    val K = WinnowK; val W = WinnowW; val M = WinnowPosM
+    s"""tok AS (SELECT doc_id, $toks AS tk FROM documents),
+       |g AS (SELECT doc_id,
+       |        unnest(range(0, greatest(len(tk) - $K + 1, 0))) AS pos,
+       |        unnest(${OracleSql.tokenWindows("tk", K)}) AS wkey
+       |      FROM tok),
+       |gh AS (SELECT doc_id, pos::BIGINT AS pos, ${OracleSql.polyHash("wkey")} AS h FROM g),
+       |sel AS (SELECT DISTINCT doc_id,
+       |          ($M - 1 - (k % $M))::BIGINT AS pos, (k // $M)::BIGINT AS fp
+       |        FROM (SELECT doc_id, pos,
+       |                count(*) OVER (PARTITION BY doc_id) AS n,
+       |                min(h * $M + ($M - 1 - pos)) OVER (PARTITION BY doc_id ORDER BY pos
+       |                  ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS k
+       |              FROM gh)
+       |        WHERE pos <= greatest(n - $W, 0))""".stripMargin
+  }
+
+  def winnowOracle: String =
+    s"""WITH ${winnowSelectSql}
+       |SELECT doc_id, pos, fp FROM sel ORDER BY doc_id, pos""".stripMargin
+
   def fingerprintOracle: String = {
     val norm = s"array_to_string(${OracleSql.tokens(OracleSql.clean("text"))}, ' ')"
     s"""WITH n AS (SELECT doc_id, $norm AS nt FROM documents)

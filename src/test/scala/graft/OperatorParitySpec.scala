@@ -421,6 +421,40 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.forall(sem.contains), s"missing: ${lsh.filterNot(sem.contains).toSeq}")
   }
 
+  test("winnowing: the K+W-1 guarantee on crafted docs; gap-<=-W coverage on the corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two docs share EXACTLY a 7-token run (K+W-1 with K=W=4) embedded in
+    // otherwise-disjoint text: the winnowing guarantee promises at least
+    // one identical selected fingerprint
+    val run = "alpha bravo charlie delta echo foxtrot golf"
+    val crafted = Seq(
+      (1L, s"one two three $run four five six seven eight"),
+      (2L, s"red green blue $run yellow purple orange pink teal")
+    ).toDF("doc_id", "text")
+    val sel = graft.operators.TextAnalysis.winnowSelect(crafted)
+      .select($"doc_id", $"fp").distinct()
+    val shared = sel.filter($"doc_id" === 1L).select("fp")
+      .intersect(sel.filter($"doc_id" === 2L).select("fp")).count()
+    assert(shared >= 1, "7-token shared run produced no shared fingerprint")
+    // corpus-wide structural pin: within a doc, consecutive selected
+    // positions are at most W apart and the first is inside the first
+    // window — i.e. every window of W grams contains a selection
+    val W = graft.operators.TextAnalysis.WinnowW
+    val sel2 = graft.operators.TextAnalysis.winnowSelect(
+      Tables.documents(spark, dir))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val badGap = sel2
+      .withColumn("gap", $"pos" - lag($"pos", 1).over(w))
+      .filter($"gap" > W).count()
+    val badFirst = sel2.groupBy($"doc_id").agg(min($"pos").as("p0"))
+      .filter($"p0" >= W).count()
+    assert(badGap == 0 && badFirst == 0,
+      s"coverage hole: $badGap gaps > $W, $badFirst late first selections")
+    assert(sel2.count() > 0)
+  }
+
   test("span dedup islands: multi-span, gap, adjacency, and intra-doc repeat") {
     import spark.implicits._
     // A (8 toks) is shared by docs 1+2, B by docs 1+3; C repeats INSIDE
