@@ -326,6 +326,9 @@ object SparkEntry {
     // iterations, materialized per round) + encoding under the merges
     "tok_bpe_merges" -> ((s, d) => BpeTrainer.bpeMerges(s, d)),
     "tok_bpe_encode" -> ((s, d) => BpeTrainer.bpeEncode(s, d)),
+    // tokenizer-eval instrument: per-mille corpus coverage of the trained
+    // vocabulary's top-V prefix (exact integer cumulative counts)
+    "tok_vocab_coverage" -> ((s, d) => BpeTrainer.vocabCoverage(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     // winnowing (SIGMOD'03): sampled fingerprints with the guarantee that
     // any shared run >= K+W-1 tokens is caught — the middle ground between
@@ -634,6 +637,7 @@ object SparkEntry {
     "quality_lr_indexed" -> QualityModel.lrScoreOracle,
     "tok_bpe_merges" -> BpeTrainer.bpeMergesOracle(),
     "tok_bpe_encode" -> BpeTrainer.bpeEncodeOracle(),
+    "tok_vocab_coverage" -> BpeTrainer.vocabCoverageOracle(),
     "text_tf_topk" -> TextAnalysis.termDfTopKOracle(TextAnalysis.TermTopK),
     "text_pii_mask" -> TextAnalysis.piiMaskOracle,
     "mm_decode_stats" -> Multimodal.decodeStatsOracle,

@@ -437,6 +437,52 @@ object BpeTrainer {
     (merges.reduce(_ union _).orderBy(col("iter")), sK)
   }
 
+  // ------------------------------------------------- vocabulary coverage
+
+  /** Ranks dumped by the coverage instrument (the full curve is
+    * vocabulary-sized; the gate keeps the head where the knee lives). */
+  val CoverageTopV = 128L
+
+  /** Tokenizer-eval instrument: corpus coverage as a function of
+    * vocabulary-prefix size. Symbols of the trained segmentation
+    * (round-[[BpeRounds]] artifact) ranked by corpus frequency
+    * (occurrences × word count — exact integers); each rank carries the
+    * cumulative occurrence count and per-mille coverage (integer
+    * division — the no-transcendental house rule). The running sum is a
+    * single-partition window over the VOCABULARY relation — bounded by
+    * alphabet + merges at any corpus size (the mix_epoch_cap argument),
+    * so the window is broadcast-scale by construction; the corpus-sized
+    * work is the one symbol-frequency aggregate. */
+  def vocabCoverage(spark: SparkSession, dir: String,
+                    rounds: Int = BpeRounds): DataFrame = {
+    val sK = spark.read.parquet(ensureIter(spark, dir, rounds)._2)
+    val f = sK.groupBy(col("sym")).agg(sum(col("cnt")).as("f"))
+    val rk = Window.orderBy(col("f").desc, col("sym"))
+    val cum = rk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = f.agg(sum(col("f")).as("total"))
+    f.withColumn("rank", row_number().over(rk).cast("long"))
+      .withColumn("cum_f", sum(col("f")).over(cum))
+      .filter(col("rank") <= CoverageTopV)
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("sym"), col("f"), col("cum_f"),
+        expr("cum_f * 1000 div total").as("coverage_pm"))
+      .orderBy(col("rank"))
+  }
+
+  def vocabCoverageOracle(rounds: Int = BpeRounds, m: Int = BpeRoundM): String =
+    s"""WITH ${trainCtes(rounds, m)},
+       |f AS (SELECT sym, sum(cnt)::BIGINT AS f FROM s$rounds GROUP BY sym),
+       |rk AS (SELECT sym, f,
+       |         row_number() OVER (ORDER BY f DESC, sym) AS rank,
+       |         sum(f) OVER (ORDER BY f DESC, sym ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_f
+       |       FROM f),
+       |tt AS (SELECT sum(f)::BIGINT AS total FROM f)
+       |SELECT rank::BIGINT AS rank, sym, f, cum_f,
+       |       (cum_f * 1000 // total)::BIGINT AS coverage_pm
+       |FROM rk CROSS JOIN tt
+       |WHERE rank <= $CoverageTopV
+       |ORDER BY rank""".stripMargin
+
   // ------------------------------------------------------------- oracle
 
   /** MATERIALIZED CTE chain `t, wc, s0, n1, pc1, win1, b1, m1, r1, sel1,
