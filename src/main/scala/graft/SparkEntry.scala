@@ -329,6 +329,11 @@ object SparkEntry {
     // tokenizer-eval instrument: per-mille corpus coverage of the trained
     // vocabulary's top-V prefix (exact integer cumulative counts)
     "tok_vocab_coverage" -> ((s, d) => BpeTrainer.vocabCoverage(s, d)),
+    // second tokenizer family: minimal-piece DP segmentation over a
+    // frequency-cut substring vocabulary (exact-integer objectives in the
+    // EM-score slot; single-consumer layer fold — linear lazy plan)
+    "tok_minseg_vocab" -> ((s, d) => Unigram.vocabTopV(s, d)),
+    "tok_minseg_encode" -> ((s, d) => Unigram.encode(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     // winnowing (SIGMOD'03): sampled fingerprints with the guarantee that
     // any shared run >= K+W-1 tokens is caught — the middle ground between
@@ -638,6 +643,8 @@ object SparkEntry {
     "tok_bpe_merges" -> BpeTrainer.bpeMergesOracle(),
     "tok_bpe_encode" -> BpeTrainer.bpeEncodeOracle(),
     "tok_vocab_coverage" -> BpeTrainer.vocabCoverageOracle(),
+    "tok_minseg_vocab" -> Unigram.vocabTopVOracle,
+    "tok_minseg_encode" -> Unigram.encodeOracle,
     "text_tf_topk" -> TextAnalysis.termDfTopKOracle(TextAnalysis.TermTopK),
     "text_pii_mask" -> TextAnalysis.piiMaskOracle,
     "mm_decode_stats" -> Multimodal.decodeStatsOracle,

@@ -1,0 +1,226 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.oracle.OracleSql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal-segmentation tokenizer over a frequency-cut substring
+  * vocabulary — the second tokenizer family next to the merge-trained BPE
+  * ([[BpeTrainer]]).
+  *
+  * The vocabulary is every ≤ [[MaxPieceLen]]-char substring of the corpus
+  * words whose corpus occurrence count clears [[MinCount]] (single chars
+  * always kept, so every word segments). Encoding solves, per DISTINCT
+  * word, the segmentation DP that unigram-LM tokenizers use at inference:
+  * primary objective FEWEST pieces, secondary objective MAXIMUM total
+  * piece frequency — exact integer objectives standing in for EM-fitted
+  * log-probabilities (the arithmetic-for-geometric surrogate documented
+  * at lm_score / dsir_weights: cross-engine bit-parity beats libm logs).
+  *
+  * Scale shape: the DP runs over the DISTINCT-WORD relation (vocabulary-
+  * sized, NOT corpus-sized) as [[KCap]] chained layer steps — each one
+  * equi-join + one hash aggregate over a relation bounded by
+  * words × len × MaxPieceLen. The layer fold is written single-consumer
+  * (settled rows freeze inside the join condition) so the lazy plan stays
+  * LINEAR in KCap — no per-layer checkpoint, no 2^K lineage tree, and no
+  * eager action at registry-construction time. Encoding the corpus is
+  * then the bpeEncode shape: explode doc words, join the per-word result,
+  * one aggregate. */
+object Unigram {
+
+  /** Longest candidate piece. */
+  val MaxPieceLen = 6
+  /** Vocabulary cut: substrings below this corpus count are dropped
+    * (single chars exempt). */
+  val MinCount = 3L
+  /** Max piece count the DP searches. A word with no ≤ KCap-piece
+    * segmentation (rare: > KCap chars AND no multi-char vocabulary hits)
+    * falls back to its character segmentation — deterministic on both
+    * engines. */
+  val KCap = 12
+  /** Vocabulary rows dumped by the gate query. */
+  val VocabTopV = 64
+
+  private def wordCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** (word, i, j, piece): every candidate cut of every distinct word —
+    * piece = chars (i, j], j − i ≤ MaxPieceLen. */
+  private def cuts(words: DataFrame): DataFrame =
+    words.select(col("word"))
+      .select(col("word"),
+        explode(sequence(lit(0L), length(col("word")).cast("long") - 1L)).as("i"))
+      .select(col("word"), col("i"),
+        explode(sequence(col("i") + 1L,
+          least(col("i") + MaxPieceLen.toLong, length(col("word")).cast("long")))).as("j"))
+      .withColumn("piece",
+        expr("substring(word, cast(i + 1 as int), cast(j - i as int))"))
+
+  /** (piece, c): corpus occurrence counts (positions × word counts) after
+    * the MinCount cut; single chars always kept. */
+  private[graft] def vocabOf(spark: SparkSession, dir: String): DataFrame = {
+    val words = wordCounts(spark, dir)
+    cuts(words).join(words, "word")
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+      .filter(col("c") >= MinCount || length(col("piece")) === 1)
+  }
+
+  /** The gate row: top-[[VocabTopV]] vocabulary by (count desc, piece) —
+    * ranked over the bounded vocabulary relation. */
+  def vocabTopV(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("piece"))
+    vocabOf(spark, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= VocabTopV)
+      .select(col("rank"), col("piece"), col("c"))
+      .orderBy(col("rank"))
+  }
+
+  /** Per-word DP result (word, n_pieces, score): fewest pieces to cover
+    * the word with vocabulary pieces, ties by max total frequency;
+    * all-singles fallback for words the KCap-layer search cannot cover.
+    *
+    * Layer state (word, len, j, v, kd): best exactly-k-piece total
+    * frequency v reaching position j; kd = the layer the word first
+    * reached len (frozen — settled rows no longer match the join, so
+    * each layer consumes the previous exactly once). Unsettled rows with
+    * no extension drop out of the fold. */
+  private[graft] def encodeTable(spark: SparkSession, dir: String): DataFrame = {
+    val words = wordCounts(spark, dir)
+    val vocab = vocabOf(spark, dir)
+    val ee = cuts(words).join(vocab, "piece")
+      .select(col("word"), col("i"), col("j"), col("c"))
+    val wl = words.select(col("word"), length(col("word")).cast("long").as("len"))
+    val kBig = (KCap + 1).toLong
+
+    // min(struct(kd-or-big, -v)) per (word, j): settled rows sort by
+    // earliest kd then max v; unsettled (big) rows reduce to max v.
+    def settle(rows: DataFrame): DataFrame =
+      rows.groupBy(col("word"), col("len"), col("j"))
+        .agg(min(struct(coalesce(col("kd"), lit(kBig)).as("kx"),
+          (-col("v")).as("negv"))).as("s"))
+        .select(col("word"), col("len"), col("j"),
+          (-col("s.negv")).as("v"),
+          when(col("s.kx") === kBig, lit(null).cast("long"))
+            .otherwise(col("s.kx")).as("kd"))
+
+    val d1 = settle(ee.filter(col("i") === 0L).join(wl, "word")
+      .select(col("word"), col("len"), col("j"), col("c").as("v"),
+        when(col("j") === col("len"), lit(1L)).cast("long").as("kd")))
+
+    val dK = (2 to KCap).foldLeft(d1) { (dp, k) =>
+      val ext = ee.select(col("word").as("w2"), col("i"), col("j").as("j2"),
+        col("c"))
+      val joined = dp.join(ext,
+        dp("word") === ext("w2") && ext("i") === dp("j") && dp("kd").isNull,
+        "left")
+      settle(joined
+        .filter(col("kd").isNotNull || col("j2").isNotNull)
+        .select(col("word"), col("len"),
+          coalesce(col("j2"), col("j")).as("j"),
+          when(col("j2").isNotNull, dp("v") + col("c")).otherwise(dp("v")).as("v"),
+          when(col("kd").isNotNull, col("kd"))
+            .otherwise(when(col("j2") === col("len"), lit(k.toLong))).as("kd")))
+    }
+
+    val solved = dK.filter(col("j") === col("len") && col("kd").isNotNull)
+      .select(col("word"), col("kd").as("n_pieces"), col("v").as("score"))
+    // all-singles fallback: per-position single-char counts
+    val singles = cuts(words).filter(col("j") === col("i") + 1L)
+      .join(vocab, "piece")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_pieces"), sum(col("c")).as("score"))
+    val fallback = singles.join(solved.select(col("word")), Seq("word"),
+      "left_anti")
+    solved.unionByName(fallback)
+  }
+
+  /** The corpus encode under the segmentation: per-doc piece count and
+    * total piece frequency (both exact integers) — directly comparable
+    * with tok_bpe_encode's n_pieces. */
+  def encode(spark: SparkSession, dir: String): DataFrame = {
+    val enc = encodeTable(spark, dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("word"))
+      .join(enc, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_pieces")).as("n_pieces"), sum(col("score")).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------- oracle
+
+  /** Shared CTE chain: wc, cuts e, vocab v, scored cuts ee, word lengths
+    * wl, DP layers d1..dKCap (MATERIALIZED — each is referenced by the
+    * next layer AND the final pick; DuckDB's default inlining would go
+    * exponential), the min-k pick, and the all-singles fallback. */
+  private def encodeCtes: String = {
+    val toks = OracleSql.tokens("lower(text)")
+    val layers = (2 to KCap).map { k =>
+      val p = k - 1
+      s"""d$k AS MATERIALIZED (SELECT e.word, e.j, max(d.v + e.c) AS v
+         |        FROM d$p d JOIN ee e ON e.word = d.word AND e.i = d.j
+         |        GROUP BY e.word, e.j)""".stripMargin
+    }.mkString(",\n")
+    val finUnion = (1 to KCap).map { k =>
+      s"SELECT d.word, $k::BIGINT AS k, d.v FROM d$k d JOIN wl USING (word) WHERE d.j = wl.len"
+    }.mkString("\n UNION ALL ")
+    s"""t AS MATERIALIZED (SELECT unnest($toks) AS word FROM documents),
+       |wc AS MATERIALIZED (SELECT word, count(*)::BIGINT AS cnt FROM t GROUP BY word),
+       |e AS MATERIALIZED (SELECT word, i, unnest(range(i + 1, least(i + $MaxPieceLen, length(word)) + 1)) AS j
+       |      FROM (SELECT word, unnest(range(0, length(word))) AS i FROM wc)),
+       |ep AS MATERIALIZED (SELECT word, i, j,
+       |        substring(word, (i + 1)::INT, (j - i)::INT) AS piece FROM e),
+       |v AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS c
+       |      FROM ep JOIN wc USING (word) GROUP BY piece
+       |      HAVING sum(cnt) >= $MinCount OR length(piece) = 1),
+       |ee AS MATERIALIZED (SELECT ep.word, ep.i, ep.j, v.c
+       |      FROM ep JOIN v USING (piece)),
+       |wl AS MATERIALIZED (SELECT word, length(word)::BIGINT AS len FROM wc),
+       |d1 AS MATERIALIZED (SELECT word, j, max(c) AS v FROM ee WHERE i = 0
+       |        GROUP BY word, j),
+       |$layers,
+       |fin AS MATERIALIZED (
+       |  SELECT word, k AS n_pieces, v AS score FROM (
+       |    SELECT word, k, v,
+       |           row_number() OVER (PARTITION BY word ORDER BY k, v DESC) AS rn
+       |    FROM ($finUnion)) WHERE rn = 1),
+       |fb AS (SELECT ep.word, count(*)::BIGINT AS n_pieces, sum(v.c)::BIGINT AS score
+       |       FROM ep JOIN v USING (piece)
+       |       WHERE ep.j = ep.i + 1
+       |         AND NOT EXISTS (SELECT 1 FROM fin f WHERE f.word = ep.word)
+       |       GROUP BY ep.word),
+       |enc AS (SELECT * FROM fin UNION ALL SELECT * FROM fb)""".stripMargin
+  }
+
+  def vocabTopVOracle: String = {
+    val toks = OracleSql.tokens("lower(text)")
+    s"""WITH t AS MATERIALIZED (SELECT unnest($toks) AS word FROM documents),
+       |wc AS MATERIALIZED (SELECT word, count(*)::BIGINT AS cnt FROM t GROUP BY word),
+       |e AS (SELECT word, i, unnest(range(i + 1, least(i + $MaxPieceLen, length(word)) + 1)) AS j
+       |      FROM (SELECT word, unnest(range(0, length(word))) AS i FROM wc)),
+       |ep AS (SELECT word, substring(word, (i + 1)::INT, (j - i)::INT) AS piece FROM e),
+       |v AS (SELECT piece, sum(cnt)::BIGINT AS c
+       |      FROM ep JOIN wc USING (word) GROUP BY piece
+       |      HAVING sum(cnt) >= $MinCount OR length(piece) = 1)
+       |SELECT rank, piece, c FROM (
+       |  SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece)::BIGINT AS rank
+       |  FROM v)
+       |WHERE rank <= $VocabTopV ORDER BY rank""".stripMargin
+  }
+
+  def encodeOracle: String = {
+    val toks = OracleSql.tokens("lower(text)")
+    s"""WITH $encodeCtes,
+       |d AS (SELECT doc_id, unnest($toks) AS word FROM documents)
+       |SELECT d.doc_id, sum(enc.n_pieces)::BIGINT AS n_pieces,
+       |       sum(enc.score)::BIGINT AS score
+       |FROM d JOIN enc USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+}

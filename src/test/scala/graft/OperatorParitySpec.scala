@@ -455,6 +455,64 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sel2.count() > 0)
   }
 
+  test("minseg DP == brute-force segmentation, word for word; fallback on an uncoverable word") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Unigram
+    // brute-force reference: classic O(len^2) DP minimizing (pieces, -score)
+    def brute(word: String, vocab: Map[String, Long]): Option[(Long, Long)] = {
+      val n = word.length
+      // best(j) = (pieces, score) covering word[0, j)
+      val best = Array.fill[Option[(Long, Long)]](n + 1)(None)
+      best(0) = Some((0L, 0L))
+      for (j <- 1 to n; i <- math.max(0, j - Unigram.MaxPieceLen) until j) {
+        val piece = word.substring(i, j)
+        (best(i), vocab.get(piece)) match {
+          case (Some((k, v)), Some(c)) =>
+            val (ck, cv) = (k + 1, v + c)
+            best(j) = best(j) match {
+              case Some((bk, bv)) if bk < ck || (bk == ck && bv >= cv) => best(j)
+              case _ => Some((ck, cv))
+            }
+          case _ => ()
+        }
+      }
+      best(n).filter(_._1 <= Unigram.KCap)
+    }
+    val vocab = Unigram.vocabOf(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Unigram.encodeTable(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (w, (n, s)) =>
+      brute(w, vocab) match {
+        case Some((bn, bs)) =>
+          assert((bn, bs) == (n, s), s"word '$w': dp=($n,$s) brute=($bn,$bs)")
+        case None => // uncoverable within KCap: fallback = all singles
+          assert(n == w.length.toLong, s"word '$w': fallback pieces $n != len")
+      }
+    }
+    // crafted corpus: a 20-char once-only word has no multi-char vocab
+    // pieces (MinCount=3), needs 20 singles > KCap -> fallback row
+    val crafted = Seq(
+      (1L, "abcdefghijklmnopqrst"),
+      (2L, "zz zz zz"),
+      (3L, "zz qq qq qq")).toDF("doc_id", "text")
+    // vocabOf/encodeTable read from dir; drive the core over crafted docs
+    // via a temp dir-free path: reuse private pieces through encode over a
+    // registered temp view is not exposed — assert through the public
+    // face on a temp parquet dir instead
+    val tmp = java.nio.file.Files.createTempDirectory("minseg").toString
+    crafted.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val enc = Unigram.encodeTable(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc("abcdefghijklmnopqrst")._1 == 20L,
+      s"expected all-singles fallback, got ${enc("abcdefghijklmnopqrst")}")
+    assert(enc("zz")._1 == 1L, s"'zz' (count 4) should be one piece: ${enc("zz")}")
+  }
+
   test("span dedup islands: multi-span, gap, adjacency, and intra-doc repeat") {
     import spark.implicits._
     // A (8 toks) is shared by docs 1+2, B by docs 1+3; C repeats INSIDE
