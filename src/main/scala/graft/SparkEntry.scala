@@ -334,6 +334,9 @@ object SparkEntry {
     // EM-score slot; single-consumer layer fold — linear lazy plan)
     "tok_minseg_vocab" -> ((s, d) => Unigram.vocabTopV(s, d)),
     "tok_minseg_encode" -> ((s, d) => Unigram.encode(s, d)),
+    // the serving twin: encode joins the materialized per-word DP table
+    // (graft_minseg) — the DP never re-runs per encode pass
+    "tok_minseg_indexed" -> ((s, d) => Unigram.encodeIndexed(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     // winnowing (SIGMOD'03): sampled fingerprints with the guarantee that
     // any shared run >= K+W-1 tokens is caught — the middle ground between
@@ -645,6 +648,7 @@ object SparkEntry {
     "tok_vocab_coverage" -> BpeTrainer.vocabCoverageOracle(),
     "tok_minseg_vocab" -> Unigram.vocabTopVOracle,
     "tok_minseg_encode" -> Unigram.encodeOracle,
+    "tok_minseg_indexed" -> Unigram.encodeOracle,
     "text_tf_topk" -> TextAnalysis.termDfTopKOracle(TextAnalysis.TermTopK),
     "text_pii_mask" -> TextAnalysis.piiMaskOracle,
     "mm_decode_stats" -> Multimodal.decodeStatsOracle,

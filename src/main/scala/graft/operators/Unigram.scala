@@ -153,6 +153,36 @@ object Unigram {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------ per-word table artifact
+
+  val MinsegVersion = 1
+
+  /** Write-once per-word segmentation table (word, n_pieces, score) — the
+    * tokenizer's serving artifact: an encode pass joins it instead of
+    * re-running the DP. Deliberately NO append face: the vocabulary
+    * counts are corpus-global and the DP is nonlinear in them, so an
+    * ingest increment shifts existing words' results — append ≠ rebuild
+    * (the ensureDocMeta precedent; a new corpus version re-ensures under
+    * a bumped version). */
+  def ensureMinsegEnc(spark: SparkSession, dir: String,
+                      version: Int = MinsegVersion): String =
+    graft.Materialize.ensure(spark, "graft_minseg", dir, version) { p =>
+      encodeTable(spark, dir).write.mode("overwrite").parquet(p)
+    }
+
+  /** The encode SERVED from the materialized per-word table — one
+    * documents scan + one artifact join; the DP never re-runs per encode
+    * pass (PlanShapeSpec pins the two-scan plan). Shares encodeOracle. */
+  def encodeIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val enc = spark.read.parquet(ensureMinsegEnc(spark, dir))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("word"))
+      .join(enc, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_pieces")).as("n_pieces"), sum(col("score")).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- oracle
 
   /** Shared CTE chain: wc, cuts e, vocab v, scored cuts ee, word lengths

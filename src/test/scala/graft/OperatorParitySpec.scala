@@ -455,6 +455,14 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sel2.count() > 0)
   }
 
+  test("minseg encodeIndexed (materialized per-word table) == encode (inline)") {
+    import graft.operators.Unigram
+    val inline = Unigram.encode(spark, dir).collect()
+    val indexed = Unigram.encodeIndexed(spark, dir).collect()
+    assert(indexed.toSeq == inline.toSeq)
+    assert(inline.nonEmpty)
+  }
+
   test("minseg DP == brute-force segmentation, word for word; fallback on an uncoverable word") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -363,6 +363,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("indexed minseg encode joins the per-word artifact, never re-runs the DP") {
+    val p = finalPlan("tok_minseg_indexed")
+    // the DP's signature is the 12-layer join chain; served form must be
+    // one documents scan + one artifact scan, zero layer joins
+    assert(p.contains("graft_minseg"), p)
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected documents + artifact scans only, got $scans:\n$p")
+  }
+
   test("indexed corpus stats read the metadata table, not the pipeline") {
     val p = finalPlan("corpus_stats_indexed")
     // ONE scan (the docmeta artifact): any documents/embeddings read means
