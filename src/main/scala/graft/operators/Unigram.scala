@@ -140,18 +140,23 @@ object Unigram {
     solved.unionByName(fallback)
   }
 
-  /** The corpus encode under the segmentation: per-doc piece count and
-    * total piece frequency (both exact integers) — directly comparable
-    * with tok_bpe_encode's n_pieces. */
-  def encode(spark: SparkSession, dir: String): DataFrame = {
-    val enc = encodeTable(spark, dir)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("word"))
+  /** The encode join both batch faces and the streaming ingest gate
+    * share: explode words, join the per-word result, one aggregate. Words
+    * absent from the table (an unseen stream word) contribute nothing —
+    * the by-name artifact re-read after a corpus version bump refreshes
+    * the segmentation. */
+  private[graft] def encodeOver(docs: DataFrame, enc: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("word"))
       .join(enc, "word")
       .groupBy(col("doc_id"))
       .agg(sum(col("n_pieces")).as("n_pieces"), sum(col("score")).as("score"))
       .orderBy(col("doc_id"))
-  }
+
+  /** The corpus encode under the segmentation: per-doc piece count and
+    * total piece frequency (both exact integers) — directly comparable
+    * with tok_bpe_encode's n_pieces. */
+  def encode(spark: SparkSession, dir: String): DataFrame =
+    encodeOver(Tables.documents(spark, dir), encodeTable(spark, dir))
 
   // ------------------------------------------------ per-word table artifact
 
@@ -173,15 +178,9 @@ object Unigram {
   /** The encode SERVED from the materialized per-word table — one
     * documents scan + one artifact join; the DP never re-runs per encode
     * pass (PlanShapeSpec pins the two-scan plan). Shares encodeOracle. */
-  def encodeIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val enc = spark.read.parquet(ensureMinsegEnc(spark, dir))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("word"))
-      .join(enc, "word")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n_pieces")).as("n_pieces"), sum(col("score")).as("score"))
-      .orderBy(col("doc_id"))
-  }
+  def encodeIndexed(spark: SparkSession, dir: String): DataFrame =
+    encodeOver(Tables.documents(spark, dir),
+      spark.read.parquet(ensureMinsegEnc(spark, dir)))
 
   // ------------------------------------------------------------- oracle
 

@@ -327,6 +327,21 @@ object StreamOps {
       }
       .start()
 
+  /** Ingest-gate face of the minseg tokenizer: arriving (doc_id, text)
+    * docs are encoded under the STATIC materialized per-word DP table
+    * (by-name — a re-ensured table after a corpus version bump is
+    * visible next micro-batch). Per batch this is the encodeOver join:
+    * explode words, join the table, one aggregate; unseen words
+    * contribute nothing by design. StreamingSpec pins stream-total ==
+    * `tok_minseg_indexed`. */
+  def minsegEncodeStream(docs: DataFrame, enc: => DataFrame)
+                        (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Unigram.encodeOver(batch.toDF(), enc), batchId)
+      }
+      .start()
+
   /** Ingest-gate face of the epoch-cap mixture: arriving (doc_id, source)
     * rows are scheduled under the STATIC water-filled plan (by-name, so a
     * re-planned mix is visible next micro-batch) — each doc leaves with

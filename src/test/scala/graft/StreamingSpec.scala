@@ -603,6 +603,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       want.sortBy(_.mkString("|")).toList)
   }
 
+  test("streaming minseg encoder matches the indexed batch encode on the same docs") {
+    import graft.operators.Unigram
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val enc = spark.read.parquet(Unigram.ensureMinsegEnc(spark, dir))
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = StreamOps.minsegEncodeStream(sdf, enc) { (out, _) =>
+      buf ++= out.collect().map(_.toSeq)
+    }
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      stream.addData(a.toSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = Unigram.encodeIndexed(spark, dir).collect().map(_.toSeq)
+    assert(buf.exists(_(1).asInstanceOf[Long] > 1L),
+      "every doc one piece — the stream pin is vacuous")
+    assert(buf.sortBy(_.mkString("|")).toList ==
+      want.sortBy(_.mkString("|")).toList)
+  }
+
   test("streaming epoch scheduler matches the batch schedule on the same docs") {
     import graft.operators.Pipeline
     import org.apache.spark.sql.functions.col
