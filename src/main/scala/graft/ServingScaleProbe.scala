@@ -46,7 +46,13 @@ object ServingScaleProbe {
     "ann_ivf2pq_refine",
     // late round 9: the trained-LM fluency filter's serving face
     // (kind-pruned graft_lmmodel read + bigram-key scoring join)
-    "lm_score_indexed")
+    "lm_score_indexed",
+    // this session: the minseg tokenizer's served encode (per-word DP
+    // table join), plus the two winnowing rows — NOT serving reads but
+    // batch ops measured here because the identical-replica corpus is
+    // their df-hot WORST CASE (every fingerprint 10× hot, pair buckets
+    // ×45) — the honest upper bound for the df-cap escalation note
+    "tok_minseg_indexed", "text_winnow", "dedup_winnow_pairs")
 
   private[graft] def replicate(spark: SparkSession, src: String, k: Int, dest: String): Unit = {
     // dest == src would overwrite the source tables mid-read; the id-space
