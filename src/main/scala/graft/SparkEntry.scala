@@ -385,6 +385,10 @@ object SparkEntry {
     // DPP-pruned PQ codes shortlist → int8 hot-tier refine; no float
     // vector scan anywhere in the dense side (the 100 TB serving shape)
     "search_hybrid_ladder" -> ((s, d) => Retrieval.hybridRrfLadder(s, d, P.Bm25Query, P.CosineProbe, P.Bm25K, P.HybridNprobe, P.HybridNprobe1)),
+    // MMR diversified rerank of the cosine pool: the greedy rounds unroll
+    // as array expressions over ONE collapsed pool row (no per-round
+    // pool re-derivation)
+    "search_mmr_rerank" -> ((s, d) => Retrieval.mmrRerank(s, d, P.CosineProbe)),
     // DSIR domain-targeted data selection (hashed-ngram importance
     // weights, rational mean-ratio deviation; Gumbel-free deterministic
     // top-k) — arithmetic gated here, discrimination pinned by DsirSpec
@@ -678,6 +682,7 @@ object SparkEntry {
     "search_hybrid_rrf" -> Retrieval.hybridRrfOracle(P.Bm25Query, P.CosineProbe, P.Bm25K),
     "search_hybrid_ivf" -> Retrieval.hybridRrfIvfOracle(P.Bm25Query, P.CosineProbe, P.Bm25K, P.HybridNprobe),
     "search_hybrid_ladder" -> Retrieval.hybridRrfLadderOracle(P.Bm25Query, P.CosineProbe, P.Bm25K, P.HybridNprobe, P.HybridNprobe1),
+    "search_mmr_rerank" -> Retrieval.mmrRerankOracle(P.CosineProbe),
     "dsir_weights" -> Dsir.dsirWeightsOracle,
     "dsir_topk" -> Dsir.dsirTopKOracle(),
     "dsir_weights_indexed" -> Dsir.dsirWeightsOracle,

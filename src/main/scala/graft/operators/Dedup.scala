@@ -1076,10 +1076,14 @@ object Dedup {
     * (TextAnalysis.winnowSelect) — overlap DETECTION with winnowing's
     * guarantee (any shared run ≥ K+W−1 tokens is caught) at 2/(W+1) of
     * the stride-1 span relation's volume. Scale shape: one repartition on
-    * the fingerprint key consumed by both sides of the self-join
-    * (ReusedExchange); candidates are Σ_fp df(fp)², so a boilerplate-hot
-    * fingerprint escalates exactly like a hot span window — the
-    * spanDedupCapped exact-integer df-cap applies verbatim (SCALE.md). */
+    * the fingerprint key consumed by both sides of the self-join:
+    * above the broadcast threshold the plan is SortMergeJoin with the
+    * second side a ReusedExchange (verified with autoBroadcast=-1 — the
+    * selection computes ONCE); at gate scale AQE broadcasts the tiny
+    * side instead, which is the right plan there. Candidates are
+    * Σ_fp df(fp)², so a boilerplate-hot fingerprint escalates exactly
+    * like a hot span window — the spanDedupCapped exact-integer df-cap
+    * applies verbatim (SCALE.md). */
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
     val sel = TextAnalysis.winnowSelect(Tables.documents(spark, dir))
       .select(col("doc_id"), col("fp")).distinct()

@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFunctions.tokens
 import graft.oracle.OracleSql
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -474,5 +474,120 @@ object Retrieval {
        |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
        |ORDER BY rrf_q DESC, coalesce(lex.doc_id, dense.doc_id)
        |LIMIT $k""".stripMargin
+  }
+
+  // ------------------------------------------------- MMR diversified rerank
+
+  /** MMR (Carbonell/Goldstein '98) parameters: rerank the top-[[MmrPool]]
+    * cosine pool down to [[MmrR]] results, relevance/diversity balance
+    * [[MmrLambda]]. Round-1 has no selected set; its diversity term uses
+    * the cosine floor −1, so the first pick is the relevance argmax with
+    * score 0.5·rel + 0.5 (documented, same on both engines). */
+  val MmrPool = 20
+  val MmrR = 5
+  val MmrLambda = 0.5
+
+  /** Greedy MMR over the candidate pool, spelled to consume the pool
+    * subplan ONCE: the pool and its pairwise cosine relation collapse
+    * into single-row arrays, and the [[MmrR]] greedy rounds unroll as
+    * pure array expressions over that one row (no per-round re-scan —
+    * a relational spelling would replicate the pool derivation 2^R
+    * times). Every number is a deterministic fold (cosineDF) or a
+    * two-term double product, and every argmax is a lexicographic
+    * struct max with the id tiebreak — bit-equal to the oracle's
+    * row_number spelling. Scale: the pool is ≤ MmrPool rows by
+    * construction (serving pools come from the indexed ANN ladder), so
+    * everything after the top-k is broadcast-scale. */
+  def mmrRerank(spark: SparkSession, dir: String, probeId: Long): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("pemb"))
+    val pool = e.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.cosineDF(
+          col("embedding").cast("array<double>"),
+          col("pemb").cast("array<double>")).as("rel"))
+      .filter(!isnan(col("rel")))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrPool)
+    val sims = pool.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(pool.select(col("vec_id").as("ib"), col("embedding").as("eb")))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        graft.functions.VectorFunctions.cosineDF(
+          col("ea").cast("array<double>"), col("eb").cast("array<double>")).as("s"))
+    val one = pool.agg(
+        sort_array(collect_list(struct(col("vec_id").as("id"), col("rel")))).as("pool"))
+      .crossJoin(broadcast(sims.agg(
+        sort_array(collect_list(struct(col("ia"), col("ib"), col("s")))).as("sims"))))
+
+    def mmrRound(sel: Column): Column = {
+      val selIds = transform(sel, s => s.getField("id"))
+      val best = array_max(transform(
+        filter(col("pool"), c => !array_contains(selIds, c.getField("id"))),
+        c => struct(
+          (lit(MmrLambda) * c.getField("rel") - lit(1.0 - MmrLambda) * coalesce(
+            array_max(transform(
+              filter(col("sims"), p => p.getField("ia") === c.getField("id") &&
+                array_contains(selIds, p.getField("ib"))),
+              p => p.getField("s"))),
+            lit(-1.0))).as("m"),
+          (-c.getField("id")).as("negid"))))
+      concat(sel, array(struct((-best.getField("negid")).as("id"),
+        best.getField("m").as("m"))))
+    }
+
+    // The greedy loop as a RUNTIME fold: aggregate() binds the selection
+    // accumulator once as a lambda variable, so the plan carries ONE
+    // round body regardless of MmrR. (Both a fully inlined spelling and
+    // a staged-withColumn chain re-expand to ~4^R expression nodes — the
+    // former in the analyzer, the latter when CollapseProject re-inlines
+    // the stage columns — and hang plan optimization.)
+    val sel = aggregate(
+      sequence(lit(1), lit(MmrR)),
+      array().cast("array<struct<id:bigint,m:double>>"),
+      (acc, _) => mmrRound(acc))
+    one.select(posexplode(sel).as(Seq("pos", "pick")))
+      .select((col("pos") + 1L).as("rank"),
+        col("pick.id").as("vec_id"),
+        round(col("pick.m"), 4).as("mmr"))
+      .orderBy(col("rank"))
+  }
+
+  /** Relational twin in SQL: pool + pairwise sims as MATERIALIZED CTEs,
+    * the greedy rounds unrolled as per-round argmax CTEs (row_number
+    * over (m DESC, vec_id) — the struct-max tiebreak). DuckDB dedups
+    * multi-consumer CTEs, so the spelling the Spark side avoids is the
+    * natural one here. */
+  def mmrRerankOracle(probeId: Long): String = {
+    val cos = Similarity.cosineSql("e.embedding", "p.pemb")
+    val cosAb = Similarity.cosineSql("a.embedding", "b.embedding")
+    val lam = MmrLambda; val lam1 = 1.0 - MmrLambda
+    val rounds = (2 to MmrR).map { k =>
+      val p = k - 1
+      s"""r$k AS MATERIALIZED (
+         |  SELECT q.vec_id, $lam * q.rel - $lam1 * max(s.s) AS m,
+         |         row_number() OVER (ORDER BY $lam * q.rel - $lam1 * max(s.s) DESC, q.vec_id) AS rn
+         |  FROM pool q JOIN sims s ON s.ia = q.vec_id
+         |       AND s.ib IN (SELECT vec_id FROM sel$p)
+         |  WHERE q.vec_id NOT IN (SELECT vec_id FROM sel$p)
+         |  GROUP BY q.vec_id, q.rel),
+         |sel$k AS MATERIALIZED (SELECT vec_id, rank, m FROM sel$p
+         |  UNION ALL SELECT vec_id, $k::BIGINT, m FROM r$k WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT embedding AS pemb FROM embeddings WHERE vec_id = $probeId),
+       |pr AS (SELECT e.vec_id, e.embedding, $cos AS rel
+       |       FROM embeddings e CROSS JOIN p WHERE e.vec_id <> $probeId),
+       |pool AS MATERIALIZED (SELECT vec_id, embedding, rel FROM pr
+       |       WHERE NOT isnan(rel)
+       |       QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) <= $MmrPool),
+       |sims AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib, $cosAb AS s
+       |       FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+       |sel1 AS MATERIALIZED (SELECT vec_id, 1::BIGINT AS rank,
+       |         $lam * rel - $lam1 * (-1.0) AS m
+       |       FROM pool QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) = 1),
+       |$rounds
+       |SELECT rank, vec_id, round(m, 4) AS mmr FROM sel$MmrR ORDER BY rank""".stripMargin
   }
 }
