@@ -534,8 +534,12 @@ object Retrieval {
               p => p.getField("s"))),
             lit(-1.0))).as("m"),
           (-c.getField("id")).as("negid"))))
-      concat(sel, array(struct((-best.getField("negid")).as("id"),
-        best.getField("m").as("m"))))
+      // Exhausted pool (fewer than MmrR candidates): the filtered array
+      // is empty, array_max yields NULL — return sel unchanged instead
+      // of appending a (null,null) pick the oracle never emits.
+      when(best.isNotNull,
+        concat(sel, array(struct((-best.getField("negid")).as("id"),
+          best.getField("m").as("m"))))).otherwise(sel)
     }
 
     // The greedy loop as a RUNTIME fold: aggregate() binds the selection

@@ -1539,18 +1539,27 @@ object Similarity {
     s"[$comps]"
   }
 
-  /** The codec's gate row: per-vector projected components (4dp — the
-    * house output-rounding convention; internal uses stay unrounded). */
+  /** The codec's gate row: per-vector projected components in LONG form —
+    * one scalar row per (vec_id, dim_idx), the kmeansTrain codebook-dump
+    * convention, so every output column is driver-hashable (an
+    * array<double> column is not). 4dp is the house output-rounding
+    * convention; internal uses stay unrounded. */
   def rpProjectRows(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
-        transform(rpProject(col("embedding")), x => round(x, 4)).as("rp"))
-      .orderBy(col("vec_id"))
+        posexplode(rpProject(col("embedding"))).as(Seq("dim_idx", "comp")))
+      .select(col("vec_id"), col("label"),
+        col("dim_idx").cast("long").as("dim_idx"),
+        round(col("comp"), 4).as("comp"))
+      .orderBy(col("vec_id"), col("dim_idx"))
 
   def rpProjectRowsOracle: String =
-    s"""SELECT vec_id, label,
-       |       list_transform(${rpProjectSql("embedding")}, x -> round(x, 4)) AS rp
-       |FROM embeddings ORDER BY vec_id""".stripMargin
+    s"""WITH r AS MATERIALIZED (SELECT vec_id, label,
+       |       ${rpProjectSql("embedding")} AS rp FROM embeddings)
+       |SELECT vec_id, label, u.idx::BIGINT AS dim_idx,
+       |       round(r.rp[u.idx + 1], 4) AS comp
+       |FROM r CROSS JOIN (SELECT unnest(range($RpDim)) AS idx) u
+       |ORDER BY vec_id, dim_idx""".stripMargin
 
   /** Cosine top-k IN THE PROJECTED SPACE — the cheap coarse pass the
     * codec buys (probe projected by the same expression). Zero vectors

@@ -286,10 +286,15 @@ object TextAnalysis {
   /** Position encoding base for the rightmost-min window argmin: the pair
     * (hash, pos) packs into hash·M + (M−1−pos), so ONE integer `min` per
     * window frame picks the smallest hash and, among ties, the rightmost
-    * position — the paper's robust-winnowing rule — in exact integer
-    * arithmetic on both engines. polyHash < 1e9+7 and positions < 2^20
-    * keep the key below 2^50. */
-  private val WinnowPosM = 1048576L
+    * position — the rightmost-min tie-break of PLAIN winnowing (the
+    * SIGMOD'03 paper's *robust* variant instead prefers re-selecting the
+    * previous window's minimum; the K+W−1 guarantee holds either way) —
+    * in exact integer arithmetic on both engines. M = 2^32 bounds
+    * positions at 4B tokens per document (no realistic doc exceeds it;
+    * the prior 2^20 base would have silently corrupted the argmin past
+    * 1M tokens); polyHash < 1e9+7 < 2^30 keeps the packed key below
+    * 2^62 — no Long overflow. */
+  private val WinnowPosM = 4294967296L
 
   /** Selected fingerprints: (doc_id, pos, fp), DISTINCT argmins over every
     * full window of W consecutive k-gram hashes. A doc with ≥ K tokens but

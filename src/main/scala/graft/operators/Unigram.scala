@@ -69,14 +69,23 @@ object Unigram {
       .filter(col("c") >= MinCount || length(col("piece")) === 1)
   }
 
-  /** The gate row: top-[[VocabTopV]] vocabulary by (count desc, piece) —
-    * ranked over the bounded vocabulary relation. */
+  /** The gate row: top-[[VocabTopV]] vocabulary by (count desc, piece).
+    * The cut is `orderBy.limit` (TakeOrderedAndProject — per-partition
+    * top-V then a V-row driver merge), NOT a global window over the whole
+    * substring-vocabulary relation: that relation is every distinct
+    * ≤[[MaxPieceLen]]-char substring clearing MinCount, millions of rows
+    * at 100× corpus, and an unpartitioned `row_number` would funnel all
+    * of them through one task. Only the ≤[[VocabTopV]] survivors are
+    * numbered (the mixInterleave post-limit precedent,
+    * Pipeline.scala:89-91). PlanShapeSpec pins the TakeOrderedAndProject
+    * shape. */
   def vocabTopV(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("c").desc, col("piece"))
     vocabOf(spark, dir)
+      .orderBy(col("c").desc, col("piece"))
+      .limit(VocabTopV)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= VocabTopV)
       .select(col("rank"), col("piece"), col("c"))
       .orderBy(col("rank"))
   }

@@ -291,6 +291,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("PartitionFilters: \\[[^\\]]*shard[^\\]]*= 3".r.findFirstIn(p).isDefined, p)
   }
 
+  test("minseg vocab cut is TakeOrderedAndProject, not a global window over the vocabulary") {
+    val p = finalPlan("tok_minseg_vocab")
+    // the substring-vocabulary relation is unbounded in the corpus; the
+    // top-V cut must be a distributed stream head, and any Window node may
+    // only see the ≤VocabTopV survivors (i.e. appear above the take)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val winIdx = p.indexOf("Window")
+    val takeIdx = p.indexOf("TakeOrderedAndProject")
+    assert(winIdx == -1 || winIdx < takeIdx,
+      s"Window below the top-V cut (global window over the vocabulary relation):\n$p")
+  }
+
   test("bigram score derives the corpus pipeline once (single scan)") {
     val p = finalPlan("text_bigram_score")
     val scans = "Scan parquet".r.findAllIn(p).size
