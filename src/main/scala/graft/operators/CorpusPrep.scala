@@ -241,13 +241,21 @@ object CorpusPrep {
       .select(col("doc_id"), col("is_canonical"))
     val contam = decontaminate(spark, dir)
       .select(col("doc_id"), col("contaminated"))
+    // Trained-LM fluency, scored against the SERVED model artifact (the
+    // train fold never re-runs inside the label build). Left join: a doc
+    // under two tokens has no bigrams and no score — carried as 0.0 (it
+    // lands below any real median, which is the conservative cut).
+    val lm = LmQuality.lmScoreIndexed(spark, dir)
+      .select(col("doc_id"), col("lm_score"))
     d.select(col("doc_id"), col("source"))
       .join(gates, "doc_id").join(toks, "doc_id").join(canon, "doc_id")
       .join(contam, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("lang_pred"),
         col("quality_score"), col("q_q"),
         col("n_tok"), col("n_pieces"), col("content_hash"), col("is_canonical"),
-        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
   }
 
   /** Write-once per-doc metadata artifact (`graft_docmeta`). NO append
@@ -258,8 +266,11 @@ object CorpusPrep {
     * next to its quantized form so the prep gate can serve from it.
     * v3: carries the BPE piece count and content hash, so every stage of
     * the composed corpus_e2e DAG downstream of the labels is label-only —
-    * raw documents are scanned exactly once, here. */
-  def ensureDocMeta(spark: SparkSession, dir: String, version: Int = 3): String =
+    * raw documents are scanned exactly once, here.
+    * v4: carries the trained-LM fluency score (from the served
+    * `graft_lmmodel`), so the e2e chain's fluency-cut stage is
+    * label-only too. */
+  def ensureDocMeta(spark: SparkSession, dir: String, version: Int = 4): String =
     graft.Materialize.ensure(spark, "graft_docmeta", dir, version) { p =>
       docMeta(spark, dir).write.mode("overwrite").parquet(p)
     }

@@ -251,25 +251,32 @@ object LmQuality {
        |FROM big JOIN uni ON split_part(bg, ' ', 1) = uni.w1
        |ORDER BY c_big DESC, w1, w2 LIMIT $TrainTopK""".stripMargin
 
+  /** CTE fragment ending in `lms`(doc_id, n_bigrams, score_q, lm_score) —
+    * the per-doc trained-LM score relation, shared by the standalone
+    * score rows and the composed e2e oracle (lm_* prefixes avoid
+    * top-level CTE name collisions there). */
+  private[graft] def lmScoreCtes: String =
+    s"""${trainCtes},
+       |lm_v AS (SELECT count(DISTINCT w)::BIGINT AS v
+       |      FROM (SELECT unnest(tk) AS w FROM tr)),
+       |lm_db AS (SELECT doc_id, unnest(${OracleSql.tokenWindows("tk", 2)}) AS bg
+       |       FROM tok WHERE len(tk) >= 2),
+       |lm_j AS (SELECT lm_db.doc_id,
+       |        ($Quant * (coalesce(big.c_big, 0) + 1))
+       |          // (coalesce(uni.c_uni, 0) + greatest(lm_v.v, 1)) AS qs
+       |      FROM lm_db LEFT JOIN big ON lm_db.bg = big.bg
+       |        LEFT JOIN uni ON split_part(lm_db.bg, ' ', 1) = uni.w1
+       |        CROSS JOIN lm_v),
+       |lms AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |             sum(qs)::BIGINT AS score_q,
+       |             sum(qs)::DOUBLE / (count(*)::DOUBLE * $Quant.0) AS lm_score
+       |      FROM lm_j GROUP BY doc_id)""".stripMargin
+
   /** One oracle gates both the inline and the served face. */
   def lmScoreOracle: String =
-    s"""WITH ${trainCtes},
-       |v AS (SELECT count(DISTINCT w)::BIGINT AS v
-       |      FROM (SELECT unnest(tk) AS w FROM tr)),
-       |db AS (SELECT doc_id, unnest(${OracleSql.tokenWindows("tk", 2)}) AS bg
-       |       FROM tok WHERE len(tk) >= 2),
-       |j AS (SELECT db.doc_id,
-       |        ($Quant * (coalesce(big.c_big, 0) + 1))
-       |          // (coalesce(uni.c_uni, 0) + greatest(v.v, 1)) AS qs
-       |      FROM db LEFT JOIN big ON db.bg = big.bg
-       |        LEFT JOIN uni ON split_part(db.bg, ' ', 1) = uni.w1
-       |        CROSS JOIN v),
-       |a AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-       |             sum(qs)::BIGINT AS score_q
-       |      FROM j GROUP BY doc_id)
-       |SELECT doc_id, n_bigrams, score_q,
-       |       score_q::DOUBLE / (n_bigrams::DOUBLE * $Quant.0) AS lm_score
-       |FROM a ORDER BY doc_id""".stripMargin
+    s"""WITH ${lmScoreCtes}
+       |SELECT doc_id, n_bigrams, score_q, lm_score
+       |FROM lms ORDER BY doc_id""".stripMargin
 
   def lmCutOracle: String =
     s"""WITH s AS (SELECT doc_id, lm_score FROM ($lmScoreOracle)),

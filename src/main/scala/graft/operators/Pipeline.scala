@@ -237,33 +237,43 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
-  def mixEpochCapOracle: String = {
-    val toks = graft.oracle.OracleSql.tokens("lower(text)")
-    s"""WITH s AS (SELECT source, sum(len($toks))::BIGINT AS n_tok
-       |           FROM documents GROUP BY source),
-       |b AS (SELECT source, n_tok,
+  /** Oracle CTE fragment: the water-filling plan over any relation `src`
+    * exposing (source, n_tok) — defines `ep_b..ep_l` and the final
+    * `ep_plan`(source, n_tok, cap_tok, alloc_tok, epochs_milli). Shared
+    * by the standalone mix_epoch rows (plan over the whole corpus) and
+    * the composed e2e oracle (plan over the budgeted slice). */
+  private[graft] def mixEpochPlanCtes(src: String): String =
+    s"""ep_b AS (SELECT source, n_tok,
        |             floor(sqrt(n_tok::DOUBLE) * 1000.0)::BIGINT AS w,
        |             n_tok * $EpochCapMax AS cap_tok
-       |      FROM s),
-       |c AS (SELECT *,
+       |      FROM $src),
+       |ep_c AS (SELECT *,
        |        sum(cap_tok) OVER (ORDER BY n_tok, source ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cap,
        |        sum(w) OVER (ORDER BY n_tok, source ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_w,
        |        sum(w) OVER ()::BIGINT AS tot_w,
        |        (sum(n_tok) OVER () * $EpochTargetPermille) // 1000 AS target
-       |      FROM b),
-       |t AS (SELECT *,
+       |      FROM ep_b),
+       |ep_t AS (SELECT *,
        |        cap_tok * (tot_w - cum_w) <= (target - cum_cap) * w AS sat
-       |      FROM c),
-       |l AS (SELECT *,
+       |      FROM ep_c),
+       |ep_l AS (SELECT *,
        |        max(CASE WHEN sat THEN cum_cap ELSE 0 END) OVER ()::BIGINT AS sat_cap,
        |        max(CASE WHEN sat THEN cum_w ELSE 0 END) OVER ()::BIGINT AS sat_w
-       |      FROM t)
-       |SELECT source, n_tok, cap_tok,
+       |      FROM ep_t),
+       |ep_plan AS (SELECT source, n_tok, cap_tok,
        |       (CASE WHEN sat THEN cap_tok
        |             ELSE (w * (target - sat_cap)) // (tot_w - sat_w) END)::BIGINT AS alloc_tok,
        |       (((CASE WHEN sat THEN cap_tok
        |               ELSE (w * (target - sat_cap)) // (tot_w - sat_w) END) * 1000) // n_tok)::BIGINT AS epochs_milli
-       |FROM l ORDER BY source""".stripMargin
+       |      FROM ep_l)""".stripMargin
+
+  def mixEpochCapOracle: String = {
+    val toks = graft.oracle.OracleSql.tokens("lower(text)")
+    s"""WITH s AS (SELECT source, sum(len($toks))::BIGINT AS n_tok
+       |           FROM documents GROUP BY source),
+       |${mixEpochPlanCtes("s")}
+       |SELECT source, n_tok, cap_tok, alloc_tok, epochs_milli
+       |FROM ep_plan ORDER BY source""".stripMargin
   }
 
   /** Salt for the fractional-epoch hash coin. */
@@ -296,15 +306,24 @@ object Pipeline {
     * uses (the lmScoreStream pattern: plan by-name, so a re-planned mix
     * is visible next micro-batch). */
   private[graft] def epochScheduleOver(docs: DataFrame,
-                                       plan: DataFrame): DataFrame = {
+                                       plan: DataFrame): DataFrame =
+    epochCopiesOver(docs, plan)
+      .select(col("doc_id"), col("source"), col("n_copies"))
+
+  /** The schedule core over ANY (doc_id, source, …) relation: append
+    * `n_copies` under the broadcast plan, preserving every input column —
+    * what lets the e2e shard-layout stage schedule its packed rows
+    * without re-projecting. */
+  private[graft] def epochCopiesOver(rows: DataFrame,
+                                     plan: DataFrame): DataFrame = {
     val coin = pmod(
       polyHash(concat(lit(EpochSalt), col("doc_id").cast("string"))), lit(1000L))
-    docs
+    rows
       .join(broadcast(plan.select(col("source"), col("epochs_milli"))), "source")
       .withColumn("n_copies",
         expr("epochs_milli div 1000") +
           when(coin < pmod(col("epochs_milli"), lit(1000L)), 1L).otherwise(0L))
-      .select(col("doc_id"), col("source"), col("n_copies"))
+      .drop("epochs_milli")
   }
 
   def mixEpochApplyOracle: String = {
@@ -794,21 +813,41 @@ object Pipeline {
   /** Version of every corpus_e2e stage artifact. Bump TOGETHER on any
     * stage-derivation change: each stage is keyed by its upstream
     * artifact's PATH, so a version bump re-paths the whole downstream
-    * chain at once. */
-  val E2eVersion = 1
+    * chain at once. v2: the v3 chain — LM-fluency cut stage between
+    * clean and budget, epoch repetition schedule feeding the shard
+    * layout. */
+  val E2eVersion = 2
 
   /** Stage 2 — clean splits, label-only: read the docmeta label artifact,
     * keep dedup survivors, attach the deterministic split (the
     * [[corpusSplitClean]] semantics), and carry exactly the text-derived
     * columns the downstream stages need (n_tok for the budget, n_pieces
-    * for packing, content_hash for the manifest). Map-only over the
-    * labels; raw documents are NEVER read here (plan-spec-pinned). */
+    * for packing, content_hash for the manifest, lm_score for the
+    * fluency cut). Map-only over the labels; raw documents are NEVER
+    * read here (plan-spec-pinned). */
   private[graft] def e2eCleanFrom(spark: SparkSession, metaPath: String): DataFrame =
     spark.read.parquet(metaPath)
       .filter(col("is_canonical"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("n_pieces"),
-        col("content_hash"))
+        col("content_hash"), col("lm_score"))
       .withColumn("split", splitOf(col("doc_id")))
+
+  /** Stage 2b — LM-fluency cut over the clean artifact: keep documents at
+    * or above the MEDIAN trained-LM score of the clean relation (the
+    * [[LmQuality.lmCut]] percentile-anchored semantics, applied as a
+    * chain stage — the CCNet deployment shape). The median spans ALL
+    * splits of the clean slice (the relation this stage reads), evaluated
+    * once as a scalar subquery over the artifact; the filter then
+    * streams. At 100 TB the exact percentile becomes `approx_percentile`
+    * with an identical plan shape; exact here because the gate demands
+    * bit-equality. lm_score is dropped after the cut — no downstream
+    * stage needs it. */
+  private[graft] def e2eLmCutFrom(spark: SparkSession, cleanPath: String): DataFrame = {
+    val c = spark.read.parquet(cleanPath)
+    val med = c.agg(
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY lm_score)").as("m"))
+    c.filter(col("lm_score") >= med.scalar()).drop("lm_score")
+  }
 
   /** Stage 3 — token-budget cut of the TRAIN slice, in the deterministic
     * shuffle order: the [[corpusTakeBudget]] distributed prefix-sum (no
@@ -838,24 +877,49 @@ object Pipeline {
       .drop("start_off")
   }
 
-  /** Stage 5 — the deterministic shuffle layout: per-shard position by
-    * (h, doc_id) (the [[corpusShuffle]] permutation — h/shard come from
-    * stage 3's artifact), written shard-partitioned so a training reader
-    * prunes to its shard's files. Reads only the pack artifact. */
+  /** Stage 5 — the epoch-scheduled deterministic shuffle layout: the
+    * water-filling mix plan ([[mixEpochCapOver]]) is derived from the
+    * pack artifact's per-source token totals (a bounded aggregate that
+    * broadcasts at any corpus size), each packed doc gets its repetition
+    * count under the hash-Bernoulli schedule ([[epochCopiesOver]] — the
+    * mix_epoch_apply coin, so the standalone row and the chain agree),
+    * and every COPY is placed independently in the global permutation by
+    * its own hash key (`ShuffleSalt + doc_id + ":" + copy`) — copies of
+    * a doc scatter across shards and positions, which is exactly what a
+    * multi-epoch training order wants (adjacent repeats are the failure
+    * mode). Docs allocated under one epoch drop with probability
+    * 1 − e/1000 — downsampling falls out of the same coin. Each copy
+    * references the SAME pack chunk (pack_id, pack_off): repetition
+    * multiplies the read schedule, never the stored bytes. Per-shard
+    * position windows parallelize across shards (no single-partition
+    * stage); written shard-partitioned so a training reader prunes to
+    * its shard's files. Reads only the pack artifact. */
   private[graft] def e2eShardsFrom(spark: SparkSession, packPath: String): DataFrame = {
-    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-    spark.read.parquet(packPath)
+    val packed = spark.read.parquet(packPath).drop("h", "shard")
+    val plan = mixEpochCapOver(
+      packed.groupBy(col("source")).agg(sum(col("n_tok")).as("n_tok")))
+    val hc = polyHash(concat(lit(ShuffleSalt), col("doc_id").cast("string"),
+      lit(":"), col("copy").cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("hc"), col("doc_id"), col("copy"))
+    epochCopiesOver(packed, plan)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("n_copies") - 1L)))
+      .withColumn("hc", hc)
+      .withColumn("shard", pmod(col("hc"), lit(NumShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long"))
-      .select(col("shard"), col("pos"), col("doc_id"), col("n_tok"),
-        col("content_hash"), col("pack_id"), col("pack_off"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("copy"),
+        col("n_tok"), col("content_hash"), col("pack_id"), col("pack_off"))
   }
 
-  /** Stage 6 — the export manifest over the shard layout: per shard, doc
-    * count, token volume, the order-free content checksum (the
-    * [[corpusManifest]] integrity design), and a pack checksum
-    * (order-free sum over pack_id·budget+pack_off = each doc's global
-    * piece offset — any change to the packing assignment changes it).
-    * One bounded hash aggregate over the final artifact only. */
+  /** Stage 6 — the export manifest over the shard layout: per shard, ROW
+    * count (epoch copies counted — what a reader actually serves per
+    * pass), token volume over copies, the order-free content checksum
+    * (the [[corpusManifest]] integrity design, copies counted with
+    * multiplicity — a dropped or duplicated copy changes it), and a pack
+    * checksum (order-free sum over pack_id·budget+pack_off = each row's
+    * global piece offset — any change to the packing assignment changes
+    * it). One bounded hash aggregate over the final artifact only. */
   private[graft] def e2eManifestFrom(spark: SparkSession, shardsPath: String): DataFrame =
     e2eManifestOver(spark.read.parquet(shardsPath))
 
@@ -877,11 +941,13 @@ object Pipeline {
   /** Builds (once) the composed corpus-assembly DAG — the pipeline the
     * stage operators exist FOR, as chained MATERIALIZED artifacts:
     *
-    *   documents → graft_docmeta (labels; the ONE raw-text scan)
+    *   documents → graft_docmeta (labels incl. LM score; the raw-text scans)
     *             → graft_e2eclean  (dedup survivors + splits, label-only)
+    *             → graft_e2elmcut  (LM-fluency median cut)
     *             → graft_e2ebudget (train slice, token-budget prefix cut)
     *             → graft_e2epack   (sequence packing)
-    *             → graft_e2eshards (shuffle layout, shard-partitioned)
+    *             → graft_e2eshards (epoch-scheduled shuffle layout,
+    *                                shard-partitioned)
     *
     * Each stage READS its upstream stage's artifact and nothing else —
     * at 100 TB every stage is a narrow pass over already-reduced data,
@@ -900,8 +966,11 @@ object Pipeline {
     val clean = graft.Materialize.ensure(spark, "graft_e2eclean", meta, E2eVersion) {
       p => e2eCleanFrom(spark, meta).write.mode("overwrite").parquet(p)
     }
-    val budget = graft.Materialize.ensure(spark, "graft_e2ebudget", clean, E2eVersion) {
-      p => e2eBudgetFrom(spark, clean).write.mode("overwrite").parquet(p)
+    val lmcut = graft.Materialize.ensure(spark, "graft_e2elmcut", clean, E2eVersion) {
+      p => e2eLmCutFrom(spark, clean).write.mode("overwrite").parquet(p)
+    }
+    val budget = graft.Materialize.ensure(spark, "graft_e2ebudget", lmcut, E2eVersion) {
+      p => e2eBudgetFrom(spark, lmcut).write.mode("overwrite").parquet(p)
     }
     val pack = graft.Materialize.ensure(spark, "graft_e2epack", budget, E2eVersion) {
       p => e2ePackFrom(spark, budget).write.mode("overwrite").parquet(p)
@@ -921,38 +990,64 @@ object Pipeline {
   def corpusE2e(spark: SparkSession, dir: String): DataFrame =
     e2eManifestFrom(spark, ensureCorpusE2e(spark, dir))
 
-  /** DuckDB twin of the COMPOSITION: survivors (dedup pipeline) → train
-    * split → budget prefix cut in shuffle order (single-node: one global
-    * cumulative window ≡ offset + per-shard running) → per-source pack
-    * offsets → per-shard manifest rollup. start_off equals
-    * pack_id·budget+pack_off exactly, so the pack checksum matches the
-    * Spark spelling term by term. */
+  /** DuckDB twin of the COMPOSITION: survivors (dedup pipeline) + LM
+    * scores → median fluency cut over the clean slice (all splits) →
+    * train split → budget prefix cut in shuffle order (single-node: one
+    * global cumulative window ≡ offset + per-shard running) → per-source
+    * pack offsets → water-filling epoch plan over the budgeted slice →
+    * hash-Bernoulli repetition schedule → per-copy shard assignment →
+    * per-shard manifest rollup. start_off equals pack_id·budget+pack_off
+    * exactly, so the pack checksum matches the Spark spelling term by
+    * term; copies are counted with multiplicity in every aggregate. */
   def corpusE2eOracle: String = {
-    val sb = OracleSql.polyHash(s"('$SplitSalt' || d.doc_id::VARCHAR)")
-    val h = OracleSql.polyHash(s"('$ShuffleSalt' || d.doc_id::VARCHAR)")
+    val sb = OracleSql.polyHash(s"('$SplitSalt' || doc_id::VARCHAR)")
+    val h = OracleSql.polyHash(s"('$ShuffleSalt' || doc_id::VARCHAR)")
     val ch = OracleSql.polyHash("d.text")
     val toks = OracleSql.tokens("lower(d.text)")
+    val coin = OracleSql.polyHash(s"('$EpochSalt' || doc_id::VARCHAR)")
+    val hc = OracleSql.polyHash(
+      s"('$ShuffleSalt' || doc_id::VARCHAR || ':' || copy::VARCHAR)")
     val P = graft.functions.TextFunctions.HashMod
     s"""WITH dp AS MATERIALIZED (${graft.operators.Dedup.dedupPipelineOracle}),
-       |meta AS (SELECT d.doc_id, d.source,
-       |                len($toks)::BIGINT AS n_tok,
-       |                len(regexp_extract_all(lower(d.text), '${TextAnalysis.BpePattern}'))::BIGINT AS n_pieces,
-       |                ($ch) AS content_hash,
-       |                ($h) AS h, ($h) % $NumShards AS shard
-       |         FROM documents d JOIN dp ON d.doc_id = dp.doc_id
-       |         WHERE dp.is_canonical AND ($sb) % 1000 < $SplitTrainUpto),
+       |${LmQuality.lmScoreCtes},
+       |cleanx AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source,
+       |         len($toks)::BIGINT AS n_tok,
+       |         len(regexp_extract_all(lower(d.text), '${TextAnalysis.BpePattern}'))::BIGINT AS n_pieces,
+       |         ($ch) AS content_hash,
+       |         coalesce(lms.lm_score, 0.0) AS lm_score
+       |  FROM documents d JOIN dp ON d.doc_id = dp.doc_id
+       |       LEFT JOIN lms ON d.doc_id = lms.doc_id
+       |  WHERE dp.is_canonical),
+       |lmmed AS (SELECT quantile_cont(lm_score, 0.5) AS m FROM cleanx),
+       |meta AS (SELECT cleanx.*, ($h) AS h, ($h) % $NumShards AS shard
+       |         FROM cleanx, lmmed
+       |         WHERE lm_score >= lmmed.m
+       |           AND ($sb) % 1000 < $SplitTrainUpto),
        |b AS (SELECT (sum(n_tok) * $TokenBudgetPermille) // 1000 AS budget FROM meta),
        |r AS (SELECT *, sum(n_tok) OVER (ORDER BY shard, h, doc_id
        |                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS run_tok
        |      FROM meta),
        |kept AS (SELECT r.* FROM r CROSS JOIN b WHERE run_tok <= budget),
-       |packed AS (SELECT *,
+       |packed AS MATERIALIZED (SELECT *,
        |             (sum(n_pieces) OVER (PARTITION BY source ORDER BY doc_id
        |                                  ROWS UNBOUNDED PRECEDING) - n_pieces)::BIGINT AS start_off
-       |           FROM kept)
-       |SELECT shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       |           FROM kept),
+       |ps AS (SELECT source, sum(n_tok)::BIGINT AS n_tok
+       |       FROM packed GROUP BY source),
+       |${mixEpochPlanCtes("ps")},
+       |sched AS (SELECT p.doc_id, p.n_tok, p.content_hash, p.start_off,
+       |                 (ep.epochs_milli // 1000
+       |                   + CASE WHEN ($coin) % 1000 < ep.epochs_milli % 1000
+       |                          THEN 1 ELSE 0 END)::BIGINT AS n_copies
+       |          FROM packed p JOIN ep_plan ep USING (source)),
+       |copies AS (SELECT doc_id, n_tok, content_hash, start_off,
+       |                  unnest(range(n_copies)) AS copy
+       |           FROM sched WHERE n_copies > 0)
+       |SELECT (($hc) % $NumShards)::BIGINT AS shard,
+       |       count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
        |       (sum(content_hash) % $P)::BIGINT AS checksum,
        |       (sum(start_off % $P) % $P)::BIGINT AS pack_checksum
-       |FROM packed GROUP BY shard ORDER BY shard""".stripMargin
+       |FROM copies GROUP BY 1 ORDER BY shard""".stripMargin
   }
 }

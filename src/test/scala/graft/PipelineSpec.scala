@@ -277,46 +277,85 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"every dirty doc is 100% dirty — grading shows nothing: $dirty")
   }
 
-  test("corpus_e2e composition invariants: membership, budget maximality, order-free checksums") {
+  test("corpus_e2e composition invariants: lm cut, budget maximality, epoch copies, order-free checksums") {
     import graft.operators.CorpusPrep
+    import graft.functions.TextFunctions.polyHash
     val shardsPath = Pipeline.ensureCorpusE2e(spark, dir)
     val layout = spark.read.parquet(shardsPath)
     val meta = spark.read.parquet(CorpusPrep.ensureDocMeta(spark, dir))
-    // 1. membership: the final layout is exactly the budget-kept subset of
-    //    canonical TRAIN docs — no non-canonical or non-train doc leaks in
-    val cleanTrain = Pipeline.corpusSplitClean(spark, dir)
-      .filter(col("split") === "train").select(col("doc_id"))
-    val leaked = layout.select(col("doc_id"))
-      .join(cleanTrain, Seq("doc_id"), "left_anti").count()
-    assert(leaked == 0, s"$leaked docs in the layout are not clean-train")
-    // 2. budget MAXIMALITY, proven against an INDEPENDENT driver-side
-    //    recomputation (not the operator's own code, which a shared bug
-    //    would satisfy): order the clean-train docs by the shuffle
-    //    permutation (shard, h, doc_id), walk the prefix sum in plain
-    //    Scala, and the kept set must be exactly the maximal prefix whose
-    //    token total fits 600‰ — one doc more would overflow.
-    import graft.functions.TextFunctions.polyHash
-    val ordered = meta.join(cleanTrain, "doc_id")
-      .select(col("doc_id"), col("n_tok"),
+    // INDEPENDENT driver-side recomputation of the whole chain (not the
+    // operators' own code, which a shared bug would satisfy).
+    // 1. LM-fluency cut: exact interpolated median over the canonical
+    //    slice (all splits), keep lm_score >= median.
+    val cleanRows = meta.filter(col("is_canonical"))
+      .select(col("doc_id"), col("n_tok"), col("lm_score"), col("source"),
         polyHash(concat(lit(Pipeline.ShuffleSalt), col("doc_id").cast("string")))
-          .as("h"))
-      .withColumn("shard", pmod(col("h"), lit(Pipeline.NumShards.toLong)))
-      .collect().map(r => (r.getLong(3), r.getLong(2), r.getLong(0), r.getLong(1)))
+          .as("h"),
+        pmod(polyHash(concat(lit(Pipeline.SplitSalt), col("doc_id").cast("string"))),
+          lit(1000L)).as("split_coin"),
+        pmod(polyHash(concat(lit(Pipeline.EpochSalt), col("doc_id").cast("string"))),
+          lit(1000L)).as("epoch_coin"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Double]("lm_score"), r.getAs[Long]("h"),
+        r.getAs[Long]("split_coin"), r.getAs[Long]("epoch_coin"),
+        r.getAs[String]("source")))
+    val scores = cleanRows.map(_._3).sorted
+    val rank = 0.5 * (scores.length - 1)
+    val lo = rank.toInt
+    val med = if (lo + 1 < scores.length)
+      scores(lo) + (rank - lo) * (scores(lo + 1) - scores(lo)) else scores(lo)
+    val lmKept = cleanRows.filter(_._3 >= med)
+    assert(lmKept.length < cleanRows.length && lmKept.nonEmpty,
+      "lm cut is vacuous or total at this SF")
+    // 2. budget MAXIMALITY over the lm-kept TRAIN slice: order by the
+    //    shuffle permutation (shard, h, doc_id), walk the prefix sum, and
+    //    the kept set must be the maximal prefix fitting 600 permille.
+    val train = lmKept.filter(_._5 < Pipeline.SplitTrainUpto)
+    val ordered = train
+      .map(t => (math.floorMod(t._4, Pipeline.NumShards.toLong), t._4, t._1, t._2, t._6, t._7))
       .sortBy(t => (t._1, t._2, t._3)) // (shard, h, doc_id)
     val budget = ordered.map(_._4).sum * Pipeline.TokenBudgetPermille / 1000
     var run = 0L
-    val expectKept = ordered.takeWhile { case (_, _, _, tok) =>
+    val expectKept = ordered.takeWhile { case (_, _, _, tok, _, _) =>
       run += tok; run <= budget
-    }.map(_._3).toSet
-    val gotKept = layout.select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    assert(gotKept == expectKept,
-      s"layout kept ${gotKept.size} docs != maximal prefix ${expectKept.size}")
-    val keptTok = layout.agg(sum(col("n_tok"))).head().getLong(0)
-    assert(keptTok <= budget, s"kept $keptTok exceeds budget $budget")
-    // non-vacuous: the cut actually lands mid-corpus at this SF
-    assert(expectKept.nonEmpty && expectKept.size < ordered.length,
+    }
+    assert(expectKept.nonEmpty && expectKept.length < ordered.length,
       "budget cut is vacuous or total at this SF")
-    // 3. the manifest's checksums are ORDER-FREE: recomputing over a
+    // 3. epoch schedule: water-filling plan over the budgeted slice's
+    //    per-source token totals, then the hash-Bernoulli repetition
+    //    count per doc — the layout must hold exactly n_copies rows per
+    //    kept doc (docs scheduled at 0 copies absent entirely).
+    val perSource = expectKept.groupBy(_._6).view.mapValues(_.map(_._4).sum).toMap
+    val srcs = perSource.toSeq.map { case (s, n) =>
+      (s, n, math.floor(math.sqrt(n.toDouble) * 1000.0).toLong,
+        n * Pipeline.EpochCapMax)
+    }.sortBy(t => (t._2, t._1)) // (n_tok, source)
+    val totW = srcs.map(_._3).sum
+    val target = perSource.values.sum * Pipeline.EpochTargetPermille / 1000
+    var cumCap = 0L; var cumW = 0L
+    val walked = srcs.map { case (s, n, w, cap) =>
+      cumCap += cap; cumW += w
+      val sat = cap * (totW - cumW) <= (target - cumCap) * w
+      (s, n, w, cap, cumCap, cumW, sat)
+    }
+    val satCap = walked.filter(_._7).map(_._5).maxOption.getOrElse(0L)
+    val satW = walked.filter(_._7).map(_._6).maxOption.getOrElse(0L)
+    val epochsMilli = walked.map { case (s, n, w, cap, _, _, sat) =>
+      val alloc = if (sat) cap else w * (target - satCap) / (totW - satW)
+      s -> alloc * 1000 / n
+    }.toMap
+    val expectCopies = expectKept.map { case (_, _, id, _, coin, src) =>
+      val em = epochsMilli(src)
+      id -> (em / 1000 + (if (coin < em % 1000) 1L else 0L))
+    }.toMap
+    val gotCopies = layout.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCopies == expectCopies.filter(_._2 > 0),
+      s"layout copy counts diverge: got ${gotCopies.size} docs, " +
+        s"expected ${expectCopies.count(_._2 > 0)}")
+    // repetition is real at this SF: some doc is served more than once
+    assert(expectCopies.values.exists(_ > 1), "epoch schedule is vacuous")
+    // 4. the manifest's checksums are ORDER-FREE: recomputing over a
     //    re-partitioned layout (different partial-aggregation order)
     //    gives identical rows
     val a = Pipeline.corpusE2e(spark, dir).collect().map(_.toSeq).toSeq

@@ -441,15 +441,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val shards = Pipeline.ensureCorpusE2e(spark, dir) // chain built (or cached)
     val meta = CorpusPrep.ensureDocMeta(spark, dir)
     val clean = Materialize.artifactPath(spark, "graft_e2eclean", meta, Pipeline.E2eVersion)
-    val budget = Materialize.artifactPath(spark, "graft_e2ebudget", clean, Pipeline.E2eVersion)
+    val lmcut = Materialize.artifactPath(spark, "graft_e2elmcut", clean, Pipeline.E2eVersion)
+    val budget = Materialize.artifactPath(spark, "graft_e2ebudget", lmcut, Pipeline.E2eVersion)
     val pack = Materialize.artifactPath(spark, "graft_e2epack", budget, Pipeline.E2eVersion)
     // stage -> (df, upstream artifact kind). A stage may scan its upstream
     // artifact more than once (the budget stage's prefix-sum derives shard
-    // sums + total from the same relation) — the pin is that EVERY scan is
-    // the upstream artifact, and raw documents are never touched.
+    // sums + total from the same relation; the lm cut's median scalar
+    // scans its input twice) — the pin is that EVERY scan is the upstream
+    // artifact, and raw documents are never touched.
     val stages = Seq(
       ("clean", Pipeline.e2eCleanFrom(spark, meta), "graft_docmeta"),
-      ("budget", Pipeline.e2eBudgetFrom(spark, clean), "graft_e2eclean"),
+      ("lmcut", Pipeline.e2eLmCutFrom(spark, clean), "graft_e2eclean"),
+      ("budget", Pipeline.e2eBudgetFrom(spark, lmcut), "graft_e2elmcut"),
       ("pack", Pipeline.e2ePackFrom(spark, budget), "graft_e2ebudget"),
       ("shards", Pipeline.e2eShardsFrom(spark, pack), "graft_e2epack"),
       ("manifest", Pipeline.e2eManifestFrom(spark, shards), "graft_e2eshards"))
