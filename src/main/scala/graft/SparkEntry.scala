@@ -54,6 +54,14 @@ object SparkEntry {
     /** Containment threshold below Jaccard's 0.55 peer: the asymmetric
       * measure saturates fast for quote-inclusion (C→1 while J→|A|/|B|). */
     val ContainThreshold = 0.8
+    /** Containment df-cap: grams held by > n/8 of the 64 canonical docs
+      * (df > 8; the hottest sits at 16) are dropped from candidate
+      * generation — bites at sf0.01 so the capped row is non-vacuous. */
+    val ContainCapInv = 8L
+    /** Winnow fingerprint df-cap: fps covering > 1/3000 of all selections
+      * (~10k at sf0.01 → df > 3) stop pairing — the df-4 boilerplate keys
+      * are exactly the cut's target at this SF. */
+    val WinnowCapInv = 3000L
     val Bm25Query = Seq("spark", "query", "table"); val Bm25K = 15
     // batch search request table: (qid, term) — multi-term requests of
     // differing selectivity, one qid with a term absent from the corpus
@@ -344,6 +352,12 @@ object SparkEntry {
     "text_winnow" -> ((s, d) => TextAnalysis.winnow(s, d)),
     // overlap pairs over the winnowed selection (>= 2 shared fingerprints)
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(s, d)),
+    "dedup_winnow_capped" -> ((s, d) => Dedup.winnowPairsCapped(s, d, P.WinnowCapInv)),
+    "dedup_containment_cost" -> ((s, d) => Dedup.containmentCandidateCost(s, d, P.ContainThreshold)),
+    "dedup_containment_capped" -> ((s, d) =>
+      Dedup.containmentPairsCapped(s, d, P.ContainThreshold, P.ContainCapInv)),
+    "dedup_containment_auto" -> ((s, d) =>
+      Dedup.containmentPairsAuto(s, d, P.ContainThreshold, P.ContainCapInv)),
     // trained quality classifier: full-batch GD (8 one-aggregate passes
     // over the materialized feature relation, quantized gradients, no
     // driver loop) recovering a deterministic teacher labeling
@@ -644,6 +658,12 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintOracle,
     "text_winnow" -> TextAnalysis.winnowOracle,
     "dedup_winnow_pairs" -> Dedup.winnowPairsOracle,
+    "dedup_winnow_capped" -> Dedup.winnowPairsCappedOracle(P.WinnowCapInv),
+    "dedup_containment_cost" -> Dedup.containmentCandidateCostOracle(P.ContainThreshold),
+    "dedup_containment_capped" ->
+      Dedup.containmentPairsCappedOracle(P.ContainThreshold, P.ContainCapInv),
+    "dedup_containment_auto" ->
+      Dedup.containmentPairsAutoOracle(P.ContainThreshold, P.ContainCapInv),
     "quality_lr_train" -> QualityModel.lrTrainOracle,
     "quality_lr_score" -> QualityModel.lrScoreOracle,
     "quality_lr_indexed" -> QualityModel.lrScoreOracle,

@@ -137,20 +137,34 @@ object Dedup {
     * relation) is the knob that decides when to serve a stop-gram-cut
     * variant instead. Verification recomputes exact containment, so the
     * pruning never defines the result — a brute-force oracle gates it. */
+  /** The canonical (id, grams) relation both containment faces share. */
+  private[graft] def canonGrams(spark: SparkSession, dir: String): DataFrame =
+    FuzzySearch.corpus(spark, dir)
+      .groupBy(col("clean_value")).agg(min(col("id")).as("id"))
+      .select(col("id"), charNgramSet(col("clean_value"), 3).as("grams"))
+      .filter(size(col("grams")) > 0)
+
   def containmentPairs(spark: SparkSession, dir: String,
                        threshold: Double): DataFrame =
-    containmentPairsOver(
-      FuzzySearch.corpus(spark, dir)
-        .groupBy(col("clean_value")).agg(min(col("id")).as("id"))
-        .select(col("id"), charNgramSet(col("clean_value"), 3).as("grams"))
-        .filter(size(col("grams")) > 0),
-      threshold)
+    containmentPairsOver(canonGrams(spark, dir), threshold)
 
   /** Core over any (id, grams) relation — split out so the spec can pin
     * the asymmetric catch (quote-inclusion pairs Jaccard misses) and
     * prefix-filter exactness on a crafted corpus. */
   private[graft] def containmentPairsOver(c: DataFrame,
-                                          threshold: Double): DataFrame = {
+                                          threshold: Double): DataFrame =
+    containmentCore(c, threshold, None)
+
+  /** Shared candidate-gen + exact-verify spine. `allowed`: the OPT-IN
+    * df-cap — when present, grams outside it are dropped from BOTH
+    * candidate sides (the stop-gram semantics: pairs reachable only
+    * through boilerplate-hot grams are lost BY DESIGN, bounding the join
+    * at Σ_a prefix_a·min(df, cap) instead of Σ_a prefix_a·df); exact
+    * verification over the FULL gram sets still defines every surviving
+    * pair's score. Rank/prefix are computed over all grams either way,
+    * so the capped prefix is a subset of the uncut one. */
+  private[graft] def containmentCore(c: DataFrame, threshold: Double,
+                                     allowed: Option[DataFrame]): DataFrame = {
     val df = c.select(col("id"), explode(col("grams")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
     val withDf = c.select(col("id"), explode(col("grams")).as("g"))
@@ -164,7 +178,8 @@ object Dedup {
         col("setsize") - ceil(lit(threshold) * col("setsize") - 1e-9) + 1)
     // One shuffle on the gram; the contained-side prefix probes the full
     // containing-side postings (both derive from the same exchange).
-    val grams = withDf.select(col("id"), col("g"), col("rank"), col("prefix_len"))
+    val grams0 = withDf.select(col("id"), col("g"), col("rank"), col("prefix_len"))
+    val grams = allowed.fold(grams0)(a => grams0.join(broadcast(a), "g"))
       .repartition(col("g"))
     val prefixes = grams.filter(col("rank") <= col("prefix_len"))
       .select(col("id").as("id_a"), col("g"))
@@ -203,6 +218,178 @@ object Dedup {
        |WHERE containment >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  // --------------------------- containment admission control (df screen)
+
+  /** Write-once set-gram document-frequency artifact over the CANONICAL
+    * corpus — the containment screen's stats relation (gram-space-bounded
+    * ≤ 37³ rows, broadcast-sized forever). NOT the fuzzy `graft_gramdf`
+    * (multiset trigram occurrences over the raw corpus): containment's
+    * candidate count is per-DOCUMENT set df over canonical rows, and the
+    * prediction below is exact only against this relation. NO append
+    * face: canonicalization (min id per clean_value) is corpus-global —
+    * a new batch can displace an existing canonical row — so an ingest
+    * increment is staleness and `ensure` rebuilds (the docmeta
+    * precedent). */
+  val ContainmentDfVersion = 1
+
+  private[graft] def ensureContainmentDf(spark: SparkSession, dir: String,
+                                         version: Int = ContainmentDfVersion): String =
+    graft.Materialize.ensure(spark, "graft_ctngramdf", dir, version) { p =>
+      canonGrams(spark, dir)
+        .select(explode(col("grams")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+
+  /** Candidate-volume PREDICTION for the containment self-join — the
+    * admission-control face `fuzzy_batch_cost` pioneered, over the
+    * asymmetric posting shape: candidate rows = Σ over prefix rows (a,g)
+    * of df(g), with df folded from the broadcast stats artifact. The sum
+    * is not a heuristic — it EQUALS the row count the candidate join
+    * emits before the a≠b filter (each prefix row matches exactly df(g)
+    * posting rows; OperatorParitySpec pins equality against the actual
+    * join at sf0.001) — but costs one narrow pass over the corpus grams
+    * instead of materializing the join, which on a boilerplate-hot
+    * corpus is the difference between linear and quadratic. */
+  def containmentCandidateCost(spark: SparkSession, dir: String,
+                               threshold: Double): DataFrame = {
+    val dfRel = spark.read.parquet(ensureContainmentDf(spark, dir))
+    val c = canonGrams(spark, dir)
+    val withDf = c.select(col("id"), explode(col("grams")).as("g"))
+      .join(broadcast(dfRel), "g")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+      .withColumn("setsize", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .withColumn("prefix_len",
+        col("setsize") - ceil(lit(threshold) * col("setsize") - 1e-9) + 1)
+    withDf.filter(col("rank") <= col("prefix_len"))
+      .agg(coalesce(sum(col("df")), lit(0L)).cast("long").as("candidate_rows"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).cast("long").as("n_docs"))))
+  }
+
+  def containmentCandidateCostOracle(threshold: Double): String = {
+    val sset = OracleSql.trigramSet("clean_value")
+    s"""WITH corpus AS (${FuzzySearch.corpusCte}),
+       |canon AS (SELECT clean_value, min(id) AS id FROM corpus GROUP BY clean_value),
+       |g AS (SELECT id, $sset AS grams FROM canon WHERE len($sset) > 0),
+       |e AS (SELECT id, unnest(grams) AS g FROM g),
+       |dfr AS (SELECT g, count(*)::BIGINT AS df FROM e GROUP BY g),
+       |ranked AS (SELECT e.id, e.g, dfr.df,
+       |             row_number() OVER (PARTITION BY e.id ORDER BY dfr.df, e.g) AS rank,
+       |             count(*) OVER (PARTITION BY e.id) AS setsize
+       |           FROM e JOIN dfr USING (g))
+       |SELECT coalesce(sum(df), 0)::BIGINT AS candidate_rows,
+       |       (SELECT count(*) FROM g)::BIGINT AS n_docs
+       |FROM ranked
+       |WHERE rank <= setsize - ceil($threshold * setsize - 1e-9) + 1""".stripMargin
+  }
+
+  /** The df-capped containment screen — the stop-gram cut on the
+    * asymmetric join: grams held by more than n/`dfCapInverse` of the
+    * canonical docs are dropped from BOTH candidate sides (exact-integer
+    * compare df·inv ≤ n, the spanDedupCapped convention), so the
+    * candidate volume is bounded by cap·Σ prefix_a regardless of how
+    * boilerplate-hot the corpus is. Results CHANGE by design — pairs
+    * reachable only through hot grams stop surfacing — so the variant
+    * has its own mirroring oracle and OperatorParitySpec pins that the
+    * cut bites on a crafted hot corpus. */
+  def containmentPairsCapped(spark: SparkSession, dir: String,
+                             threshold: Double, dfCapInverse: Long): DataFrame =
+    cappedWithDf(canonGrams(spark, dir), threshold, dfCapInverse,
+      spark.read.parquet(ensureContainmentDf(spark, dir)))
+
+  /** Spec face: the capped screen over an explicit (id, grams) relation
+    * with the df relation derived inline — what lets OperatorParitySpec
+    * pin the cut's bite on a crafted hot corpus without an artifact. */
+  private[graft] def containmentCappedOver(c: DataFrame, threshold: Double,
+                                           dfCapInverse: Long): DataFrame =
+    cappedWithDf(c, threshold, dfCapInverse,
+      c.select(explode(col("grams")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("df")))
+
+  private def cappedWithDf(c: DataFrame, threshold: Double, dfCapInverse: Long,
+                           dfRel: DataFrame): DataFrame = {
+    val n = broadcast(c.agg(count(lit(1)).as("n")))
+    val allowed = dfRel.crossJoin(n)
+      .filter(col("df") * dfCapInverse <= col("n"))
+      .select(col("g"))
+    containmentCore(c, threshold, Some(allowed))
+  }
+
+  def containmentPairsCappedOracle(threshold: Double,
+                                   dfCapInverse: Long): String = {
+    val sset = OracleSql.trigramSet("clean_value")
+    s"""WITH corpus AS (${FuzzySearch.corpusCte}),
+       |canon AS (SELECT clean_value, min(id) AS id FROM corpus GROUP BY clean_value),
+       |g AS (SELECT id, $sset AS grams FROM canon WHERE len($sset) > 0),
+       |e AS (SELECT id, unnest(grams) AS g FROM g),
+       |dfr AS (SELECT g, count(*)::BIGINT AS df FROM e GROUP BY g),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM g),
+       |allowed AS (SELECT g FROM dfr, nn WHERE df * $dfCapInverse <= nn.n),
+       |ranked AS (SELECT e.id, e.g, dfr.df,
+       |             row_number() OVER (PARTITION BY e.id ORDER BY dfr.df, e.g) AS rank,
+       |             count(*) OVER (PARTITION BY e.id) AS setsize
+       |           FROM e JOIN dfr USING (g)),
+       |pre AS (SELECT id, g FROM ranked
+       |        WHERE rank <= setsize - ceil($threshold * setsize - 1e-9) + 1),
+       |prea AS (SELECT pre.id, pre.g FROM pre JOIN allowed USING (g)),
+       |posta AS (SELECT e.id, e.g FROM e JOIN allowed USING (g)),
+       |cand AS (SELECT DISTINCT prea.id AS id_a, posta.id AS id_b
+       |         FROM prea JOIN posta USING (g) WHERE prea.id <> posta.id),
+       |v AS (SELECT c.id_a, c.id_b,
+       |        round(len(list_intersect(a.grams, b.grams))::DOUBLE
+       |              / len(a.grams)::DOUBLE, 6) AS containment
+       |      FROM cand c JOIN g a ON a.id = c.id_a JOIN g b ON b.id = c.id_b)
+       |SELECT id_a, id_b, containment FROM v
+       |WHERE containment >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Candidate-row budget for [[containmentPairsAuto]] — the same
+    * measured curve as `fuzzy_batch_auto`'s (SCALE.md
+    * §admission-control: candidate verify ≈ 0.33 µs/row + fixed, the
+    * capped screen nearly flat), so the same 8 M crossover keeps the
+    * EXACT uncut semantics wherever it is not measurably the slower
+    * plan. */
+  val ContainmentCandidateBudget: Long = 8L * 1000 * 1000
+
+  /** Memo for the dispatch prediction — `.head()` is a construction-time
+    * action (the batchFuzzySearchAuto precedent); keyed by the input and
+    * stats-artifact fingerprints so an ingest or rebuild re-predicts. */
+  private val ctCostMemo =
+    new scala.collection.concurrent.TrieMap[(String, String, String), Long]
+
+  /** The dispatching containment entry — admission control WIRED: run
+    * the bounded prediction, then choose the plan. Below budget: the
+    * uncut prefix-filtered join (exact semantics). Above: the df-capped
+    * screen (the documented recall cut a boilerplate-dominated corpus
+    * forces). The oracle twin dispatches the same way in SQL, so the
+    * gate checks the dispatch itself, not just the branches. */
+  def containmentPairsAuto(spark: SparkSession, dir: String, threshold: Double,
+                           dfCapInverse: Long,
+                           budget: Long = ContainmentCandidateBudget): DataFrame = {
+    val dp = ensureContainmentDf(spark, dir)
+    val predicted = ctCostMemo.getOrElseUpdate(
+      (dir, graft.Materialize.fingerprint(spark, dir),
+        graft.Materialize.fingerprint(spark, dp)),
+      containmentCandidateCost(spark, dir, threshold).head().getLong(0))
+    if (predicted <= budget) containmentPairs(spark, dir, threshold)
+    else containmentPairsCapped(spark, dir, threshold, dfCapInverse)
+  }
+
+  def containmentPairsAutoOracle(threshold: Double, dfCapInverse: Long,
+                                 budget: Long = ContainmentCandidateBudget): String =
+    s"""WITH cost AS (${containmentCandidateCostOracle(threshold)})
+       |SELECT id_a, id_b, containment
+       |FROM (
+       |  SELECT * FROM (${containmentPairsOracle(threshold)}) u
+       |  WHERE (SELECT candidate_rows FROM cost) <= $budget
+       |  UNION ALL
+       |  SELECT * FROM (${containmentPairsCappedOracle(threshold, dfCapInverse)}) s
+       |  WHERE (SELECT candidate_rows FROM cost) > $budget
+       |) d
+       |ORDER BY id_a, id_b""".stripMargin
 
   // ------------------------------------------------------------- MinHash
 
@@ -1084,8 +1271,11 @@ object Dedup {
     * Σ_fp df(fp)², so a boilerplate-hot fingerprint escalates exactly
     * like a hot span window — the spanDedupCapped exact-integer df-cap
     * applies verbatim (SCALE.md). */
-  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sel = TextAnalysis.winnowSelect(Tables.documents(spark, dir))
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsOver(Tables.documents(spark, dir))
+
+  private[graft] def winnowPairsOver(d: DataFrame): DataFrame = {
+    val sel = TextAnalysis.winnowSelect(d)
       .select(col("doc_id"), col("fp")).distinct()
       .repartition(col("fp"))
     val a = sel.select(col("doc_id").as("doc_a"), col("fp"))
@@ -1103,6 +1293,58 @@ object Dedup {
        |sf AS (SELECT DISTINCT doc_id, fp FROM sel)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
        |FROM sf a JOIN sf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING count(*) >= $WinnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** OPT-IN fingerprint df-cap for the winnow pair join —
+    * [[spanDedupCapped]]'s exact-integer cut applied verbatim on the
+    * fingerprint key (the escalation SCALE.md §winnowing names for
+    * boilerplate corpora): the pair volume is Σ_fp df(fp)², so one
+    * fingerprint selected by a large corpus fraction (a shared 7-token
+    * header) explodes the self-join quadratically; fingerprints held by
+    * more than total/`dfCapInverse` of the selections are dropped from
+    * pairing entirely. Counts come from a map-side-combinable hash
+    * aggregate (never a per-key window), and the hot key's selection
+    * list never enters the join. Results CHANGE by design (boilerplate
+    * overlap stops surfacing — exactly the overlap a dedup pass should
+    * not act on): own oracle applying the same cut, and
+    * OperatorParitySpec pins that the cut bites on a crafted hot
+    * fingerprint while non-hot pairs survive unchanged. */
+  def winnowPairsCapped(spark: SparkSession, dir: String,
+                        dfCapInverse: Long): DataFrame =
+    winnowPairsCappedOver(Tables.documents(spark, dir), dfCapInverse)
+
+  private[graft] def winnowPairsCappedOver(d: DataFrame,
+                                           dfCapInverse: Long): DataFrame = {
+    val sel = TextAnalysis.winnowSelect(d)
+      .select(col("doc_id"), col("fp")).distinct()
+    val fc = sel.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+    val total = fc.agg(sum(col("c")).as("t"))
+    val okFp = fc.crossJoin(broadcast(total))
+      .filter(col("c") >= 2 && col("c") * dfCapInverse <= col("t"))
+      .select(col("fp"))
+    val s = sel.join(okFp, "fp").repartition(col("fp"))
+    val a = s.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = s.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def winnowPairsCappedOracle(dfCapInverse: Long): String =
+    s"""WITH ${TextAnalysis.winnowSelectSql},
+       |sf AS (SELECT DISTINCT doc_id, fp FROM sel),
+       |fc AS (SELECT fp, count(*)::BIGINT AS c FROM sf GROUP BY fp),
+       |tt AS (SELECT sum(c)::BIGINT AS t FROM fc),
+       |ok AS (SELECT fp FROM fc CROSS JOIN tt
+       |       WHERE c >= 2 AND c * $dfCapInverse <= tt.t),
+       |sk AS (SELECT sf.doc_id, sf.fp FROM sf JOIN ok USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+       |FROM sk a JOIN sk b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id
        |HAVING count(*) >= $WinnowMinShared
        |ORDER BY doc_a, doc_b""".stripMargin

@@ -203,6 +203,96 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j < 0.55, s"jaccard $j should miss the inclusion pair")
   }
 
+  test("containment cost prediction equals the raw candidate join row count") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val t = SparkEntry.P.ContainThreshold
+    val predicted = Dedup.containmentCandidateCost(spark, dir, t)
+      .head().getLong(0)
+    // independent recount: spell out the prefix rule and run the ACTUAL
+    // candidate join (pre a!=b filter, pre distinct) — the prediction's
+    // claim is exact row-count equality, not an estimate
+    val c = Dedup.canonGrams(spark, dir)
+    val e = c.select(col("id"), explode(col("grams")).as("g"))
+    val dfRel = e.groupBy("g").agg(count(lit(1)).as("df"))
+    val ranked = e.join(dfRel, "g")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+      .withColumn("setsize", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .withColumn("prefix_len",
+        col("setsize") - ceil(lit(t) * col("setsize") - 1e-9) + 1)
+    val joined = ranked.filter(col("rank") <= col("prefix_len"))
+      .select(col("id").as("id_a"), col("g"))
+      .join(e.select(col("id").as("id_b"), col("g")), Seq("g"))
+      .count()
+    assert(predicted == joined, s"predicted $predicted != join rows $joined")
+    assert(predicted > 0, "cost pin is vacuous")
+  }
+
+  test("containment df-cap bites on a boilerplate-hot corpus; rare pairs survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size}
+    import graft.functions.TextFunctions.charNgramSet
+    // docs 1-8 share hot boilerplate grams (df 8-10 of n=10); docs 9-10
+    // share only rare grams (df=2). Pair (1,2) is containment 1.0 but
+    // reachable ONLY through hot grams; pair (9,10) is containment 1.0
+    // through rare grams.
+    val hot = "common street zone"
+    val rows = Seq((1L, hot), (2L, s"$hot extra")) ++
+      (3L to 8L).map(i => (i, s"$hot distinct$i")) ++
+      Seq((9L, "qqqq wwww"), (10L, "qqqq wwww zzzz"))
+    val c = rows.toDF("id", "clean_value")
+      .select(col("id"), charNgramSet(col("clean_value"), 3).as("grams"))
+      .filter(size(col("grams")) > 0)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncut = pairsOf(Dedup.containmentPairsOver(c, 0.8))
+    val capped = pairsOf(Dedup.containmentCappedOver(c, 0.8, dfCapInverse = 2L))
+    assert(uncut.contains((1L, 2L)) && uncut.contains((9L, 10L)), uncut.toString)
+    assert(!capped.contains((1L, 2L)),
+      s"hot-gram pair should be cut: $capped")
+    assert(capped.contains((9L, 10L)),
+      s"rare-gram pair must survive the cap: $capped")
+  }
+
+  test("containment auto dispatch selects by predicted volume") {
+    import org.apache.spark.sql.functions.col
+    val t = SparkEntry.P.ContainThreshold
+    val inv = SparkEntry.P.ContainCapInv
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // default budget: the sf0.001 prediction sits far below 8M — the
+    // dispatcher must serve the EXACT uncut plan
+    assert(rows(Dedup.containmentPairsAuto(spark, dir, t, inv)) ==
+      rows(Dedup.containmentPairs(spark, dir, t)))
+    // budget 0: any corpus over-budget — must serve the capped screen
+    assert(rows(Dedup.containmentPairsAuto(spark, dir, t, inv, budget = 0L)) ==
+      rows(Dedup.containmentPairsCapped(spark, dir, t, inv)))
+  }
+
+  test("winnow fingerprint df-cap drops boilerplate-only pairs, keeps rare overlap") {
+    import spark.implicits._
+    // docs 1-6 share a 16-token boilerplate header (its fingerprints have
+    // df=6); docs 7-8 share a 16-token rare run (fp df=2). Under the cap
+    // the boilerplate pairs vanish; the rare pair survives untouched.
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi"
+    val rare = "unique shared run of sixteen straight tokens that only " +
+      "these two documents carry verbatim here"
+    val docs = (1L to 6L).map(i => (i, s"$boiler filler$i")) ++
+      Seq((7L, s"$rare one two three"), (8L, s"four five six $rare"))
+    val d = docs.toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncut = pairsOf(Dedup.winnowPairsOver(d))
+    val capped = pairsOf(Dedup.winnowPairsCappedOver(d, dfCapInverse = 10L))
+    assert(uncut.contains((7L, 8L)) && uncut.contains((1L, 2L)), uncut.toString)
+    assert(capped.contains((7L, 8L)),
+      s"rare-run pair must survive the cap: $capped")
+    assert(!capped.exists(p => p._1 <= 6L && p._2 <= 6L),
+      s"boilerplate pairs should be cut: $capped")
+  }
+
   test("ladder hybrid dense pool overlaps the brute pool at the measured floor") {
     import graft.operators.Retrieval
     import org.apache.spark.sql.functions.col
