@@ -47,12 +47,21 @@ object ServingScaleProbe {
     // late round 9: the trained-LM fluency filter's serving face
     // (kind-pruned graft_lmmodel read + bigram-key scoring join)
     "lm_score_indexed",
-    // this session: the minseg tokenizer's served encode (per-word DP
+    // round 9: the minseg tokenizer's served encode (per-word DP
     // table join), plus the two winnowing rows — NOT serving reads but
     // batch ops measured here because the identical-replica corpus is
     // their df-hot WORST CASE (every fingerprint 10× hot, pair buckets
     // ×45) — the honest upper bound for the df-cap escalation note
-    "tok_minseg_indexed", "text_winnow", "dedup_winnow_pairs")
+    "tok_minseg_indexed", "text_winnow", "dedup_winnow_pairs",
+    // round 10: the full hybrid ladder (coarse groups → PQ shortlist →
+    // int8 refine, zero float-vector scans), the composed e2e DAG's
+    // manifest read (ONE final-artifact scan; build = the whole
+    // six-artifact chain incl. docmeta + LM model — the ingest cost),
+    // the capped winnow join (the df-cap escalation at its clone-heavy
+    // worst case), and the containment auto dispatch (prediction +
+    // chosen branch)
+    "search_hybrid_ladder", "corpus_e2e", "dedup_winnow_capped",
+    "dedup_containment_auto")
 
   private[graft] def replicate(spark: SparkSession, src: String, k: Int, dest: String): Unit = {
     // dest == src would overwrite the source tables mid-read; the id-space

@@ -358,6 +358,8 @@ object SparkEntry {
       Dedup.containmentPairsCapped(s, d, P.ContainThreshold, P.ContainCapInv)),
     "dedup_containment_auto" -> ((s, d) =>
       Dedup.containmentPairsAuto(s, d, P.ContainThreshold, P.ContainCapInv)),
+    "dedup_containment_screen" -> ((s, d) =>
+      Dedup.containmentScreen(s, d, P.ContainThreshold)),
     // trained quality classifier: full-batch GD (8 one-aggregate passes
     // over the materialized feature relation, quantized gradients, no
     // driver loop) recovering a deterministic teacher labeling
@@ -664,6 +666,8 @@ object SparkEntry {
       Dedup.containmentPairsCappedOracle(P.ContainThreshold, P.ContainCapInv),
     "dedup_containment_auto" ->
       Dedup.containmentPairsAutoOracle(P.ContainThreshold, P.ContainCapInv),
+    "dedup_containment_screen" ->
+      Dedup.containmentScreenOracle(P.ContainThreshold),
     "quality_lr_train" -> QualityModel.lrTrainOracle,
     "quality_lr_score" -> QualityModel.lrScoreOracle,
     "quality_lr_indexed" -> QualityModel.lrScoreOracle,

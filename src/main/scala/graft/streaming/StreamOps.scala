@@ -222,6 +222,30 @@ object StreamOps {
       }
       .start()
 
+  // --------------------------------- streaming containment ingest screen
+
+  /** Streaming face of the batch-vs-corpus containment screen: a STREAM
+    * of arriving records (`id`, `grams`) checked for near-containment
+    * inside any STANDING canonical record — the asymmetric ingest gate
+    * next to dedupScreenStream ("is this record a quote/subset of
+    * something we already hold"). Each micro-batch runs the exact
+    * `Dedup.containmentScreenOver` plan (one-sided prefix probe into the
+    * corpus posting relation, exact verify). A record's result depends
+    * only on its own grams vs the static corpus, so per-micro-batch
+    * evaluation is exact under any chunking (StreamingSpec pins
+    * stream-total == the batch screen on the same split across
+    * micro-batches). `corpus` is BY-NAME — re-evaluated per micro-batch,
+    * so a corpus append is visible on the next batch when the caller
+    * passes a fresh read (see fuzzyStream). */
+  def containmentScreenStream(records: DataFrame, corpus: => DataFrame,
+                              threshold: Double)
+                             (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Dedup.containmentScreenOver(batch, corpus, threshold), batchId)
+      }
+      .start()
+
   // --------------------------------------------- streaming keyword search
 
   /** Streaming face of batch BM25: a STREAM of search requests (`qid`,

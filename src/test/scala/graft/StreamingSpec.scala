@@ -450,6 +450,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       want.sortBy(_.mkString("|")).toList)
   }
 
+  test("streaming containment screen matches the batch screen on the same split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val t = SparkEntry.P.ContainThreshold
+    val canon = Dedup.canonGrams(spark, dir)
+    val arriving = canon
+      .filter(pmod(col("id"), lit(Dedup.IncMod)) === Dedup.IncRem)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val stream = MemoryStream[(Long, Seq[String])]
+    val sdf = stream.toDF().toDF("id", "grams")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = StreamOps.containmentScreenStream(sdf,
+      Dedup.canonGrams(spark, dir)
+        .filter(pmod(col("id"), lit(Dedup.IncMod)) =!= Dedup.IncRem),
+      t) { (out, _) => buf ++= out.collect().map(_.toSeq) }
+    try {
+      // a record's result depends only on itself vs the standing corpus —
+      // chunking must not change the union of results
+      val (a, b) = arriving.splitAt(arriving.length / 2)
+      stream.addData(a.toSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = Dedup.containmentScreen(spark, dir, t).collect().map(_.toSeq)
+    assert(want.nonEmpty, "no screen hit at sf0.001 — the stream pin is vacuous")
+    assert(buf.sortBy(_.mkString("|")).toList ==
+      want.sortBy(_.mkString("|")).toList)
+  }
+
   test("streaming keyword search matches batch BM25 on the same request set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
