@@ -465,6 +465,7 @@ object SparkEntry {
     // manifest, each stage a chained materialized artifact reading ONLY
     // its upstream stage; serves as one scan of the final layout
     "corpus_e2e" -> ((s, d) => Pipeline.corpusE2e(s, d)),
+    "corpus_e2e_read" -> ((s, d) => Pipeline.corpusE2eRead(s, d)),
     // --- multimodal binary columns ---
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
     // frame-sampler plumbing: stride selection + per-frame slicing, one
@@ -564,6 +565,7 @@ object SparkEntry {
     "corpus_take_budget" -> Pipeline.corpusTakeBudgetOracle,
     "corpus_shuffle_read" -> Pipeline.corpusShuffleReadOracle,
     "corpus_e2e" -> Pipeline.corpusE2eOracle,
+    "corpus_e2e_read" -> Pipeline.corpusE2eReadOracle,
     "geo_radius_search" -> RadiusSearch.radiusSearchOracle(P.RadiusProbe, P.RadiusMiles, countryExact = true),
     "geo_radius_batch" -> RadiusSearch.radiusSearchBatchOracle(P.RadiusMiles),
     "geo_radius_batch_all" -> RadiusSearch.radiusSearchBatchAllOracle(P.RadiusMiles),

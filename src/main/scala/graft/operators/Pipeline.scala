@@ -999,16 +999,17 @@ object Pipeline {
     * per-shard manifest rollup. start_off equals pack_id·budget+pack_off
     * exactly, so the pack checksum matches the Spark spelling term by
     * term; copies are counted with multiplicity in every aggregate. */
-  def corpusE2eOracle: String = {
+  /** Shared CTE chain through the per-copy relation `copies`(doc_id,
+    * n_tok, content_hash, start_off, copy) — the whole v3 composition up
+    * to the shard assignment, consumed by the manifest oracle and the
+    * shard-read oracle. */
+  private def e2eChainCtes: String = {
     val sb = OracleSql.polyHash(s"('$SplitSalt' || doc_id::VARCHAR)")
     val h = OracleSql.polyHash(s"('$ShuffleSalt' || doc_id::VARCHAR)")
     val ch = OracleSql.polyHash("d.text")
     val toks = OracleSql.tokens("lower(d.text)")
     val coin = OracleSql.polyHash(s"('$EpochSalt' || doc_id::VARCHAR)")
-    val hc = OracleSql.polyHash(
-      s"('$ShuffleSalt' || doc_id::VARCHAR || ':' || copy::VARCHAR)")
-    val P = graft.functions.TextFunctions.HashMod
-    s"""WITH dp AS MATERIALIZED (${graft.operators.Dedup.dedupPipelineOracle}),
+    s"""dp AS MATERIALIZED (${graft.operators.Dedup.dedupPipelineOracle}),
        |${LmQuality.lmScoreCtes},
        |cleanx AS MATERIALIZED (
        |  SELECT d.doc_id, d.source,
@@ -1043,11 +1044,53 @@ object Pipeline {
        |          FROM packed p JOIN ep_plan ep USING (source)),
        |copies AS (SELECT doc_id, n_tok, content_hash, start_off,
        |                  unnest(range(n_copies)) AS copy
-       |           FROM sched WHERE n_copies > 0)
+       |           FROM sched WHERE n_copies > 0)""".stripMargin
+  }
+
+  def corpusE2eOracle: String = {
+    val hc = OracleSql.polyHash(
+      s"('$ShuffleSalt' || doc_id::VARCHAR || ':' || copy::VARCHAR)")
+    val P = graft.functions.TextFunctions.HashMod
+    s"""WITH ${e2eChainCtes}
        |SELECT (($hc) % $NumShards)::BIGINT AS shard,
        |       count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
        |       (sum(content_hash) % $P)::BIGINT AS checksum,
        |       (sum(start_off % $P) % $P)::BIGINT AS pack_checksum
        |FROM copies GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
+  /** The training-reader side of the composed DAG: ONE shard of the
+    * final epoch-scheduled layout in position order, via directory-level
+    * partition pruning (the corpusShuffleRead design on the e2e chain's
+    * real artifact — PlanShapeSpec asserts the partition filter). This
+    * is what a trainer's data loader actually consumes: (pos, doc_id,
+    * copy, pack_id, pack_off) — copy k of a doc re-reads the same pack
+    * chunk at its own scheduled position. */
+  def corpusE2eRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(ensureCorpusE2e(spark, dir))
+      .filter(col("shard") === ShardProbe)
+      // partition-column type inference narrows shard to INT; restore
+      // the oracle's BIGINT
+      .select(col("shard").cast("long").as("shard"), col("pos"),
+        col("doc_id"), col("copy"), col("pack_id"), col("pack_off"))
+      .orderBy(col("pos"))
+
+  /** pack_id/pack_off recompute from start_off (they are its div/mod by
+    * construction — the same identity the manifest's pack checksum
+    * already rides). */
+  def corpusE2eReadOracle: String = {
+    val hc = OracleSql.polyHash(
+      s"('$ShuffleSalt' || doc_id::VARCHAR || ':' || copy::VARCHAR)")
+    s"""WITH ${e2eChainCtes},
+       |ck AS (SELECT doc_id, copy, start_off, ($hc) AS hc FROM copies),
+       |lay AS (SELECT (hc % $NumShards)::BIGINT AS shard,
+       |          row_number() OVER (PARTITION BY hc % $NumShards
+       |                             ORDER BY hc, doc_id, copy)::BIGINT AS pos,
+       |          doc_id, copy,
+       |          (start_off // $PackBudget)::BIGINT AS pack_id,
+       |          (start_off % $PackBudget)::BIGINT AS pack_off
+       |        FROM ck)
+       |SELECT shard, pos, doc_id, copy, pack_id, pack_off
+       |FROM lay WHERE shard = $ShardProbe ORDER BY pos""".stripMargin
   }
 }

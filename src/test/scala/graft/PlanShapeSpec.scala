@@ -291,6 +291,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("PartitionFilters: \\[[^\\]]*shard[^\\]]*= 3".r.findFirstIn(p).isDefined, p)
   }
 
+  test("e2e shard read is partition-pruned to the probed shard directory") {
+    val p = finalPlan("corpus_e2e_read")
+    assert(p.contains("PartitionFilters") && p.contains("shard"), p)
+    assert("PartitionFilters: \\[[^\\]]*shard[^\\]]*= 3".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("documents.parquet"), p)
+  }
+
   test("capped winnow derives the winnow selection once (ReusedExchange)") {
     val p = finalPlan("dedup_winnow_capped")
     // the fp-count path and the pair-join sides must share ONE exchange
