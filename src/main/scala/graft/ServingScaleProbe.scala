@@ -61,7 +61,10 @@ object ServingScaleProbe {
     // worst case), and the containment auto dispatch (prediction +
     // chosen branch)
     "search_hybrid_ladder", "corpus_e2e", "dedup_winnow_capped",
-    "dedup_containment_auto")
+    "dedup_containment_auto",
+    // the trainer's shard read (partition-pruned layout scan) and the
+    // asymmetric ingest screen (batch-vs-corpus prefix probe)
+    "corpus_e2e_read", "dedup_containment_screen")
 
   private[graft] def replicate(spark: SparkSession, src: String, k: Int, dest: String): Unit = {
     // dest == src would overwrite the source tables mid-read; the id-space
