@@ -545,6 +545,31 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sel2.count() > 0)
   }
 
+  test("winnowing positions survive a >2^20-token document (packed-key headroom)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Regression pin for the 2^20 position base: a ~1.3M-token doc put
+    // positions past the old M, silently corrupting the window argmin
+    // (M-1-pos went negative) and the recovered pos/fp. With M = 2^32
+    // the whole range packs exactly — selections must cover the tail
+    // with in-range, strictly increasing positions.
+    val n = 1300000
+    val text = (0 until n).map(i => s"t${i % 977}x${i % 31}").mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val W = graft.operators.TextAnalysis.WinnowW
+    val K = graft.operators.TextAnalysis.WinnowK
+    val sel = graft.operators.TextAnalysis.winnowSelect(d)
+      .select($"pos").collect().map(_.getLong(0)).sorted
+    assert(sel.nonEmpty && sel.last > (1L << 20),
+      s"no selection past the old 2^20 base (max ${sel.lastOption})")
+    assert(sel.head >= 0 && sel.last <= (n - K).toLong,
+      s"out-of-range recovered position: ${sel.head}..${sel.last}")
+    // coverage: no gap wider than W anywhere, INCLUDING past 2^20 — the
+    // old base made exactly this region's argmin garbage
+    val maxGap = sel.sliding(2).collect { case Array(a, b) => b - a }.max
+    assert(maxGap <= W, s"coverage hole of $maxGap past the packing range")
+  }
+
   test("minseg encodeIndexed (materialized per-word table) == encode (inline)") {
     import graft.operators.Unigram
     val inline = Unigram.encode(spark, dir).collect()
