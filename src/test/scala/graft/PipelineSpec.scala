@@ -277,6 +277,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"every dirty doc is 100% dirty — grading shows nothing: $dirty")
   }
 
+  test("e2e chain staleness is transitive: a data re-publish rebuilds through to the layout") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("e2e_stale").toFile.getAbsolutePath
+    val tmp2 = Files.createTempDirectory("e2e_fresh").toFile.getAbsolutePath
+    val srcDocs = spark.read.parquet(s"$dir/documents.parquet")
+    srcDocs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def manifest(d: String) =
+      Pipeline.corpusE2e(spark, d).collect().map(_.toSeq).toSeq
+    val m1 = manifest(tmp)
+    // re-publish: the corpus replaced WHOLESALE by its first half — every
+    // chained artifact (docmeta → clean → lmcut → budget → pack → shards)
+    // must go stale in turn; serving any intermediate stage stale would
+    // leave the manifest at m1 or diverge from a fresh build
+    val half = srcDocs.filter(col("doc_id") < 250)
+    half.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m2 = manifest(tmp)
+    assert(m1 != m2, "layout served stale after a data re-publish")
+    // the transitively rebuilt chain must equal a from-scratch build of
+    // the same re-published corpus in a virgin directory
+    half.write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    assert(m2 == manifest(tmp2),
+      "rebuilt chain diverges from a fresh build — some stage served stale")
+  }
+
   test("corpus_e2e composition invariants: lm cut, budget maximality, epoch copies, order-free checksums") {
     import graft.operators.CorpusPrep
     import graft.functions.TextFunctions.polyHash
