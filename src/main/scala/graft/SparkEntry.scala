@@ -56,7 +56,11 @@ object SparkEntry {
     val ContainThreshold = 0.8
     /** Containment df-cap: grams held by > n/8 of the 64 canonical docs
       * (df > 8; the hottest sits at 16) are dropped from candidate
-      * generation — bites at sf0.01 so the capped row is non-vacuous. */
+      * generation. At this synthetic corpus the surviving PAIRS are
+      * unchanged (every true pair is also reachable through rare grams)
+      * — the gate row checks the capped candidate path's arithmetic via
+      * its own mirroring oracle, and the cut's bite is pinned on a
+      * crafted hot corpus in OperatorParitySpec. */
     val ContainCapInv = 8L
     /** Winnow fingerprint df-cap: fps covering > 1/3000 of all selections
       * (~10k at sf0.01 → df > 3) stop pairing — the df-4 boilerplate keys
