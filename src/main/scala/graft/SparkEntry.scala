@@ -475,6 +475,7 @@ object SparkEntry {
     // frame-sampler plumbing: stride selection + per-frame slicing, one
     // row per sampled video frame
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "mm_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, d)),
     // resize plumbing: aspect-preserving dim math + strided resample sig
     "mm_resize" -> ((s, d) => Multimodal.resizeStats(s, d)),
     // audio PCM-downsample plumbing: integer decimation stride + strided
@@ -687,6 +688,7 @@ object SparkEntry {
     "text_pii_mask" -> TextAnalysis.piiMaskOracle,
     "mm_decode_stats" -> Multimodal.decodeStatsOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
+    "mm_frame_dedup" -> Multimodal.frameDedupOracle,
     "mm_resize" -> Multimodal.resizeStatsOracle,
     "mm_audio_resample" -> Multimodal.audioResampleOracle,
     "ev_tumbling" -> EventOps.tumblingOracle,

@@ -156,6 +156,47 @@ object Multimodal {
        |FROM f
        |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Cross-video duplicate-frame detection — the dedup family applied to
+    * the multimodal column (the standard intro-card / black-frame screen
+    * of video pipelines): exact dedup on sampled frame CONTENT. One hash
+    * aggregate keyed by the frame bytes over the [[frameSample]]
+    * relation; groups of ≥ 2 surface with their canonical (min media,
+    * min frame) occurrence — the dedup_exact shape, so at 100 TB this is
+    * one map-side-combinable exchange on the frame key, never a pairwise
+    * join. A real codec would key on a perceptual hash instead of raw
+    * bytes; the plan is identical (the MediaDecoder boundary note). */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame =
+    frameSample(spark, dir)
+      .groupBy(col("frame_hex"))
+      .agg(count(lit(1)).as("n_dups"),
+        min(struct(col("media_id"), col("frame_idx"))).as("c"))
+      .filter(col("n_dups") >= 2)
+      .select(col("frame_hex"), col("n_dups"),
+        col("c.media_id").as("canonical_media_id"),
+        col("c.frame_idx").as("canonical_frame_idx"))
+      .orderBy(col("frame_hex"))
+
+  val frameDedupOracle: String =
+    s"""WITH v AS (SELECT doc_id AS media_id, text,
+       |                  (length(text) + ${FrameBytes - 1}) // $FrameBytes AS nchunks
+       |           FROM documents WHERE doc_id % 3 = 2),
+       |f AS (SELECT media_id, text,
+       |             unnest(list_filter(list_transform(range(0, 4),
+       |                    s -> s * greatest(nchunks // 4, 1)), i -> i < nchunks)) AS frame_idx
+       |      FROM v),
+       |s AS (SELECT media_id, frame_idx,
+       |        upper(hex(encode(substring(text, (frame_idx * $FrameBytes + 1)::INT, $FrameBytes)))) AS frame_hex
+       |      FROM f),
+       |g AS (SELECT frame_hex, media_id, frame_idx,
+       |        count(*) OVER (PARTITION BY frame_hex) AS n_dups,
+       |        row_number() OVER (PARTITION BY frame_hex
+       |                           ORDER BY media_id, frame_idx) AS rn
+       |      FROM s)
+       |SELECT frame_hex, n_dups::BIGINT AS n_dups,
+       |       media_id AS canonical_media_id, frame_idx AS canonical_frame_idx
+       |FROM g WHERE rn = 1 AND n_dups >= 2
+       |ORDER BY frame_hex""".stripMargin
+
   /** Resize target box (longest side). */
   val ResizeBox = 64
   /** Bytes in the strided resample signature. */
