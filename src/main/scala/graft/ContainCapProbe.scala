@@ -23,6 +23,10 @@ object ContainCapProbe {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(5000)
+    // the record spelling uses the id's low 16 bits — beyond 2^16 ids
+    // wrap to duplicate strings and the "N distinct records" premise
+    // (and therefore the printed numbers) silently breaks
+    require(n <= 65536, s"n=$n exceeds the 16-bit distinct-record space")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,18 +46,13 @@ object ContainCapProbe {
       .cache()
     c.count()
 
-    // the shipped cost model's sum, spelled over the crafted relation
-    val e = c.select(col("id"), explode(col("grams")).as("g"))
-    val dfRel = e.groupBy("g").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-    val ranked = e.join(broadcast(dfRel), "g")
-      .withColumn("rank", row_number().over(
-        w.partitionBy(col("id")).orderBy(col("df"), col("g"))))
-      .withColumn("setsize", count(lit(1)).over(w.partitionBy(col("id"))))
-      .withColumn("prefix_len",
-        col("setsize") - ceil(lit(Threshold) * col("setsize") - 1e-9) + 1)
-    val predicted = ranked.filter(col("rank") <= col("prefix_len"))
-      .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
+    // the SHIPPED cost model, via the same core the dispatcher runs —
+    // the probe cannot drift from the prediction it claims to validate
+    val dfRel = c.select(explode(col("grams")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val predicted = graft.operators.Dedup
+      .containmentCandidateCostOver(c, dfRel, Threshold)
+      .head().getLong(0)
 
     def run(df: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()

@@ -52,8 +52,13 @@ object WinnowCapProbe {
       val rows = df.count()
       ((System.nanoTime() - t0) / 1e9, rows)
     }
-    // warm the JVM/codegen on the cheap capped form first, then measure
+    // warm BOTH forms before measuring (first-run codegen/JIT must not
+    // land on either side of the comparison); the uncapped warm-up runs
+    // over a 1% sample so a pathological corpus doesn't pay the full
+    // quadratic join twice
     graft.operators.Dedup.winnowPairsCappedOver(d, CapInv).count()
+    graft.operators.Dedup
+      .winnowPairsOver(d.filter(pmod(col("doc_id"), lit(100L)) === 0L)).count()
     val (cw, cr) = run(graft.operators.Dedup.winnowPairsCappedOver(d, CapInv))
     val (uw, ur) = run(graft.operators.Dedup.winnowPairsOver(d))
     println(f"""{"metric":"winnow_cap_probe","dir":"$src","n_docs":$n,""" +

@@ -136,7 +136,8 @@ object Dedup {
     * (`fuzzy_batch_cost`'s predicted candidate volume over the SAME df
     * relation) is the knob that decides when to serve a stop-gram-cut
     * variant instead. Verification recomputes exact containment, so the
-    * pruning never defines the result — a brute-force oracle gates it. */
+    * pruning never defines the result — a brute-force oracle gates it.
+    * See [[containmentPairs]]. */
   /** The canonical (id, grams) relation both containment faces share. */
   private[graft] def canonGrams(spark: SparkSession, dir: String): DataFrame =
     FuzzySearch.corpus(spark, dir)
@@ -144,6 +145,8 @@ object Dedup {
       .select(col("id"), charNgramSet(col("clean_value"), 3).as("grams"))
       .filter(size(col("grams")) > 0)
 
+  /** The asymmetric containment pair join over the canonical corpus —
+    * design rationale in the section doc above. */
   def containmentPairs(spark: SparkSession, dir: String,
                        threshold: Double): DataFrame =
     containmentPairsOver(canonGrams(spark, dir), threshold)
@@ -253,9 +256,16 @@ object Dedup {
     * instead of materializing the join, which on a boilerplate-hot
     * corpus is the difference between linear and quadratic. */
   def containmentCandidateCost(spark: SparkSession, dir: String,
-                               threshold: Double): DataFrame = {
-    val dfRel = spark.read.parquet(ensureContainmentDf(spark, dir))
-    val c = canonGrams(spark, dir)
+                               threshold: Double): DataFrame =
+    containmentCandidateCostOver(canonGrams(spark, dir),
+      spark.read.parquet(ensureContainmentDf(spark, dir)), threshold)
+
+  /** The prediction core over explicit (id, grams) + (g, df) relations —
+    * shared by the artifact-fed gate row and ContainCapProbe, so the
+    * probe can never drift from the spelling the dispatcher actually
+    * runs (the spec's independent recount stays separate on purpose). */
+  private[graft] def containmentCandidateCostOver(c: DataFrame, dfRel: DataFrame,
+                                                  threshold: Double): DataFrame = {
     val withDf = c.select(col("id"), explode(col("grams")).as("g"))
       .join(broadcast(dfRel), "g")
       .withColumn("rank", row_number().over(
@@ -356,9 +366,13 @@ object Dedup {
 
   /** Memo for the dispatch prediction — `.head()` is a construction-time
     * action (the batchFuzzySearchAuto precedent); keyed by the input and
-    * stats-artifact fingerprints so an ingest or rebuild re-predicts. */
+    * stats-artifact fingerprints so an ingest or rebuild re-predicts,
+    * AND by the threshold: a lower threshold lengthens every prefix, so
+    * a prediction cached for one threshold must never dispatch another
+    * (the fuzzy memo is threshold-free only because its cost model takes
+    * no such parameter). */
   private val ctCostMemo =
-    new scala.collection.concurrent.TrieMap[(String, String, String), Long]
+    new scala.collection.concurrent.TrieMap[(String, String, String, Double), Long]
 
   /** The dispatching containment entry — admission control WIRED: run
     * the bounded prediction, then choose the plan. Below budget: the
@@ -372,7 +386,7 @@ object Dedup {
     val dp = ensureContainmentDf(spark, dir)
     val predicted = ctCostMemo.getOrElseUpdate(
       (dir, graft.Materialize.fingerprint(spark, dir),
-        graft.Materialize.fingerprint(spark, dp)),
+        graft.Materialize.fingerprint(spark, dp), threshold),
       containmentCandidateCost(spark, dir, threshold).head().getLong(0))
     if (predicted <= budget) containmentPairs(spark, dir, threshold)
     else containmentPairsCapped(spark, dir, threshold, dfCapInverse)

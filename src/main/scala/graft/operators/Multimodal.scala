@@ -176,17 +176,11 @@ object Multimodal {
         col("c.frame_idx").as("canonical_frame_idx"))
       .orderBy(col("frame_hex"))
 
+  /** Composes the frame-sample oracle as a subquery (the lmCutOracle
+    * pattern) — the frame addressing is spelled exactly once. */
   val frameDedupOracle: String =
-    s"""WITH v AS (SELECT doc_id AS media_id, text,
-       |                  (length(text) + ${FrameBytes - 1}) // $FrameBytes AS nchunks
-       |           FROM documents WHERE doc_id % 3 = 2),
-       |f AS (SELECT media_id, text,
-       |             unnest(list_filter(list_transform(range(0, 4),
-       |                    s -> s * greatest(nchunks // 4, 1)), i -> i < nchunks)) AS frame_idx
-       |      FROM v),
-       |s AS (SELECT media_id, frame_idx,
-       |        upper(hex(encode(substring(text, (frame_idx * $FrameBytes + 1)::INT, $FrameBytes)))) AS frame_hex
-       |      FROM f),
+    s"""WITH s AS (SELECT media_id, frame_idx, frame_hex
+       |           FROM (${frameSampleOracle})),
        |g AS (SELECT frame_hex, media_id, frame_idx,
        |        count(*) OVER (PARTITION BY frame_hex) AS n_dups,
        |        row_number() OVER (PARTITION BY frame_hex

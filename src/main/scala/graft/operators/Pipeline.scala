@@ -815,8 +815,10 @@ object Pipeline {
     * artifact's PATH, so a version bump re-paths the whole downstream
     * chain at once. v2: the v3 chain — LM-fluency cut stage between
     * clean and budget, epoch repetition schedule feeding the shard
-    * layout. */
-  val E2eVersion = 2
+    * layout. v3: budget artifact no longer stores its order-only
+    * h/shard/run_tok columns (no downstream consumer — stage 5 keys
+    * per copy). */
+  val E2eVersion = 3
 
   /** Stage 2 — clean splits, label-only: read the docmeta label artifact,
     * keep dedup survivors, attach the deterministic split (the
@@ -851,9 +853,11 @@ object Pipeline {
 
   /** Stage 3 — token-budget cut of the TRAIN slice, in the deterministic
     * shuffle order: the [[corpusTakeBudget]] distributed prefix-sum (no
-    * single-partition window at any size), reading only the clean-split
-    * artifact. The shuffle hash/shard computed here double as stage 5's
-    * permutation keys — same ShuffleSalt, computed once. */
+    * single-partition window at any size), reading only the lm-cut
+    * artifact. h/shard exist only to define the budget ORDER and are
+    * dropped from the artifact — stage 5 places every epoch COPY by its
+    * own per-copy hash key, so the per-doc keys have no downstream
+    * consumer (storing them would be dead bytes at 100 TB). */
   private[graft] def e2eBudgetFrom(spark: SparkSession, cleanPath: String): DataFrame = {
     val base = spark.read.parquet(cleanPath)
       .filter(col("split") === "train")
@@ -861,7 +865,7 @@ object Pipeline {
       .withColumn("h",
         polyHash(concat(lit(ShuffleSalt), col("doc_id").cast("string"))))
       .withColumn("shard", pmod(col("h"), lit(NumShards.toLong)))
-    takeBudgetOver(base)
+    takeBudgetOver(base).drop("h", "shard", "run_tok")
   }
 
   /** Stage 4 — sequence packing of the budgeted slice: the [[docPack]]
@@ -895,7 +899,7 @@ object Pipeline {
     * stage); written shard-partitioned so a training reader prunes to
     * its shard's files. Reads only the pack artifact. */
   private[graft] def e2eShardsFrom(spark: SparkSession, packPath: String): DataFrame = {
-    val packed = spark.read.parquet(packPath).drop("h", "shard")
+    val packed = spark.read.parquet(packPath)
     val plan = mixEpochCapOver(
       packed.groupBy(col("source")).agg(sum(col("n_tok")).as("n_tok")))
     val hc = polyHash(concat(lit(ShuffleSalt), col("doc_id").cast("string"),
