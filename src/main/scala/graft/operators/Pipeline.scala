@@ -817,8 +817,13 @@ object Pipeline {
     * clean and budget, epoch repetition schedule feeding the shard
     * layout. v3: budget artifact no longer stores its order-only
     * h/shard/run_tok columns (no downstream consumer — stage 5 keys
-    * per copy). */
-  val E2eVersion = 3
+    * per copy). v4: layout keys re-salted ([[EpochShardSalt]]).
+    * v5: layout keys DOUBLE-hashed — re-salting alone cannot escape the
+    * budget prefix's residue bias (the polynomial-hash family is affine
+    * mod 8; see [[EpochShardSalt]]); measured 5.8× shard skew at the
+    * 10× replica under single ShuffleSalt keys, 3.9× re-salted,
+    * multinomial-balanced double-hashed. */
+  val E2eVersion = 5
 
   /** Stage 2 — clean splits, label-only: read the docmeta label artifact,
     * keep dedup survivors, attach the deterministic split (the
@@ -881,6 +886,26 @@ object Pipeline {
       .drop("start_off")
   }
 
+  /** Salt for the layout permutation, used under a DOUBLE hash (see
+    * below). The budget stage keeps the maximal PREFIX of the
+    * (h mod NumShards, h, doc_id) order under ShuffleSalt, so the kept
+    * set is a systematically biased region of that key space (low
+    * h-mod-shard residues kept whole, high ones cut) — measured at the
+    * 10× replica: 121..699 docs/shard (5.8× max/min) in a smooth hump
+    * when the layout reused ShuffleSalt keys, and the pre-epoch round-9
+    * layout left shards 5-7 entirely EMPTY at sf0.01.
+    *
+    * Re-salting alone does NOT fix it (measured: still 3.9×): for
+    * fixed-length payloads, polyHash(saltA‖s) − polyHash(saltB‖s) is a
+    * CONSTANT (the salt only shifts), and appending ":copy" multiplies
+    * by 31² ≡ 1 (mod 8) — the whole polynomial-hash family is affine
+    * mod small powers of two, so every salted variant inherits the
+    * budget cut's residue bias. The layout key therefore hashes the
+    * HASH: polyHash of the first hash's DECIMAL DIGITS, whose carries
+    * break the affine structure. Measured on the replica's kept set:
+    * max shard deviation 22 rows ≈ 1σ of multinomial — balanced. */
+  val EpochShardSalt = "eshard:"
+
   /** Stage 5 — the epoch-scheduled deterministic shuffle layout: the
     * water-filling mix plan ([[mixEpochCapOver]]) is derived from the
     * pack artifact's per-source token totals (a bounded aggregate that
@@ -888,22 +913,24 @@ object Pipeline {
     * count under the hash-Bernoulli schedule ([[epochCopiesOver]] — the
     * mix_epoch_apply coin, so the standalone row and the chain agree),
     * and every COPY is placed independently in the global permutation by
-    * its own hash key (`ShuffleSalt + doc_id + ":" + copy`) — copies of
-    * a doc scatter across shards and positions, which is exactly what a
-    * multi-epoch training order wants (adjacent repeats are the failure
-    * mode). Docs allocated under one epoch drop with probability
-    * 1 − e/1000 — downsampling falls out of the same coin. Each copy
-    * references the SAME pack chunk (pack_id, pack_off): repetition
-    * multiplies the read schedule, never the stored bytes. Per-shard
-    * position windows parallelize across shards (no single-partition
-    * stage); written shard-partitioned so a training reader prunes to
-    * its shard's files. Reads only the pack artifact. */
+    * its own hash key (`EpochShardSalt + doc_id + ":" + copy` — see the
+    * salt's doc for why it must be independent of the budget order) —
+    * copies of a doc scatter across shards and positions, which is
+    * exactly what a multi-epoch training order wants (adjacent repeats
+    * are the failure mode). Docs allocated under one epoch drop with
+    * probability 1 − e/1000 — downsampling falls out of the same coin.
+    * Each copy references the SAME pack chunk (pack_id, pack_off):
+    * repetition multiplies the read schedule, never the stored bytes.
+    * Per-shard position windows parallelize across shards (no
+    * single-partition stage); written shard-partitioned so a training
+    * reader prunes to its shard's files. Reads only the pack artifact. */
   private[graft] def e2eShardsFrom(spark: SparkSession, packPath: String): DataFrame = {
     val packed = spark.read.parquet(packPath)
     val plan = mixEpochCapOver(
       packed.groupBy(col("source")).agg(sum(col("n_tok")).as("n_tok")))
-    val hc = polyHash(concat(lit(ShuffleSalt), col("doc_id").cast("string"),
-      lit(":"), col("copy").cast("string")))
+    val hc = polyHash(
+      polyHash(concat(lit(EpochShardSalt), col("doc_id").cast("string"),
+        lit(":"), col("copy").cast("string"))).cast("string"))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("hc"), col("doc_id"), col("copy"))
     epochCopiesOver(packed, plan)
@@ -1052,8 +1079,9 @@ object Pipeline {
   }
 
   def corpusE2eOracle: String = {
-    val hc = OracleSql.polyHash(
-      s"('$ShuffleSalt' || doc_id::VARCHAR || ':' || copy::VARCHAR)")
+    val hc1 = OracleSql.polyHash(
+      s"('$EpochShardSalt' || doc_id::VARCHAR || ':' || copy::VARCHAR)")
+    val hc = OracleSql.polyHash(s"(($hc1)::VARCHAR)")
     val P = graft.functions.TextFunctions.HashMod
     s"""WITH ${e2eChainCtes}
        |SELECT (($hc) % $NumShards)::BIGINT AS shard,
@@ -1083,8 +1111,9 @@ object Pipeline {
     * construction — the same identity the manifest's pack checksum
     * already rides). */
   def corpusE2eReadOracle: String = {
-    val hc = OracleSql.polyHash(
-      s"('$ShuffleSalt' || doc_id::VARCHAR || ':' || copy::VARCHAR)")
+    val hc1 = OracleSql.polyHash(
+      s"('$EpochShardSalt' || doc_id::VARCHAR || ':' || copy::VARCHAR)")
+    val hc = OracleSql.polyHash(s"(($hc1)::VARCHAR)")
     s"""WITH ${e2eChainCtes},
        |ck AS (SELECT doc_id, copy, start_off, ($hc) AS hc FROM copies),
        |lay AS (SELECT (hc % $NumShards)::BIGINT AS shard,

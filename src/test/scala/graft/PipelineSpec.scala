@@ -379,7 +379,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"expected ${expectCopies.count(_._2 > 0)}")
     // repetition is real at this SF: some doc is served more than once
     assert(expectCopies.values.exists(_ > 1), "epoch schedule is vacuous")
-    // 4. the manifest's checksums are ORDER-FREE: recomputing over a
+    // 4. layout balance: every shard populated, none beyond 2x the mean
+    //    (regression guard for the affine-mod-8 key bias: the budget
+    //    prefix's residue classes leaked into single-hashed layout keys
+    //    — round-9's layout had EMPTY shards and the single-hash v3/v4
+    //    layouts a 5.8x/3.9x hump; the double-hashed key is multinomial)
+    val byShard = layout.groupBy(col("shard")).agg(count(lit(1)).as("c"))
+      .collect().map(_.getLong(1))
+    assert(byShard.length == Pipeline.NumShards,
+      s"only ${byShard.length}/${Pipeline.NumShards} shards populated")
+    val meanC = byShard.sum.toDouble / byShard.length
+    assert(byShard.max <= 2.0 * meanC,
+      s"shard hump: max ${byShard.max} vs mean $meanC")
+    // 5. the manifest's checksums are ORDER-FREE: recomputing over a
     //    re-partitioned layout (different partial-aggregation order)
     //    gives identical rows
     val a = Pipeline.corpusE2e(spark, dir).collect().map(_.toSeq).toSeq
