@@ -64,7 +64,11 @@ object ServingScaleProbe {
     "dedup_containment_auto",
     // the trainer's shard read (partition-pruned layout scan) and the
     // asymmetric ingest screen (batch-vs-corpus prefix probe)
-    "corpus_e2e_read", "dedup_containment_screen")
+    "corpus_e2e_read", "dedup_containment_screen",
+    // tier 3 of the batch-fuzzy ladder: the champion (absolute-truncation)
+    // index — the 100x rehearsal's answer to the stop-gram tier's
+    // residual quadratic
+    "fuzzy_batch_champ")
 
   private[graft] def replicate(spark: SparkSession, src: String, k: Int, dest: String): Unit = {
     // dest == src would overwrite the source tables mid-read; the id-space

@@ -140,6 +140,10 @@ object SparkEntry {
     // admission control: predict the batch join's EXACT candidate volume
     // from the broadcast gram-stats artifact before paying the join
     "fuzzy_batch_cost" -> ((s, d) => FuzzySearch.batchCandidateCost(s, d)),
+    "fuzzy_batch_cost_stopgram" -> ((s, d) =>
+      FuzzySearch.batchStopgramCandidateCost(s, d, P.StopGramInv)),
+    "fuzzy_batch_champ" -> ((s, d) =>
+      FuzzySearch.batchFuzzySearchChampIndexed(s, d, P.FuzzyK, P.StopGramInv)),
     // the admission decision WIRED: predict, then serve uncut (faithful
     // cap-after-count) below the budget, the stop-gram cut above it —
     // the oracle twin dispatches identically in SQL
@@ -581,6 +585,10 @@ object SparkEntry {
     "fuzzy_batch_stopgram_indexed" -> FuzzySearch.batchFuzzySearchOracle(P.FuzzyK,
       dfCapInverse = Some(P.StopGramInv)),
     "fuzzy_batch_cost" -> FuzzySearch.batchCandidateCostOracle,
+    "fuzzy_batch_cost_stopgram" ->
+      FuzzySearch.batchStopgramCandidateCostOracle(P.StopGramInv),
+    "fuzzy_batch_champ" ->
+      FuzzySearch.batchFuzzySearchChampOracle(P.FuzzyK, P.StopGramInv),
     "fuzzy_batch_auto" -> FuzzySearch.batchFuzzySearchAutoOracle(P.FuzzyK, P.StopGramInv),
     "fuzzy_batch_postal" -> FuzzySearch.batchFuzzySearchZipOracle(P.PostalK),
     "geo_knn_batch" -> RadiusSearch.knnBatchOracle(P.RadiusMiles, 5),

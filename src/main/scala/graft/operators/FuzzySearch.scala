@@ -544,6 +544,122 @@ object FuzzySearch {
       .select(col("ngram"))
   }
 
+  // ------------------- champion-list tier (absolute posting truncation)
+
+  /** Per-gram posting-list budget for the champion tier. Sized so a
+    * query's candidate pool (≤ |q-grams|·cap ≈ 30·64 ≈ 2k at the gate
+    * corpus) comfortably covers the 500-candidate reference cap while
+    * bounding the join ABSOLUTELY — the property the relative stop-gram
+    * cut lacks (see [[batchFuzzySearchChampIndexed]]). Bites at sf0.01
+    * (12 of 30 allowed grams carry df > 64). */
+  val ChampPostingCap = 64
+
+  val ChampVersion = 1
+
+  /** Write-once champion posting index — the stop-gram-cut posting
+    * relation with each surviving gram's list truncated to its
+    * [[ChampPostingCap]] smallest ids (IR champion lists): the classic
+    * answer when even the relative df cut leaves a quadratic join. The
+    * truncation is deterministic and engine-independent (duplicate
+    * (ngram, id) rows are interchangeable — the kept COUNT per id is
+    * clamp(K − #smaller-id rows, 0, multiplicity)). Min-K per gram is
+    * mergeable, but the allowed set depends on global df — so NO append
+    * face: an ingest increment is staleness and ensure rebuilds (the
+    * docmeta precedent). Same ngram-clustered layout as the full
+    * index. */
+  def ensureChampionIndex(spark: SparkSession, dir: String, c: DataFrame,
+                          dfCapInverse: Long, postingCap: Int = ChampPostingCap,
+                          version: Int = ChampVersion): String =
+    // the cut parameters are part of the artifact IDENTITY (kind, not
+    // version): a K=∞ build must never serve a K=64 read — caught by
+    // OperatorParitySpec when a parameter-blind key let exactly that
+    // happen within one warehouse
+    graft.Materialize.ensure(spark,
+      s"graft_champost_${dfCapInverse}_$postingCap", dir, version) { p =>
+      val postings = NgramIndex.postingPairsMulti(c)
+      val n = c.count()
+      val kept = postings
+        .join(broadcast(allowedGrams(postings, n, dfCapInverse)), "ngram")
+        .withColumn("prn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("ngram")).orderBy(col("id"))))
+        .filter(col("prn") <= postingCap).drop("prn")
+      writePostingsLayout(kept, p)
+    }
+
+  /** The THIRD serving tier of the batch-fuzzy ladder — measured into
+    * existence by the 100× rehearsal: the relative stop-gram cut removes
+    * a constant FRACTION of the Σ qcount·df candidate sum, so on a
+    * low-entropy corpus the served stop-gram read is still quadratic
+    * (sf0.1 2.0 s → 10× 3.2 s → 100× 362 s). The champion index bounds
+    * candidates ABSOLUTELY at |q-grams|·K per query — linear in the
+    * batch at any corpus size. Results change further (a candidate
+    * beyond a gram's champion list no longer counts that gram): own
+    * operator, own mirroring oracle, OperatorParitySpec pins that K=∞
+    * reproduces the stop-gram output exactly and that the gate K bites.
+    * Candidate gen = the same bloom-probed index read as every other
+    * indexed batch face, over the champion artifact. */
+  def batchFuzzySearchChampIndexed(spark: SparkSession, dir: String,
+                                   numResults: Int, dfCapInverse: Long,
+                                   postingCap: Int = ChampPostingCap,
+                                   cap: Int = DefaultCap): DataFrame = {
+    val c = corpus(spark, dir)
+    val path = ensureChampionIndex(spark, dir, c, dfCapInverse, postingCap)
+    batchFuzzySearchOver(batchQueries(c), spark.read.parquet(path), c,
+      numResults, cap)
+  }
+
+  /** Mirror oracle: the posting-join spelling (the brute-force list_filter
+    * form cannot express a per-gram truncation), with the same scoring
+    * tail as the batch oracle. */
+  def batchFuzzySearchChampOracle(numResults: Int, dfCapInverse: Long,
+                                  postingCap: Int = ChampPostingCap,
+                                  cap: Int = DefaultCap): String = {
+    val qset = OracleSql.trigramSet("clean_q")
+    val tv = OracleSql.tversky(qset, OracleSql.trigramSet("clean_value"), 0.85, 0.15)
+    val efs = s"($tv * (1.0 + CASE WHEN starts_with(clean_value, clean_q) THEN 0.15 ELSE 0.0 END))"
+    val dl = "least(damerau_levenshtein(split_part(clean_q, ',', 1), split_part(clean_value, ',', 1)), " +
+      "damerau_levenshtein(clean_q, clean_value))"
+    s"""WITH corpus AS ($corpusCte),
+       |ag AS (SELECT id, unnest(${OracleSql.trigrams("clean_value")}) AS g FROM corpus),
+       |al AS (SELECT g FROM ag GROUP BY g
+       |       HAVING count(*) * $dfCapInverse <= (SELECT count(*) FROM corpus)),
+       |champ AS (SELECT id, g FROM (
+       |    SELECT ag.id, ag.g,
+       |           row_number() OVER (PARTITION BY ag.g ORDER BY ag.id) AS prn
+       |    FROM ag JOIN al USING (g)) WHERE prn <= $postingCap),
+       |q AS (SELECT id AS qid,
+       |             ${OracleSql.clean("(substr(value, 1, 3) || substr(value, 5))")} AS clean_q
+       |      FROM corpus WHERE id % $BatchQueryMod = 0),
+       |qg AS (SELECT qid, unnest($qset) AS g FROM q),
+       |h AS (SELECT qg.qid, champ.id, count(*)::BIGINT AS ngram_hits
+       |      FROM champ JOIN qg USING (g) GROUP BY qg.qid, champ.id),
+       |cand AS (SELECT q.qid, q.clean_q, c.*, h.ngram_hits
+       |         FROM h JOIN corpus c ON c.id = h.id JOIN q ON q.qid = h.qid),
+       |capped AS (
+       |  SELECT * FROM cand WHERE ngram_hits > 0
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |                             ORDER BY ngram_hits DESC, id) <= ${math.max(numResults, cap)}),
+       |scored AS (
+       |  SELECT qid, clean_q, id, value, clean_value, population,
+       |         $efs AS efs_raw, $dl::BIGINT AS distance
+       |  FROM capped),
+       |ranked AS (
+       |  SELECT qid, id, value, clean_value, distance,
+       |         round(efs_raw, 6) AS ngram_similarity,
+       |         round(CASE WHEN population <= 0 OR efs_raw <= 0.65 THEN efs_raw * 0.9
+       |                    ELSE efs_raw * 0.9 + ln(population) * 0.1 END, 6) AS score
+       |  FROM scored),
+       |dedup AS (
+       |  SELECT * FROM ranked
+       |  QUALIFY row_number() OVER (PARTITION BY qid, clean_value
+       |                             ORDER BY score DESC, id) = 1)
+       |SELECT qid, id, value, clean_value, distance, ngram_similarity, score
+       |FROM dedup
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) <= $numResults
+       |ORDER BY qid, score DESC, id""".stripMargin
+  }
+
   /** Candidate-volume PREDICTION for the batch join — the
     * admission-control face of SCALE.md's cost model: candidate rows =
     * Σ_g qcount(g)·df(g), with qcount from one narrow pass over the query
@@ -587,6 +703,48 @@ object FuzzySearch {
        |       (SELECT count(*) FROM q)::BIGINT AS n_queries
        |FROM qg JOIN dfr USING (ngram)""".stripMargin
 
+  /** The STOP-GRAM-CUT candidate volume, predicted the same way: Σ over
+    * ALLOWED grams of qcount·df, folded from the same bounded stats
+    * artifacts — what [[batchFuzzySearchAuto]]'s second tier costs
+    * before it is chosen. Equals the stop-gram candidate join's row
+    * count by the same argument as the uncut prediction. */
+  def batchStopgramCandidateCost(spark: SparkSession, dir: String,
+                                 dfCapInverse: Long): DataFrame = {
+    val c = corpus(spark, dir)
+    val (dp, np) = ensureGramStats(spark, dir, c)
+    val dfRel = spark.read.parquet(dp).groupBy(col("ngram"))
+      .agg(sum(col("df")).as("df"))
+    val nRel = spark.read.parquet(np).agg(sum(col("n")).as("n"))
+    val allowedDf = dfRel.crossJoin(broadcast(nRel))
+      .filter(col("df") * dfCapInverse <= col("n"))
+      .select(col("ngram"), col("df"))
+    val queries = batchQueries(c)
+    val qc = queries.select(col("qid"),
+        explode(charNgramSet(col("clean_q"), 3)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("qcount"))
+    qc.join(broadcast(allowedDf), "ngram")
+      .agg(coalesce(sum(col("qcount") * col("df")), lit(0L))
+        .cast("long").as("candidate_rows"))
+      .crossJoin(broadcast(
+        queries.agg(count(lit(1)).cast("long").as("n_queries"))))
+  }
+
+  def batchStopgramCandidateCostOracle(dfCapInverse: Long): String =
+    s"""WITH corpus AS ($corpusCte),
+       |q AS (SELECT id AS qid,
+       |             ${OracleSql.clean("(substr(value, 1, 3) || substr(value, 5))")} AS clean_q
+       |      FROM corpus WHERE id % $BatchQueryMod = 0),
+       |qg AS (SELECT g AS ngram, count(*) AS qcount
+       |       FROM (SELECT qid, unnest(${OracleSql.trigramSet("clean_q")}) AS g FROM q)
+       |       GROUP BY g),
+       |dfr AS (SELECT g AS ngram, count(*) AS df
+       |        FROM (SELECT unnest(${OracleSql.trigrams("clean_value")}) AS g FROM corpus)
+       |        GROUP BY g
+       |        HAVING count(*) * $dfCapInverse <= (SELECT count(*) FROM corpus))
+       |SELECT coalesce(sum(qg.qcount * dfr.df), 0)::BIGINT AS candidate_rows,
+       |       (SELECT count(*) FROM q)::BIGINT AS n_queries
+       |FROM qg JOIN dfr USING (ngram)""".stripMargin
+
   /** Candidate-row budget for [[batchFuzzySearchAuto]]'s dispatch — the
     * point where the uncut indexed read stops being the cheaper plan.
     * Derived from measured reads (SCALE.md §admission-control): the uncut
@@ -622,25 +780,49 @@ object FuzzySearch {
   private val costMemo =
     new scala.collection.concurrent.TrieMap[(String, String, String), Long]
 
+  /** Memo for the tier-2 prediction (same keying rationale; the stop cut
+    * is parameterized by dfCapInverse, so it keys too). */
+  private val stopCostMemo =
+    new scala.collection.concurrent.TrieMap[(String, String, String, Long), Long]
+
+  /** THREE-tier dispatch (round 10 — the 100× rehearsal showed tier 2's
+    * relative cut is still quadratic on a degenerate corpus): uncut
+    * indexed (exact reference semantics) while the uncut volume fits the
+    * budget; the stop-gram cut while ITS predicted volume fits; else the
+    * champion index (absolute per-gram truncation — the only tier whose
+    * candidate volume is linear in the batch at any corpus size). Both
+    * predictions fold from the bounded stats artifacts; the oracle
+    * dispatches identically in SQL. */
   def batchFuzzySearchAuto(spark: SparkSession, dir: String, numResults: Int,
                            dfCapInverse: Long, cap: Int = DefaultCap,
-                           budget: Long = BatchCandidateBudget): DataFrame = {
+                           budget: Long = BatchCandidateBudget,
+                           postingCap: Int = ChampPostingCap): DataFrame = {
     val (dp, _) = ensureGramStats(spark, dir, corpus(spark, dir))
-    val predicted = costMemo.getOrElseUpdate(
-      (dir, graft.Materialize.fingerprint(spark, dir),
-        graft.Materialize.fingerprint(spark, dp)),
+    val fps = (dir, graft.Materialize.fingerprint(spark, dir),
+      graft.Materialize.fingerprint(spark, dp))
+    val predicted = costMemo.getOrElseUpdate(fps,
       batchCandidateCost(spark, dir).head().getLong(0))
     if (predicted <= budget) batchFuzzySearchIndexed(spark, dir, numResults, cap)
-    else batchFuzzySearchStopGramIndexed(spark, dir, numResults, dfCapInverse, cap)
+    else {
+      val stopPredicted = stopCostMemo.getOrElseUpdate(
+        (fps._1, fps._2, fps._3, dfCapInverse),
+        batchStopgramCandidateCost(spark, dir, dfCapInverse).head().getLong(0))
+      if (stopPredicted <= budget)
+        batchFuzzySearchStopGramIndexed(spark, dir, numResults, dfCapInverse, cap)
+      else batchFuzzySearchChampIndexed(spark, dir, numResults, dfCapInverse,
+        postingCap, cap)
+    }
   }
 
-  /** DuckDB twin of the DISPATCH: the cost CTE guards two UNION ALL
+  /** DuckDB twin of the DISPATCH: the two cost CTEs guard three UNION ALL
     * branches (each the full oracle of its plan), so the oracle selects
     * the same branch the operator does at the gate's data scale. */
   def batchFuzzySearchAutoOracle(numResults: Int, dfCapInverse: Long,
                                  cap: Int = DefaultCap,
-                                 budget: Long = BatchCandidateBudget): String =
-    s"""WITH cost AS ($batchCandidateCostOracle)
+                                 budget: Long = BatchCandidateBudget,
+                                 postingCap: Int = ChampPostingCap): String =
+    s"""WITH cost AS ($batchCandidateCostOracle),
+       |cost2 AS (${batchStopgramCandidateCostOracle(dfCapInverse)})
        |SELECT qid, id, value, clean_value, distance, ngram_similarity, score
        |FROM (
        |  SELECT * FROM (${batchFuzzySearchOracle(numResults, cap)}) u
@@ -648,6 +830,11 @@ object FuzzySearch {
        |  UNION ALL
        |  SELECT * FROM (${batchFuzzySearchOracle(numResults, cap, Some(dfCapInverse))}) s
        |  WHERE (SELECT candidate_rows FROM cost) > $budget
+       |    AND (SELECT candidate_rows FROM cost2) <= $budget
+       |  UNION ALL
+       |  SELECT * FROM (${batchFuzzySearchChampOracle(numResults, dfCapInverse, postingCap, cap)}) ch
+       |  WHERE (SELECT candidate_rows FROM cost) > $budget
+       |    AND (SELECT candidate_rows FROM cost2) > $budget
        |) d
        |ORDER BY qid, score DESC, id""".stripMargin
 

@@ -203,6 +203,55 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j < 0.55, s"jaccard $j should miss the inclusion pair")
   }
 
+  test("champion index: K=infinity reproduces stop-gram output; the gate K bites") {
+    import graft.operators.FuzzySearch
+    val inv = SparkEntry.P.StopGramInv
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // a posting cap no gram reaches must leave the stop-gram semantics
+    // bit-identical (truncation only ever removes posting rows)
+    val untruncated = rows(FuzzySearch.batchFuzzySearchChampIndexed(
+      spark, dir, SparkEntry.P.FuzzyK, inv, postingCap = Int.MaxValue))
+    val stopgram = rows(FuzzySearch.batchFuzzySearchStopGramIndexed(
+      spark, dir, SparkEntry.P.FuzzyK, inv))
+    assert(untruncated == stopgram,
+      "champion index with no truncation diverges from the stop-gram cut")
+    // and the shipped K must actually truncate at the GATE corpus —
+    // sf0.01, where 12 of the 30 allowed grams carry df > 64 (sf0.001's
+    // ~150-part corpus never reaches the cap)
+    val d01 = "/root/testdata/sf0.01"
+    val champ = rows(FuzzySearch.batchFuzzySearchChampIndexed(
+      spark, d01, SparkEntry.P.FuzzyK, inv))
+    val stopgram01 = rows(FuzzySearch.batchFuzzySearchStopGramIndexed(
+      spark, d01, SparkEntry.P.FuzzyK, inv))
+    assert(champ != stopgram01, "gate posting cap is vacuous at sf0.01")
+  }
+
+  test("fuzzy auto dispatch selects each of the three tiers by budget") {
+    import graft.operators.FuzzySearch
+    val inv = SparkEntry.P.StopGramInv
+    val k = SparkEntry.P.FuzzyK
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val uncutPred = FuzzySearch.batchCandidateCost(spark, dir).head().getLong(0)
+    val stopPred = FuzzySearch.batchStopgramCandidateCost(spark, dir, inv)
+      .head().getLong(0)
+    assert(stopPred < uncutPred, s"stop cut must shrink the prediction " +
+      s"($stopPred vs $uncutPred) or the tier order is meaningless")
+    // tier 1: budget above the uncut volume
+    assert(rows(FuzzySearch.batchFuzzySearchAuto(spark, dir, k, inv,
+      budget = uncutPred)) ==
+      rows(FuzzySearch.batchFuzzySearchIndexed(spark, dir, k)))
+    // tier 2: budget between the two predictions
+    assert(rows(FuzzySearch.batchFuzzySearchAuto(spark, dir, k, inv,
+      budget = (stopPred + uncutPred) / 2)) ==
+      rows(FuzzySearch.batchFuzzySearchStopGramIndexed(spark, dir, k, inv)))
+    // tier 3: budget below everything
+    assert(rows(FuzzySearch.batchFuzzySearchAuto(spark, dir, k, inv,
+      budget = 0L)) ==
+      rows(FuzzySearch.batchFuzzySearchChampIndexed(spark, dir, k, inv)))
+  }
+
   test("containment cost prediction equals the raw candidate join row count") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
