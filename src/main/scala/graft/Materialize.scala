@@ -248,6 +248,34 @@ object Materialize {
     p
   }
 
+  /** Garbage-collect SUPERSEDED parameterizations of a kind family for one
+    * input dir. Kinds whose cut parameters are part of the artifact
+    * identity (e.g. `graft_champost_<inv>_<cap>`) materialize a distinct
+    * directory per parameter pair, so parameter sweeps — and the parity
+    * spec's deliberate K=∞ build — accumulate full posting copies
+    * unboundedly. Called after `ensure` with the surviving kind: every
+    * OTHER `<kindPrefix>*` kind's artifact for the SAME input tag is
+    * deleted (other corpora's artifacts are untouched — their sweeps are
+    * their own). Last-ensured-wins is the right lifecycle because the
+    * parameters live in serving entry signatures: a superseded build is
+    * only ever re-read by re-ensuring it, which rebuilds. Driver-side
+    * listStatus only; IO errors are ignored (GC is best-effort, never a
+    * query failure). */
+  def gcSupersededKinds(spark: SparkSession, kindPrefix: String,
+                        keepKind: String, dir: String): Unit = {
+    val r = new Path(root(spark))
+    val fs = fsOf(spark, r)
+    val t = tag(dir)
+    try fs.listStatus(r).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(kindPrefix) && name != keepKind)
+        try fs.listStatus(st.getPath).foreach { a =>
+          if (a.getPath.getName.startsWith(t + "_v"))
+            fs.delete(a.getPath, true)
+        } catch { case _: java.io.IOException => () }
+    } catch { case _: java.io.IOException => () }
+  }
+
   /** Write-once BUCKETED table: bucket layout needs catalog metadata, but
     * the session catalog is in-memory (fresh per JVM), so "exists" has two
     * layers — if the table is registered, reuse it; if only the files

@@ -554,38 +554,56 @@ object FuzzySearch {
     * (12 of 30 allowed grams carry df > 64). */
   val ChampPostingCap = 64
 
-  val ChampVersion = 1
+  /** v2: champion rank key changed from raw id to (population DESC, id) —
+    * a v1 artifact under the new oracle would silently serve the biased
+    * lists. */
+  val ChampVersion = 2
 
   /** Write-once champion posting index — the stop-gram-cut posting
     * relation with each surviving gram's list truncated to its
-    * [[ChampPostingCap]] smallest ids (IR champion lists): the classic
-    * answer when even the relative df cut leaves a quadratic join. The
-    * truncation is deterministic and engine-independent (duplicate
-    * (ngram, id) rows are interchangeable — the kept COUNT per id is
-    * clamp(K − #smaller-id rows, 0, multiplicity)). Min-K per gram is
-    * mergeable, but the allowed set depends on global df — so NO append
-    * face: an ingest increment is staleness and ensure rebuilds (the
-    * docmeta precedent). Same ngram-clustered layout as the full
-    * index. */
+    * [[ChampPostingCap]] BEST entries under a static quality prior:
+    * population descending (the prior the final score already folds in as
+    * ln(population)·0.1), tie-broken by id — classic IR champion lists
+    * rank by a per-document quality score, and ranking by raw id would
+    * systematically bias tier-3 candidates toward low/old ids (a corpus
+    * whose relevant records carry high ids would be invisibly
+    * under-served). The truncation is deterministic and engine-independent
+    * (ids are unique, so (population DESC, id) totally orders ids;
+    * duplicate (ngram, id) occurrence rows are interchangeable — the kept
+    * COUNT per id is clamp(K − #better-ranked rows, 0, multiplicity)).
+    * Min-K per gram is mergeable, but the allowed set depends on global
+    * df — so NO append face: an ingest increment is staleness and ensure
+    * rebuilds (the docmeta precedent). Same ngram-clustered layout as the
+    * full index. */
   def ensureChampionIndex(spark: SparkSession, dir: String, c: DataFrame,
                           dfCapInverse: Long, postingCap: Int = ChampPostingCap,
-                          version: Int = ChampVersion): String =
+                          version: Int = ChampVersion): String = {
     // the cut parameters are part of the artifact IDENTITY (kind, not
     // version): a K=∞ build must never serve a K=64 read — caught by
     // OperatorParitySpec when a parameter-blind key let exactly that
     // happen within one warehouse
-    graft.Materialize.ensure(spark,
-      s"graft_champost_${dfCapInverse}_$postingCap", dir, version) { p =>
+    val kind = s"graft_champost_${dfCapInverse}_$postingCap"
+    val p = graft.Materialize.ensure(spark, kind, dir, version) { path =>
       val postings = NgramIndex.postingPairsMulti(c)
       val n = c.count()
-      val kept = postings
+      // population rides the explode (row-local) rather than joining the
+      // corpus back onto corpus-scale postings — the rank key is free
+      val popPostings = c.select(col("id"), col("population"),
+        explode(charNgrams(col("clean_value"), 3)).as("ngram"))
+      val kept = popPostings
         .join(broadcast(allowedGrams(postings, n, dfCapInverse)), "ngram")
         .withColumn("prn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("ngram")).orderBy(col("id"))))
-        .filter(col("prn") <= postingCap).drop("prn")
-      writePostingsLayout(kept, p)
+          org.apache.spark.sql.expressions.Window.partitionBy(col("ngram"))
+            .orderBy(col("population").desc_nulls_last, col("id"))))
+        .filter(col("prn") <= postingCap)
+        .select(col("ngram"), col("id"))
+      writePostingsLayout(kept, path)
     }
+    // parameter sweeps (and the parity spec's deliberate K=∞ build) would
+    // otherwise accumulate one full posting copy per (inv, K) pair forever
+    graft.Materialize.gcSupersededKinds(spark, "graft_champost_", kind, dir)
+    p
+  }
 
   /** The THIRD serving tier of the batch-fuzzy ladder — measured into
     * existence by the 100× rehearsal: the relative stop-gram cut removes
@@ -621,12 +639,13 @@ object FuzzySearch {
     val dl = "least(damerau_levenshtein(split_part(clean_q, ',', 1), split_part(clean_value, ',', 1)), " +
       "damerau_levenshtein(clean_q, clean_value))"
     s"""WITH corpus AS ($corpusCte),
-       |ag AS (SELECT id, unnest(${OracleSql.trigrams("clean_value")}) AS g FROM corpus),
+       |ag AS (SELECT id, population, unnest(${OracleSql.trigrams("clean_value")}) AS g FROM corpus),
        |al AS (SELECT g FROM ag GROUP BY g
        |       HAVING count(*) * $dfCapInverse <= (SELECT count(*) FROM corpus)),
        |champ AS (SELECT id, g FROM (
        |    SELECT ag.id, ag.g,
-       |           row_number() OVER (PARTITION BY ag.g ORDER BY ag.id) AS prn
+       |           row_number() OVER (PARTITION BY ag.g
+       |                              ORDER BY ag.population DESC NULLS LAST, ag.id) AS prn
        |    FROM ag JOIN al USING (g)) WHERE prn <= $postingCap),
        |q AS (SELECT id AS qid,
        |             ${OracleSql.clean("(substr(value, 1, 3) || substr(value, 5))")} AS clean_q
@@ -781,9 +800,14 @@ object FuzzySearch {
     new scala.collection.concurrent.TrieMap[(String, String, String), Long]
 
   /** Memo for the tier-2 prediction (same keying rationale; the stop cut
-    * is parameterized by dfCapInverse, so it keys too). */
+    * is parameterized by dfCapInverse, so it keys too). Unlike tier 1 it
+    * ALSO keys on the gramn artifact fingerprint: the allowed-set
+    * predicate df·inv ≤ n reads both stats artifacts, and the memo must
+    * re-predict if either moves — relying on appendToGramStats always
+    * mutating the pair together would make that invariant load-bearing
+    * here instead of where it belongs. */
   private val stopCostMemo =
-    new scala.collection.concurrent.TrieMap[(String, String, String, Long), Long]
+    new scala.collection.concurrent.TrieMap[(String, String, String, String, Long), Long]
 
   /** THREE-tier dispatch (round 10 — the 100× rehearsal showed tier 2's
     * relative cut is still quadratic on a degenerate corpus): uncut
@@ -797,7 +821,7 @@ object FuzzySearch {
                            dfCapInverse: Long, cap: Int = DefaultCap,
                            budget: Long = BatchCandidateBudget,
                            postingCap: Int = ChampPostingCap): DataFrame = {
-    val (dp, _) = ensureGramStats(spark, dir, corpus(spark, dir))
+    val (dp, np) = ensureGramStats(spark, dir, corpus(spark, dir))
     val fps = (dir, graft.Materialize.fingerprint(spark, dir),
       graft.Materialize.fingerprint(spark, dp))
     val predicted = costMemo.getOrElseUpdate(fps,
@@ -805,7 +829,8 @@ object FuzzySearch {
     if (predicted <= budget) batchFuzzySearchIndexed(spark, dir, numResults, cap)
     else {
       val stopPredicted = stopCostMemo.getOrElseUpdate(
-        (fps._1, fps._2, fps._3, dfCapInverse),
+        (fps._1, fps._2, graft.Materialize.fingerprint(spark, np),
+          fps._3, dfCapInverse),
         batchStopgramCandidateCost(spark, dir, dfCapInverse).head().getLong(0))
       if (stopPredicted <= budget)
         batchFuzzySearchStopGramIndexed(spark, dir, numResults, dfCapInverse, cap)

@@ -218,8 +218,12 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "champion index with no truncation diverges from the stop-gram cut")
     // and the shipped K must actually truncate at the GATE corpus —
     // sf0.01, where 12 of the 30 allowed grams carry df > 64 (sf0.001's
-    // ~150-part corpus never reaches the cap)
-    val d01 = "/root/testdata/sf0.01"
+    // ~150-part corpus never reaches the cap). Resolved as a sibling of
+    // the primary test dir and skipped (not failed) where that SF was
+    // never generated — the bite claim is about the gate corpus, and a
+    // box without it can only report "untestable here", not "broken".
+    val d01 = dir.replace("sf0.001", "sf0.01")
+    assume(new java.io.File(d01).isDirectory, s"gate corpus $d01 absent")
     val champ = rows(FuzzySearch.batchFuzzySearchChampIndexed(
       spark, d01, SparkEntry.P.FuzzyK, inv))
     val stopgram01 = rows(FuzzySearch.batchFuzzySearchStopGramIndexed(

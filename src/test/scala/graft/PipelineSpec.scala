@@ -365,7 +365,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val satCap = walked.filter(_._7).map(_._5).maxOption.getOrElse(0L)
     val satW = walked.filter(_._7).map(_._6).maxOption.getOrElse(0L)
     val epochsMilli = walked.map { case (s, n, w, cap, _, _, sat) =>
-      val alloc = if (sat) cap else w * (target - satCap) / (totW - satW)
+      // mirror the operator's guard: saturated sources take their cap
+      // outright; the water-level division only runs for unsaturated
+      // sources, where totW > satW necessarily holds (an unsaturated
+      // source's own w is outside the saturated prefix) — asserted so an
+      // all-saturated corpus fails with a meaningful message, not /0
+      val alloc = if (sat) cap else {
+        assert(totW > satW,
+          s"unsaturated source $s but zero unsaturated weight (totW=$totW)")
+        w * (target - satCap) / (totW - satW)
+      }
       s -> alloc * 1000 / n
     }.toMap
     val expectCopies = expectKept.map { case (_, _, id, _, coin, src) =>
