@@ -361,6 +361,11 @@ object SparkEntry {
     // overlap pairs over the winnowed selection (>= 2 shared fingerprints)
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(s, d)),
     "dedup_winnow_capped" -> ((s, d) => Dedup.winnowPairsCapped(s, d, P.WinnowCapInv)),
+    // admission control for the winnow pair join: Σ_fp df² predicted from
+    // the materialized fingerprint-stats artifact, dispatching
+    // uncapped-vs-capped (the fuzzy_batch_auto / containment_auto pattern)
+    "dedup_winnow_cost" -> ((s, d) => Dedup.winnowCandidateCost(s, d)),
+    "dedup_winnow_auto" -> ((s, d) => Dedup.winnowPairsAuto(s, d, P.WinnowCapInv)),
     "dedup_containment_cost" -> ((s, d) => Dedup.containmentCandidateCost(s, d, P.ContainThreshold)),
     "dedup_containment_capped" -> ((s, d) =>
       Dedup.containmentPairsCapped(s, d, P.ContainThreshold, P.ContainCapInv)),
@@ -676,6 +681,8 @@ object SparkEntry {
     "text_winnow" -> TextAnalysis.winnowOracle,
     "dedup_winnow_pairs" -> Dedup.winnowPairsOracle,
     "dedup_winnow_capped" -> Dedup.winnowPairsCappedOracle(P.WinnowCapInv),
+    "dedup_winnow_cost" -> Dedup.winnowCandidateCostOracle,
+    "dedup_winnow_auto" -> Dedup.winnowPairsAutoOracle(P.WinnowCapInv),
     "dedup_containment_cost" -> Dedup.containmentCandidateCostOracle(P.ContainThreshold),
     "dedup_containment_capped" ->
       Dedup.containmentPairsCappedOracle(P.ContainThreshold, P.ContainCapInv),

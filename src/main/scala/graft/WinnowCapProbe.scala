@@ -61,8 +61,18 @@ object WinnowCapProbe {
       .winnowPairsOver(d.filter(pmod(col("doc_id"), lit(100L)) === 0L)).count()
     val (cw, cr) = run(graft.operators.Dedup.winnowPairsCappedOver(d, CapInv))
     val (uw, ur) = run(graft.operators.Dedup.winnowPairsOver(d))
+    // the dispatcher's own prediction over this corpus (the exact spelling
+    // winnowPairsAuto folds from the stats artifact): the crafted header
+    // must push Σ df² past the 8M budget so auto lands on the capped plan
+    val predicted = graft.operators.Dedup
+      .winnowCandidateCostOver(graft.operators.Dedup.winnowFpDf(d))
+      .head().getLong(0)
+    val branch =
+      if (predicted <= graft.operators.Dedup.WinnowCandidateBudget) "uncapped"
+      else "capped"
     println(f"""{"metric":"winnow_cap_probe","dir":"$src","n_docs":$n,""" +
       f""""hot_permille":$HotPermille,"cap_inv":$CapInv,""" +
+      f""""predicted_pairs":$predicted,"auto_branch":"$branch",""" +
       f""""uncapped":{"wall":$uw%.2f,"pairs":$ur},""" +
       f""""capped":{"wall":$cw%.2f,"pairs":$cr}}""")
     spark.stop()

@@ -1452,6 +1452,124 @@ object Dedup {
        |HAVING count(*) >= $WinnowMinShared
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -------------------- winnow admission control (fingerprint-df screen)
+
+  /** Per-fingerprint document frequency of the winnowed selection —
+    * (fp, c) over DISTINCT (doc_id, fp) rows, the exact per-key volume
+    * driver of [[winnowPairs]]' self-join. Row-local per document
+    * (winnowing selects within one doc's own windows), so df is additive
+    * across batches: df(corpus ∪ batch) == df(corpus) + df(batch) per fp
+    * — the gram-stats additivity, which is what licenses the append face
+    * below (unlike the containment df artifact, whose canonicalization is
+    * corpus-global and forbids one). */
+  private[graft] def winnowFpDf(d: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.winnowSelect(d)
+      .select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("c"))
+
+  /** Write-once winnow fingerprint-stats artifact. NOT gram-space-bounded
+    * (fingerprints are corpus-scale, ~2/(W+1) of token positions), but
+    * two narrow long columns after a groupBy — orders of magnitude under
+    * the selection relation, and the prediction read below is one
+    * aggregate over it, never a join against the corpus. */
+  val WinnowDfVersion = 1
+
+  private[graft] def ensureWinnowDf(spark: SparkSession, dir: String,
+                                    d: DataFrame,
+                                    version: Int = WinnowDfVersion): String =
+    graft.Materialize.ensure(spark, "graft_winnowdf", dir, version) { p =>
+      winnowFpDf(d).coalesce(4).write.mode("overwrite").parquet(p)
+    }
+
+  /** Incremental stats maintenance: a new ingest batch's (fp, c) rows land
+    * beside the existing files; reads fold with groupBy+sum. Exact by the
+    * additivity above (IncrementalIndexSpec pins append == rebuild). */
+  def appendToWinnowDf(spark: SparkSession, dir: String, batch: DataFrame,
+                       version: Int = WinnowDfVersion): String =
+    graft.Materialize.append(spark, "graft_winnowdf", dir, version) { p =>
+      winnowFpDf(batch).coalesce(1).write.mode("append").parquet(p)
+    }
+
+  /** Candidate-volume PREDICTION for the winnow pair join — the
+    * fuzzy/containment admission-control face on the third pair-join
+    * family: the fp-keyed self-join emits exactly Σ_fp df(fp)² rows
+    * before the doc_a < doc_b filter (each of a fingerprint's df
+    * selections meets all df on the other side), so folding the stats
+    * artifact and summing c² predicts the join's raw volume EXACTLY
+    * (OperatorParitySpec pins equality against the actual join at
+    * sf0.001) at the cost of one narrow aggregate — on a boilerplate-hot
+    * corpus the difference between linear and quadratic. */
+  def winnowCandidateCost(spark: SparkSession, dir: String): DataFrame =
+    winnowCandidateCostOver(
+      spark.read.parquet(
+          ensureWinnowDf(spark, dir, Tables.documents(spark, dir)))
+        .groupBy(col("fp")).agg(sum(col("c")).as("c")))
+
+  /** The prediction core over an explicit (fp, c) relation — shared by
+    * the artifact-fed gate row and WinnowCapProbe's crafted corpus, so
+    * the probe measures the spelling the dispatcher actually runs. */
+  private[graft] def winnowCandidateCostOver(fc: DataFrame): DataFrame =
+    fc.agg(coalesce(sum(col("c") * col("c")), lit(0L)).cast("long")
+        .as("candidate_rows"),
+      count(lit(1)).cast("long").as("n_fps"))
+
+  def winnowCandidateCostOracle: String =
+    s"""WITH ${graft.operators.TextAnalysis.winnowSelectSql},
+       |sf AS (SELECT DISTINCT doc_id, fp FROM sel),
+       |fc AS (SELECT fp, count(*)::BIGINT AS c FROM sf GROUP BY fp)
+       |SELECT coalesce(sum(c * c), 0)::BIGINT AS candidate_rows,
+       |       count(*)::BIGINT AS n_fps FROM fc""".stripMargin
+
+  /** Candidate-row budget for [[winnowPairsAuto]] — the sibling families'
+    * measured crossover (SCALE.md §admission-control: pair verification
+    * ≈ 0.33 µs/row + fixed; the capped form ~1.4 s slower than uncapped
+    * when nothing is hot, measured at the 10× replica). 8 M keeps the
+    * EXACT uncapped semantics wherever it is not measurably the slower
+    * plan — the WinnowCapProbe boilerplate corpus predicts ~50 M pairs
+    * and correctly escalates. */
+  val WinnowCandidateBudget: Long = 8L * 1000 * 1000
+
+  /** Memo for the dispatch prediction — `.head()` is a construction-time
+    * action (the batchFuzzySearchAuto precedent); keyed by the input and
+    * stats-artifact fingerprints so an ingest increment or stats append
+    * re-predicts. Threshold-free: the winnow cost model takes no
+    * parameter (the cap itself only shapes the CAPPED branch). */
+  private val winnowCostMemo =
+    new scala.collection.concurrent.TrieMap[(String, String, String), Long]
+
+  /** The dispatching winnow-pairs entry — the last pair-join family to
+    * get WIRED admission control (fuzzy_batch_auto and
+    * dedup_containment_auto set the pattern): run the bounded prediction,
+    * then choose. Below budget: the uncapped join (exact winnow overlap
+    * semantics — measurably the FASTER plan when nothing is hot). Above:
+    * the df-capped join (the documented recall cut a boilerplate-hot
+    * corpus forces — 91.5 s → 10.1 s on the crafted 50k corpus). The
+    * oracle twin dispatches identically in SQL, so the gate checks the
+    * dispatch itself. */
+  def winnowPairsAuto(spark: SparkSession, dir: String, dfCapInverse: Long,
+                      budget: Long = WinnowCandidateBudget): DataFrame = {
+    val dp = ensureWinnowDf(spark, dir, Tables.documents(spark, dir))
+    val predicted = winnowCostMemo.getOrElseUpdate(
+      (dir, graft.Materialize.fingerprint(spark, dir),
+        graft.Materialize.fingerprint(spark, dp)),
+      winnowCandidateCost(spark, dir).head().getLong(0))
+    if (predicted <= budget) winnowPairs(spark, dir)
+    else winnowPairsCapped(spark, dir, dfCapInverse)
+  }
+
+  def winnowPairsAutoOracle(dfCapInverse: Long,
+                            budget: Long = WinnowCandidateBudget): String =
+    s"""WITH cost AS ($winnowCandidateCostOracle)
+       |SELECT doc_a, doc_b, n_shared
+       |FROM (
+       |  SELECT * FROM ($winnowPairsOracle) u
+       |  WHERE (SELECT candidate_rows FROM cost) <= $budget
+       |  UNION ALL
+       |  SELECT * FROM (${winnowPairsCappedOracle(dfCapInverse)}) s
+       |  WHERE (SELECT candidate_rows FROM cost) > $budget
+       |) d
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------ incremental batch-vs-corpus near-dup
 
   /** Deterministic batch split: docs with doc_id % IncMod == IncRem are

@@ -67,6 +67,24 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(foldDf(adf) == a && foldN(an) == foldN(rn))
   }
 
+  test("winnow fp stats: append-then-fold == rebuild-then-fold (df additive)") {
+    import graft.operators.Dedup
+    val d = Tables.documents(spark, dir)
+    val base = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val batch = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+    assert(batch.count() > 0 && base.count() > 0)
+    // winnowing is row-local per document, so per-fp df is additive across
+    // batches — the property that licenses the append face at all
+    val ap = Dedup.ensureWinnowDf(spark, dir, base, version = 901)
+    Dedup.appendToWinnowDf(spark, dir, batch, version = 901)
+    val rp = Dedup.ensureWinnowDf(spark, dir, d, version = 902)
+    def fold(p: String): Seq[(Long, Long)] =
+      spark.read.parquet(p).groupBy(col("fp")).agg(sum(col("c")).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val a = fold(ap)
+    assert(a.nonEmpty && a == fold(rp))
+  }
+
   test("indexed fuzzy search over an appended index == inline over the union corpus") {
     val (_, base, batch) = corpusParts()
     // Build at the OPERATOR's version so fuzzySearchIndexed's ensure() sees

@@ -346,6 +346,35 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"boilerplate pairs should be cut: $capped")
   }
 
+  test("winnow cost prediction equals the raw pair join row count") {
+    import org.apache.spark.sql.functions.col
+    val predicted = Dedup.winnowCandidateCost(spark, dir).head().getLong(0)
+    // independent recount: run the ACTUAL fp self-join (pre doc_a < doc_b
+    // filter) over the same distinct selection — the prediction's claim is
+    // exact row-count equality with Σ_fp df², not an estimate
+    val sel = graft.operators.TextAnalysis
+      .winnowSelect(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("fp")).distinct()
+    val raw = sel.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(sel.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+      .count()
+    assert(predicted == raw, s"predicted $predicted != join rows $raw")
+    assert(predicted > 0, "cost pin is vacuous")
+  }
+
+  test("winnow auto dispatch selects by predicted volume") {
+    val inv = SparkEntry.P.WinnowCapInv
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // default budget: the sf0.001 prediction sits far below 8M — the
+    // dispatcher must serve the EXACT uncapped pair join
+    assert(rows(Dedup.winnowPairsAuto(spark, dir, inv)) ==
+      rows(Dedup.winnowPairs(spark, dir)))
+    // budget 0: any corpus over-budget — must serve the df-capped join
+    assert(rows(Dedup.winnowPairsAuto(spark, dir, inv, budget = 0L)) ==
+      rows(Dedup.winnowPairsCapped(spark, dir, inv)))
+  }
+
   test("ladder hybrid dense pool overlaps the brute pool at the measured floor") {
     import graft.operators.Retrieval
     import org.apache.spark.sql.functions.col
