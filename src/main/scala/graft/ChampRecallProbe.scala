@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measurement behind SCALE.md §champion-recall: what the champion
+  * tier's absolute posting truncation costs in RESULT QUALITY at the
+  * replica scales where the dispatcher actually selects it. The gate row
+  * `fuzzy_batch_champ_recall` measures the full decomposition (vs uncut
+  * AND vs stop-gram) at oracle scale; at the 10×/100× replicas the uncut
+  * tier-1 join is exactly the plan the ladder exists to avoid (predicted
+  * ~24B candidate rows at 100× — hours), so this probe measures the
+  * truncation's own loss against the stop-gram tier it replaces:
+  * overlap of (qid, clean_value) result entities (the reference's dedup
+  * identity — clone replicas make raw ids ambiguous: both tiers return
+  * the same entity under different clone ids), champion ∩ stop-gram /
+  * stop-gram.
+  *
+  *   runMain graft.ChampRecallProbe <dir> ...
+  */
+object ChampRecallProbe {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ChampRecallProbe <dir> ...")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val k = SparkEntry.P.FuzzyK
+    val inv = SparkEntry.P.StopGramInv
+    args.foreach { dir =>
+      val t0 = System.nanoTime()
+      val stop = graft.operators.FuzzySearch
+        .batchFuzzySearchStopGramIndexed(spark, dir, k, inv)
+        .select(col("qid"), col("clean_value")).cache()
+      val kStop = stop.count()
+      val stopWall = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val champ = graft.operators.FuzzySearch
+        .batchFuzzySearchChampIndexed(spark, dir, k, inv)
+        .select(col("qid"), col("clean_value")).cache()
+      val kChamp = champ.count()
+      val champWall = (System.nanoTime() - t1) / 1e9
+      val hits = stop.join(champ, Seq("qid", "clean_value")).count()
+      val recall = if (kStop == 0) 0.0 else hits.toDouble / kStop
+      stop.unpersist(); champ.unpersist()
+      println(f"""{"metric":"champ_recall_probe","dir":"$dir",""" +
+        f""""k_stop":$kStop,"k_champ":$kChamp,"hits":$hits,""" +
+        f""""recall_vs_stopgram":$recall%.4f,""" +
+        f""""stop_wall":$stopWall%.1f,"champ_wall":$champWall%.1f}""")
+    }
+    spark.stop()
+  }
+}

@@ -148,6 +148,10 @@ object SparkEntry {
     // cap-after-count) below the budget, the stop-gram cut above it —
     // the oracle twin dispatches identically in SQL
     "fuzzy_batch_auto" -> ((s, d) => FuzzySearch.batchFuzzySearchAuto(s, d, P.FuzzyK, P.StopGramInv)),
+    // what tier-3 truncation costs in result quality vs tier-1 exact
+    // semantics — the ann_*_recall convention on the fuzzy ladder
+    "fuzzy_batch_champ_recall" -> ((s, d) =>
+      FuzzySearch.batchFuzzyChampRecall(s, d, P.FuzzyK, P.StopGramInv)),
     // digits-only query TABLE over the zip corpus: the postal scoring
     // branch exercised in the batch serving shape (runtime per-row branch)
     "fuzzy_batch_postal" -> ((s, d) => FuzzySearch.batchFuzzySearchZip(s, d, P.PostalK)),
@@ -595,6 +599,8 @@ object SparkEntry {
     "fuzzy_batch_champ" ->
       FuzzySearch.batchFuzzySearchChampOracle(P.FuzzyK, P.StopGramInv),
     "fuzzy_batch_auto" -> FuzzySearch.batchFuzzySearchAutoOracle(P.FuzzyK, P.StopGramInv),
+    "fuzzy_batch_champ_recall" ->
+      FuzzySearch.batchFuzzyChampRecallOracle(P.FuzzyK, P.StopGramInv),
     "fuzzy_batch_postal" -> FuzzySearch.batchFuzzySearchZipOracle(P.PostalK),
     "geo_knn_batch" -> RadiusSearch.knnBatchOracle(P.RadiusMiles, 5),
     "geo_radius_full" -> RadiusSearch.radiusSearchFullOracle(P.RadiusFullProbe, P.RadiusMiles, countryExact = false),

@@ -679,6 +679,74 @@ object FuzzySearch {
        |ORDER BY qid, score DESC, id""".stripMargin
   }
 
+  /** Measured overlap@k of the champion tier against the UNCUT batch
+    * results — the `ann_*_recall` convention applied to the fuzzy
+    * ladder's own approximation: tier 3 changes results by design (the
+    * stop-gram cut drops hot-gram hit evidence, then the per-gram
+    * truncation drops candidates beyond each list's K champions), and
+    * this row keeps what that costs in RESULT QUALITY vs tier-1 exact
+    * reference semantics a measured number, not an assertion. Recall =
+    * Σ|champ ∩ exact| / Σ|exact| over the batch's queries, matched on
+    * (qid, clean_value) — the reference's own result identity (its dedup
+    * collapses candidates per clean_value, geo_manager.py's best-per-
+    * entity step), so two tiers surfacing the same ENTITY through
+    * different duplicate ids count as agreement; raw-id matching scored 0
+    * on the clone-replica corpora while every returned entity was
+    * identical. Both sides are the served plans, so the number moves
+    * when either the cut calibration or the champion ranking does (the
+    * population-prior ranking exists exactly to push it up on
+    * population-skewed corpora). Two numbers, because tier 3 stacks TWO
+    * losses and conflating them misreads the design: `recall` (vs the
+    * uncut tier-1 results) is dominated by the stop-gram cut that tier 2
+    * ALREADY pays — its result set is the ceiling any cut plan can reach
+    * — while `recall_vs_stopgram` isolates what the per-gram truncation
+    * itself costs on top (the number the posting-cap knob moves). */
+  def batchFuzzyChampRecall(spark: SparkSession, dir: String, numResults: Int,
+                            dfCapInverse: Long,
+                            postingCap: Int = ChampPostingCap,
+                            cap: Int = DefaultCap): DataFrame = {
+    val exact = batchFuzzySearchIndexed(spark, dir, numResults, cap)
+      .select(col("qid"), col("clean_value"))
+    val stop = batchFuzzySearchStopGramIndexed(spark, dir, numResults,
+        dfCapInverse, cap)
+      .select(col("qid"), col("clean_value"))
+    val champ = batchFuzzySearchChampIndexed(spark, dir, numResults,
+        dfCapInverse, postingCap, cap)
+      .select(col("qid"), col("clean_value"))
+    def hitsOf(base: DataFrame, name: String): DataFrame =
+      base.join(champ, Seq("qid", "clean_value"))
+        .agg(count(lit(1)).cast("long").as(name))
+    exact.agg(count(lit(1)).cast("long").as("k_total"),
+        countDistinct(col("qid")).cast("long").as("n_queries"))
+      .crossJoin(broadcast(hitsOf(exact, "hits_total")))
+      .crossJoin(broadcast(stop.agg(count(lit(1)).cast("long").as("k_stop"))))
+      .crossJoin(broadcast(hitsOf(stop, "hits_stop")))
+      .select(col("n_queries"), col("k_total"), col("hits_total"),
+        (col("hits_total").cast("double") / col("k_total").cast("double"))
+          .as("recall"),
+        col("k_stop"), col("hits_stop"),
+        (col("hits_stop").cast("double") / col("k_stop").cast("double"))
+          .as("recall_vs_stopgram"))
+  }
+
+  def batchFuzzyChampRecallOracle(numResults: Int, dfCapInverse: Long,
+                                  postingCap: Int = ChampPostingCap,
+                                  cap: Int = DefaultCap): String =
+    s"""WITH ex AS MATERIALIZED (SELECT qid, clean_value FROM (${batchFuzzySearchOracle(numResults, cap)})),
+       |st AS MATERIALIZED (SELECT qid, clean_value
+       |       FROM (${batchFuzzySearchOracle(numResults, cap, Some(dfCapInverse))})),
+       |ch AS MATERIALIZED (SELECT qid, clean_value
+       |       FROM (${batchFuzzySearchChampOracle(numResults, dfCapInverse, postingCap, cap)}))
+       |SELECT (SELECT count(DISTINCT qid) FROM ex)::BIGINT AS n_queries,
+       |       (SELECT count(*) FROM ex)::BIGINT AS k_total,
+       |       (SELECT count(*) FROM ex JOIN ch USING (qid, clean_value))::BIGINT AS hits_total,
+       |       (SELECT count(*) FROM ex JOIN ch USING (qid, clean_value))::DOUBLE
+       |         / (SELECT count(*) FROM ex)::DOUBLE AS recall,
+       |       (SELECT count(*) FROM st)::BIGINT AS k_stop,
+       |       (SELECT count(*) FROM st JOIN ch USING (qid, clean_value))::BIGINT AS hits_stop,
+       |       (SELECT count(*) FROM st JOIN ch USING (qid, clean_value))::DOUBLE
+       |         / (SELECT count(*) FROM st)::DOUBLE AS recall_vs_stopgram""".stripMargin
+
   /** Candidate-volume PREDICTION for the batch join — the
     * admission-control face of SCALE.md's cost model: candidate rows =
     * Σ_g qcount(g)·df(g), with qcount from one narrow pass over the query
