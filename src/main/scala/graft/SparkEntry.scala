@@ -245,6 +245,10 @@ object SparkEntry {
     // materialized cell-partitioned IVF index + pruned read (same oracle:
     // identical results, different physical plan — nprobe/C of the data)
     "ann_ivf_bucketed" -> ((s, d) => Similarity.ivfBucketedTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
+    // the ncells growth policy wired: codebook size derives from the
+    // corpus count at build time (cells ~ N/125; lands on the anchor 16
+    // at gate scale, the measured flat-probed-rows sizes at replicas)
+    "ann_ivf_auto" -> ((s, d) => Similarity.ivfBucketedTopKAuto(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     // measured recall@k of IVF vs the exact brute-force ground truth
     "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     // TRAINED IVF codebook: spherical k-means Lloyd iterations, map-only
@@ -646,6 +650,10 @@ object SparkEntry {
     "ann_lsh_buckets" -> Similarity.lshBucketsOracle(8),
     "ann_ivf_topk" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf_bucketed" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
+    // at gate scale autoNumCentroids(N) == IvfNumCentroids, so the
+    // fixed-ncells oracle gates the auto face unchanged (the degenerate
+    // parity OperatorParitySpec also pins directly)
+    "ann_ivf_auto" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf_recall" -> Similarity.ivfRecallOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_kmeans_train" -> KMeans.kmeansTrainOracle(),
     "ann_ivf_trained" -> KMeans.ivfTrainedTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),

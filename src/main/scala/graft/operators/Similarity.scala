@@ -123,6 +123,23 @@ object Similarity {
     * to a few thousand trained centroids, still kilobytes-to-megabytes. */
   val IvfNumCentroids = 16
 
+  /** Target cell SIZE (vectors per cell) for the AUTO-derived codebook —
+    * SCALE.md §ncells-growth's corrected rule made executable: fixed cell
+    * size (ncells ∝ N) keeps probed rows flat at fixed nprobe, and with
+    * this constant the rule stops living in prose. Anchor-calibrated:
+    * sf0.1's 2,000 vectors / 16 cells = 125, so at the anchor and every
+    * smaller gate corpus [[autoNumCentroids]] lands exactly on
+    * [[IvfNumCentroids]] (degenerate parity, spec-pinned) while the 10×
+    * replica derives the MEASURED ∝N row (160 cells — probed rows flat at
+    * 1,290 vs the anchor's 1,474; SCALE.md §ncells table). */
+  val IvfTargetCellSize = 125L
+
+  /** cells ≈ N / [[IvfTargetCellSize]], floored at the anchor codebook.
+    * Never outruns the deterministic id-stride sample: the codebook draws
+    * every 25th id below 25·ncells, and 25·(N/125) = N/5 < N always. */
+  def autoNumCentroids(n: Long): Int =
+    math.max(IvfNumCentroids.toLong, n / IvfTargetCellSize).toInt
+
   /** IVF (inverted-file) ANN — the disk-friendly scale path:
     *  1. coarse quantizer: a FIXED-SIZE deterministic sample of
     *     `numCentroids` vectors (every `centroidMod`-th vector, capped) is
@@ -405,6 +422,27 @@ object Similarity {
         round(cosine(col("embedding"), col("pemb")), 4).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** The AUTO-sized served IVF read — the ncells growth policy wired
+    * instead of hand-tuned: the codebook size derives from the corpus
+    * count at ensure time (cells ≈ N/[[IvfTargetCellSize]]), and the
+    * artifact kind already carries the derived parameter (the
+    * champion-index parameter-in-kind precedent), so a corpus that grew
+    * past the next cell boundary re-keys and REBUILDS rather than
+    * serving a stale codebook size. At every gate corpus the derivation
+    * lands on the anchor 16, so the fixed-ncells oracle gates this row
+    * unchanged; OperatorParitySpec pins that equality explicitly plus
+    * the derived values at the replica counts, and IvfScaleProbe
+    * measures flat probed rows at the derived sizes without
+    * hand-tuning. The count() is one metadata-bounded job per build —
+    * at 100 TB it rides the same ingest pass that writes the index. */
+  def ivfBucketedTopKAuto(spark: SparkSession, dir: String, probeId: Long,
+                          k: Int, centroidMod: Long = 25L,
+                          nprobe: Int = 2): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    ivfBucketedTopK(spark, dir, probeId, k, centroidMod, nprobe,
+      autoNumCentroids(n))
   }
 
   /** Probe-set stride for the batch ANN query. */

@@ -375,6 +375,25 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(Dedup.winnowPairsCapped(spark, dir, inv)))
   }
 
+  test("auto ncells: derived sizes match the measured policy; auto == fixed at gate scale") {
+    // the derivation itself: anchor and below land on the fixed codebook
+    // (degenerate parity), the replica counts land on the SCALE.md §ncells
+    // measured flat-probed-rows sizes (160 at 10×, 1600 at 100×)
+    assert(Similarity.autoNumCentroids(20L) == Similarity.IvfNumCentroids)
+    assert(Similarity.autoNumCentroids(2000L) == Similarity.IvfNumCentroids)
+    assert(Similarity.autoNumCentroids(20000L) == 160)
+    assert(Similarity.autoNumCentroids(200000L) == 1600)
+    // and the served auto face is bit-equal to the fixed face at the gate
+    // corpus, where the derivation degenerates to the anchor
+    val auto = Similarity.ivfBucketedTopKAuto(spark, dir,
+      SparkEntry.P.IvfProbe, SparkEntry.P.IvfK, nprobe = SparkEntry.P.IvfNprobe)
+      .collect().map(_.toSeq).toSeq
+    val fixed = Similarity.ivfBucketedTopK(spark, dir,
+      SparkEntry.P.IvfProbe, SparkEntry.P.IvfK, nprobe = SparkEntry.P.IvfNprobe)
+      .collect().map(_.toSeq).toSeq
+    assert(auto.nonEmpty && auto == fixed)
+  }
+
   test("ladder hybrid dense pool overlaps the brute pool at the measured floor") {
     import graft.operators.Retrieval
     import org.apache.spark.sql.functions.col
