@@ -4,7 +4,10 @@ import graft.functions._
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry.TableFunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StringType
 
 /** Engine entry point into Catalyst: registers the native expressions with
   * the session FunctionRegistry, so SQL users get them as first-class
@@ -14,19 +17,37 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   spark.sql("SELECT cosine_similarity(e1, e2) FROM pairs")
   *   spark.sql("SELECT minhash_signature(lower(text), 3, 16) FROM docs")
   *
+  * ... and the flagship COMPOSITE pipelines with the TableFunctionRegistry,
+  * so a pure-SQL user can run them without touching the Scala API
+  * (table-valued functions over literal arguments — the parameters select
+  * data and plan shape, so they must be plan-time constants anyway):
+  *
+  *   spark.sql("SELECT * FROM fuzzy_search('/data/sf0.1', 'smal widget', 15)")
+  *   spark.sql("SELECT * FROM radius_search('/data/sf0.1', 7, 2000.0, true)")
+  *   spark.sql("SELECT * FROM bm25_topk('/data/sf0.1', 15, 'spark', 'query')")
+  *
+  * Each TVF builder delegates to the exact Scala entry point (the gated
+  * operator), returning its logical plan — SQL output == Scala API output
+  * by construction (ExtensionsSpec pins it anyway), and the physical plan
+  * is the same broadcast-probed, pushdown-pruned shape PlanShapeSpec pins.
+  *
   * Two activation paths:
   *  - config: `spark.sql.extensions=graft.plans.GraftExtensions`
   *  - programmatic: `GraftExtensions.register(spark)` on a live session.
   *
   * No custom optimizer Rule or SparkStrategy is registered: every engine
   * plan compiles to stock physical operators (SURVEY.md §4) — the
-  * extension surface is functions only, which is the honest minimum.
-  */
+  * extension surface is functions plus table functions, the honest
+  * minimum. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    GraftExtensions.tableInjections.foreach { case (name, info, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
 }
 
 object GraftExtensions {
@@ -99,10 +120,96 @@ object GraftExtensions {
       arity("gram_buckets", 2)(args =>
         GramBucketsExpr(args(0), intLit(args(1), "buckets").toLong))))
 
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  private def boolLit(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
+  }
+
+  /** The active session at analysis time — table-function builders run
+    * inside the analyzer, where `SparkSession.active` is the session
+    * resolving the query. */
+  private def session = org.apache.spark.sql.SparkSession.active
+
+  /** Arity guard for table-function builders (same rationale as [[arity]]). */
+  private def tArity(name: String, n: Int)(
+      f: Seq[Expression] => LogicalPlan): TableFunctionBuilder =
+    (args: Seq[Expression]) => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${args.length}")
+      f(args)
+    }
+
+  /** Flagship composite pipelines as TABLE-VALUED functions. Builders
+    * delegate to the gated Scala operators and return their logical
+    * plans, so the SQL face can never drift from the API the oracle
+    * gates. Arguments must be literals — they parameterize plan
+    * CONSTRUCTION (which tables are read, which deltas are folded), not
+    * row evaluation. */
+  val tableInjections: Seq[(String, ExpressionInfo, TableFunctionBuilder)] = Seq(
+    ("fuzzy_search",
+      info("fuzzy_search",
+        "fuzzy_search(dir, query, k) - trigram-candidate fuzzy entity search " +
+          "over the geo corpus at <dir>: top-k by geo_search_score."),
+      tArity("fuzzy_search", 3) { args =>
+        graft.operators.FuzzySearch.fuzzySearch(session,
+          strLit(args(0), "dir"), strLit(args(1), "query"),
+          longLit(args(2), "k").toInt).queryExecution.logical
+      }),
+    ("radius_search",
+      info("radius_search",
+        "radius_search(dir, probe_id, miles, country_exact) - haversine radius " +
+          "search around shape <probe_id> with bbox/ellipse pre-filters."),
+      tArity("radius_search", 4) { args =>
+        graft.operators.RadiusSearch.radiusSearch(session,
+          strLit(args(0), "dir"), longLit(args(1), "probe_id"),
+          doubleLit(args(2), "miles"), boolLit(args(3), "country_exact"))
+          .queryExecution.logical
+      }),
+    ("bm25_topk",
+      info("bm25_topk",
+        "bm25_topk(dir, k, term, ...) - BM25 top-k documents for the query terms."),
+      (args: Seq[Expression]) => {
+        if (args.length < 3) throw new IllegalArgumentException(
+          s"bm25_topk expects (dir, k, term, ...), got ${args.length} arguments")
+        graft.operators.Retrieval.bm25TopK(session,
+          strLit(args.head, "dir"), args.drop(2).zipWithIndex
+            .map { case (t, i) => strLit(t, s"term ${i + 1}") },
+          longLit(args(1), "k").toInt).queryExecution.logical
+      }))
+
   /** Programmatic registration on a live session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     injections.foreach { case (name, i, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), i, builder)
     }
+    tableInjections.foreach { case (name, i, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(FunctionIdentifier(name), i, builder)
+    }
+  }
 }

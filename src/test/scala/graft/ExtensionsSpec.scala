@@ -10,10 +10,13 @@ import org.scalatest.BeforeAndAfterAll
   * injections). */
 class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
+  private val dir = "/root/testdata/sf0.001"
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
     .withExtensions(new GraftExtensions)
     .appName("extensions-spec")
     .getOrCreate()
@@ -73,5 +76,54 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("SELECT lsh_signature(array(1.0F), length('ab'))").collect()
     }
     assert(e.getMessage.contains("integer literal"))
+  }
+
+  test("fuzzy_search is callable as a SQL table function == Scala API") {
+    val viaSql = spark.sql(
+      s"SELECT * FROM fuzzy_search('$dir', 'smal widget', 15)")
+      .collect().map(_.toSeq).toSeq
+    val viaApi = graft.operators.FuzzySearch
+      .fuzzySearch(spark, dir, "smal widget", 15)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+  }
+
+  test("radius_search is callable as a SQL table function == Scala API") {
+    val viaSql = spark.sql(
+      s"SELECT * FROM radius_search('$dir', ${SparkEntry.P.RadiusProbe}, " +
+        s"${SparkEntry.P.RadiusMiles}, true)")
+      .collect().map(_.toSeq).toSeq
+    val viaApi = graft.operators.RadiusSearch
+      .radiusSearch(spark, dir, SparkEntry.P.RadiusProbe,
+        SparkEntry.P.RadiusMiles, countryExact = true)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+  }
+
+  test("bm25_topk is callable as a SQL table function (vararg terms) == Scala API") {
+    val terms = SparkEntry.P.Bm25Query
+    val viaSql = spark.sql(
+      s"SELECT * FROM bm25_topk('$dir', ${SparkEntry.P.Bm25K}, " +
+        terms.map(t => s"'$t'").mkString(", ") + ")")
+      .collect().map(_.toSeq).toSeq
+    val viaApi = graft.operators.Retrieval
+      .bm25TopK(spark, dir, terms, SparkEntry.P.Bm25K)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+  }
+
+  test("table functions work on a plain session via programmatic register") {
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    val r = s2.sql(s"SELECT * FROM fuzzy_search('$dir', 'smal widget', 5)")
+      .collect()
+    assert(r.length == 5)
+  }
+
+  test("non-literal table-function argument is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM fuzzy_search('$dir', lower('X'), 5)").collect()
+    }
+    assert(e.getMessage.contains("string literal"))
   }
 }
