@@ -184,6 +184,36 @@ object Materialize {
     p
   }
 
+  /** [[ensure]] for a stage with SEVERAL upstream inputs (round 11: the
+    * e2e chain's first stage reads the row-local docbase AND the
+    * corpus-global overlay): the artifact is keyed by the joined input
+    * paths and its staleness manifest is the UNION of the inputs'
+    * listings (keys index-prefixed so same-named children of different
+    * inputs never collide) — a modified/removed child of EITHER input
+    * marks the stage stale, preserving the chain's transitive-staleness
+    * contract. Single-input kinds keep using [[ensure]] unchanged (its
+    * manifest key format predates the prefix; re-keying would mark every
+    * existing artifact stale once for nothing). */
+  def ensureMulti(spark: SparkSession, kind: String, dirs: Seq[String],
+                  version: Int)(build: String => Unit): String = {
+    require(dirs.nonEmpty, "ensureMulti needs at least one input dir")
+    val p = artifactPath(spark, kind, dirs.mkString("|"), version)
+    val marker = new Path(p, "_SUCCESS")
+    val fs = fsOf(spark, marker)
+    val current: Map[String, Long] = dirs.zipWithIndex.flatMap { case (d, i) =>
+      listInputs(spark, d).map { case (n, t) => s"$i/$n" -> t }
+    }.toMap
+    val exists = fs.exists(marker)
+    val stale = exists && readManifest(spark, p).forall(staleAgainst(_, current))
+    if (stale) fs.delete(new Path(p), true)
+    if (!exists || stale) {
+      build(p)
+      writeManifest(spark, p, current)
+    }
+    requireNonEmpty(spark, p)
+    p
+  }
+
   /** Incremental artifact refresh — the materialized-layout face of the
     * reference's `add_entity` (geo_manager.py:451-476): `appendBuild(path)`
     * must finish with a committed `mode("append")` write, landing the new

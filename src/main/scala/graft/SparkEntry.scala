@@ -337,7 +337,7 @@ object SparkEntry {
     // health, contamination, quantized mean quality — one plan
     "corpus_stats" -> ((s, d) => CorpusPrep.corpusStats(s, d)),
     // the serving twin: rollup from the MATERIALIZED per-doc metadata
-    // table (graft_docmeta) — a refresh never re-runs the pipeline
+    // pair (graft_docbase ⋈ graft_docglobal) — a refresh never re-runs the pipeline
     "corpus_stats_indexed" -> ((s, d) => CorpusPrep.corpusStatsIndexed(s, d)),
     // the pipeline gate served from the label table: prep == a filter
     // over per-doc labels the pipeline already computed

@@ -224,12 +224,39 @@ object CorpusPrep {
   /** The per-doc label relation every pipeline stage contributes to —
     * doc_id, source, lang_pred, quantized quality, token count, dedup
     * canonicality, contamination flag. This IS the cleaned corpus's
-    * metadata table: at 100 TB it persists next to the corpus (see
-    * [[ensureDocMeta]]) and observability aggregates READ it instead of
-    * re-running language-ID + dedup + decontamination per refresh. */
+    * metadata table: at 100 TB it persists next to the corpus (the
+    * docbase + docglobal artifact pair below) and observability
+    * aggregates READ it instead of re-running language-ID + dedup +
+    * decontamination per refresh. Inline (anchor) face: the full
+    * derivation in one plan — the oracle's semantics. */
   private[graft] def docMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = graft.Tables.documents(spark, dir)
-    val gates = TextAnalysis.docGates(spark, dir)
+    docBaseOver(spark, d,
+        LmQuality.ensureModel(spark, dir))
+      .join(docGlobalOver(spark, dir), "doc_id")
+      .select(docMetaColumns: _*)
+  }
+
+  /** The v4 label schema's column order — shared by the inline face and
+    * the served base⋈overlay join so the two can never drift. */
+  private val docMetaColumns = Seq(
+    col("doc_id"), col("source"), col("lang_pred"),
+    col("quality_score"), col("q_q"),
+    col("n_tok"), col("n_pieces"), col("content_hash"), col("is_canonical"),
+    col("contaminated"), col("lm_score"))
+
+  /** The ROW-LOCAL half of the label table over an explicit document
+    * relation: language/quality gates, token + BPE-piece counts, content
+    * hash, and the trained-LM fluency score against the FROZEN served
+    * model — every column depends only on the row's own text (the LM
+    * score on text + a static artifact), which is what licenses the
+    * append face: labeling corpus ∪ batch == labels(corpus) ∪
+    * labels(batch). Left join for the LM score: a doc under two tokens
+    * has no bigrams and no score — carried as 0.0 (below any real
+    * median, the conservative cut). */
+  private[graft] def docBaseOver(spark: SparkSession, d: DataFrame,
+                                 modelPath: String): DataFrame = {
+    val gates = TextAnalysis.docGatesOver(d)
       .select(col("doc_id"), col("lang_pred"), col("quality_score"),
         floor(col("quality_score") * StatsQuant.toDouble).cast("long").as("q_q"))
     val toks = d.select(col("doc_id"),
@@ -237,43 +264,88 @@ object CorpusPrep {
       size(regexp_extract_all(lower(col("text")),
         lit(TextAnalysis.BpePattern), lit(0))).cast("long").as("n_pieces"),
       graft.functions.TextFunctions.polyHash(col("text")).as("content_hash"))
-    val canon = Dedup.dedupPipeline(spark, dir)
-      .select(col("doc_id"), col("is_canonical"))
-    val contam = decontaminate(spark, dir)
-      .select(col("doc_id"), col("contaminated"))
-    // Trained-LM fluency, scored against the SERVED model artifact (the
-    // train fold never re-runs inside the label build). Left join: a doc
-    // under two tokens has no bigrams and no score — carried as 0.0 (it
-    // lands below any real median, which is the conservative cut).
-    val lm = LmQuality.lmScoreIndexed(spark, dir)
+    val lm = LmQuality.scoreAgainstModel(d, spark.read.parquet(modelPath))
       .select(col("doc_id"), col("lm_score"))
     d.select(col("doc_id"), col("source"))
-      .join(gates, "doc_id").join(toks, "doc_id").join(canon, "doc_id")
-      .join(contam, Seq("doc_id"), "left")
+      .join(gates, "doc_id").join(toks, "doc_id")
       .join(lm, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("lang_pred"),
         col("quality_score"), col("q_q"),
-        col("n_tok"), col("n_pieces"), col("content_hash"), col("is_canonical"),
-        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        col("n_tok"), col("n_pieces"), col("content_hash"),
         coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
   }
 
-  /** Write-once per-doc metadata artifact (`graft_docmeta`). NO append
-    * face on purpose: `is_canonical` is a whole-corpus property (a new
-    * batch can demote an old doc's canonicality), so an ingest increment
-    * is staleness and `ensure` re-labels — unlike the additive count
-    * artifacts (wordstats, dsirmodel). v2: carries the RAW quality_score
-    * next to its quantized form so the prep gate can serve from it.
-    * v3: carries the BPE piece count and content hash, so every stage of
-    * the composed corpus_e2e DAG downstream of the labels is label-only —
-    * raw documents are scanned exactly once, here.
-    * v4: carries the trained-LM fluency score (from the served
-    * `graft_lmmodel`), so the e2e chain's fluency-cut stage is
-    * label-only too. */
-  def ensureDocMeta(spark: SparkSession, dir: String, version: Int = 4): String =
-    graft.Materialize.ensure(spark, "graft_docmeta", dir, version) { p =>
-      docMeta(spark, dir).write.mode("overwrite").parquet(p)
+  /** The CORPUS-GLOBAL overlay derivation: dedup canonicality (a new
+    * batch can demote an old doc's canonicality — min-id-wins over the
+    * whole corpus) and eval-set contamination (a new batch can add eval
+    * docs whose n-grams contaminate OLD train docs). Three narrow
+    * columns per doc. */
+  private[graft] def docGlobalOver(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupPipeline(spark, dir)
+      .select(col("doc_id"), col("is_canonical"))
+      .join(decontaminate(spark, dir)
+        .select(col("doc_id"), col("contaminated")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_canonical"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+
+  /** The per-doc label table, SPLIT (round 11 — the e2e label pass is
+    * the pipeline's one full raw-text scan, 159 s at the 500k replica,
+    * and v4's single write-once artifact forced a 10% ingest increment
+    * to re-scan 100% of the text):
+    *
+    *  - `graft_docbase` — the row-local columns (language, quality,
+    *    token/piece counts, content hash, LM score vs the frozen model).
+    *    APPENDABLE: an increment labels only its own text
+    *    (IncrementalIndexSpec pins append == rebuild). An LM RETRAIN is
+    *    a version bump (the IVF frozen-codebook lifecycle).
+    *  - `graft_docglobal` — the corpus-global overlay (is_canonical,
+    *    contaminated). NO append face: both labels can flip on OLD docs
+    *    when a batch arrives, so an increment is staleness and ensure
+    *    re-labels — but this half's rebuild never re-reads text columns
+    *    beyond the dedup/decontamination passes themselves, and it is
+    *    the cheap half by an order of magnitude (SCALE.md §docmeta).
+    *
+    * Consumers read the JOIN ([[docMetaIndexed]]); the e2e chain keys
+    * its first stage on BOTH artifact paths so transitive staleness
+    * still flows from either half. */
+  val DocBaseVersion = 1
+  val DocGlobalVersion = 1
+
+  def ensureDocBase(spark: SparkSession, dir: String,
+                    version: Int = DocBaseVersion): String = {
+    val model = LmQuality.ensureModel(spark, dir)
+    graft.Materialize.ensure(spark, "graft_docbase", dir, version) { p =>
+      docBaseOver(spark, graft.Tables.documents(spark, dir), model)
+        .write.mode("overwrite").parquet(p)
     }
+  }
+
+  /** Incremental labeling: the batch's row-local labels land as new
+    * files beside the existing ones — the batch's own text is the ONLY
+    * text read. Scores use the standing frozen LM model (never a
+    * retrain mid-append). */
+  def appendToDocBase(spark: SparkSession, dir: String, batch: DataFrame,
+                      version: Int = DocBaseVersion): String = {
+    val model = LmQuality.ensureModel(spark, dir)
+    graft.Materialize.append(spark, "graft_docbase", dir, version) { p =>
+      docBaseOver(spark, batch, model).write.mode("append").parquet(p)
+    }
+  }
+
+  def ensureDocGlobal(spark: SparkSession, dir: String,
+                      version: Int = DocGlobalVersion): String =
+    graft.Materialize.ensure(spark, "graft_docglobal", dir, version) { p =>
+      docGlobalOver(spark, dir).write.mode("overwrite").parquet(p)
+    }
+
+  /** The SERVED label relation — row-local base ⋈ corpus-global overlay
+    * on doc_id, in the v4 column order. At 100 TB both halves co-bucket
+    * by doc_id so the join is shuffle-free; here it is one narrow
+    * equi-join of two artifact scans. */
+  private[graft] def docMetaIndexed(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(ensureDocBase(spark, dir))
+      .join(spark.read.parquet(ensureDocGlobal(spark, dir)), "doc_id")
+      .select(docMetaColumns: _*)
 
   /** The rollup both stats faces share: one hash aggregate on the source
     * key (bounded cardinality — sources are feeds, not data). */
@@ -296,7 +368,7 @@ object CorpusPrep {
     * dashboard refresh reads ~7 narrow columns/doc, it does not re-run
     * the cleaning pipeline. */
   def corpusStatsIndexed(spark: SparkSession, dir: String): DataFrame =
-    statsRollup(spark.read.parquet(ensureDocMeta(spark, dir)))
+    statsRollup(docMetaIndexed(spark, dir))
 
   /** The serving twin of [[corpusPrep]] — the pipeline GATE itself read
     * from the label table: prep output is by definition a filter over
@@ -307,7 +379,7 @@ object CorpusPrep {
     * gates both. */
   def corpusPrepIndexed(spark: SparkSession, dir: String,
                         minQuality: Double = MinQuality): DataFrame =
-    spark.read.parquet(ensureDocMeta(spark, dir))
+    docMetaIndexed(spark, dir)
       .filter(col("lang_pred") === "en" && col("quality_score") >= minQuality &&
         col("is_canonical"))
       .select(col("doc_id"), col("lang_pred"), col("quality_score"))

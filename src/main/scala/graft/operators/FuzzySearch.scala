@@ -573,7 +573,7 @@ object FuzzySearch {
     * COUNT per id is clamp(K − #better-ranked rows, 0, multiplicity)).
     * Min-K per gram is mergeable, but the allowed set depends on global
     * df — so NO append face: an ingest increment is staleness and ensure
-    * rebuilds (the docmeta precedent). Same ngram-clustered layout as the
+    * rebuilds (the docglobal precedent). Same ngram-clustered layout as the
     * full index. */
   def ensureChampionIndex(spark: SparkSession, dir: String, c: DataFrame,
                           dfCapInverse: Long, postingCap: Int = ChampPostingCap,

@@ -451,13 +451,14 @@ object Pipeline {
     * the split universe at all — [[splitLeakageClean]] audits it and
     * PipelineSpec pins the audit at zero. Same deterministic hash-coin as
     * `corpusSplit` (a surviving doc's split never changes as the corpus
-    * grows). Serving shape: ONE narrow scan of the materialized
-    * `graft_docmeta` label table + map-only split expressions — no dedup
-    * re-derivation per call (plan-spec-pinned: no documents scan). */
+    * grows). Serving shape: the materialized label pair (row-local base
+    * for `source`, corpus-global overlay for canonicality) + map-only
+    * split expressions — no dedup re-derivation per call
+    * (plan-spec-pinned: no documents scan). */
   def corpusSplitClean(spark: SparkSession, dir: String): DataFrame = {
     val bucket = pmod(
       polyHash(concat(lit(SplitSalt), col("doc_id").cast("string"))), lit(1000L))
-    spark.read.parquet(CorpusPrep.ensureDocMeta(spark, dir))
+    CorpusPrep.docMetaIndexed(spark, dir)
       .filter(col("is_canonical"))
       .select(col("doc_id"), col("source"), bucket.as("split_bucket"))
       .withColumn("split",
@@ -488,7 +489,9 @@ object Pipeline {
     * all-zero row (coalesced), so the audit is total. */
   def splitLeakageClean(spark: SparkSession, dir: String,
                         threshold: Double = LeakageThreshold): DataFrame = {
-    val meta = spark.read.parquet(CorpusPrep.ensureDocMeta(spark, dir))
+    // canonicality alone — the corpus-global overlay is the narrower
+    // artifact, so the audit never touches the row-local labels
+    val meta = spark.read.parquet(CorpusPrep.ensureDocGlobal(spark, dir))
       .select(col("doc_id"), col("is_canonical"))
     val labeled = graft.operators.Dedup.minhashPairs(spark, dir)
       .filter(col("est_jaccard") >= threshold)
@@ -825,15 +828,18 @@ object Pipeline {
     * multinomial-balanced double-hashed. */
   val E2eVersion = 5
 
-  /** Stage 2 — clean splits, label-only: read the docmeta label artifact,
-    * keep dedup survivors, attach the deterministic split (the
+  /** Stage 2 — clean splits, label-only: join the row-local docbase with
+    * the corpus-global overlay (the split label pair, round 11), keep
+    * dedup survivors, attach the deterministic split (the
     * [[corpusSplitClean]] semantics), and carry exactly the text-derived
     * columns the downstream stages need (n_tok for the budget, n_pieces
     * for packing, content_hash for the manifest, lm_score for the
-    * fluency cut). Map-only over the labels; raw documents are NEVER
-    * read here (plan-spec-pinned). */
-  private[graft] def e2eCleanFrom(spark: SparkSession, metaPath: String): DataFrame =
-    spark.read.parquet(metaPath)
+    * fluency cut). One narrow equi-join over the labels; raw documents
+    * are NEVER read here (plan-spec-pinned). */
+  private[graft] def e2eCleanFrom(spark: SparkSession, basePath: String,
+                                  globalPath: String): DataFrame =
+    spark.read.parquet(basePath)
+      .join(spark.read.parquet(globalPath), "doc_id")
       .filter(col("is_canonical"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("n_pieces"),
         col("content_hash"), col("lm_score"))
@@ -972,7 +978,9 @@ object Pipeline {
   /** Builds (once) the composed corpus-assembly DAG — the pipeline the
     * stage operators exist FOR, as chained MATERIALIZED artifacts:
     *
-    *   documents → graft_docmeta (labels incl. LM score; the raw-text scans)
+    *   documents → graft_docbase + graft_docglobal (the split label pair:
+    *                row-local appendable labels incl. LM score — the
+    *                raw-text scans — and the corpus-global overlay)
     *             → graft_e2eclean  (dedup survivors + splits, label-only)
     *             → graft_e2elmcut  (LM-fluency median cut)
     *             → graft_e2ebudget (train slice, token-budget prefix cut)
@@ -989,13 +997,18 @@ object Pipeline {
     * stage stale in turn, all the way from a raw-data change. The chain
     * deliberately has no append face — budget/pack/shuffle are
     * prefix-sum stages where an increment shifts every later row, so an
-    * ingest increment rebuilds from the labels down (the labels
-    * themselves are the expensive pass, and are append-refused for the
-    * same reason — see [[CorpusPrep.ensureDocMeta]]). */
+    * ingest increment rebuilds from the labels down — but the EXPENSIVE
+    * half of the labels (the row-local raw-text scans) is appendable
+    * since round 11, so the increment's text cost is batch-sized; only
+    * the corpus-global overlay and the label-only chain re-derive. The
+    * clean stage keys on BOTH label artifacts (ensureMulti), so
+    * transitive staleness flows from either half. */
   def ensureCorpusE2e(spark: SparkSession, dir: String): String = {
-    val meta = CorpusPrep.ensureDocMeta(spark, dir)
-    val clean = graft.Materialize.ensure(spark, "graft_e2eclean", meta, E2eVersion) {
-      p => e2eCleanFrom(spark, meta).write.mode("overwrite").parquet(p)
+    val base = CorpusPrep.ensureDocBase(spark, dir)
+    val global = CorpusPrep.ensureDocGlobal(spark, dir)
+    val clean = graft.Materialize.ensureMulti(spark, "graft_e2eclean",
+        Seq(base, global), E2eVersion) {
+      p => e2eCleanFrom(spark, base, global).write.mode("overwrite").parquet(p)
     }
     val lmcut = graft.Materialize.ensure(spark, "graft_e2elmcut", clean, E2eVersion) {
       p => e2eLmCutFrom(spark, clean).write.mode("overwrite").parquet(p)

@@ -99,8 +99,13 @@ object TextAnalysis {
     * Expressions are identical to languageId/qualityScore (both gated);
     * fusing halves the tokenization+HOF work and drops a join vs
     * composing the two pipelines. */
-  def docGates(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def docGates(spark: SparkSession, dir: String): DataFrame =
+    docGatesOver(Tables.documents(spark, dir))
+
+  /** The gates over an explicit (doc_id, text) relation — row-local, so
+    * the docbase append face can label ONE ingest batch without touching
+    * the standing corpus. */
+  private[graft] def docGatesOver(d: DataFrame): DataFrame = {
     val base = d.select(col("doc_id"), col("text"), tokens(lower(col("text"))).as("tk"))
     val withHits = Stopwords.foldLeft(base) { case (acc, (lang, words)) =>
       acc.withColumn(s"${lang}_hits", hitCount(col("tk"), words))

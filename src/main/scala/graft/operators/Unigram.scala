@@ -176,7 +176,7 @@ object Unigram {
     * re-running the DP. Deliberately NO append face: the vocabulary
     * counts are corpus-global and the DP is nonlinear in them, so an
     * ingest increment shifts existing words' results — append ≠ rebuild
-    * (the ensureDocMeta precedent; a new corpus version re-ensures under
+    * (the ensureDocGlobal precedent; a new corpus version re-ensures under
     * a bumped version). */
   def ensureMinsegEnc(spark: SparkSession, dir: String,
                       version: Int = MinsegVersion): String =

@@ -85,6 +85,35 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty && a == fold(rp))
   }
 
+  test("docbase labels: append-then-read == rebuild-then-read (row-local half)") {
+    import graft.operators.CorpusPrep
+    val d = Tables.documents(spark, dir)
+    val base = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val batch = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+    assert(batch.count() > 0 && base.count() > 0)
+    // every docbase column is row-local (LM score is text vs the FROZEN
+    // model artifact), so labeling corpus ∪ batch == labels(corpus) ∪
+    // labels(batch) — the property that licenses the append face. The
+    // shared model is ensured over the FULL dir on both paths, so the
+    // comparison isolates the labeling, not a model drift.
+    val ap = CorpusPrep.ensureDocBase(spark, dir, version = 901)
+    // rebuild under a fresh version must see the full corpus: build the
+    // appended artifact from the base slice by hand (ensureDocBase labels
+    // the whole dir, so the append case needs the Over face directly)
+    val model = graft.operators.LmQuality.ensureModel(spark, dir)
+    val apSlice = graft.Materialize.ensure(spark, "graft_docbase_slice", dir, 901) { p =>
+      CorpusPrep.docBaseOver(spark, base, model).write.mode("overwrite").parquet(p)
+    }
+    graft.Materialize.append(spark, "graft_docbase_slice", dir, 901) { p =>
+      CorpusPrep.docBaseOver(spark, batch, model).write.mode("append").parquet(p)
+    }
+    def rows(p: String): Seq[Seq[Any]] =
+      spark.read.parquet(p).orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val appended = rows(apSlice)
+    assert(appended.nonEmpty && appended == rows(ap),
+      "appended docbase diverges from the full rebuild")
+  }
+
   test("indexed fuzzy search over an appended index == inline over the union corpus") {
     val (_, base, batch) = corpusParts()
     // Build at the OPERATOR's version so fuzzySearchIndexed's ensure() sees

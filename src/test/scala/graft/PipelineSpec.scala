@@ -306,7 +306,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     import graft.functions.TextFunctions.polyHash
     val shardsPath = Pipeline.ensureCorpusE2e(spark, dir)
     val layout = spark.read.parquet(shardsPath)
-    val meta = spark.read.parquet(CorpusPrep.ensureDocMeta(spark, dir))
+    val meta = CorpusPrep.docMetaIndexed(spark, dir)
     // INDEPENDENT driver-side recomputation of the whole chain (not the
     // operators' own code, which a shared bug would satisfy).
     // 1. LM-fluency cut: exact interpolated median over the canonical

@@ -408,15 +408,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("indexed corpus stats read the metadata table, not the pipeline") {
     val p = finalPlan("corpus_stats_indexed")
-    // ONE scan (the docmeta artifact): any documents/embeddings read means
+    // TWO scans (the row-local docbase + the corpus-global overlay, round
+    // 11's split) and nothing else: any documents/embeddings read means
     // language-ID/dedup/decontamination are re-running per refresh
     assert(!p.contains("documents.parquet"), p)
+    assert(p.contains("graft_docbase") && p.contains("graft_docglobal"), p)
     val scans = "FileScan parquet".r.findAllIn(p).size
-    assert(scans == 1, s"expected 1 artifact scan, got $scans:\n$p")
-    // and the prep GATE itself: one artifact scan, zero joins
+    assert(scans == 2, s"expected the two label-half scans, got $scans:\n$p")
+    // and the prep GATE itself: the same two halves, one equi-join
     val pp = finalPlan("corpus_prep_indexed")
-    assert(!pp.contains("documents.parquet") && !pp.contains("Join"), pp)
-    assert("FileScan parquet".r.findAllIn(pp).size == 1, pp)
+    assert(!pp.contains("documents.parquet"), pp)
+    assert("FileScan parquet".r.findAllIn(pp).size == 2, pp)
   }
 
   test("indexed LR scoring is map-only over features + broadcast weights") {
@@ -428,13 +430,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("documents.parquet"), p)
   }
 
-  test("clean split serves from the docmeta label table, not the dedup pipeline") {
+  test("clean split serves from the label pair, not the dedup pipeline") {
     val p = finalPlan("corpus_split_clean")
     // a documents scan means the minhash/dedup pipeline is re-deriving
-    // canonicality per split call instead of reading the label artifact
+    // canonicality per split call instead of reading the label artifacts
     assert(!p.contains("documents.parquet"), p)
-    assert("FileScan parquet".r.findAllIn(p).size == 1,
-      s"expected 1 artifact scan:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      s"expected the two label-half scans:\n$p")
   }
 
   test("indexed DSIR scoring reads the fit from the artifact, not the corpus") {
@@ -461,30 +463,35 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("no e2e stage re-scans raw documents once its input artifact exists") {
     import graft.operators.{CorpusPrep, Pipeline}
     val shards = Pipeline.ensureCorpusE2e(spark, dir) // chain built (or cached)
-    val meta = CorpusPrep.ensureDocMeta(spark, dir)
-    val clean = Materialize.artifactPath(spark, "graft_e2eclean", meta, Pipeline.E2eVersion)
+    val base = CorpusPrep.ensureDocBase(spark, dir)
+    val global = CorpusPrep.ensureDocGlobal(spark, dir)
+    val clean = Materialize.artifactPath(spark, "graft_e2eclean",
+      s"$base|$global", Pipeline.E2eVersion)
     val lmcut = Materialize.artifactPath(spark, "graft_e2elmcut", clean, Pipeline.E2eVersion)
     val budget = Materialize.artifactPath(spark, "graft_e2ebudget", lmcut, Pipeline.E2eVersion)
     val pack = Materialize.artifactPath(spark, "graft_e2epack", budget, Pipeline.E2eVersion)
-    // stage -> (df, upstream artifact kind). A stage may scan its upstream
-    // artifact more than once (the budget stage's prefix-sum derives shard
-    // sums + total from the same relation; the lm cut's median scalar
-    // scans its input twice) — the pin is that EVERY scan is the upstream
-    // artifact, and raw documents are never touched.
+    // stage -> (df, allowed upstream artifact kinds). A stage may scan its
+    // upstream artifact more than once (the budget stage's prefix-sum
+    // derives shard sums + total from the same relation; the lm cut's
+    // median scalar scans its input twice; the clean stage joins the two
+    // label halves) — the pin is that EVERY scan is an upstream artifact,
+    // and raw documents are never touched.
     val stages = Seq(
-      ("clean", Pipeline.e2eCleanFrom(spark, meta), "graft_docmeta"),
-      ("lmcut", Pipeline.e2eLmCutFrom(spark, clean), "graft_e2eclean"),
-      ("budget", Pipeline.e2eBudgetFrom(spark, lmcut), "graft_e2elmcut"),
-      ("pack", Pipeline.e2ePackFrom(spark, budget), "graft_e2ebudget"),
-      ("shards", Pipeline.e2eShardsFrom(spark, pack), "graft_e2epack"),
-      ("manifest", Pipeline.e2eManifestFrom(spark, shards), "graft_e2eshards"))
+      ("clean", Pipeline.e2eCleanFrom(spark, base, global),
+        Set("graft_docbase", "graft_docglobal")),
+      ("lmcut", Pipeline.e2eLmCutFrom(spark, clean), Set("graft_e2eclean")),
+      ("budget", Pipeline.e2eBudgetFrom(spark, lmcut), Set("graft_e2elmcut")),
+      ("pack", Pipeline.e2ePackFrom(spark, budget), Set("graft_e2ebudget")),
+      ("shards", Pipeline.e2eShardsFrom(spark, pack), Set("graft_e2epack")),
+      ("manifest", Pipeline.e2eManifestFrom(spark, shards), Set("graft_e2eshards")))
     stages.foreach { case (name, df, upstream) =>
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("documents.parquet"),
         s"stage $name re-scans raw documents:\n$p")
       val locations = p.linesIterator.filter(_.contains("Location:")).toSeq
-      assert(locations.nonEmpty && locations.forall(_.contains(upstream)),
-        s"stage $name should read only its upstream artifact $upstream:\n$p")
+      assert(locations.nonEmpty &&
+        locations.forall(l => upstream.exists(l.contains)),
+        s"stage $name should read only its upstream artifacts $upstream:\n$p")
     }
   }
 
