@@ -448,6 +448,20 @@ object Similarity {
   /** Probe-set stride for the batch ANN query. */
   val BatchProbeMod = 97L
 
+  /** Probe BUDGET for the recall instruments (round 11 — the measurement
+    * needs a scale story too): every batch-recall row computes exact
+    * ground truth by a corpus × probes crossJoin, so with the stride
+    * alone the instrument's own cost is N²/BatchProbeMod — quadratic.
+    * The budget takes the first [[RecallProbeCap]] probes of the stride
+    * (deterministic id prefix, the centroid-sample convention), bounding
+    * ground truth at RecallProbeCap·N — linear in the corpus forever.
+    * Sampled probes ARE the contract: recall is an estimate whose probe
+    * count is now explicit in the instrument signature, not an accident
+    * of corpus size. At every gate corpus the cap exceeds the stride's
+    * yield, so the gated rows are unchanged (the oracle carries the same
+    * predicate). */
+  val RecallProbeCap = 64L
+
   /** BATCH IVF top-k — ANN for a probe TABLE in one plan (the single-probe
     * forms above answer one vector per invocation): probe cells resolve as
     * probes × constant-C codebook (tiny cross product) with a per-probe
@@ -987,7 +1001,8 @@ object Similarity {
                        numCentroids: Int = IvfNumCentroids,
                        mod: Long = 25L): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val probes = e.filter(col("vec_id") % BatchProbeMod === 0)
+    val probes = e.filter(col("vec_id") % BatchProbeMod === 0 &&
+        col("vec_id") < BatchProbeMod * RecallProbeCap)
       .select(col("vec_id").as("pid"),
         col("embedding").cast("array<double>").as("pemb"))
     val exW = org.apache.spark.sql.expressions.Window
@@ -1023,6 +1038,7 @@ object Similarity {
        |                                  ORDER BY a.pq_dist, a.vec_id) <= $k),
        |ex AS (SELECT p.pid, e.vec_id
        |       FROM embeddings e CROSS JOIN probes p WHERE e.vec_id <> p.pid
+       |         AND p.pid < ${BatchProbeMod * RecallProbeCap}
        |       QUALIFY row_number() OVER (PARTITION BY p.pid
        |                                  ORDER BY $full, e.vec_id) <= $k),
        |perx AS (SELECT pid, count(*) AS kx FROM ex GROUP BY pid),
@@ -1194,7 +1210,8 @@ object Similarity {
 
   private[graft] def pqMeanRecallWith(e: DataFrame, books: DataFrame,
                                       k: Int): DataFrame = {
-    val probes = e.filter(col("vec_id") % BatchProbeMod === 0)
+    val probes = e.filter(col("vec_id") % BatchProbeMod === 0 &&
+        col("vec_id") < BatchProbeMod * RecallProbeCap)
       .select(col("vec_id").as("pid"),
         col("embedding").cast("array<double>").as("pemb"))
     val exW = org.apache.spark.sql.expressions.Window
@@ -1279,7 +1296,8 @@ object Similarity {
     val lutDist = l2sqSql(i => s"p.pemb[b.m * $PqDim + $i]::DOUBLE", "b.cemb")
     s"""$pqCodesCte,
        |pr AS (SELECT vec_id AS pid, embedding AS pemb FROM embeddings
-       |       WHERE vec_id % $BatchProbeMod = 0),
+       |       WHERE vec_id % $BatchProbeMod = 0
+       |         AND vec_id < ${BatchProbeMod * RecallProbeCap}),
        |ex AS (SELECT p.pid, e.vec_id
        |       FROM embeddings e CROSS JOIN pr p WHERE e.vec_id <> p.pid
        |       QUALIFY row_number() OVER (PARTITION BY p.pid
@@ -1461,7 +1479,8 @@ object Similarity {
     * ann_pq_recall anchors the PQ codes. */
   def int8MeanRecall(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val exProbes = e.filter(col("vec_id") % BatchProbeMod === 0)
+    val exProbes = e.filter(col("vec_id") % BatchProbeMod === 0 &&
+        col("vec_id") < BatchProbeMod * RecallProbeCap)
       .select(col("vec_id").as("pid"),
         col("embedding").cast("array<double>").as("pemb"))
     val exW = org.apache.spark.sql.expressions.Window
@@ -1475,7 +1494,8 @@ object Similarity {
       .withColumn("rk", row_number().over(exW)).filter(col("rk") <= k)
       .select(col("pid"), col("vec_id"))
     val dq = int8Dequant(e)
-    val dqProbes = dq.filter(col("vec_id") % BatchProbeMod === 0)
+    val dqProbes = dq.filter(col("vec_id") % BatchProbeMod === 0 &&
+        col("vec_id") < BatchProbeMod * RecallProbeCap)
       .select(col("vec_id").as("pid"), col("demb").as("pemb"))
     val approx = dq.crossJoin(broadcast(dqProbes))
       .filter(col("vec_id") =!= col("pid"))
@@ -1503,13 +1523,15 @@ object Similarity {
        |          c -> c::DOUBLE * s.scale) AS demb
        |      FROM embeddings e JOIN s USING (vec_id)),
        |xp AS (SELECT vec_id AS pid, list_transform(embedding, x -> x::DOUBLE) AS pemb
-       |       FROM embeddings WHERE vec_id % $BatchProbeMod = 0),
+       |       FROM embeddings WHERE vec_id % $BatchProbeMod = 0
+       |         AND vec_id < ${BatchProbeMod * RecallProbeCap}),
        |exact AS (SELECT p.pid, e.vec_id FROM embeddings e CROSS JOIN xp p
        |          WHERE e.vec_id <> p.pid AND NOT isnan($cosF)
        |          QUALIFY row_number() OVER (PARTITION BY p.pid
        |                   ORDER BY $cosF DESC, e.vec_id) <= $k),
        |dp AS (SELECT vec_id AS pid, demb AS pemb FROM dq
-       |       WHERE vec_id % $BatchProbeMod = 0),
+       |       WHERE vec_id % $BatchProbeMod = 0
+       |         AND vec_id < ${BatchProbeMod * RecallProbeCap}),
        |approx AS (SELECT p.pid, a.vec_id FROM dq a CROSS JOIN dp p
        |           WHERE a.vec_id <> p.pid AND NOT isnan($cosD)
        |           QUALIFY row_number() OVER (PARTITION BY p.pid
@@ -1680,7 +1702,8 @@ object Similarity {
     * ann_int8_recall / ann_pq_recall anchor. */
   def rpMeanRecall(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val exProbes = e.filter(col("vec_id") % BatchProbeMod === 0)
+    val exProbes = e.filter(col("vec_id") % BatchProbeMod === 0 &&
+        col("vec_id") < BatchProbeMod * RecallProbeCap)
       .select(col("vec_id").as("pid"),
         col("embedding").cast("array<double>").as("pemb"))
     val exW = org.apache.spark.sql.expressions.Window
@@ -1694,7 +1717,8 @@ object Similarity {
       .withColumn("rk", row_number().over(exW)).filter(col("rk") <= k)
       .select(col("pid"), col("vec_id"))
     val rp = e.select(col("vec_id"), rpProject(col("embedding")).as("rp"))
-    val rpProbes = rp.filter(col("vec_id") % BatchProbeMod === 0)
+    val rpProbes = rp.filter(col("vec_id") % BatchProbeMod === 0 &&
+        col("vec_id") < BatchProbeMod * RecallProbeCap)
       .select(col("vec_id").as("pid"), col("rp").as("prp"))
     val approx = rp.crossJoin(broadcast(rpProbes))
       .filter(col("vec_id") =!= col("pid"))
@@ -1717,14 +1741,16 @@ object Similarity {
     val cosF = cosineSql("e.embedding", "p.pemb")
     val cosR = cosineSql("a.rp", "p.prp")
     s"""WITH xp AS (SELECT vec_id AS pid, list_transform(embedding, x -> x::DOUBLE) AS pemb
-       |       FROM embeddings WHERE vec_id % $BatchProbeMod = 0),
+       |       FROM embeddings WHERE vec_id % $BatchProbeMod = 0
+       |         AND vec_id < ${BatchProbeMod * RecallProbeCap}),
        |exact AS (SELECT p.pid, e.vec_id FROM embeddings e CROSS JOIN xp p
        |          WHERE e.vec_id <> p.pid AND NOT isnan($cosF)
        |          QUALIFY row_number() OVER (PARTITION BY p.pid
        |                   ORDER BY $cosF DESC, e.vec_id) <= $k),
        |r AS (SELECT vec_id, ${rpProjectSql("embedding")} AS rp FROM embeddings),
        |rp AS (SELECT vec_id AS pid, rp AS prp FROM r
-       |       WHERE vec_id % $BatchProbeMod = 0),
+       |       WHERE vec_id % $BatchProbeMod = 0
+       |         AND vec_id < ${BatchProbeMod * RecallProbeCap}),
        |approx AS (SELECT p.pid, a.vec_id FROM r a CROSS JOIN rp p
        |           WHERE a.vec_id <> p.pid AND NOT isnan($cosR)
        |           QUALIFY row_number() OVER (PARTITION BY p.pid
