@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measurement behind SCALE.md §build-rehearsal: the 100× table measured
+  * SERVING reads; this probe measures the artifact BUILD path — cold
+  * `ensure*` wall for each index family at replica scale, plus the
+  * 10%-increment `appendTo*` wall where the artifact has an append face
+  * (the ingest-increment cost a production deployment actually pays per
+  * batch). Artifacts build into a TEMP materialize dir, so every build is
+  * cold and the shared warehouse is untouched.
+  *
+  *   runMain graft.BuildScaleProbe <dir> ...
+  */
+object BuildScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BuildScaleProbe <dir> ...")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-build-probe").toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.graft.materialize.dir", tmp)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators._
+
+    def t(f: => Any): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    args.foreach { dir =>
+      val docs = Tables.documents(spark, dir)
+      val docsBatch = docs.filter(pmod(col("doc_id"), lit(10L)) === 7L)
+        .select(col("doc_id"), col("text"))
+      val docsCorp = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
+        .select(col("doc_id"), col("text"))
+      val c = FuzzySearch.corpus(spark, dir)
+      val cBatch = c.filter(pmod(col("id"), lit(10L)) === 7L)
+      val e = Tables.embeddings(spark, dir)
+      val eBatch = e.filter(pmod(col("vec_id"), lit(10L)) === 7L)
+      val nVec = e.count()
+      // frozen codebooks over the full relation (the retrain lifecycle's
+      // steady state; centroid/subspace sample ids are multiples of 25,
+      // never ≡7 mod 10, so the "batch" can never shift them)
+      val ncells = Similarity.autoNumCentroids(nVec)
+      val cent = Similarity.centroids(e, 25L, ncells)
+      val books = Similarity.pqCodebooks(e, 25L)
+      val inv = SparkEntry.P.StopGramInv
+
+      val rows = scala.collection.mutable.ArrayBuffer[String]()
+      def row(name: String, build: Double, append: Double = -1.0): Unit =
+        rows += (if (append < 0) f""""$name":{"build":$build%.1f}"""
+                 else f""""$name":{"build":$build%.1f,"append_10pct":$append%.1f}""")
+
+      row("postings",
+        t(FuzzySearch.ensurePostingsIndex(spark, dir, c)),
+        t(FuzzySearch.appendToPostingsIndex(spark, dir, cBatch)))
+      row("gram_stats",
+        t(FuzzySearch.ensureGramStats(spark, dir, c)),
+        t(FuzzySearch.appendToGramStats(spark, dir, cBatch)))
+      row("champion",
+        t(FuzzySearch.ensureChampionIndex(spark, dir, c, inv)))
+      row("bands",
+        t(Dedup.ensureBandsIndex(spark, dir, docsCorp)),
+        t(Dedup.appendToBandsIndex(spark, dir, docsBatch)))
+      row("winnow_df",
+        t(Dedup.ensureWinnowDf(spark, dir, docs)),
+        t(Dedup.appendToWinnowDf(spark, dir, docsBatch)))
+      row("ivf",
+        t(Similarity.ensureIvfIndex(spark, dir, e, cent, 25L, ncells)),
+        t(Similarity.appendToIvfIndex(spark, dir, eBatch, cent, 25L, ncells)))
+      row("ivfpq",
+        t(Similarity.ensureIvfPqCodes(spark, dir, e, cent, books, 25L, ncells)),
+        t(Similarity.appendToIvfPqCodes(spark, dir, eBatch, cent, books, 25L, ncells)))
+      // the LM model is docbase's upstream — timed apart so the label
+      // pass's own wall is not confounded with the one-time train fold
+      row("lm_model", t(LmQuality.ensureModel(spark, dir)))
+      row("docbase",
+        t(CorpusPrep.ensureDocBase(spark, dir)),
+        t(CorpusPrep.appendToDocBase(spark, dir, docs
+          .filter(pmod(col("doc_id"), lit(10L)) === 7L))))
+      row("docglobal", t(CorpusPrep.ensureDocGlobal(spark, dir)))
+
+      println(s"""{"metric":"build_scale","dir":"$dir","n_docs":${docs.count()},""" +
+        s""""n_vecs":$nVec,"ncells":$ncells,"families":{${rows.mkString(",")}}}""")
+    }
+    spark.stop()
+  }
+}

@@ -301,9 +301,13 @@ object CorpusPrep {
     *  - `graft_docglobal` — the corpus-global overlay (is_canonical,
     *    contaminated). NO append face: both labels can flip on OLD docs
     *    when a batch arrives, so an increment is staleness and ensure
-    *    re-labels — but this half's rebuild never re-reads text columns
-    *    beyond the dedup/decontamination passes themselves, and it is
-    *    the cheap half by an order of magnitude (SCALE.md §docmeta).
+    *    re-labels. Its rebuild cost is dedup/decontamination-bound (LSH
+    *    banding + the n-gram screen), NOT per-doc-label-bound — on the
+    *    clone-heavy replica it is actually the LARGER wall (worst-case
+    *    band buckets; SCALE.md §build-rehearsal) — but it is the half
+    *    whose cost does not multiply with per-doc text work, and the
+    *    half dedup_incremental's bloom screen approximates when exact
+    *    relabeling can wait for a compaction window.
     *
     * Consumers read the JOIN ([[docMetaIndexed]]); the e2e chain keys
     * its first stage on BOTH artifact paths so transitive staleness
