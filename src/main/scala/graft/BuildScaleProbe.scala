@@ -77,6 +77,21 @@ object BuildScaleProbe {
       row("ivf",
         t(Similarity.ensureIvfIndex(spark, dir, e, cent, 25L, ncells)),
         t(Similarity.appendToIvfIndex(spark, dir, eBatch, cent, 25L, ncells)))
+      // the O(N·√C) build escalation at the balanced coarse count —
+      // same layout, quantized assignment. nprobe1 is the
+      // agreement-vs-work knob: sweep it so the curve is measured, and
+      // time the build at the quarter-coverage setting.
+      val nCoarse = math.max(4, math.sqrt(ncells.toDouble).round.toInt)
+      val np1Rec = math.max(2, nCoarse / 4)
+      Seq(2, np1Rec, math.max(2, nCoarse / 2)).distinct.foreach { np1 =>
+        val agree = Similarity.ivf2AssignAgreement(spark, dir,
+          numCentroids = ncells, numCoarse = nCoarse, nprobe1 = np1)
+          .head().getDouble(2)
+        rows += f""""ivf2_agreement_g${nCoarse}n$np1":{"value":$agree%.3f}"""
+      }
+      row(s"ivf2_assigned_g${nCoarse}n$np1Rec",
+        t(Similarity.ensureIvf2AssignedIndex(spark, dir, e, cent, 25L,
+          ncells, 4L, nCoarse, np1Rec)))
       row("ivfpq",
         t(Similarity.ensureIvfPqCodes(spark, dir, e, cent, books, 25L, ncells)),
         t(Similarity.appendToIvfPqCodes(spark, dir, eBatch, cent, books, 25L, ncells)))

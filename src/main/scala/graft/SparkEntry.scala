@@ -249,6 +249,11 @@ object SparkEntry {
     // corpus count at build time (cells ~ N/125; lands on the anchor 16
     // at gate scale, the measured flat-probed-rows sizes at replicas)
     "ann_ivf_auto" -> ((s, d) => Similarity.ivfBucketedTopKAuto(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
+    // the O(N*sqrt(C)) BUILD escalation: index built with the two-level
+    // (quantized) assignment, probed by the same two-level selection;
+    // what the quantization costs is the agreement row's number
+    "ann_ivf2_assigned" -> ((s, d) => Similarity.ivf2AssignedTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
+    "ann_ivf2_assign_agree" -> ((s, d) => Similarity.ivf2AssignAgreement(s, d)),
     // measured recall@k of IVF vs the exact brute-force ground truth
     "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     // TRAINED IVF codebook: spherical k-means Lloyd iterations, map-only
@@ -654,6 +659,9 @@ object SparkEntry {
     // fixed-ncells oracle gates the auto face unchanged (the degenerate
     // parity OperatorParitySpec also pins directly)
     "ann_ivf_auto" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
+    "ann_ivf2_assigned" ->
+      Similarity.ivf2AssignedTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
+    "ann_ivf2_assign_agree" -> Similarity.ivf2AssignAgreementOracle(),
     "ann_ivf_recall" -> Similarity.ivfRecallOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_kmeans_train" -> KMeans.kmeansTrainOracle(),
     "ann_ivf_trained" -> KMeans.ivfTrainedTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),

@@ -213,6 +213,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** The coarse-rep subsample of a fine codebook (every
+    * `coarseStride`-th centroid, capped at `numCoarse`) — the second
+    * quantization level every two-level form shares. */
+  private[graft] def coarseReps(fine: DataFrame, centroidMod: Long,
+                                coarseStride: Long, numCoarse: Int): DataFrame =
+    fine.filter(col("cid") % (centroidMod * coarseStride) === 0 &&
+        col("cid") < centroidMod * coarseStride * numCoarse)
+      .select(col("cid").as("gid"), col("cemb").as("gemb"))
+
+  /** fine→coarse group assignment: the SAME argmax-cosine derivation as
+    * vector→cell, applied one level up (codebook-sized). */
+  private[graft] def fineToCoarse(fine: DataFrame, coarse: DataFrame): DataFrame =
+    cellAssignment(
+        fine.select(col("cid").as("vec_id"), col("cemb").as("embedding")),
+        coarse.select(col("gid").as("cid"), col("gemb").as("cemb")))
+      .select(col("vec_id").as("cid"), col("cell").as("gid"))
+
   /** The shared coarse→fine probe-cell selection of every two-level form:
     * rank the C1 coarse reps, keep `nprobe1` groups, rank ONLY those
     * groups' fine centroids, keep `nprobe` cells. All inputs are
@@ -222,14 +239,8 @@ object Similarity {
                                     centroidMod: Long, coarseStride: Long,
                                     numCoarse: Int, nprobe1: Int,
                                     nprobe: Int): DataFrame = {
-    val coarse = fine
-      .filter(col("cid") % (centroidMod * coarseStride) === 0 &&
-        col("cid") < centroidMod * coarseStride * numCoarse)
-      .select(col("cid").as("gid"), col("cemb").as("gemb"))
-    val f2c = cellAssignment(
-        fine.select(col("cid").as("vec_id"), col("cemb").as("embedding")),
-        coarse.select(col("gid").as("cid"), col("gemb").as("cemb")))
-      .select(col("vec_id").as("cid"), col("cell").as("gid"))
+    val coarse = coarseReps(fine, centroidMod, coarseStride, numCoarse)
+    val f2c = fineToCoarse(fine, coarse)
     val probeGroups = coarse.crossJoin(broadcast(probe))
       .select(col("gid"), cosine(col("gemb"), col("pemb")).as("gc"))
       .orderBy(col("gc").desc, col("gid")).limit(nprobe1)
@@ -329,6 +340,205 @@ object Similarity {
        |LEFT JOIN (SELECT vec_id AS a_id FROM (${ivf2TopKOracle(probeId, k, nprobe = nprobe)})) a
        |  ON e.vec_id = a.a_id
        |ORDER BY k_exact""".stripMargin
+
+  // ------------------------- two-level BUILD assignment (round 11)
+
+  /** TWO-LEVEL cell assignment — the build-side escalation the round-11
+    * build rehearsal's written finding calls for: under the ncells ∝ N
+    * policy the flat vector×codebook assignment is N×C = O(N²/cellSize)
+    * work (measured 3.3 s → 25.2 s per 10× at the replicas). Quantize the
+    * ASSIGNMENT exactly as [[ivf2ProbeCells]] quantizes the probe-cell
+    * selection: each vector ranks the C1 coarse reps (N×C1), keeps its
+    * `nprobe1` best groups, and takes the argmax-cosine fine centroid
+    * among ONLY those groups' members (N×nprobe1·C/C1 expected) —
+    * O(N·√C) total at the balanced C1 ≈ √C. The assignment is
+    * APPROXIMATE: a vector whose true nearest fine centroid lives outside
+    * its top-nprobe1 coarse groups lands in its best within-group cell
+    * instead — the standard multi-index trade, and BOTH the agreement
+    * rate ([[ivf2AssignAgreement]], gated) and the degenerate exactness
+    * (nprobe1 = numCoarse reproduces [[cellAssignment]] bit-for-bit,
+    * spec-pinned) keep it a measured number, never an assertion. */
+  private[graft] def cellAssignment2(e: DataFrame, fine: DataFrame,
+                                     centroidMod: Long, coarseStride: Long,
+                                     numCoarse: Int, nprobe1: Int): DataFrame = {
+    val coarse = coarseReps(fine, centroidMod, coarseStride, numCoarse)
+    val f2c = fineToCoarse(fine, coarse)
+    val gW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("gc").desc, col("gid"))
+    val vecGroups = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("embedding"), col("gid"),
+        cosine(col("embedding"), col("gemb")).as("gc"))
+      .withColumn("grn", row_number().over(gW)).filter(col("grn") <= nprobe1)
+      .select(col("vec_id"), col("embedding"), col("gid"))
+    val groupFine = fine.join(broadcast(f2c), "cid")
+    vecGroups.join(broadcast(groupFine), "gid")
+      .select(col("vec_id"),
+        struct(cosine(col("embedding"), col("cemb")).as("c"),
+          (-col("cid")).as("nc")).as("sc"))
+      .groupBy(col("vec_id")).agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cell"))
+  }
+
+  /** Write-once IVF index built with the TWO-LEVEL assignment — same
+    * cell-partitioned layout and frozen-codebook lifecycle as
+    * [[ensureIvfIndex]]; the assignment quantization parameters join the
+    * cut parameters in the artifact IDENTITY (the champion precedent), so
+    * a flat-assigned build can never serve a two-level read. Append
+    * stays exact by the same row-local law (assignment of a batch under
+    * frozen codebooks is independent of the standing corpus). */
+  def ensureIvf2AssignedIndex(spark: SparkSession, dir: String, e: DataFrame,
+                              fine: DataFrame, centroidMod: Long,
+                              numCentroids: Int, coarseStride: Long,
+                              numCoarse: Int, nprobe1: Int,
+                              version: Int = 1): String =
+    graft.Materialize.ensure(spark,
+      s"graft_ivf2a_m${centroidMod}_c${numCentroids}_g${coarseStride}x${numCoarse}n$nprobe1",
+      dir, version) { p =>
+      e.join(cellAssignment2(e, fine, centroidMod, coarseStride, numCoarse,
+          nprobe1), "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(p)
+    }
+
+  /** The served top-k over the two-level-ASSIGNED index, probed by the
+    * SAME two-level selection rule — build and query must quantize
+    * consistently or the probe looks for vectors where the build never
+    * put them. Everything else is the [[ivf2BucketedTopK]] pruned-read
+    * tail. Own mirroring oracle (the assignment rule is expressible in
+    * SQL); what the quantized assignment costs vs the flat one is
+    * [[ivf2AssignAgreement]]'s number. */
+  def ivf2AssignedTopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
+                       centroidMod: Long = 25L, nprobe: Int = 2,
+                       numCentroids: Int = IvfNumCentroids,
+                       coarseStride: Long = 4L, numCoarse: Int = 4,
+                       nprobe1: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val fine = centroids(e, centroidMod, numCentroids)
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("pemb"))
+    val probeCells = ivf2ProbeCells(fine, probe, centroidMod,
+      coarseStride, numCoarse, nprobe1, nprobe)
+    val path = ensureIvf2AssignedIndex(spark, dir, e, fine, centroidMod,
+      numCentroids, coarseStride, numCoarse, nprobe1)
+    spark.read.parquet(path).join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("pemb")), 4).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def ivf2AssignedTopKOracle(probeId: Long, k: Int, centroidMod: Long = 25L,
+                             nprobe: Int = 2,
+                             numCentroids: Int = IvfNumCentroids,
+                             coarseStride: Long = 4L, numCoarse: Int = 4,
+                             nprobe1: Int = 2): String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |              WHERE vec_id % $centroidMod = 0
+       |                AND vec_id < ${centroidMod * numCentroids}),
+       |coarse AS (SELECT cid AS gid, cemb AS gemb FROM cent
+       |           WHERE cid % ${centroidMod * coarseStride} = 0
+       |             AND cid < ${centroidMod * coarseStride * numCoarse}),
+       |f2c AS (SELECT cid, gid FROM (
+       |          SELECT c.cid, g.gid,
+       |                 row_number() OVER (PARTITION BY c.cid
+       |                   ORDER BY ${cosineSql("c.cemb", "g.gemb")} DESC, g.gid) AS rn
+       |          FROM cent c CROSS JOIN coarse g)
+       |        WHERE rn = 1),
+       |probe AS (SELECT embedding AS pemb FROM embeddings WHERE vec_id = $probeId),
+       |pg AS (SELECT gid FROM coarse CROSS JOIN probe
+       |       ORDER BY ${cosineSql("gemb", "pemb")} DESC, gid LIMIT $nprobe1),
+       |pc AS (SELECT cid AS cell FROM cent JOIN f2c USING (cid)
+       |       JOIN pg USING (gid) CROSS JOIN probe
+       |       ORDER BY ${cosineSql("cemb", "pemb")} DESC, cid LIMIT $nprobe),
+       |vg AS (SELECT vec_id, gid FROM (
+       |         SELECT e.vec_id, g.gid,
+       |                row_number() OVER (PARTITION BY e.vec_id
+       |                  ORDER BY ${cosineSql("e.embedding", "g.gemb")} DESC, g.gid) AS grn
+       |         FROM embeddings e CROSS JOIN coarse g)
+       |       WHERE grn <= $nprobe1),
+       |assign2 AS (SELECT vec_id, cid AS cell FROM (
+       |         SELECT v.vec_id, c.cid,
+       |                row_number() OVER (PARTITION BY v.vec_id
+       |                  ORDER BY ${cosineSql("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+       |         FROM vg v JOIN f2c f USING (gid)
+       |         JOIN cent c ON c.cid = f.cid
+       |         JOIN embeddings e ON e.vec_id = v.vec_id)
+       |       WHERE rn = 1),
+       |cand AS (SELECT a.vec_id FROM assign2 a JOIN pc USING (cell)
+       |         WHERE a.vec_id <> $probeId)
+       |SELECT e.vec_id, e.label,
+       |       round(${cosineSql("e.embedding", "p.pemb")}, 4) AS cosine_sim
+       |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN probe p
+       |ORDER BY cosine_sim DESC, e.vec_id
+       |LIMIT $k""".stripMargin
+
+  /** Agreement of the two-level assignment with the flat argmax — the
+    * measured price of the O(N·√C) build (the recall-instrument
+    * discipline applied to the build path): one row (n_vecs, n_agree,
+    * agreement). */
+  def ivf2AssignAgreement(spark: SparkSession, dir: String,
+                          centroidMod: Long = 25L,
+                          numCentroids: Int = IvfNumCentroids,
+                          coarseStride: Long = 4L, numCoarse: Int = 4,
+                          nprobe1: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val fine = centroids(e, centroidMod, numCentroids)
+    val flat = cellAssignment(e, fine).select(col("vec_id"), col("cell"))
+    val two = cellAssignment2(e, fine, centroidMod, coarseStride, numCoarse,
+        nprobe1)
+      .select(col("vec_id"), col("cell").as("cell2"))
+    flat.join(two, "vec_id")
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(when(col("cell") === col("cell2"), 1L).otherwise(0L))
+          .cast("long").as("n_agree"))
+      .select(col("n_vecs"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n_vecs").cast("double"))
+          .as("agreement"))
+  }
+
+  def ivf2AssignAgreementOracle(centroidMod: Long = 25L,
+                                numCentroids: Int = IvfNumCentroids,
+                                coarseStride: Long = 4L, numCoarse: Int = 4,
+                                nprobe1: Int = 2): String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |              WHERE vec_id % $centroidMod = 0
+       |                AND vec_id < ${centroidMod * numCentroids}),
+       |coarse AS (SELECT cid AS gid, cemb AS gemb FROM cent
+       |           WHERE cid % ${centroidMod * coarseStride} = 0
+       |             AND cid < ${centroidMod * coarseStride * numCoarse}),
+       |f2c AS (SELECT cid, gid FROM (
+       |          SELECT c.cid, g.gid,
+       |                 row_number() OVER (PARTITION BY c.cid
+       |                   ORDER BY ${cosineSql("c.cemb", "g.gemb")} DESC, g.gid) AS rn
+       |          FROM cent c CROSS JOIN coarse g)
+       |        WHERE rn = 1),
+       |flat AS (SELECT vec_id, cid AS cell FROM (
+       |          SELECT e.vec_id, c.cid,
+       |                 row_number() OVER (PARTITION BY e.vec_id
+       |                   ORDER BY ${cosineSql("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+       |          FROM embeddings e CROSS JOIN cent c)
+       |        WHERE rn = 1),
+       |vg AS (SELECT vec_id, gid FROM (
+       |         SELECT e.vec_id, g.gid,
+       |                row_number() OVER (PARTITION BY e.vec_id
+       |                  ORDER BY ${cosineSql("e.embedding", "g.gemb")} DESC, g.gid) AS grn
+       |         FROM embeddings e CROSS JOIN coarse g)
+       |       WHERE grn <= $nprobe1),
+       |assign2 AS (SELECT vec_id, cid AS cell FROM (
+       |         SELECT v.vec_id, c.cid,
+       |                row_number() OVER (PARTITION BY v.vec_id
+       |                  ORDER BY ${cosineSql("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+       |         FROM vg v JOIN f2c f USING (gid)
+       |         JOIN cent c ON c.cid = f.cid
+       |         JOIN embeddings e ON e.vec_id = v.vec_id)
+       |       WHERE rn = 1)
+       |SELECT count(*)::BIGINT AS n_vecs,
+       |       sum(CASE WHEN f.cell = a.cell THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+       |       sum(CASE WHEN f.cell = a.cell THEN 1 ELSE 0 END)::DOUBLE
+       |         / count(*)::DOUBLE AS agreement
+       |FROM flat f JOIN assign2 a USING (vec_id)""".stripMargin
 
   /** The fixed-size deterministic codebook: every `centroidMod`-th vector,
     * capped at `numCentroids` — C never scales with N. FROZEN under

@@ -394,6 +394,27 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(auto.nonEmpty && auto == fixed)
   }
 
+  test("two-level assignment: all-groups probing reproduces the flat argmax exactly") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, dir)
+    val fine = Similarity.centroids(e, 25L, Similarity.IvfNumCentroids)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // nprobe1 = numCoarse probes every group, so the within-group argmax
+    // ranges over the WHOLE codebook — provably the flat assignment
+    val flat = cells(Similarity.cellAssignment(e, fine))
+    val two = cells(Similarity.cellAssignment2(e, fine, 25L,
+      coarseStride = 4L, numCoarse = 4, nprobe1 = 4))
+    assert(two.nonEmpty && two == flat,
+      "degenerate two-level assignment diverges from the flat argmax")
+    // and the gate quantization (nprobe1=2) must actually BITE here —
+    // otherwise the agreement instrument is measuring nothing
+    val q = cells(Similarity.cellAssignment2(e, fine, 25L,
+      coarseStride = 4L, numCoarse = 4, nprobe1 = 2))
+    assert(q != flat, "gate quantization is vacuous at this corpus")
+  }
+
   test("ladder hybrid dense pool overlaps the brute pool at the measured floor") {
     import graft.operators.Retrieval
     import org.apache.spark.sql.functions.col
