@@ -255,7 +255,13 @@ object CorpusPrep {
     * has no bigrams and no score — carried as 0.0 (below any real
     * median, the conservative cut). */
   private[graft] def docBaseOver(spark: SparkSession, d: DataFrame,
-                                 modelPath: String): DataFrame = {
+                                 modelPath: String): DataFrame =
+    docBaseOverModel(d, spark.read.parquet(modelPath))
+
+  /** The same labeling over an explicit model RELATION — what the
+    * streaming ingest face passes by name so a version-bumped retrain is
+    * visible on the next micro-batch. */
+  private[graft] def docBaseOverModel(d: DataFrame, model: DataFrame): DataFrame = {
     val gates = TextAnalysis.docGatesOver(d)
       .select(col("doc_id"), col("lang_pred"), col("quality_score"),
         floor(col("quality_score") * StatsQuant.toDouble).cast("long").as("q_q"))
@@ -264,7 +270,7 @@ object CorpusPrep {
       size(regexp_extract_all(lower(col("text")),
         lit(TextAnalysis.BpePattern), lit(0))).cast("long").as("n_pieces"),
       graft.functions.TextFunctions.polyHash(col("text")).as("content_hash"))
-    val lm = LmQuality.scoreAgainstModel(d, spark.read.parquet(modelPath))
+    val lm = LmQuality.scoreAgainstModel(d, model)
       .select(col("doc_id"), col("lm_score"))
     d.select(col("doc_id"), col("source"))
       .join(gates, "doc_id").join(toks, "doc_id")

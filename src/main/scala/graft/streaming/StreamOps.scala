@@ -222,6 +222,34 @@ object StreamOps {
       }
       .start()
 
+  // --------------------------------------- streaming ingest labeling
+
+  /** Streaming face of the ROW-LOCAL label half (the round-11 docbase
+    * split): a STREAM of arriving documents (`doc_id`, `source`, `text`)
+    * labeled per micro-batch with the EXACT `CorpusPrep.docBaseOverModel`
+    * plan — language/quality gates, token + BPE-piece counts, content
+    * hash, LM score against the FROZEN served model. This is the
+    * ingest-side twin of `appendToDocBase`: every docbase column is
+    * row-local (the LM score is text vs a static artifact), so
+    * per-micro-batch evaluation is exact under any chunking
+    * (StreamingSpec pins stream-total == the batch labeling of the same
+    * docs split across micro-batches). `model` is BY-NAME — re-evaluated
+    * per micro-batch, so an LM retrain (version-bumped artifact) is
+    * visible on the next batch when the caller passes a fresh read (see
+    * fuzzyStream). The corpus-global overlay half deliberately has NO
+    * stream face — canonicality and contamination flip on OLD docs as
+    * batches arrive — so arrivals pass the dedup/containment screens
+    * instead and the exact overlay re-labels on the compaction cadence
+    * (SCALE.md §build-rehearsal). */
+  def labelStream(docs: DataFrame, model: => DataFrame)
+                 (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.CorpusPrep.docBaseOverModel(batch.toDF(), model),
+          batchId)
+      }
+      .start()
+
   // --------------------------------- streaming containment ingest screen
 
   /** Streaming face of the batch-vs-corpus containment screen: a STREAM

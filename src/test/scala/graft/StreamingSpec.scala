@@ -450,6 +450,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       want.sortBy(_.mkString("|")).toList)
   }
 
+  test("streaming ingest labeling matches the batch docbase labels on the same split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{CorpusPrep, LmQuality}
+    val dir = "/root/testdata/sf0.001"
+    val arriving = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(arriving.length >= 2, "batch too small to split across micro-batches")
+    val modelPath = LmQuality.ensureModel(spark, dir)
+    val stream = MemoryStream[(Long, String, String)]
+    val sdf = stream.toDF().toDF("doc_id", "source", "text")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = StreamOps.labelStream(sdf, spark.read.parquet(modelPath)) { (out, _) =>
+      buf ++= out.collect().map(_.toSeq)
+    }
+    try {
+      // labels are row-local vs the frozen model — chunking must not
+      // change the union of labeled rows
+      val (a, b) = arriving.splitAt(arriving.length / 2)
+      stream.addData(a.toSeq: _*)
+      q.processAllAvailable()
+      stream.addData(b.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = CorpusPrep.docBaseOver(spark,
+        Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0),
+        modelPath)
+      .collect().map(_.toSeq)
+    assert(want.nonEmpty && want.exists(_.last.asInstanceOf[Double] != 0.0),
+      "no scored doc in the slice — the stream pin is vacuous")
+    assert(buf.sortBy(_.mkString("|")).toList ==
+      want.sortBy(_.mkString("|")).toList)
+  }
+
   test("streaming containment screen matches the batch screen on the same split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
