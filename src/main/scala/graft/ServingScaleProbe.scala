@@ -68,7 +68,10 @@ object ServingScaleProbe {
     // tier 3 of the batch-fuzzy ladder: the champion (absolute-truncation)
     // index — the 100x rehearsal's answer to the stop-gram tier's
     // residual quadratic
-    "fuzzy_batch_champ")
+    "fuzzy_batch_champ",
+    // round 11: the wired winnow dispatch (prediction + chosen branch),
+    // the auto-sized IVF read, and the two-level-assigned index read
+    "dedup_winnow_auto", "ann_ivf_auto", "ann_ivf2_assigned")
 
   private[graft] def replicate(spark: SparkSession, src: String, k: Int, dest: String): Unit = {
     // dest == src would overwrite the source tables mid-read; the id-space

@@ -378,6 +378,13 @@ object SparkEntry {
     // the materialized fingerprint-stats artifact, dispatching
     // uncapped-vs-capped (the fuzzy_batch_auto / containment_auto pattern)
     "dedup_winnow_cost" -> ((s, d) => Dedup.winnowCandidateCost(s, d)),
+    // tier-2 volume prediction — what exposes the relative cut's uniform-
+    // hotness blind spot before the join is paid (Σ df² over KEPT fps)
+    "dedup_winnow_cost_capped" -> ((s, d) =>
+      Dedup.winnowCappedCandidateCost(s, d, P.WinnowCapInv)),
+    // tier 3: absolute per-fp truncation (the fuzzy champion design) —
+    // bounded pair volume at ANY corpus, incl. uniformly cloned ones
+    "dedup_winnow_champ" -> ((s, d) => Dedup.winnowPairsChamp(s, d, P.WinnowCapInv)),
     "dedup_winnow_auto" -> ((s, d) => Dedup.winnowPairsAuto(s, d, P.WinnowCapInv)),
     "dedup_containment_cost" -> ((s, d) => Dedup.containmentCandidateCost(s, d, P.ContainThreshold)),
     "dedup_containment_capped" -> ((s, d) =>
@@ -704,6 +711,9 @@ object SparkEntry {
     "dedup_winnow_pairs" -> Dedup.winnowPairsOracle,
     "dedup_winnow_capped" -> Dedup.winnowPairsCappedOracle(P.WinnowCapInv),
     "dedup_winnow_cost" -> Dedup.winnowCandidateCostOracle,
+    "dedup_winnow_cost_capped" ->
+      Dedup.winnowCappedCandidateCostOracle(P.WinnowCapInv),
+    "dedup_winnow_champ" -> Dedup.winnowPairsChampOracle(P.WinnowCapInv),
     "dedup_winnow_auto" -> Dedup.winnowPairsAutoOracle(P.WinnowCapInv),
     "dedup_containment_cost" -> Dedup.containmentCandidateCostOracle(P.ContainThreshold),
     "dedup_containment_capped" ->

@@ -1520,6 +1520,102 @@ object Dedup {
        |SELECT coalesce(sum(c * c), 0)::BIGINT AS candidate_rows,
        |       count(*)::BIGINT AS n_fps FROM fc""".stripMargin
 
+  /** The TIER-2 volume, predicted the same way: Σ df² over the fps the
+    * relative cut KEEPS (2 ≤ c, c·inv ≤ t) — exactly the capped join's
+    * raw row count, folded from the same artifact. What exposes the
+    * relative cut's blind spot BEFORE the join is paid: uniform hotness
+    * (every doc cloned k×) multiplies every df by k and t by k, so the
+    * allowed set is unchanged while its Σ df² grows k² — the 100×
+    * identical-clone replica OOMed the capped branch at ~2×10⁹ predicted
+    * rows, the winnow analogue of the stop-gram tier's quadratic. */
+  def winnowCappedCandidateCost(spark: SparkSession, dir: String,
+                                dfCapInverse: Long): DataFrame = {
+    val fc = spark.read.parquet(
+        ensureWinnowDf(spark, dir, Tables.documents(spark, dir)))
+      .groupBy(col("fp")).agg(sum(col("c")).as("c"))
+    val total = fc.agg(sum(col("c")).as("t"))
+    winnowCandidateCostOver(
+      fc.crossJoin(broadcast(total))
+        .filter(col("c") >= 2 && col("c") * dfCapInverse <= col("t"))
+        .select(col("fp"), col("c")))
+  }
+
+  def winnowCappedCandidateCostOracle(dfCapInverse: Long): String =
+    s"""WITH ${graft.operators.TextAnalysis.winnowSelectSql},
+       |sf AS (SELECT DISTINCT doc_id, fp FROM sel),
+       |fc AS (SELECT fp, count(*)::BIGINT AS c FROM sf GROUP BY fp),
+       |tt AS (SELECT sum(c)::BIGINT AS t FROM fc),
+       |ok AS (SELECT fp, c FROM fc CROSS JOIN tt
+       |       WHERE c >= 2 AND c * $dfCapInverse <= tt.t)
+       |SELECT coalesce(sum(c * c), 0)::BIGINT AS candidate_rows,
+       |       count(*)::BIGINT AS n_fps FROM ok""".stripMargin
+
+  /** Per-fingerprint selection budget for the ABSOLUTE tier — the
+    * champion-list convention ([[graft.operators.FuzzySearch.ChampPostingCap]]). */
+  val WinnowPerFpCap = 64
+
+  /** TIER 3 — absolute per-fingerprint truncation on top of the relative
+    * cut (the fuzzy champion design on the winnow join): each surviving
+    * fingerprint keeps its [[WinnowPerFpCap]] smallest doc_ids (the
+    * min-id-wins canonical-pick convention — any K representatives
+    * suffice to surface an overlap CLUSTER, and smallest-id is the
+    * cluster representative every dedup stage already elects), so the
+    * pair volume is bounded at Σ min(df, K)² ≤ n_fps·K² regardless of
+    * how uniformly hot the corpus is — the bound a RELATIVE threshold
+    * provably cannot give (uniform cloning scales every df and the
+    * total together, leaving the allowed set fixed while its volume
+    * grows quadratically; the 100× clone replica is exactly that
+    * corpus). Results change further, so: own mirroring oracle, and
+    * OperatorParitySpec pins K=∞ ≡ the relative cap and a real bite on
+    * a uniformly-cloned crafted corpus. */
+  def winnowPairsChamp(spark: SparkSession, dir: String, dfCapInverse: Long,
+                       perFpCap: Int = WinnowPerFpCap): DataFrame =
+    winnowPairsChampOver(Tables.documents(spark, dir), dfCapInverse, perFpCap)
+
+  private[graft] def winnowPairsChampOver(d: DataFrame, dfCapInverse: Long,
+                                          perFpCap: Int): DataFrame = {
+    val sel = graft.operators.TextAnalysis.winnowSelect(d)
+      .select(col("doc_id"), col("fp")).distinct()
+      .repartition(col("fp"))
+    val fc = sel.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+    val total = fc.agg(sum(col("c")).as("t"))
+    val okFp = fc.crossJoin(broadcast(total))
+      .filter(col("c") >= 2 && col("c") * dfCapInverse <= col("t"))
+      .select(col("fp"))
+    val s = sel.join(okFp, "fp")
+      .withColumn("prn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("prn") <= perFpCap).drop("prn")
+    val a = s.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = s.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def winnowPairsChampOracle(dfCapInverse: Long,
+                             perFpCap: Int = WinnowPerFpCap): String =
+    s"""WITH ${graft.operators.TextAnalysis.winnowSelectSql},
+       |sf AS (SELECT DISTINCT doc_id, fp FROM sel),
+       |fc AS (SELECT fp, count(*)::BIGINT AS c FROM sf GROUP BY fp),
+       |tt AS (SELECT sum(c)::BIGINT AS t FROM fc),
+       |ok AS (SELECT fp FROM fc CROSS JOIN tt
+       |       WHERE c >= 2 AND c * $dfCapInverse <= tt.t),
+       |sk AS (SELECT doc_id, fp FROM (
+       |         SELECT sf.doc_id, sf.fp,
+       |                row_number() OVER (PARTITION BY sf.fp
+       |                                   ORDER BY sf.doc_id) AS prn
+       |         FROM sf JOIN ok USING (fp)) WHERE prn <= $perFpCap)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+       |FROM sk a JOIN sk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING count(*) >= $WinnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Candidate-row budget for [[winnowPairsAuto]] — the sibling families'
     * measured crossover (SCALE.md §admission-control: pair verification
     * ≈ 0.33 µs/row + fixed; the capped form ~1.4 s slower than uncapped
@@ -1529,37 +1625,49 @@ object Dedup {
     * and correctly escalates. */
   val WinnowCandidateBudget: Long = 8L * 1000 * 1000
 
-  /** Memo for the dispatch prediction — `.head()` is a construction-time
-    * action (the batchFuzzySearchAuto precedent); keyed by the input and
-    * stats-artifact fingerprints so an ingest increment or stats append
-    * re-predicts. Threshold-free: the winnow cost model takes no
-    * parameter (the cap itself only shapes the CAPPED branch). */
+  /** Memo for the dispatch predictions — `.head()` is a
+    * construction-time action (the batchFuzzySearchAuto precedent);
+    * keyed by the input and stats-artifact fingerprints so an ingest
+    * increment or stats append re-predicts. The tier-1 model is
+    * parameter-free; the tier-2 model keys on dfCapInverse (its allowed
+    * set depends on it). */
   private val winnowCostMemo =
     new scala.collection.concurrent.TrieMap[(String, String, String), Long]
+  private val winnowCappedCostMemo =
+    new scala.collection.concurrent.TrieMap[(String, String, String, Long), Long]
 
-  /** The dispatching winnow-pairs entry — the last pair-join family to
-    * get WIRED admission control (fuzzy_batch_auto and
-    * dedup_containment_auto set the pattern): run the bounded prediction,
-    * then choose. Below budget: the uncapped join (exact winnow overlap
-    * semantics — measurably the FASTER plan when nothing is hot). Above:
-    * the df-capped join (the documented recall cut a boilerplate-hot
-    * corpus forces — 91.5 s → 10.1 s on the crafted 50k corpus). The
-    * oracle twin dispatches identically in SQL, so the gate checks the
+  /** THREE-tier dispatching winnow-pairs entry (round 11 — the 100×
+    * clone replica showed the relative cut's blind spot the same way the
+    * 100× rehearsal showed the stop-gram tier's): uncapped (exact
+    * overlap semantics) while its predicted volume fits the budget; the
+    * relative df-cap while ITS predicted volume fits; else the absolute
+    * per-fp truncation — the only tier whose volume is bounded at any
+    * corpus. Both predictions fold from the bounded stats artifact; the
+    * oracle dispatches identically in SQL, so the gate checks the
     * dispatch itself. */
   def winnowPairsAuto(spark: SparkSession, dir: String, dfCapInverse: Long,
-                      budget: Long = WinnowCandidateBudget): DataFrame = {
+                      budget: Long = WinnowCandidateBudget,
+                      perFpCap: Int = WinnowPerFpCap): DataFrame = {
     val dp = ensureWinnowDf(spark, dir, Tables.documents(spark, dir))
-    val predicted = winnowCostMemo.getOrElseUpdate(
-      (dir, graft.Materialize.fingerprint(spark, dir),
-        graft.Materialize.fingerprint(spark, dp)),
+    val fps = (dir, graft.Materialize.fingerprint(spark, dir),
+      graft.Materialize.fingerprint(spark, dp))
+    val predicted = winnowCostMemo.getOrElseUpdate(fps,
       winnowCandidateCost(spark, dir).head().getLong(0))
     if (predicted <= budget) winnowPairs(spark, dir)
-    else winnowPairsCapped(spark, dir, dfCapInverse)
+    else {
+      val cappedPredicted = winnowCappedCostMemo.getOrElseUpdate(
+        (fps._1, fps._2, fps._3, dfCapInverse),
+        winnowCappedCandidateCost(spark, dir, dfCapInverse).head().getLong(0))
+      if (cappedPredicted <= budget) winnowPairsCapped(spark, dir, dfCapInverse)
+      else winnowPairsChamp(spark, dir, dfCapInverse, perFpCap)
+    }
   }
 
   def winnowPairsAutoOracle(dfCapInverse: Long,
-                            budget: Long = WinnowCandidateBudget): String =
-    s"""WITH cost AS ($winnowCandidateCostOracle)
+                            budget: Long = WinnowCandidateBudget,
+                            perFpCap: Int = WinnowPerFpCap): String =
+    s"""WITH cost AS ($winnowCandidateCostOracle),
+       |cost2 AS (${winnowCappedCandidateCostOracle(dfCapInverse)})
        |SELECT doc_a, doc_b, n_shared
        |FROM (
        |  SELECT * FROM ($winnowPairsOracle) u
@@ -1567,6 +1675,11 @@ object Dedup {
        |  UNION ALL
        |  SELECT * FROM (${winnowPairsCappedOracle(dfCapInverse)}) s
        |  WHERE (SELECT candidate_rows FROM cost) > $budget
+       |    AND (SELECT candidate_rows FROM cost2) <= $budget
+       |  UNION ALL
+       |  SELECT * FROM (${winnowPairsChampOracle(dfCapInverse, perFpCap)}) ch
+       |  WHERE (SELECT candidate_rows FROM cost) > $budget
+       |    AND (SELECT candidate_rows FROM cost2) > $budget
        |) d
        |ORDER BY doc_a, doc_b""".stripMargin
 

@@ -362,17 +362,73 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(predicted > 0, "cost pin is vacuous")
   }
 
-  test("winnow auto dispatch selects by predicted volume") {
+  test("winnow auto dispatch selects each of the three tiers by budget") {
     val inv = SparkEntry.P.WinnowCapInv
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
-    // default budget: the sf0.001 prediction sits far below 8M — the
-    // dispatcher must serve the EXACT uncapped pair join
-    assert(rows(Dedup.winnowPairsAuto(spark, dir, inv)) ==
+    val uncutPred = Dedup.winnowCandidateCost(spark, dir).head().getLong(0)
+    val cappedPred = Dedup.winnowCappedCandidateCost(spark, dir, inv)
+      .head().getLong(0)
+    assert(cappedPred <= uncutPred, s"relative cut must not GROW the " +
+      s"prediction ($cappedPred vs $uncutPred)")
+    // tier 1: budget at the uncut volume — EXACT pair-join semantics
+    assert(rows(Dedup.winnowPairsAuto(spark, dir, inv, budget = uncutPred)) ==
       rows(Dedup.winnowPairs(spark, dir)))
-    // budget 0: any corpus over-budget — must serve the df-capped join
+    // tier 2: budget between the two predictions (strict when they
+    // differ; at this corpus the relative cut may be vacuous, so allow
+    // equality and drive tier 2 by exact boundary instead)
+    assert(rows(Dedup.winnowPairsAuto(spark, dir, inv,
+      budget = cappedPred)) == (if (cappedPred < uncutPred)
+        rows(Dedup.winnowPairsCapped(spark, dir, inv))
+      else rows(Dedup.winnowPairs(spark, dir))))
+    // tier 3: budget below everything — the absolute truncation
     assert(rows(Dedup.winnowPairsAuto(spark, dir, inv, budget = 0L)) ==
-      rows(Dedup.winnowPairsCapped(spark, dir, inv)))
+      rows(Dedup.winnowPairsChamp(spark, dir, inv)))
+  }
+
+  test("winnow tier-2 prediction equals the capped join's raw row count") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, broadcast}
+    val inv = SparkEntry.P.WinnowCapInv
+    val predicted = Dedup.winnowCappedCandidateCost(spark, dir, inv)
+      .head().getLong(0)
+    val sel = graft.operators.TextAnalysis
+      .winnowSelect(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("fp")).distinct()
+    val fc = sel.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+    val okFp = fc.crossJoin(broadcast(fc.agg(sum(col("c")).as("t"))))
+      .filter(col("c") >= 2 && col("c") * inv <= col("t")).select(col("fp"))
+    val s = sel.join(okFp, "fp")
+    val raw = s.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(s.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+      .count()
+    assert(predicted == raw, s"predicted $predicted != join rows $raw")
+  }
+
+  test("absolute winnow cap bounds a uniformly cloned corpus the relative cut cannot see") {
+    import spark.implicits._
+    // The 100x-replica failure shape: MANY distinct base docs, each
+    // cloned k times. Every fingerprint's df is k but each covers only
+    // 1/(bases·perDocFps) of all selections, so the RELATIVE threshold
+    // keeps them all — uniform cloning scales every df and the total
+    // together, and its pair volume grows k² invisibly (the OOM the
+    // probe hit). The absolute per-fp cap bounds it regardless.
+    val bases = 20; val clones = 10; val inv = 10L
+    val d = (for (b <- 0 until bases; j <- 0 until clones) yield {
+      val txt = (0 until 16).map(i => s"b${b}t$i").mkString(" ")
+      ((b * clones + j).toLong, txt)
+    }).toDF("doc_id", "text")
+    val rel = Dedup.winnowPairsCappedOver(d, inv).count()
+    assert(rel == bases.toLong * (clones * (clones - 1) / 2),
+      s"relative cut should keep every clone pair here, got $rel")
+    val abs = Dedup.winnowPairsChampOver(d, inv, perFpCap = 4).count()
+    assert(abs == bases.toLong * (4 * 3 / 2),
+      s"absolute cap should bound pairs to the kept representatives, got $abs")
+    // K beyond every df reproduces the relative tier exactly
+    val inf = Dedup.winnowPairsChampOver(d, inv, perFpCap = Int.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    val relRows = Dedup.winnowPairsCappedOver(d, inv)
+      .collect().map(_.toSeq).toSeq
+    assert(inf == relRows, "K=infinity diverges from the relative tier")
   }
 
   test("auto ncells: derived sizes match the measured policy; auto == fixed at gate scale") {
