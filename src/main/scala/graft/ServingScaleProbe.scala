@@ -70,8 +70,10 @@ object ServingScaleProbe {
     // residual quadratic
     "fuzzy_batch_champ",
     // round 11: the wired winnow dispatch (prediction + chosen branch),
-    // the auto-sized IVF read, and the two-level-assigned index read
-    "dedup_winnow_auto", "ann_ivf_auto", "ann_ivf2_assigned")
+    // the auto-sized IVF read, the two-level-assigned index read, and
+    // the winnow pairs served from the materialized selection artifact
+    "dedup_winnow_auto", "ann_ivf_auto", "ann_ivf2_assigned",
+    "dedup_winnow_indexed")
 
   private[graft] def replicate(spark: SparkSession, src: String, k: Int, dest: String): Unit = {
     // dest == src would overwrite the source tables mid-read; the id-space

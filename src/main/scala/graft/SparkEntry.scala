@@ -377,6 +377,9 @@ object SparkEntry {
     // admission control for the winnow pair join: Σ_fp df² predicted from
     // the materialized fingerprint-stats artifact, dispatching
     // uncapped-vs-capped (the fuzzy_batch_auto / containment_auto pattern)
+    // the serving twin: the pair join over the MATERIALIZED selection
+    // artifact — a pairs pass never re-scans raw text (same oracle)
+    "dedup_winnow_indexed" -> ((s, d) => Dedup.winnowPairsIndexed(s, d)),
     "dedup_winnow_cost" -> ((s, d) => Dedup.winnowCandidateCost(s, d)),
     // tier-2 volume prediction — what exposes the relative cut's uniform-
     // hotness blind spot before the join is paid (Σ df² over KEPT fps)
@@ -710,6 +713,7 @@ object SparkEntry {
     "text_winnow" -> TextAnalysis.winnowOracle,
     "dedup_winnow_pairs" -> Dedup.winnowPairsOracle,
     "dedup_winnow_capped" -> Dedup.winnowPairsCappedOracle(P.WinnowCapInv),
+    "dedup_winnow_indexed" -> Dedup.winnowPairsOracle,
     "dedup_winnow_cost" -> Dedup.winnowCandidateCostOracle,
     "dedup_winnow_cost_capped" ->
       Dedup.winnowCappedCandidateCostOracle(P.WinnowCapInv),

@@ -1368,10 +1368,15 @@ object Dedup {
   def winnowPairs(spark: SparkSession, dir: String): DataFrame =
     winnowPairsOver(Tables.documents(spark, dir))
 
-  private[graft] def winnowPairsOver(d: DataFrame): DataFrame = {
-    val sel = TextAnalysis.winnowSelect(d)
+  private[graft] def winnowPairsOver(d: DataFrame): DataFrame =
+    winnowPairsFromSel(TextAnalysis.winnowSelect(d)
       .select(col("doc_id"), col("fp")).distinct()
-      .repartition(col("fp"))
+      .repartition(col("fp")))
+
+  /** The pair-join core over an explicit distinct (doc_id, fp) selection
+    * — the relation both the inline anchors and the artifact-served
+    * dispatcher tiers feed. */
+  private[graft] def winnowPairsFromSel(sel: DataFrame): DataFrame = {
     val a = sel.select(col("doc_id").as("doc_a"), col("fp"))
     val b = sel.select(col("doc_id").as("doc_b"), col("fp"))
     a.join(b, Seq("fp"))
@@ -1410,15 +1415,18 @@ object Dedup {
     winnowPairsCappedOver(Tables.documents(spark, dir), dfCapInverse)
 
   private[graft] def winnowPairsCappedOver(d: DataFrame,
-                                           dfCapInverse: Long): DataFrame = {
+                                           dfCapInverse: Long): DataFrame =
     // ONE fp-keyed exchange feeds the count path AND the join sides
     // (ReusedExchange): without the up-front repartition, the fp-count
     // aggregate and the pair join each re-derive the full winnow
     // selection — measured 3.7 s vs 2.2 s uncapped at the 10× replica,
     // i.e. the cap cost twice the corpus pass it exists to avoid.
-    val sel = TextAnalysis.winnowSelect(d)
+    winnowPairsCappedFromSel(TextAnalysis.winnowSelect(d)
       .select(col("doc_id"), col("fp")).distinct()
-      .repartition(col("fp"))
+      .repartition(col("fp")), dfCapInverse)
+
+  private[graft] def winnowPairsCappedFromSel(sel: DataFrame,
+                                              dfCapInverse: Long): DataFrame = {
     val fc = sel.groupBy(col("fp")).agg(count(lit(1)).as("c"))
     val total = fc.agg(sum(col("c")).as("t"))
     val okFp = fc.crossJoin(broadcast(total))
@@ -1489,6 +1497,54 @@ object Dedup {
     graft.Materialize.append(spark, "graft_winnowdf", dir, version) { p =>
       winnowFpDf(batch).coalesce(1).write.mode("append").parquet(p)
     }
+
+  /** Write-once winnowed SELECTION artifact — (doc_id, fp) distinct,
+    * fp-clustered so the pair self-join reads co-located postings (the
+    * posting-index layout convention). Row-local per document, so the
+    * append face is exact by the same additivity as the df stats
+    * (IncrementalIndexSpec pins append == rebuild); at 100 TB this is
+    * the artifact that keeps a pairs pass from re-scanning raw text per
+    * call — the selection derivation is the dominant cost of every
+    * inline winnow form (measured 22.9 s of the 100×-replica read). */
+  val WinnowSelVersion = 1
+
+  private[graft] def ensureWinnowSel(spark: SparkSession, dir: String,
+                                     d: DataFrame,
+                                     version: Int = WinnowSelVersion): String =
+    graft.Materialize.ensure(spark, "graft_winnowsel", dir, version) { p =>
+      graft.operators.TextAnalysis.winnowSelect(d)
+        .select(col("doc_id"), col("fp")).distinct()
+        .repartition(8, col("fp")).sortWithinPartitions(col("fp"))
+        .write.mode("overwrite").parquet(p)
+    }
+
+  def appendToWinnowSel(spark: SparkSession, dir: String, batch: DataFrame,
+                        version: Int = WinnowSelVersion): String =
+    graft.Materialize.append(spark, "graft_winnowsel", dir, version) { p =>
+      graft.operators.TextAnalysis.winnowSelect(batch)
+        .select(col("doc_id"), col("fp")).distinct()
+        .repartition(2, col("fp")).sortWithinPartitions(col("fp"))
+        .write.mode("append").parquet(p)
+    }
+
+  /** The SERVED winnow pair join — [[winnowPairs]]' exact semantics (the
+    * same oracle gates both) with the selection read from the
+    * materialized artifact instead of re-derived from raw text: the
+    * serving plan is one artifact scan + the fp-keyed self-join, no
+    * documents read anywhere (PlanShapeSpec pins it). */
+  def winnowPairsIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val sel = spark.read.parquet(
+        ensureWinnowSel(spark, dir, Tables.documents(spark, dir)))
+      .repartition(col("fp"))
+    val a = sel.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = sel.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** Candidate-volume PREDICTION for the winnow pair join — the
     * fuzzy/containment admission-control face on the third pair-join
@@ -1573,10 +1629,14 @@ object Dedup {
     winnowPairsChampOver(Tables.documents(spark, dir), dfCapInverse, perFpCap)
 
   private[graft] def winnowPairsChampOver(d: DataFrame, dfCapInverse: Long,
-                                          perFpCap: Int): DataFrame = {
-    val sel = graft.operators.TextAnalysis.winnowSelect(d)
+                                          perFpCap: Int): DataFrame =
+    winnowPairsChampFromSel(graft.operators.TextAnalysis.winnowSelect(d)
       .select(col("doc_id"), col("fp")).distinct()
-      .repartition(col("fp"))
+      .repartition(col("fp")), dfCapInverse, perFpCap)
+
+  private[graft] def winnowPairsChampFromSel(sel: DataFrame,
+                                             dfCapInverse: Long,
+                                             perFpCap: Int): DataFrame = {
     val fc = sel.groupBy(col("fp")).agg(count(lit(1)).as("c"))
     val total = fc.agg(sum(col("c")).as("t"))
     val okFp = fc.crossJoin(broadcast(total))
@@ -1648,18 +1708,25 @@ object Dedup {
   def winnowPairsAuto(spark: SparkSession, dir: String, dfCapInverse: Long,
                       budget: Long = WinnowCandidateBudget,
                       perFpCap: Int = WinnowPerFpCap): DataFrame = {
-    val dp = ensureWinnowDf(spark, dir, Tables.documents(spark, dir))
+    val d = Tables.documents(spark, dir)
+    val dp = ensureWinnowDf(spark, dir, d)
     val fps = (dir, graft.Materialize.fingerprint(spark, dir),
       graft.Materialize.fingerprint(spark, dp))
     val predicted = winnowCostMemo.getOrElseUpdate(fps,
       winnowCandidateCost(spark, dir).head().getLong(0))
-    if (predicted <= budget) winnowPairs(spark, dir)
+    // every tier is SERVED from the materialized selection artifact —
+    // the selection derivation (tokenize + windows + argmin over raw
+    // text) dominated the inline read at the 100× replica, and it is
+    // identical across tiers, so the dispatcher never re-pays it
+    def sel = spark.read.parquet(ensureWinnowSel(spark, dir, d))
+      .repartition(col("fp"))
+    if (predicted <= budget) winnowPairsFromSel(sel)
     else {
       val cappedPredicted = winnowCappedCostMemo.getOrElseUpdate(
         (fps._1, fps._2, fps._3, dfCapInverse),
         winnowCappedCandidateCost(spark, dir, dfCapInverse).head().getLong(0))
-      if (cappedPredicted <= budget) winnowPairsCapped(spark, dir, dfCapInverse)
-      else winnowPairsChamp(spark, dir, dfCapInverse, perFpCap)
+      if (cappedPredicted <= budget) winnowPairsCappedFromSel(sel, dfCapInverse)
+      else winnowPairsChampFromSel(sel, dfCapInverse, perFpCap)
     }
   }
 

@@ -430,6 +430,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("documents.parquet"), p)
   }
 
+  test("indexed winnow pairs read the selection artifact, never raw text") {
+    val p = finalPlan("dedup_winnow_indexed")
+    // a documents scan means the selection (tokenize + windows + argmin)
+    // is re-deriving per pairs call instead of reading the artifact
+    assert(!p.contains("documents.parquet"), p)
+    assert(p.contains("graft_winnowsel"), p)
+  }
+
   test("clean split serves from the label pair, not the dedup pipeline") {
     val p = finalPlan("corpus_split_clean")
     // a documents scan means the minhash/dedup pipeline is re-deriving
