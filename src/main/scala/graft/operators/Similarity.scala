@@ -647,10 +647,18 @@ object Similarity {
     * measures flat probed rows at the derived sizes without
     * hand-tuning. The count() is one metadata-bounded job per build —
     * at 100 TB it rides the same ingest pass that writes the index. */
+  /** Memo for the corpus count the derivation reads — a construction-time
+    * job (the cost-memo precedent); keyed by the input-dir fingerprint so
+    * an ingest increment re-counts and re-keys the artifact. */
+  private val autoCountMemo =
+    new scala.collection.concurrent.TrieMap[(String, String), Long]
+
   def ivfBucketedTopKAuto(spark: SparkSession, dir: String, probeId: Long,
                           k: Int, centroidMod: Long = 25L,
                           nprobe: Int = 2): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
+    val n = autoCountMemo.getOrElseUpdate(
+      (dir, graft.Materialize.fingerprint(spark, dir)),
+      Tables.embeddings(spark, dir).count())
     ivfBucketedTopK(spark, dir, probeId, k, centroidMod, nprobe,
       autoNumCentroids(n))
   }
