@@ -38,10 +38,13 @@ object BuildScaleProbe {
 
     args.foreach { dir =>
       val docs = Tables.documents(spark, dir)
+      // every family ensures over the FULL corpus and appends a 10% slice
+      // — consistent bases, so cross-family build walls compare. The
+      // appends double-count the slice in the temp artifacts; this is a
+      // TIMING probe (the batch-labeling wall), never a contents source.
       val docsBatch = docs.filter(pmod(col("doc_id"), lit(10L)) === 7L)
         .select(col("doc_id"), col("text"))
-      val docsCorp = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
-        .select(col("doc_id"), col("text"))
+      val docsAll = docs.select(col("doc_id"), col("text"))
       val c = FuzzySearch.corpus(spark, dir)
       val cBatch = c.filter(pmod(col("id"), lit(10L)) === 7L)
       val e = Tables.embeddings(spark, dir)
@@ -69,7 +72,7 @@ object BuildScaleProbe {
       row("champion",
         t(FuzzySearch.ensureChampionIndex(spark, dir, c, inv)))
       row("bands",
-        t(Dedup.ensureBandsIndex(spark, dir, docsCorp)),
+        t(Dedup.ensureBandsIndex(spark, dir, docsAll)),
         t(Dedup.appendToBandsIndex(spark, dir, docsBatch)))
       row("winnow_df",
         t(Dedup.ensureWinnowDf(spark, dir, docs)),
@@ -80,15 +83,22 @@ object BuildScaleProbe {
       // the O(N·√C) build escalation at the balanced coarse count —
       // same layout, quantized assignment. nprobe1 is the
       // agreement-vs-work knob: sweep it so the curve is measured, and
-      // time the build at the quarter-coverage setting.
+      // time the build at the quarter-coverage setting. The flat N×C
+      // assignment — the pass the escalation exists to avoid — computes
+      // ONCE for the whole sweep, not per point.
       val nCoarse = math.max(4, math.sqrt(ncells.toDouble).round.toInt)
       val np1Rec = math.max(2, nCoarse / 4)
+      val flat = Similarity.cellAssignment(e, cent)
+        .select(col("vec_id"), col("cell")).cache()
+      val nFlat = flat.count().toDouble
       Seq(2, np1Rec, math.max(2, nCoarse / 2)).distinct.foreach { np1 =>
-        val agree = Similarity.ivf2AssignAgreement(spark, dir,
-          numCentroids = ncells, numCoarse = nCoarse, nprobe1 = np1)
-          .head().getDouble(2)
-        rows += f""""ivf2_agreement_g${nCoarse}n$np1":{"value":$agree%.3f}"""
+        val hits = flat.join(
+          Similarity.cellAssignment2(e, cent, 25L, 4L, nCoarse, np1)
+            .select(col("vec_id"), col("cell").as("cell2")), "vec_id")
+          .filter(col("cell") === col("cell2")).count()
+        rows += f""""ivf2_agreement_g${nCoarse}n$np1":{"value":${hits / nFlat}%.3f}"""
       }
+      flat.unpersist()
       row(s"ivf2_assigned_g${nCoarse}n$np1Rec",
         t(Similarity.ensureIvf2AssignedIndex(spark, dir, e, cent, 25L,
           ncells, 4L, nCoarse, np1Rec)))

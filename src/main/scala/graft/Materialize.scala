@@ -181,6 +181,7 @@ object Materialize {
       writeManifest(spark, p, current)
     }
     requireNonEmpty(spark, p)
+    ensuredThisSession.add(fs.makeQualified(new Path(p)).toString)
     p
   }
 
@@ -211,6 +212,7 @@ object Materialize {
       writeManifest(spark, p, current)
     }
     requireNonEmpty(spark, p)
+    ensuredThisSession.add(fs.makeQualified(new Path(p)).toString)
     p
   }
 
@@ -278,6 +280,15 @@ object Materialize {
     p
   }
 
+  /** Artifact paths ensured in THIS JVM session — the set
+    * [[gcSupersededKinds]] must never delete: a DataFrame constructed
+    * over an ensured path is lazy, and deleting its files before the
+    * first action would fail (or silently truncate) a live plan. A path
+    * ensured by an EARLIER session has no live plans by definition
+    * (plans don't survive the JVM), so it stays collectable. */
+  private val ensuredThisSession =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Garbage-collect SUPERSEDED parameterizations of a kind family for one
     * input dir. Kinds whose cut parameters are part of the artifact
     * identity (e.g. `graft_champost_<inv>_<cap>`) materialize a distinct
@@ -286,9 +297,9 @@ object Materialize {
     * unboundedly. Called after `ensure` with the surviving kind: every
     * OTHER `<kindPrefix>*` kind's artifact for the SAME input tag is
     * deleted (other corpora's artifacts are untouched — their sweeps are
-    * their own). Last-ensured-wins is the right lifecycle because the
-    * parameters live in serving entry signatures: a superseded build is
-    * only ever re-read by re-ensuring it, which rebuilds. Driver-side
+    * their own) — EXCEPT paths ensured in this session, which may back
+    * not-yet-executed lazy plans (see [[ensuredThisSession]]); those are
+    * reclaimed by the next session's sweep instead. Driver-side
     * listStatus only; IO errors are ignored (GC is best-effort, never a
     * query failure). */
   def gcSupersededKinds(spark: SparkSession, kindPrefix: String,
@@ -300,7 +311,9 @@ object Materialize {
       val name = st.getPath.getName
       if (name.startsWith(kindPrefix) && name != keepKind)
         try fs.listStatus(st.getPath).foreach { a =>
-          if (a.getPath.getName.startsWith(t + "_v"))
+          if (a.getPath.getName.startsWith(t + "_v") &&
+              !ensuredThisSession.contains(
+                fs.makeQualified(a.getPath).toString))
             fs.delete(a.getPath, true)
         } catch { case _: java.io.IOException => () }
     } catch { case _: java.io.IOException => () }

@@ -61,18 +61,29 @@ object WinnowCapProbe {
       .winnowPairsOver(d.filter(pmod(col("doc_id"), lit(100L)) === 0L)).count()
     val (cw, cr) = run(graft.operators.Dedup.winnowPairsCappedOver(d, CapInv))
     val (uw, ur) = run(graft.operators.Dedup.winnowPairsOver(d))
-    // the dispatcher's own prediction over this corpus (the exact spelling
-    // winnowPairsAuto folds from the stats artifact): the crafted header
-    // must push Σ df² past the 8M budget so auto lands on the capped plan
+    // the dispatcher's own predictions over this corpus (the exact
+    // spellings winnowPairsAuto folds from the stats artifact) — BOTH
+    // tiers', so the reported branch mirrors the real three-way dispatch:
+    // the crafted header pushes the uncut Σ df² past the 8M budget, and
+    // the tier-2 prediction decides capped vs champ
+    val fc = graft.operators.Dedup.winnowFpDf(d).cache()
     val predicted = graft.operators.Dedup
-      .winnowCandidateCostOver(graft.operators.Dedup.winnowFpDf(d))
-      .head().getLong(0)
+      .winnowCandidateCostOver(fc).head().getLong(0)
+    val total = fc.agg(org.apache.spark.sql.functions.sum(col("c")).as("t"))
+    val cappedPredicted = graft.operators.Dedup.winnowCandidateCostOver(
+      fc.crossJoin(org.apache.spark.sql.functions.broadcast(total))
+        .filter(col("c") >= 2 && col("c") * CapInv <= col("t"))
+        .select(col("fp"), col("c"))).head().getLong(0)
+    fc.unpersist()
+    val budget = graft.operators.Dedup.WinnowCandidateBudget
     val branch =
-      if (predicted <= graft.operators.Dedup.WinnowCandidateBudget) "uncapped"
-      else "capped"
+      if (predicted <= budget) "uncapped"
+      else if (cappedPredicted <= budget) "capped"
+      else "champ"
     println(f"""{"metric":"winnow_cap_probe","dir":"$src","n_docs":$n,""" +
       f""""hot_permille":$HotPermille,"cap_inv":$CapInv,""" +
-      f""""predicted_pairs":$predicted,"auto_branch":"$branch",""" +
+      f""""predicted_pairs":$predicted,"predicted_capped":$cappedPredicted,""" +
+      f""""auto_branch":"$branch",""" +
       f""""uncapped":{"wall":$uw%.2f,"pairs":$ur},""" +
       f""""capped":{"wall":$cw%.2f,"pairs":$cr}}""")
     spark.stop()

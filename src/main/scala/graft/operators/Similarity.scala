@@ -1231,8 +1231,12 @@ object Similarity {
         l2sq(col("embedding").cast("array<double>"), col("pemb")).as("l2"))
       .withColumn("rk", row_number().over(exW)).filter(col("rk") <= k)
       .select(col("pid"), col("vec_id"))
+    // the probe budget applies to BOTH sides: the approx pipeline's
+    // per-probe windows partition by probe_id, so the filter pushes
+    // below them and the uncapped probes' ADC work is never done
     val approx = ivfPqBatchTopK(spark, dir, k, centroidMod, nprobe,
         numCentroids, mod)
+      .filter(col("probe_id") < BatchProbeMod * RecallProbeCap)
       .select(col("probe_id").as("pid"), col("vec_id"))
     val perHit = exact.join(approx, Seq("pid", "vec_id"))
       .groupBy(col("pid")).agg(count(lit(1)).as("hits"))
@@ -1252,6 +1256,7 @@ object Similarity {
        |ap AS (SELECT cand.pid, a.vec_id
        |       FROM padc a
        |       JOIN cand ON a.pid = cand.pid AND a.vec_id = cand.vec_id
+       |       WHERE cand.pid < ${BatchProbeMod * RecallProbeCap}
        |       QUALIFY row_number() OVER (PARTITION BY cand.pid
        |                                  ORDER BY a.pq_dist, a.vec_id) <= $k),
        |ex AS (SELECT p.pid, e.vec_id
