@@ -118,5 +118,13 @@ object BuildScaleProbe {
         s""""n_vecs":$nVec,"ncells":$ncells,"families":{${rows.mkString(",")}}}""")
     }
     spark.stop()
+    // the probe's whole warehouse is throwaway — reclaim the cold-built
+    // artifact copies (corpus-scale postings per input dir) on exit
+    deleteRecursively(new java.io.File(tmp))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 }

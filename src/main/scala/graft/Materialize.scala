@@ -38,6 +38,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * check and race on the same path — the harness runs a single driver per
   * warehouse, which is the supported mode; concurrent sessions must use
   * distinct warehouses (or distinct `spark.graft.materialize.dir`).
+  * [[gcSupersededKinds]] STRENGTHENS this to a hard requirement: GC
+  * deletes superseded parameterizations, and its ensured-this-session
+  * guard is per-JVM — a concurrent JVM's just-ensured artifact looks
+  * superseded here and would be deleted out from under that session's
+  * lazy plans. Single driver per warehouse is mandatory once GC runs.
   */
 object Materialize {
 
@@ -311,7 +316,8 @@ object Materialize {
       val name = st.getPath.getName
       if (name.startsWith(kindPrefix) && name != keepKind)
         try fs.listStatus(st.getPath).foreach { a =>
-          if (a.getPath.getName.startsWith(t + "_v") &&
+          if (a.getPath.getName.matches(
+                java.util.regex.Pattern.quote(t) + "_v\\d+") &&
               !ensuredThisSession.contains(
                 fs.makeQualified(a.getPath).toString))
             fs.delete(a.getPath, true)

@@ -149,10 +149,16 @@ object GraftExtensions {
       s"$what must be a boolean literal, got $other")
   }
 
-  /** The active session at analysis time — table-function builders run
-    * inside the analyzer, where `SparkSession.active` is the session
-    * resolving the query. */
-  private def session = org.apache.spark.sql.SparkSession.active
+  /** Builders constructed by [[tableInjectionsFor]] close over `captured`:
+    * the programmatic path ([[register]]) captures its session, so a JVM
+    * hosting several sessions serves each registration from the warehouse
+    * it was registered on. The config-extensions path has no session at
+    * injection time, so its builders fall back to the thread-local
+    * `SparkSession.active` at analysis time — correct for the supported
+    * one-session-per-JVM mode; a multi-session JVM must use [[register]],
+    * or a query analyzed on a thread where a different session was last
+    * active would read the wrong session's warehouse. */
+  private type CapturedSession = Option[org.apache.spark.sql.SparkSession]
 
   /** Arity guard for table-function builders (same rationale as [[arity]]). */
   private def tArity(name: String, n: Int)(
@@ -169,7 +175,13 @@ object GraftExtensions {
     * gates. Arguments must be literals — they parameterize plan
     * CONSTRUCTION (which tables are read, which deltas are folded), not
     * row evaluation. */
-  val tableInjections: Seq[(String, ExpressionInfo, TableFunctionBuilder)] = Seq(
+  val tableInjections: Seq[(String, ExpressionInfo, TableFunctionBuilder)] =
+    tableInjectionsFor(None)
+
+  private def tableInjectionsFor(captured: CapturedSession)
+      : Seq[(String, ExpressionInfo, TableFunctionBuilder)] = {
+    def session = captured.getOrElse(org.apache.spark.sql.SparkSession.active)
+    Seq(
     ("fuzzy_search",
       info("fuzzy_search",
         "fuzzy_search(dir, query, k) - trigram-candidate fuzzy entity search " +
@@ -200,14 +212,17 @@ object GraftExtensions {
             .map { case (t, i) => strLit(t, s"term ${i + 1}") },
           longLit(args(1), "k").toInt).queryExecution.logical
       }))
+  }
 
-  /** Programmatic registration on a live session. */
+  /** Programmatic registration on a live session. Table-function builders
+    * capture THIS session (see [[CapturedSession]]), so they keep reading
+    * its warehouse even if another session is later thread-active. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     injections.foreach { case (name, i, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), i, builder)
     }
-    tableInjections.foreach { case (name, i, builder) =>
+    tableInjectionsFor(Some(spark)).foreach { case (name, i, builder) =>
       spark.sessionState.tableFunctionRegistry
         .registerFunction(FunctionIdentifier(name), i, builder)
     }
