@@ -113,6 +113,14 @@ object BuildScaleProbe {
         t(CorpusPrep.appendToDocBase(spark, dir, docs
           .filter(pmod(col("doc_id"), lit(10L)) === 7L))))
       row("docglobal", t(CorpusPrep.ensureDocGlobal(spark, dir)))
+      // the deferred-overlay cadence's PER-BATCH wall (labels append +
+      // exact/near screens + band admit — a fresh 10% slice so no prior
+      // row pre-paid its work): what an ingest pays each batch while the
+      // exact overlay refresh (the docglobal row above) waits for its
+      // compaction window
+      row("ingest_cadence",
+        t(CorpusPrep.ingestIncrement(spark, dir,
+          docs.filter(pmod(col("doc_id"), lit(10L)) === 3L)).count()))
 
       println(s"""{"metric":"build_scale","dir":"$dir","n_docs":${docs.count()},""" +
         s""""n_vecs":$nVec,"ncells":$ncells,"families":{${rows.mkString(",")}}}""")

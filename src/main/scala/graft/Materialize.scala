@@ -252,6 +252,26 @@ object Materialize {
     p
   }
 
+  /** Explicit invalidation — the compaction-window refresh primitive.
+    * Drops the artifact (and its manifest) so the next `ensure` rebuilds
+    * it from the CURRENT inputs. This is the deferred-maintenance face of
+    * staleness: some artifacts (the corpus-global label overlay) are
+    * semantically outdated by a legitimate ingest increment, which the
+    * manifest deliberately does NOT treat as staleness (NEW children are
+    * an increment — that is what licenses the append lifecycle), so the
+    * refresh cadence decides when to pay the exact rebuild. Same
+    * single-driver-per-warehouse requirement as GC: a live lazy plan in
+    * this session over the dropped path would fail — refresh at a
+    * quiesced window (between micro-batches / queries). Returns true if
+    * an artifact existed and was dropped. */
+  def invalidate(spark: SparkSession, kind: String, dir: String,
+                 version: Int): Boolean = {
+    val p = new Path(artifactPath(spark, kind, dir, version))
+    val fs = fsOf(spark, p)
+    ensuredThisSession.remove(fs.makeQualified(p).toString)
+    try fs.delete(p, true) catch { case _: java.io.IOException => false }
+  }
+
   /** Periodic compaction of an appended artifact: every [[append]] lands
     * one batch-sized file set, so reads accumulate small files and lose
     * the single-sorted-run property; `rewrite(current, tmpPath)` must

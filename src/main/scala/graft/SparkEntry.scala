@@ -347,6 +347,9 @@ object SparkEntry {
     // the pipeline gate served from the label table: prep == a filter
     // over per-doc labels the pipeline already computed
     "corpus_prep_indexed" -> ((s, d) => CorpusPrep.corpusPrepIndexed(s, d)),
+    // the per-batch half of the deferred-overlay ingest cadence: exact +
+    // near-dup screens of the arriving split vs the standing corpus
+    "corpus_ingest_screen" -> ((s, d) => CorpusPrep.ingestScreen(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     // intra-doc repetition (Gopher-style dup/top n-gram fractions)
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
@@ -706,6 +709,7 @@ object SparkEntry {
     "corpus_stats" -> CorpusPrep.corpusStatsOracle,
     "corpus_stats_indexed" -> CorpusPrep.corpusStatsOracle,
     "corpus_prep_indexed" -> CorpusPrep.corpusPrepOracle(),
+    "corpus_ingest_screen" -> CorpusPrep.ingestScreenOracle,
     "text_quality" -> TextAnalysis.qualityScoreOracle,
     "text_repetition" -> TextAnalysis.repetitionOracle(),
     "text_tokens" -> TextAnalysis.tokenCountsOracle,

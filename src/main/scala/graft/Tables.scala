@@ -25,6 +25,17 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
-  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+
+  /** The documents corpus — the one table ingest increments arrive at.
+    * Reads `documents*.parquet`: an arriving batch lands as a NEW sibling
+    * child (`documents_b<n>.parquet`), which is precisely what the
+    * Materialize staleness contract classifies as an increment (new
+    * top-level children never mark artifacts stale, so the append
+    * lifecycle — docbase labels, band index, posting index — extends
+    * rather than rebuilds; see CorpusPrep.ingestIncrement). On the
+    * driver-generated dirs the glob matches exactly `documents.parquet`,
+    * so gate reads are unchanged. */
+  def documents(spark: SparkSession, dir: String): DataFrame  =
+    spark.read.parquet(s"$dir/documents*.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The deferred-overlay ingest cadence, end-to-end (round 12 — previously
+  * SCALE.md prose): a corpus bootstraps its label pair and e2e chain, a
+  * batch ARRIVES as a new data file, the per-batch step labels + screens
+  * it while the corpus-global overlay stays deferred, and the
+  * compaction-window refresh re-admits exactness. The load-bearing pins:
+  *
+  *  1. during the deferral window the served corpus view is STABLE
+  *     (arrivals are labeled and screened but not yet admitted — the e2e
+  *     manifest does not move);
+  *  2. after the refresh, the chain's output EQUALS a from-scratch
+  *     rebuild under the standing frozen LM model — deferral is a
+  *     latency trade, never a correctness one.
+  */
+class IngestCadenceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val srcDir = "/root/testdata/sf0.001"
+  private val artDir = Files.createTempDirectory("graft-cadence-artifacts").toString
+  private val dataDir = Files.createTempDirectory("graft-cadence-data").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.graft.materialize.dir", artDir)
+    .appName("ingest-cadence-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def manifestRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("ingest cadence: label+screen per batch, deferred overlay, refresh == from-scratch") {
+    val all = spark.read.parquet(s"$srcDir/documents.parquet")
+    val base = all.filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
+    val arrivals = all.filter(pmod(col("doc_id"), lit(10L)) === 7L)
+    base.write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+
+    // bootstrap: label pair + chain + band index over the standing corpus
+    val m0 = manifestRows(Pipeline.corpusE2e(spark, dataDir))
+    val baseN = base.count()
+    assert(spark.read.parquet(
+      CorpusPrep.ensureDocBase(spark, dataDir)).count() == baseN)
+
+    // a batch ARRIVES as a new sibling data file: the unseen split plus a
+    // planted verbatim duplicate of a standing doc (text copied, new id)
+    val dupSrc = base.orderBy(col("doc_id")).limit(1).collect().head
+    val planted = spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(900000001L, dupSrc.getAs[String]("text"),
+          dupSrc.getAs[String]("lang"), dupSrc.getAs[String]("source"),
+          dupSrc.getAs[Long]("n_chars"))), all.schema)
+    val batch = arrivals.unionByName(planted)
+    batch.write.mode("overwrite").parquet(s"$dataDir/documents_b1.parquet")
+    assert(Tables.documents(spark, dataDir).count() == all.count() + 1,
+      "the glob loader must see the arrived batch file")
+
+    // per-batch step: labels append (batch text only), screens run
+    val verdict = CorpusPrep.ingestIncrement(spark, dataDir,
+      Tables.documents(spark, dataDir)
+        .filter(col("doc_id") % 10L === 7L || col("doc_id") === 900000001L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val v = verdict(900000001L)
+    assert(v.getAs[Boolean]("is_exact_dup"),
+      "verbatim duplicate must fire the exact screen")
+    assert(v.getAs[Long]("exact_dup_of") == dupSrc.getAs[Long]("doc_id"))
+    assert(v.getAs[Boolean]("is_near_dup") &&
+      v.getAs[Long]("dup_of") == dupSrc.getAs[Long]("doc_id"),
+      "identical text ⇒ identical signature ⇒ the band screen must fire")
+    assert(!v.getAs[Boolean]("provisional_admit"))
+    assert(verdict.size == batch.count(),
+      "every arrival gets a verdict row")
+
+    // row-local labels: appended base == from-scratch labeling of the
+    // full corpus under the SAME frozen model (the docbase append pin,
+    // here over a real arrived file rather than a carved slice)
+    val model = LmQuality.ensureModel(spark, dataDir)
+    val appendedBase = manifestRows(
+      spark.read.parquet(CorpusPrep.ensureDocBase(spark, dataDir))
+        .orderBy("doc_id"))
+    val rebuiltBase = manifestRows(
+      CorpusPrep.docBaseOver(spark, Tables.documents(spark, dataDir), model)
+        .orderBy("doc_id"))
+    assert(appendedBase.size == all.count() + 1 && appendedBase == rebuiltBase)
+
+    // DEFERRAL: the overlay was not touched, so the served chain view is
+    // stable — arrivals are not yet admitted and the manifest equals the
+    // bootstrap manifest bit for bit
+    assert(spark.read.parquet(
+      graft.Materialize.artifactPath(spark, "graft_docglobal", dataDir,
+        CorpusPrep.DocGlobalVersion)).count() == baseN,
+      "deferred overlay must still cover exactly the standing corpus")
+    assert(manifestRows(Pipeline.corpusE2e(spark, dataDir)) == m0,
+      "deferral window: the served corpus view must not move")
+
+    // REFRESH at the compaction window: exact corpus-global pass; the
+    // chain rebuilds transitively and the arrivals enter the corpus
+    CorpusPrep.compactionRefresh(spark, dataDir)
+    val mRefreshed = manifestRows(Pipeline.corpusE2e(spark, dataDir))
+    assert(mRefreshed != m0, "refresh must admit the arrivals")
+
+    // FROM-SCRATCH arm under the same frozen LM model: drop the label
+    // pair (the chain goes stale transitively) and rebuild everything
+    graft.Materialize.invalidate(spark, "graft_docbase", dataDir,
+      CorpusPrep.DocBaseVersion)
+    graft.Materialize.invalidate(spark, "graft_docglobal", dataDir,
+      CorpusPrep.DocGlobalVersion)
+    val mScratch = manifestRows(Pipeline.corpusE2e(spark, dataDir))
+    assert(mRefreshed == mScratch,
+      "deferred-then-refreshed cadence must equal the from-scratch rebuild")
+  }
+}
