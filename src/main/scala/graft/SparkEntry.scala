@@ -254,6 +254,10 @@ object SparkEntry {
     // what the quantization costs is the agreement row's number
     "ann_ivf2_assigned" -> ((s, d) => Similarity.ivf2AssignedTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     "ann_ivf2_assign_agree" -> ((s, d) => Similarity.ivf2AssignAgreement(s, d)),
+    // what a CALLER experiences over the two-level-BUILT index: recall@k
+    // vs exact ground truth (the agreement row measures assignment drift;
+    // this measures its serving price)
+    "ann_ivf2_assigned_recall" -> ((s, d) => Similarity.ivf2AssignedRecall(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     // measured recall@k of IVF vs the exact brute-force ground truth
     "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
     // TRAINED IVF codebook: spherical k-means Lloyd iterations, map-only
@@ -675,6 +679,8 @@ object SparkEntry {
     "ann_ivf2_assigned" ->
       Similarity.ivf2AssignedTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf2_assign_agree" -> Similarity.ivf2AssignAgreementOracle(),
+    "ann_ivf2_assigned_recall" ->
+      Similarity.ivf2AssignedRecallOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf_recall" -> Similarity.ivfRecallOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_kmeans_train" -> KMeans.kmeansTrainOracle(),
     "ann_ivf_trained" -> KMeans.ivfTrainedTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),

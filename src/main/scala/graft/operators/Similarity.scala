@@ -474,6 +474,35 @@ object Similarity {
        |ORDER BY cosine_sim DESC, e.vec_id
        |LIMIT $k""".stripMargin
 
+  /** Recall@k of the two-level-BUILT index vs exact — what a CALLER
+    * experiences over the dispatched build (round 12; the agreement
+    * instrument below measures assignment drift, but a disagreeing
+    * vector costs recall only when a probe covers its flat cell and not
+    * its assigned one — this row measures that end number directly,
+    * closing the loop on the build-side admission control: the budget
+    * buys a 2.5× build speedup whose serving price is THIS recall,
+    * recorded next to the agreement curve in SCALE.md). */
+  def ivf2AssignedRecall(spark: SparkSession, dir: String, probeId: Long,
+                         k: Int, nprobe: Int = 2): DataFrame = {
+    val exact = cosineTopK(spark, dir, probeId, k).select(col("vec_id"))
+    val approx = ivf2AssignedTopK(spark, dir, probeId, k, nprobe = nprobe)
+      .select(col("vec_id").as("a_id"))
+    exact.join(broadcast(approx), col("vec_id") === col("a_id"), "left")
+      .agg(count(lit(1)).as("k_exact"), count(col("a_id")).as("hits"))
+      .withColumn("recall",
+        col("hits").cast("double") / col("k_exact").cast("double"))
+      .orderBy(col("k_exact"))
+  }
+
+  def ivf2AssignedRecallOracle(probeId: Long, k: Int, nprobe: Int = 2): String =
+    s"""SELECT count(*) AS k_exact, count(a.a_id) AS hits,
+       |       count(a.a_id)::DOUBLE / count(*)::DOUBLE AS recall
+       |FROM (${cosineTopKOracle(probeId, k)}) e
+       |LEFT JOIN (SELECT vec_id AS a_id
+       |           FROM (${ivf2AssignedTopKOracle(probeId, k, nprobe = nprobe)})) a
+       |  ON e.vec_id = a.a_id
+       |ORDER BY k_exact""".stripMargin
+
   /** Agreement of the two-level assignment with the flat argmax — the
     * measured price of the O(N·√C) build (the recall-instrument
     * discipline applied to the build path): one row (n_vecs, n_agree,
