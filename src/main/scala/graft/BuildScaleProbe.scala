@@ -99,9 +99,19 @@ object BuildScaleProbe {
         rows += f""""ivf2_agreement_g${nCoarse}n$np1":{"value":${hits / nFlat}%.3f}"""
       }
       flat.unpersist()
-      row(s"ivf2_assigned_g${nCoarse}n$np1Rec",
-        t(Similarity.ensureIvf2AssignedIndex(spark, dir, e, cent, 25L,
-          ncells, 4L, nCoarse, np1Rec)))
+      // the DEFAULT build path's ensure-time dispatch (round 12): the
+      // predicted work N·ncells decides flat vs two-level — no
+      // hand-selection. At the 100× replica this must land on the
+      // two-level kind (whose wall is this row; the flat wall it avoids
+      // is the "ivf" row above).
+      var autoPlan: Option[(Int, Int)] = None
+      val autoWall = t {
+        autoPlan = Similarity.ensureIvfIndexAuto(
+          spark, dir, e, cent, 25L, ncells, nVec)._2
+      }
+      val dispatched = autoPlan
+        .map { case (g, n) => s"two_level_g${g}n$n" }.getOrElse("flat")
+      rows += f""""ivf_auto_build":{"build":$autoWall%.1f,"dispatch":"$dispatched"}"""
       row("ivfpq",
         t(Similarity.ensureIvfPqCodes(spark, dir, e, cent, books, 25L, ncells)),
         t(Similarity.appendToIvfPqCodes(spark, dir, eBatch, cent, books, 25L, ncells)))

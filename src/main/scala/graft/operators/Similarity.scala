@@ -682,14 +682,72 @@ object Similarity {
   private val autoCountMemo =
     new scala.collection.concurrent.TrieMap[(String, String), Long]
 
+  /** Build-work budget for the default IVF ensure path, in vector×centroid
+    * cosine evaluations — the build-side admission control the query-side
+    * families already have (round 12; the round-11 rehearsal measured the
+    * wall, this dispatches past it). Under the ncells ∝ N policy the flat
+    * assignment is N·C = O(N²/cellSize): measured 3.3 s at the 10×
+    * replica (20k vecs × 160 cells = 3.2M ops) but 25.2 s at 100×
+    * (200k × 1,600 = 320M ops), where the two-level O(N·√C) assignment
+    * builds the same layout in 10.1 s (SCALE.md §build-rehearsal). The
+    * budget sits between those measured points: every gate corpus and the
+    * 10× replica stay on the EXACT flat assignment (the oracle-gated
+    * default), and the 100× replica dispatches to the two-level build
+    * without hand-selection. */
+  val IvfAssignBudget = 32000000L
+
+  /** Ensure-time dispatch rule: predicted assignment work is N·C — both
+    * known before any job runs (N from the construction-time count memo,
+    * C from the ncells derivation), so unlike the pair-join families no
+    * stats artifact is even needed. None = exact flat assignment; Some
+    * ((numCoarse, nprobe1)) = the two-level quantized assignment at the
+    * balanced coarse count C1 ≈ √C and the measured quarter-coverage
+    * probe width (the BuildScaleProbe sweep's recommended point). */
+  def ivfBuildPlan(n: Long, numCentroids: Int,
+                   budget: Long = IvfAssignBudget): Option[(Int, Int)] =
+    if (n * numCentroids <= budget) None
+    else {
+      val numCoarse = math.max(4, math.sqrt(numCentroids.toDouble).round.toInt)
+      Some((numCoarse, math.max(2, numCoarse / 4)))
+    }
+
+  /** The dispatched DEFAULT build: flat below budget, two-level above.
+    * Either way the chosen parameters are part of the artifact KIND (the
+    * champion precedent), so a flat-assigned artifact can never serve a
+    * two-level read or vice versa. Returns the path and the dispatch. */
+  def ensureIvfIndexAuto(spark: SparkSession, dir: String, e: DataFrame,
+                         cent: DataFrame, centroidMod: Long,
+                         numCentroids: Int, n: Long,
+                         budget: Long = IvfAssignBudget,
+                         version: Int = 1): (String, Option[(Int, Int)]) =
+    ivfBuildPlan(n, numCentroids, budget) match {
+      case None =>
+        (ensureIvfIndex(spark, dir, e, cent, centroidMod, numCentroids,
+          version), None)
+      case plan @ Some((numCoarse, nprobe1)) =>
+        (ensureIvf2AssignedIndex(spark, dir, e, cent, centroidMod,
+          numCentroids, 4L, numCoarse, nprobe1, version), plan)
+    }
+
   def ivfBucketedTopKAuto(spark: SparkSession, dir: String, probeId: Long,
                           k: Int, centroidMod: Long = 25L,
-                          nprobe: Int = 2): DataFrame = {
+                          nprobe: Int = 2,
+                          budget: Long = IvfAssignBudget): DataFrame = {
     val n = autoCountMemo.getOrElseUpdate(
       (dir, graft.Materialize.fingerprint(spark, dir)),
       Tables.embeddings(spark, dir).count())
-    ivfBucketedTopK(spark, dir, probeId, k, centroidMod, nprobe,
-      autoNumCentroids(n))
+    val ncells = autoNumCentroids(n)
+    // the serving probe rule must match how the BUILD quantized: the
+    // flat-assigned index is probed flat, the two-level-assigned index by
+    // the same two-level selection (ivf2AssignedTopK ensures the same
+    // auto kind, so no double build)
+    ivfBuildPlan(n, ncells, budget) match {
+      case None =>
+        ivfBucketedTopK(spark, dir, probeId, k, centroidMod, nprobe, ncells)
+      case Some((numCoarse, nprobe1)) =>
+        ivf2AssignedTopK(spark, dir, probeId, k, centroidMod, nprobe,
+          ncells, 4L, numCoarse, nprobe1)
+    }
   }
 
   /** Probe-set stride for the batch ANN query. */

@@ -450,6 +450,30 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(auto.nonEmpty && auto == fixed)
   }
 
+  test("ivf build dispatch: exact flat through the 10x replica, two-level at 100x") {
+    // predicted work is N·ncells, both known at ensure time — the gate
+    // corpora and the 10× replica stay on the EXACT flat assignment (the
+    // oracle-gated default), the 100× replica crosses the measured budget
+    // and dispatches to the O(N·√C) build at the balanced coarse count
+    def planAt(n: Long) = Similarity.ivfBuildPlan(n, Similarity.autoNumCentroids(n))
+    assert(planAt(2000L).isEmpty, "anchor must build exact-flat")
+    assert(planAt(20000L).isEmpty, "10x replica must build exact-flat (3.2M ops)")
+    assert(planAt(200000L).contains((40, 10)),
+      "100x replica (320M ops) must dispatch to the measured two-level point")
+    // served consistency of the dispatched path: a forced-low budget makes
+    // the gate corpus dispatch two-level, and the auto face must then be
+    // bit-equal to the two-level-assigned serving face the oracle gates
+    // (same artifact kind, same probe rule — no double build)
+    val dispatched = Similarity.ivfBucketedTopKAuto(spark, dir,
+      SparkEntry.P.IvfProbe, SparkEntry.P.IvfK,
+      nprobe = SparkEntry.P.IvfNprobe, budget = 1L)
+      .collect().map(_.toSeq).toSeq
+    val assigned = Similarity.ivf2AssignedTopK(spark, dir,
+      SparkEntry.P.IvfProbe, SparkEntry.P.IvfK, nprobe = SparkEntry.P.IvfNprobe)
+      .collect().map(_.toSeq).toSeq
+    assert(dispatched.nonEmpty && dispatched == assigned)
+  }
+
   test("two-level assignment: all-groups probing reproduces the flat argmax exactly") {
     import org.apache.spark.sql.functions.col
     val e = Tables.embeddings(spark, dir)
