@@ -395,6 +395,10 @@ object SparkEntry {
     // tier 3: absolute per-fp truncation (the fuzzy champion design) —
     // bounded pair volume at ANY corpus, incl. uniformly cloned ones
     "dedup_winnow_champ" -> ((s, d) => Dedup.winnowPairsChamp(s, d, P.WinnowCapInv)),
+    // the champion tier's measured quality cost: pair recall vs the
+    // uncapped and relative-capped anchors (the fuzzy champ-recall design)
+    "dedup_winnow_champ_recall" -> ((s, d) =>
+      Dedup.winnowChampRecall(s, d, P.WinnowCapInv)),
     "dedup_winnow_auto" -> ((s, d) => Dedup.winnowPairsAuto(s, d, P.WinnowCapInv)),
     "dedup_containment_cost" -> ((s, d) => Dedup.containmentCandidateCost(s, d, P.ContainThreshold)),
     "dedup_containment_capped" -> ((s, d) =>
@@ -728,6 +732,7 @@ object SparkEntry {
     "dedup_winnow_cost_capped" ->
       Dedup.winnowCappedCandidateCostOracle(P.WinnowCapInv),
     "dedup_winnow_champ" -> Dedup.winnowPairsChampOracle(P.WinnowCapInv),
+    "dedup_winnow_champ_recall" -> Dedup.winnowChampRecallOracle(P.WinnowCapInv),
     "dedup_winnow_auto" -> Dedup.winnowPairsAutoOracle(P.WinnowCapInv),
     "dedup_containment_cost" -> Dedup.containmentCandidateCostOracle(P.ContainThreshold),
     "dedup_containment_capped" ->

@@ -1676,6 +1676,58 @@ object Dedup {
        |HAVING count(*) >= $WinnowMinShared
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Pair-recall of the champion tier vs tiers 1/2 — the winnow ladder's
+    * quality-cost instrument (round 12; the fuzzy ladder's
+    * batchFuzzyChampRecall precedent): `recall` is champ ∩ uncapped /
+    * uncapped on the (doc_a, doc_b) pair identity — the ceiling any cut
+    * plan can reach — and `recall_vs_capped` isolates what the absolute
+    * per-fp truncation costs ON TOP of the relative cut it escalates
+    * from (the number the [[WinnowPerFpCap]] knob moves). Computable
+    * wherever the anchor joins are (gate corpus and the 10× replica;
+    * at the 100× clone replica the anchors themselves OOM — that
+    * asymmetry is exactly why the champion tier exists, so the absolute
+    * quality at that scale rests on the smaller-scale anchors, stated in
+    * SCALE.md §winnow). */
+  def winnowChampRecall(spark: SparkSession, dir: String, dfCapInverse: Long,
+                        perFpCap: Int = WinnowPerFpCap): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val exact = winnowPairsOver(d).select(col("doc_a"), col("doc_b"))
+    val capped = winnowPairsCappedOver(d, dfCapInverse)
+      .select(col("doc_a"), col("doc_b"))
+    val champ = winnowPairsChampOver(d, dfCapInverse, perFpCap)
+      .select(col("doc_a"), col("doc_b"))
+    def hitsOf(base: DataFrame, name: String): DataFrame =
+      base.join(champ, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).cast("long").as(name))
+    exact.agg(count(lit(1)).cast("long").as("n_pairs_exact"))
+      .crossJoin(broadcast(hitsOf(exact, "hits_exact")))
+      .crossJoin(broadcast(
+        capped.agg(count(lit(1)).cast("long").as("n_pairs_capped"))))
+      .crossJoin(broadcast(hitsOf(capped, "hits_capped")))
+      .select(col("n_pairs_exact"), col("hits_exact"),
+        (col("hits_exact").cast("double") /
+          col("n_pairs_exact").cast("double")).as("recall"),
+        col("n_pairs_capped"), col("hits_capped"),
+        (col("hits_capped").cast("double") /
+          col("n_pairs_capped").cast("double")).as("recall_vs_capped"))
+  }
+
+  def winnowChampRecallOracle(dfCapInverse: Long,
+                              perFpCap: Int = WinnowPerFpCap): String =
+    s"""WITH ex AS MATERIALIZED (SELECT doc_a, doc_b FROM ($winnowPairsOracle)),
+       |cp AS MATERIALIZED (SELECT doc_a, doc_b
+       |       FROM (${winnowPairsCappedOracle(dfCapInverse)})),
+       |ch AS MATERIALIZED (SELECT doc_a, doc_b
+       |       FROM (${winnowPairsChampOracle(dfCapInverse, perFpCap)}))
+       |SELECT (SELECT count(*) FROM ex)::BIGINT AS n_pairs_exact,
+       |       (SELECT count(*) FROM ex JOIN ch USING (doc_a, doc_b))::BIGINT AS hits_exact,
+       |       (SELECT count(*) FROM ex JOIN ch USING (doc_a, doc_b))::DOUBLE
+       |         / (SELECT count(*) FROM ex)::DOUBLE AS recall,
+       |       (SELECT count(*) FROM cp)::BIGINT AS n_pairs_capped,
+       |       (SELECT count(*) FROM cp JOIN ch USING (doc_a, doc_b))::BIGINT AS hits_capped,
+       |       (SELECT count(*) FROM cp JOIN ch USING (doc_a, doc_b))::DOUBLE
+       |         / (SELECT count(*) FROM cp)::DOUBLE AS recall_vs_capped""".stripMargin
+
   /** Candidate-row budget for [[winnowPairsAuto]] — the sibling families'
     * measured crossover (SCALE.md §admission-control: pair verification
     * ≈ 0.33 µs/row + fixed; the capped form ~1.4 s slower than uncapped
