@@ -112,6 +112,30 @@ object BuildScaleProbe {
       val dispatched = autoPlan
         .map { case (g, n) => s"two_level_g${g}n$n" }.getOrElse("flat")
       rows += f""""ivf_auto_build":{"build":$autoWall%.1f,"dispatch":"$dispatched"}"""
+      // What the build dispatch COSTS a caller: 64-probe-budget mean
+      // recall@k over the two-level-ASSIGNED index (probed by the same
+      // two-level rule the build quantized with) next to the flat-built
+      // index at the SAME nprobe — the serving price of the halved build
+      // wall, measured end-to-end rather than inferred from the
+      // assignment-agreement sweep above. Exact ground truth is bounded
+      // at RecallProbeCap·N (linear); the gated single-probe row
+      // ann_ivf2_assigned_recall anchors the same pipeline vs DuckDB.
+      val k = SparkEntry.P.IvfK
+      val nprobe = SparkEntry.P.IvfNprobe
+      val asgPath = Similarity.ensureIvf2AssignedIndex(
+        spark, dir, e, cent, 25L, ncells, 4L, nCoarse, np1Rec)
+      val flatPath = Similarity.ensureIvfIndex(spark, dir, e, cent, 25L, ncells)
+      val probes = Similarity.recallProbes(e)
+      def recallOf(path: String, cells: org.apache.spark.sql.DataFrame): String = {
+        val r = Similarity.indexBatchRecall(e, spark.read.parquet(path),
+          probes, cells, k).head()
+        f"""{"n_probes":${r.getLong(0)},"recall":${r.getDouble(3)}%.3f}"""
+      }
+      rows += s""""ivf_flat_recall":${recallOf(flatPath,
+        Similarity.flatProbeCellsBatch(cent, probes, nprobe))}"""
+      rows += s""""ivf2_assigned_recall":${recallOf(asgPath,
+        Similarity.twoLevelProbeCellsBatch(cent, probes, 25L, 4L, nCoarse,
+          np1Rec, nprobe))}"""
       row("ivfpq",
         t(Similarity.ensureIvfPqCodes(spark, dir, e, cent, books, 25L, ncells)),
         t(Similarity.appendToIvfPqCodes(spark, dir, eBatch, cent, books, 25L, ncells)))

@@ -569,6 +569,93 @@ object Similarity {
        |         / count(*)::DOUBLE AS agreement
        |FROM flat f JOIN assign2 a USING (vec_id)""".stripMargin
 
+  /** The [[RecallProbeCap]]-budgeted probe set shared by the replica
+    * recall measurements below: the first 64 probes of the batch stride —
+    * deterministic, linear-in-N ground-truth cost forever. */
+  private[graft] def recallProbes(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % BatchProbeMod === 0 &&
+        col("vec_id") < BatchProbeMod * RecallProbeCap)
+      .select(col("vec_id").as("pid"), col("embedding").as("pemb"))
+
+  /** Per-probe top-`nprobe` cells by FLAT centroid ranking, for a probe
+    * TABLE (the single-probe ivfBucketedTopK selection, batched). */
+  private[graft] def flatProbeCellsBatch(fine: DataFrame, probes: DataFrame,
+                                         nprobe: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("pc").desc, col("cid"))
+    fine.crossJoin(broadcast(probes))
+      .select(col("pid"), col("cid"), cosine(col("cemb"), col("pemb")).as("pc"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
+      .select(col("pid"), col("cid").as("cell"))
+  }
+
+  /** Per-probe top-`nprobe` cells by the TWO-LEVEL selection rule
+    * ([[ivf2ProbeCells]], batched): rank coarse reps per probe, keep
+    * `nprobe1` groups, rank only those groups' fine centroids. The probe
+    * rule must quantize exactly as the two-level BUILD did or the read
+    * looks for vectors where the build never put them. */
+  private[graft] def twoLevelProbeCellsBatch(fine: DataFrame, probes: DataFrame,
+                                             centroidMod: Long, coarseStride: Long,
+                                             numCoarse: Int, nprobe1: Int,
+                                             nprobe: Int): DataFrame = {
+    val coarse = coarseReps(fine, centroidMod, coarseStride, numCoarse)
+    val f2c = fineToCoarse(fine, coarse)
+    val gW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("gc").desc, col("gid"))
+    val pg = coarse.crossJoin(broadcast(probes))
+      .select(col("pid"), col("pemb"), col("gid"),
+        cosine(col("gemb"), col("pemb")).as("gc"))
+      .withColumn("grn", row_number().over(gW)).filter(col("grn") <= nprobe1)
+      .select(col("pid"), col("pemb"), col("gid"))
+    val cW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("pc").desc, col("cid"))
+    pg.join(broadcast(fine.join(broadcast(f2c), "cid")), "gid")
+      .select(col("pid"), col("cid"), cosine(col("cemb"), col("pemb")).as("pc"))
+      .withColumn("rn", row_number().over(cW)).filter(col("rn") <= nprobe)
+      .select(col("pid"), col("cid").as("cell"))
+  }
+
+  /** Mean recall@k of a cell-partitioned index read (candidates = the
+    * index rows in each probe's `probeCells`, re-ranked exact-cosine) vs
+    * the exact cosine top-k, over the [[RecallProbeCap]]-budgeted probe
+    * stride. Measurement-only (BuildScaleProbe's replica rehearsal — the
+    * gated single-probe rows `ann_ivf2_assigned_recall`/`ann_ivf2_recall`
+    * anchor the same numbers against DuckDB at the gate): one row
+    * (n_probes, k_total, hits_total, recall). Ground truth is bounded at
+    * RecallProbeCap·N — linear in the corpus forever — and the per-probe
+    * windows partition by pid, so the probe budget prunes both sides. */
+  private[graft] def indexBatchRecall(e: DataFrame, index: DataFrame,
+                                      probes: DataFrame, probeCells: DataFrame,
+                                      k: Int): DataFrame = {
+    val exW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("cos").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        cosine(col("embedding"), col("pemb")).as("cos"))
+      .withColumn("rk", row_number().over(exW)).filter(col("rk") <= k)
+      .select(col("pid"), col("vec_id"))
+    val apW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("cos").desc, col("vec_id"))
+    val approx = index.select(col("vec_id"), col("embedding"), col("cell"))
+      .join(broadcast(probeCells), "cell")
+      .join(broadcast(probes), "pid")
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        cosine(col("embedding"), col("pemb")).as("cos"))
+      .withColumn("rk", row_number().over(apW)).filter(col("rk") <= k)
+      .select(col("pid"), col("vec_id"))
+    val perHit = exact.join(approx, Seq("pid", "vec_id"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("pid")).agg(count(lit(1)).as("kx"))
+      .join(perHit, Seq("pid"), "left")
+      .select(col("pid"), col("kx"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("kx")).as("k_total"),
+        sum(col("hits")).as("hits_total"),
+        (sum(col("hits")).cast("double") / sum(col("kx")).cast("double"))
+          .as("recall"))
+  }
+
   /** The fixed-size deterministic codebook: every `centroidMod`-th vector,
     * capped at `numCentroids` — C never scales with N. FROZEN under
     * appends: the id cap (`centroidMod * numCentroids`) means later batches
