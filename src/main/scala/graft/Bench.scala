@@ -72,7 +72,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, ts) if ts.length == reps => median(ts) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    // Category split (round 12): `value` stays the FULL total (diff
+    // tooling compatibility), but the serving/instrument halves print
+    // separately — instrument rows sum their anchor pipelines by design
+    // (SparkEntry.instrumentQueries), so the serving suite's budget reads
+    // as serving cost.
+    val inst = SparkEntry.instrumentQueries
+    val servingTotal = results.collect {
+      case (k, ts) if ts.length == reps && !inst(k) => median(ts) }.sum
+    val instJson = results.collect { case (k, _) if inst(k) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","serving_value":$servingTotal,"instruments_value":${total - servingTotal},"instrument_queries":$instJson,"queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

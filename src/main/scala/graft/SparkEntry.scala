@@ -575,6 +575,17 @@ object SparkEntry {
        |ORDER BY distance, id
        |LIMIT 15""".stripMargin
 
+  /** The INSTRUMENT rows — queries whose output is a quality measurement
+    * of another row (recall overlaps, assignment agreement), not data a
+    * caller serves. They intentionally run extra anchor pipelines (a
+    * recall row pays its exact reference AND the approximate tier), so
+    * Bench reports their cost as its own category: the serving suite's
+    * 2×-baseline budget stays readable as serving cost, and an instrument
+    * growing a new anchor can never masquerade as a serving regression.
+    * Membership is by the naming convention every such row follows. */
+  def instrumentQueries: Set[String] =
+    queries.keySet.filter(n => n.endsWith("_recall") || n.endsWith("_agree"))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] = Map(

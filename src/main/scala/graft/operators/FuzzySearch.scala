@@ -701,17 +701,35 @@ object FuzzySearch {
     * ALREADY pays — its result set is the ceiling any cut plan can reach
     * — while `recall_vs_stopgram` isolates what the per-gram truncation
     * itself costs on top (the number the posting-cap knob moves). */
+  /** Query BUDGET for the champ-recall instrument — the [[RecallProbeCap]]
+    * convention applied to the fuzzy ladder's instrument (round 12: at
+    * 4.4 s the instrument was the bench's slowest row because it sums
+    * THREE anchor pipelines over the full query stride). The instrument
+    * keeps the first `RecallQueryCap` queries of the stride
+    * (deterministic id prefix); per-query results are independent (every
+    * window, dedup, and cap partitions by qid), so the subsample is
+    * EXACTLY the full instrument restricted to those queries — the qid
+    * predicate pushes below the candidate joins on all three anchors, and
+    * the oracle carries the same predicate. Sampled queries ARE the
+    * contract: recall is an estimate whose query count is explicit in the
+    * signature, not an accident of corpus size. */
+  val RecallQueryCap = 64L
+
   def batchFuzzyChampRecall(spark: SparkSession, dir: String, numResults: Int,
                             dfCapInverse: Long,
                             postingCap: Int = ChampPostingCap,
                             cap: Int = DefaultCap): DataFrame = {
+    val qidBound = BatchQueryMod * RecallQueryCap
     val exact = batchFuzzySearchIndexed(spark, dir, numResults, cap)
+      .filter(col("qid") < qidBound)
       .select(col("qid"), col("clean_value"))
     val stop = batchFuzzySearchStopGramIndexed(spark, dir, numResults,
         dfCapInverse, cap)
+      .filter(col("qid") < qidBound)
       .select(col("qid"), col("clean_value"))
     val champ = batchFuzzySearchChampIndexed(spark, dir, numResults,
         dfCapInverse, postingCap, cap)
+      .filter(col("qid") < qidBound)
       .select(col("qid"), col("clean_value"))
     def hitsOf(base: DataFrame, name: String): DataFrame =
       base.join(champ, Seq("qid", "clean_value"))
@@ -731,12 +749,16 @@ object FuzzySearch {
 
   def batchFuzzyChampRecallOracle(numResults: Int, dfCapInverse: Long,
                                   postingCap: Int = ChampPostingCap,
-                                  cap: Int = DefaultCap): String =
-    s"""WITH ex AS MATERIALIZED (SELECT qid, clean_value FROM (${batchFuzzySearchOracle(numResults, cap)})),
+                                  cap: Int = DefaultCap): String = {
+    val qidBound = BatchQueryMod * RecallQueryCap
+    s"""WITH ex AS MATERIALIZED (SELECT qid, clean_value FROM (${batchFuzzySearchOracle(numResults, cap)})
+       |       WHERE qid < $qidBound),
        |st AS MATERIALIZED (SELECT qid, clean_value
-       |       FROM (${batchFuzzySearchOracle(numResults, cap, Some(dfCapInverse))})),
+       |       FROM (${batchFuzzySearchOracle(numResults, cap, Some(dfCapInverse))})
+       |       WHERE qid < $qidBound),
        |ch AS MATERIALIZED (SELECT qid, clean_value
-       |       FROM (${batchFuzzySearchChampOracle(numResults, dfCapInverse, postingCap, cap)}))
+       |       FROM (${batchFuzzySearchChampOracle(numResults, dfCapInverse, postingCap, cap)})
+       |       WHERE qid < $qidBound)
        |SELECT (SELECT count(DISTINCT qid) FROM ex)::BIGINT AS n_queries,
        |       (SELECT count(*) FROM ex)::BIGINT AS k_total,
        |       (SELECT count(*) FROM ex JOIN ch USING (qid, clean_value))::BIGINT AS hits_total,
@@ -746,6 +768,7 @@ object FuzzySearch {
        |       (SELECT count(*) FROM st JOIN ch USING (qid, clean_value))::BIGINT AS hits_stop,
        |       (SELECT count(*) FROM st JOIN ch USING (qid, clean_value))::DOUBLE
        |         / (SELECT count(*) FROM st)::DOUBLE AS recall_vs_stopgram""".stripMargin
+  }
 
   /** Candidate-volume PREDICTION for the batch join — the
     * admission-control face of SCALE.md's cost model: candidate rows =
