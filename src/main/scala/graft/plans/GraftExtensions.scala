@@ -211,6 +211,34 @@ object GraftExtensions {
           strLit(args.head, "dir"), args.drop(2).zipWithIndex
             .map { case (t, i) => strLit(t, s"term ${i + 1}") },
           longLit(args(1), "k").toInt).queryExecution.logical
+      }),
+    // Round 12: the SCALE-SAFE tiers as TVFs — the single-probe forms
+    // above are the inline anchors; a SQL user at 100 TB wants the
+    // dispatched batch face and the full ANN serving ladder, so both
+    // gated entry points get a SQL name too (same delegation rule: the
+    // builder returns the gated operator's own logical plan).
+    ("fuzzy_batch_auto",
+      info("fuzzy_batch_auto",
+        "fuzzy_batch_auto(dir, k) - three-tier dispatched batch fuzzy search " +
+          "over the corpus query stride at <dir>: exact while the predicted " +
+          "candidate volume fits the budget, else the stop-gram cut, else the " +
+          "champion truncation (admission control folded from the bounded " +
+          "gram-stats artifacts)."),
+      tArity("fuzzy_batch_auto", 2) { args =>
+        graft.operators.FuzzySearch.batchFuzzySearchAuto(session,
+          strLit(args(0), "dir"), longLit(args(1), "k").toInt,
+          graft.SparkEntry.P.StopGramInv).queryExecution.logical
+      }),
+    ("ann_topk",
+      info("ann_topk",
+        "ann_topk(dir, probe_id, k) - ANN top-k over the full IVF-PQ serving " +
+          "ladder at <dir>: two-level probe-cell selection, ADC shortlist over " +
+          "8-byte PQ codes, int8-tier refine back to exact-metric cosine."),
+      tArity("ann_topk", 3) { args =>
+        graft.operators.Similarity.ivf2PqRefineTopK(session,
+          strLit(args(0), "dir"), longLit(args(1), "probe_id"),
+          longLit(args(2), "k").toInt,
+          nprobe = graft.SparkEntry.P.IvfNprobe).queryExecution.logical
       }))
   }
 

@@ -112,6 +112,29 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.nonEmpty && viaSql == viaApi)
   }
 
+  test("fuzzy_batch_auto is callable as a SQL table function == Scala API") {
+    val viaSql = spark.sql(
+      s"SELECT * FROM fuzzy_batch_auto('$dir', ${SparkEntry.P.FuzzyK})")
+      .collect().map(_.toSeq).toSeq
+    val viaApi = graft.operators.FuzzySearch
+      .batchFuzzySearchAuto(spark, dir, SparkEntry.P.FuzzyK,
+        SparkEntry.P.StopGramInv)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+  }
+
+  test("ann_topk is callable as a SQL table function == Scala API") {
+    val viaSql = spark.sql(
+      s"SELECT * FROM ann_topk('$dir', ${SparkEntry.P.IvfProbe}, " +
+        s"${SparkEntry.P.IvfK})")
+      .collect().map(_.toSeq).toSeq
+    val viaApi = graft.operators.Similarity
+      .ivf2PqRefineTopK(spark, dir, SparkEntry.P.IvfProbe, SparkEntry.P.IvfK,
+        nprobe = SparkEntry.P.IvfNprobe)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+  }
+
   test("table functions work on a plain session via programmatic register") {
     val s2 = spark.newSession()
     GraftExtensions.register(s2)
