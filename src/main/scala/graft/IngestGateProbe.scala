@@ -91,13 +91,22 @@ object IngestGateProbe {
         }, () => out)
       }
 
-      // ---- containment screen (arrivals vs the standing canon records)
+      // ---- containment screen (arrivals vs the standing canon records).
+      // The arriving side is the RAW record slice (pre-canon grams): an
+      // ingest screens every arriving record, not the canon survivors —
+      // and at a clone replica the canon collapses to the base's unique
+      // values (64 at the 10x replica), so a canon-sliced arriving side
+      // would measure 4 docs and say nothing about throughput. The
+      // standing side stays the gated face's canon split.
       locally {
-        val canon = Dedup.canonGrams(spark, dir)
-        val slice = canon
+        import graft.operators.FuzzySearch
+        import graft.functions.TextFunctions.charNgramSet
+        val slice = FuzzySearch.corpus(spark, dir)
           .filter(pmod(col("id"), lit(Dedup.IncMod)) === Dedup.IncRem)
+          .select(col("id"), charNgramSet(col("clean_value"), 3).as("grams"))
+          .filter(size(col("grams")) > 0)
           .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
-        val standing = canon
+        val standing = Dedup.canonGrams(spark, dir)
           .filter(pmod(col("id"), lit(Dedup.IncMod)) =!= Dedup.IncRem)
         val stream = MemoryStream[(Long, Seq[String])]
         var out = 0L
