@@ -62,6 +62,44 @@ object CorpusPrep {
         graft.functions.TextFunctions.tokens(lower(col("text"))), win)).as("w"))
       .distinct()
 
+  /** Per-doc DISTINCT token-window hashes — the row-local posting face
+    * of decontamination: window derivation is a pure function of the
+    * row's own text, so the relation is appendable (wins(corpus ∪ batch)
+    * == wins(corpus) ∪ wins(batch)) and a later corpus-global pass can
+    * ask "which standing docs contain these windows" as an artifact
+    * probe instead of a full corpus text re-scan. Hashed (64-bit
+    * polyHash) rather than the window string — the same hash-equality
+    * contract as the exact ingest screen's content_hash probe — and
+    * w_hash-clustered so a broadcast window probe prunes files. */
+  private[graft] def docWinRows(docs: DataFrame, win: Int = ContamWin): DataFrame =
+    docs.select(col("doc_id"), explode(graft.functions.TextFunctions.tokenWindows(
+        graft.functions.TextFunctions.tokens(lower(col("text"))), win)).as("w"))
+      .select(col("doc_id"), graft.functions.TextFunctions.polyHash(col("w")).as("w_hash"))
+      .distinct()
+
+  val DocWinsVersion = 1
+
+  /** Write-once window-posting artifact over an explicit corpus slice
+    * (the bands-index pattern: the cadence builds it over the standing
+    * split and appends each arriving batch). */
+  def ensureDocWins(spark: SparkSession, dir: String, corpus: DataFrame,
+                    version: Int = DocWinsVersion): String =
+    graft.Materialize.ensure(spark, "graft_docwins", dir, version) { p =>
+      docWinRows(corpus).repartition(32, col("w_hash"))
+        .sortWithinPartitions(col("w_hash"))
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** Incremental window maintenance — exact because the derivation is
+    * row-local per doc (IncrementalIndexSpec pins append == rebuild). */
+  def appendToDocWins(spark: SparkSession, dir: String, batch: DataFrame,
+                      version: Int = DocWinsVersion): String =
+    graft.Materialize.append(spark, "graft_docwins", dir, version) { p =>
+      docWinRows(batch).repartition(4, col("w_hash"))
+        .sortWithinPartitions(col("w_hash"))
+        .write.mode("append").parquet(p)
+    }
+
   /** The screen over explicit train docs + eval window set — the core the
     * gate query and the streaming face (StreamOps.decontaminateStream)
     * share. `evalWindows` is BY-NAME: a streaming micro-batch re-reads a
@@ -269,7 +307,16 @@ object CorpusPrep {
       size(graft.functions.TextFunctions.tokens(lower(col("text")))).cast("long").as("n_tok"),
       size(regexp_extract_all(lower(col("text")),
         lit(TextAnalysis.BpePattern), lit(0))).cast("long").as("n_pieces"),
-      graft.functions.TextFunctions.polyHash(col("text")).as("content_hash"))
+      graft.functions.TextFunctions.polyHash(col("text")).as("content_hash"),
+      // the dedup pipeline's exact-canon grouping key, hashed (v2):
+      // lets the delta overlay refresh find an arrival's exact-dup
+      // group from the label artifact alone, no corpus text re-scan
+      // (same 64-bit polyHash-equality contract the exact ingest
+      // screen already rests on)
+      graft.functions.TextFunctions.polyHash(
+        array_join(graft.functions.TextFunctions.tokens(
+          graft.functions.TextFunctions.cleanEntity(col("text"))), " "))
+        .as("norm_hash"))
     val lm = LmQuality.scoreAgainstModel(d, model)
       .select(col("doc_id"), col("lm_score"))
     d.select(col("doc_id"), col("source"))
@@ -277,7 +324,7 @@ object CorpusPrep {
       .join(lm, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("lang_pred"),
         col("quality_score"), col("q_q"),
-        col("n_tok"), col("n_pieces"), col("content_hash"),
+        col("n_tok"), col("n_pieces"), col("content_hash"), col("norm_hash"),
         coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
   }
 
@@ -318,7 +365,7 @@ object CorpusPrep {
     * Consumers read the JOIN ([[docMetaIndexed]]); the e2e chain keys
     * its first stage on BOTH artifact paths so transitive staleness
     * still flows from either half. */
-  val DocBaseVersion = 1
+  val DocBaseVersion = 2 // v2: + norm_hash (delta overlay refresh key)
   val DocGlobalVersion = 1
 
   def ensureDocBase(spark: SparkSession, dir: String,
@@ -490,6 +537,13 @@ object CorpusPrep {
     }
     val verdict = ingestScreenOver(batchDocs, standingHashes, standingBands)
     Dedup.appendToBandsIndex(spark, dir, batchDocs)
+    // keep the window-posting artifact current too (row-local, same
+    // ensure-over-standing + append-batch lifecycle as the bands): the
+    // deferred overlay's delta refresh probes it for contamination
+    ensureDocWins(spark, dir, graft.Tables.documents(spark, dir)
+      .join(batchIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text")))
+    appendToDocWins(spark, dir, batchDocs)
     verdict
   }
 

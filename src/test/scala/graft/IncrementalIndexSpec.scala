@@ -129,6 +129,21 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty && a == rows(rp))
   }
 
+  test("window postings: append-then-read == rebuild-then-read (row-local)") {
+    import graft.operators.CorpusPrep
+    val d = Tables.documents(spark, dir)
+    val base = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val batch = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val ap = CorpusPrep.ensureDocWins(spark, dir, base, version = 901)
+    CorpusPrep.appendToDocWins(spark, dir, batch, version = 901)
+    val rp = CorpusPrep.ensureDocWins(spark, dir, d, version = 902)
+    def rows(p: String): Seq[(Long, Long)] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val a = rows(ap)
+    assert(a.nonEmpty && a == rows(rp))
+  }
+
   test("indexed fuzzy search over an appended index == inline over the union corpus") {
     val (_, base, batch) = corpusParts()
     // Build at the OPERATOR's version so fuzzySearchIndexed's ensure() sees
