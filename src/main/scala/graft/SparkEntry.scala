@@ -354,6 +354,20 @@ object SparkEntry {
     // the per-batch half of the deferred-overlay ingest cadence: exact +
     // near-dup screens of the arriving split vs the standing corpus
     "corpus_ingest_screen" -> ((s, d) => CorpusPrep.ingestScreen(s, d)),
+    // the compaction-window half made incremental: the DELTA overlay
+    // refresh (recompute only arrival-affected docs from artifact-shaped
+    // inputs, carry everything else from the prior overlay) must equal
+    // the from-scratch overlay of the whole corpus — the oracle IS the
+    // full rebuild. The %10==7 arrival split is a BACKFILL (interleaved
+    // smaller ids), so the demotion paths are exercised, not just append.
+    "corpus_overlay_delta" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      val standing = all.filter(
+        pmod(col("doc_id"), lit(Dedup.IncMod)) =!= Dedup.IncRem)
+      CorpusPrep.deltaOverlayOver(
+        CorpusPrep.normHashRows(all), Dedup.bandRows(all),
+        CorpusPrep.docWinRows(all), CorpusPrep.docGlobalOverDocs(standing))
+    }),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     // intra-doc repetition (Gopher-style dup/top n-gram fractions)
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
@@ -731,6 +745,7 @@ object SparkEntry {
     "corpus_stats_indexed" -> CorpusPrep.corpusStatsOracle,
     "corpus_prep_indexed" -> CorpusPrep.corpusPrepOracle(),
     "corpus_ingest_screen" -> CorpusPrep.ingestScreenOracle,
+    "corpus_overlay_delta" -> CorpusPrep.docGlobalOracle(),
     "text_quality" -> TextAnalysis.qualityScoreOracle,
     "text_repetition" -> TextAnalysis.repetitionOracle(),
     "text_tokens" -> TextAnalysis.tokenCountsOracle,

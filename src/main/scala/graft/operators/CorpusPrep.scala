@@ -56,8 +56,11 @@ object CorpusPrep {
     * sized by construction: eval suites are tiny next to the corpus). */
   def evalWindowSet(spark: SparkSession, dir: String, evalMod: Long = EvalMod,
                     win: Int = ContamWin): DataFrame =
-    graft.Tables.documents(spark, dir)
-      .filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+    evalWindowSetOver(graft.Tables.documents(spark, dir), evalMod, win)
+
+  private[graft] def evalWindowSetOver(docs: DataFrame, evalMod: Long = EvalMod,
+                                       win: Int = ContamWin): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
       .select(explode(graft.functions.TextFunctions.tokenWindows(
         graft.functions.TextFunctions.tokens(lower(col("text"))), win)).as("w"))
       .distinct()
@@ -313,10 +316,7 @@ object CorpusPrep {
       // group from the label artifact alone, no corpus text re-scan
       // (same 64-bit polyHash-equality contract the exact ingest
       // screen already rests on)
-      graft.functions.TextFunctions.polyHash(
-        array_join(graft.functions.TextFunctions.tokens(
-          graft.functions.TextFunctions.cleanEntity(col("text"))), " "))
-        .as("norm_hash"))
+      normHashCol.as("norm_hash"))
     val lm = LmQuality.scoreAgainstModel(d, model)
       .select(col("doc_id"), col("lm_score"))
     d.select(col("doc_id"), col("source"))
@@ -334,9 +334,18 @@ object CorpusPrep {
     * docs whose n-grams contaminate OLD train docs). Three narrow
     * columns per doc. */
   private[graft] def docGlobalOver(spark: SparkSession, dir: String): DataFrame =
-    Dedup.dedupPipeline(spark, dir)
+    docGlobalOverDocs(graft.Tables.documents(spark, dir))
+
+  /** The same overlay over an explicit document relation — the delta
+    * refresh's inline anchor computes the PRIOR overlay (standing corpus
+    * only) through this face. */
+  private[graft] def docGlobalOverDocs(docs: DataFrame, evalMod: Long = EvalMod,
+                                       win: Int = ContamWin): DataFrame =
+    Dedup.dedupPipelineOver(docs)
       .select(col("doc_id"), col("is_canonical"))
-      .join(decontaminate(spark, dir)
+      .join(decontaminateOver(
+          docs.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0),
+          evalWindowSetOver(docs, evalMod, win), win)
         .select(col("doc_id"), col("contaminated")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("is_canonical"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
@@ -554,6 +563,185 @@ object CorpusPrep {
   def compactionRefresh(spark: SparkSession, dir: String): String = {
     graft.Materialize.invalidate(spark, "graft_docglobal", dir, DocGlobalVersion)
     ensureDocGlobal(spark, dir)
+  }
+
+  /** The dedup pipeline's exact-canon grouping key, hashed (docbase v2's
+    * norm_hash column — shared so the label artifact and the inline delta
+    * anchor can never drift). */
+  private[graft] def normHashCol: org.apache.spark.sql.Column =
+    graft.functions.TextFunctions.polyHash(
+      array_join(graft.functions.TextFunctions.tokens(
+        graft.functions.TextFunctions.cleanEntity(col("text"))), " "))
+
+  private[graft] def normHashRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), normHashCol.as("norm_hash"))
+
+  /** DELTA overlay refresh core — recompute the corpus-global labels for
+    * ONLY the docs an arrival can affect, carrying every other row of the
+    * prior overlay unchanged, from ARTIFACT-SHAPED inputs alone (no
+    * corpus text re-scan):
+    *
+    *  - `normHashes` (doc_id, norm_hash)              — docbase v2 columns
+    *  - `fullBands`  (doc_id, sig, band_idx, band_hash) — the band artifact
+    *  - `docWins`    (doc_id, w_hash)                  — the window postings
+    *  - `priorOverlay` (doc_id, is_canonical, contaminated) — the deferred
+    *    overlay as last refreshed; arrivals are exactly the docs it has
+    *    never labeled (left_anti), so the caller tracks nothing.
+    *
+    * Affectedness is EXACT for the single-pass pipeline's semantics:
+    * a standing doc's canonical_id can change only if an arrival joins
+    * its exact-norm group (norm_hash equality — the 64-bit hash contract)
+    * or its near-dup neighborhood (shares a band bucket with est ≥ τ:
+    * covers gmin demotion — same sig ⇒ est 1 — and every partner-group
+    * epm change, since a partner's arrival shares the partner's band keys
+    * and its sig agreement with the standing group's equals the
+    * partner's). Contamination is monotone under append: a standing doc
+    * flips only when an ARRIVING eval doc's window hits it (window-
+    * posting probe); arrivals screen against the full eval window set.
+    * Both overlay labels can also flip on BACKFILL arrivals (smaller
+    * doc_ids demote standing canonicals) — the same rules cover it, and
+    * the spec pins that case. Deletes are outside the contract (the
+    * corpus is append-only, the cadence's own precondition).
+    *
+    * At 100 TB every probe side is batch-bounded: arrival band rows,
+    * arrival norm hashes, and arriving eval windows all broadcast; the
+    * standing sides are the band/window ARTIFACTS, clustered by exactly
+    * the probe key (band key / w_hash), so the reads prune files the way
+    * the ingest screens already do. The recompute set's own joins touch
+    * affected groups only. */
+  private[graft] def deltaOverlayOver(normHashes: DataFrame, fullBands: DataFrame,
+                                      docWins: DataFrame, priorOverlay: DataFrame,
+                                      evalMod: Long = EvalMod): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tau = Dedup.PipelineEstThreshold
+    val arrivalIds = normHashes.select(col("doc_id"))
+      .join(priorOverlay.select(col("doc_id")), Seq("doc_id"), "left_anti")
+
+    // ---- canonicality: who can an arrival touch?
+    val arrBands = fullBands.join(arrivalIds, "doc_id")
+    val est = size(filter(sequence(lit(1), lit(Dedup.MinHashK)),
+      i => element_at(col("a.sig"), i) === element_at(col("b.sig"), i)))
+      .cast("double") / Dedup.MinHashK.toDouble
+    val affNear = fullBands.as("a").join(arrBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .filter(est >= tau)
+      .select(col("a.doc_id")).distinct()
+    // null-text insurance: a sig-identical arrival groups with standing
+    // docs even where its (null) band hashes cannot equi-join
+    val affSig = fullBands.select(col("doc_id"), col("sig"))
+      .join(arrBands.select(col("sig").as("s2")).distinct(), col("sig") <=> col("s2"))
+      .select(col("doc_id")).distinct()
+    val arrNorms = normHashes.join(arrivalIds, "doc_id")
+      .select(col("norm_hash")).distinct()
+    val affExact = normHashes.join(arrNorms, "norm_hash")
+      .select(col("doc_id")).distinct()
+    val recompute = affNear.union(affSig).union(affExact).union(arrivalIds).distinct()
+
+    // ---- exact canon over the touched norm groups (label-artifact probe)
+    val rNorms = normHashes.join(recompute, "doc_id").select(col("norm_hash")).distinct()
+    val exactCanon = normHashes.join(rNorms, "norm_hash")
+      .groupBy(col("norm_hash")).agg(min(col("doc_id")).as("exact_canon"))
+    val rExact = normHashes.join(recompute, "doc_id")
+      .join(exactCanon, "norm_hash")
+      .select(col("doc_id"), col("exact_canon"))
+
+    // ---- near canon with FULL-corpus group structure, restricted to the
+    //      band keys the recompute docs occupy (a group co-banding them
+    //      shares one of these keys, and all its rows with that key
+    //      survive the cut — so gmin/epm over the restriction equal the
+    //      full pipeline's values for every recompute group)
+    val rKeys = fullBands.join(recompute, "doc_id")
+      .select(col("band_idx"), col("band_hash")).distinct()
+    val relBands = fullBands.as("f").join(rKeys.as("k"),
+        col("f.band_idx") <=> col("k.band_idx") &&
+          col("f.band_hash") <=> col("k.band_hash"))
+      .select(col("f.doc_id").as("doc_id"), col("f.sig").as("sig"))
+    val withG = relBands.withColumn("gmin",
+      min(col("doc_id")).over(Window.partitionBy(col("sig"))))
+    val groups = withG.groupBy(col("gmin")).agg(first(col("sig")).as("sig"))
+    val bandsD = groups.select(col("gmin"), col("sig"),
+        posexplode(array((0 until Dedup.Bands).map { b =>
+          graft.functions.TextFunctions.polyHashLongs(
+            slice(col("sig"), b * Dedup.RowsPerBand + 1, Dedup.RowsPerBand))
+        }: _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+    val rGmins = withG.join(recompute, "doc_id").select(col("gmin")).distinct()
+    val epm = bandsD.join(rGmins, "gmin").as("a").join(bandsD.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.gmin") =!= col("b.gmin"))
+      .filter(est >= tau)
+      .groupBy(col("a.gmin").as("gmin")).agg(min(col("b.gmin")).as("epm"))
+    val rNear = withG.select(col("doc_id"), col("gmin")).distinct()
+      .join(recompute, "doc_id")
+      .join(epm, Seq("gmin"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") === col("gmin"),
+          when(col("epm") < col("doc_id"), col("epm")))
+          .otherwise(least(col("gmin"), coalesce(col("epm"), col("gmin"))))
+          .as("near_canon"))
+    val recCanon = rExact.join(rNear, "doc_id")
+      .select(col("doc_id"),
+        (least(col("doc_id"), col("exact_canon"),
+          coalesce(col("near_canon"), col("doc_id"))) === col("doc_id"))
+          .as("is_canonical"))
+
+    // ---- contamination: monotone under arrivals — a standing doc flips
+    //      only on an arriving eval doc's windows; arrivals screen vs the
+    //      full eval window set (both sides from the window postings)
+    def isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    val arrEvalWins = docWins.join(arrivalIds, "doc_id").filter(isEval)
+      .select(col("w_hash")).distinct()
+    val newlyContam = docWins.join(broadcast(arrEvalWins), "w_hash")
+      .filter(!isEval).select(col("doc_id")).distinct()
+    val evalWinsAll = docWins.filter(isEval).select(col("w_hash")).distinct()
+    val arrContam = docWins.join(arrivalIds, "doc_id").filter(!isEval)
+      .join(broadcast(evalWinsAll), "w_hash")
+      .select(col("doc_id")).distinct()
+
+    // ---- assemble: prior rows carried for every untouched doc
+    val kept = priorOverlay.join(recompute, Seq("doc_id"), "left_anti")
+      .join(newlyContam.withColumn("nc", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_canonical"),
+        (col("contaminated") || coalesce(col("nc"), lit(false))).as("contaminated"))
+    val recContam = recompute
+      .join(priorOverlay.select(col("doc_id"), col("contaminated").as("pc")),
+        Seq("doc_id"), "left")
+      .join(newlyContam.withColumn("nc", lit(true)), Seq("doc_id"), "left")
+      .join(arrContam.withColumn("ac", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("pc"), lit(false)) || coalesce(col("nc"), lit(false)) ||
+          coalesce(col("ac"), lit(false))).as("contaminated"))
+    recCanon.join(recContam, "doc_id")
+      .select(col("doc_id"), col("is_canonical"), col("contaminated"))
+      .union(kept)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Brute-force full-overlay oracle — gates `corpus_overlay_delta`: the
+    * delta path's output over the deterministic arrival split must equal
+    * the from-scratch overlay of the WHOLE corpus. */
+  def docGlobalOracle(evalMod: Long = EvalMod, win: Int = ContamWin): String = {
+    val norm = s"array_to_string(${graft.oracle.OracleSql.tokens(graft.oracle.OracleSql.clean("text"))}, ' ')"
+    val toks = graft.oracle.OracleSql.tokens("lower(text)")
+    s"""WITH mp AS (${Dedup.minhashPairsOracle}),
+       |n AS (SELECT doc_id, $norm AS norm FROM documents),
+       |e AS (SELECT norm, min(doc_id) AS exact_canon FROM n GROUP BY norm),
+       |we AS (SELECT n.doc_id, e.exact_canon FROM n JOIN e USING (norm)),
+       |nm AS (SELECT doc_b AS doc_id, min(doc_a) AS near_canon FROM mp
+       |       WHERE est_jaccard >= ${Dedup.PipelineEstThreshold} GROUP BY doc_b),
+       |tok AS (SELECT doc_id, $toks AS tk FROM documents),
+       |w AS (SELECT doc_id, unnest(${graft.oracle.OracleSql.tokenWindows("tk", win)}) AS w FROM tok),
+       |ew AS (SELECT DISTINCT w FROM w WHERE doc_id % $evalMod = 0),
+       |hits AS (SELECT DISTINCT w.doc_id FROM w JOIN ew USING (w)
+       |         WHERE w.doc_id % $evalMod <> 0)
+       |SELECT we.doc_id,
+       |       least(we.doc_id, we.exact_canon, coalesce(nm.near_canon, we.doc_id)) = we.doc_id AS is_canonical,
+       |       (h.doc_id IS NOT NULL) AS contaminated
+       |FROM we LEFT JOIN nm USING (doc_id) LEFT JOIN hits h ON we.doc_id = h.doc_id
+       |ORDER BY we.doc_id""".stripMargin
   }
 
   /** Brute-force oracle for [[ingestScreen]]: near-dup partners from the

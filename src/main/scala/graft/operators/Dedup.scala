@@ -501,10 +501,12 @@ object Dedup {
     * pipeline was ~30× slower). The composed form lives on in
     * `minhashSignaturesComposed` as the cross-check. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        graft.functions.MinHashSignature.minhashSignature(
-          lower(col("text")), ShingleWords, MinHashK).as("sig"))
+    minhashSignaturesOver(Tables.documents(spark, dir))
+
+  private[graft] def minhashSignaturesOver(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      graft.functions.MinHashSignature.minhashSignature(
+        lower(col("text")), ShingleWords, MinHashK).as("sig"))
 
   /** The same signature as composed built-in expressions (the original
     * formulation; semantics pinned equal by DedupSpec). */
@@ -640,12 +642,15 @@ object Dedup {
     *     closure: chains canonicalize over repeated passes, the standard
     *     trade at corpus scale where each pass is one linear job).
     * Output: every doc with its canonical id and whether it survives. */
-  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame =
+    dedupPipelineOver(Tables.documents(spark, dir))
+
+  private[graft] def dedupPipelineOver(d: DataFrame): DataFrame = {
     val norm = array_join(tokens(cleanEntity(col("text"))), " ")
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), norm.as("norm"))
+    val docs = d.select(col("doc_id"), norm.as("norm"))
     val exact = docs.groupBy(col("norm")).agg(min(col("doc_id")).as("exact_canon"))
     val withExact = docs.join(exact, "norm").select(col("doc_id"), col("exact_canon"))
-    val nearMin = nearCanonBySig(minhashSignatures(spark, dir))
+    val nearMin = nearCanonBySig(minhashSignaturesOver(d))
       .filter(col("near_canon").isNotNull)
     withExact.join(nearMin, Seq("doc_id"), "left")
       .select(col("doc_id"), col("exact_canon"), col("near_canon"),

@@ -119,4 +119,57 @@ class IngestCadenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mRefreshed == mScratch,
       "deferred-then-refreshed cadence must equal the from-scratch rebuild")
   }
+
+  test("delta overlay: backfill demotions and eval-arrival contamination equal the full rebuild") {
+    // A crafted corpus exercising every way an arrival can flip a
+    // STANDING doc's corpus-global labels — the paths the gated
+    // corpus_overlay_delta row covers statistically, pinned here by
+    // construction:
+    //  - arrival 5 is a verbatim copy of standing 20 with a SMALLER id
+    //    (backfill): exact-canon demotion;
+    //  - arrival 3 is a one-word-off near-dup of standing 30 with a
+    //    smaller id: near-canon demotion through the band structure;
+    //  - arrival 14 is an EVAL doc (14 % 7 == 0) quoting an 8-token
+    //    window of standing 10: contamination flips on an old train doc.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def doc(id: Long, text: String) =
+      org.apache.spark.sql.Row(id, text, "en", "crafted", text.length.toLong)
+    val schema = spark.read.parquet(s"$srcDir/documents.parquet").schema
+    def df(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+    val standing = df(Seq(
+      doc(10L, base),
+      doc(20L, "one two three four five six seven eight nine ten"),
+      doc(30L, "red orange yellow green blue indigo violet cyan magenta white"),
+      doc(40L, "totally unrelated filler text with enough tokens to window out")))
+    val arrivals = df(Seq(
+      doc(5L, "one two three four five six seven eight nine ten"),
+      doc(3L, "red orange yellow green blue indigo violet cyan magenta black"),
+      doc(14L, s"an eval doc quoting $base verbatim")))
+    val all = standing.unionByName(arrivals)
+
+    val full = CorpusPrep.docGlobalOverDocs(all)
+    val delta = CorpusPrep.deltaOverlayOver(
+      CorpusPrep.normHashRows(all), Dedup.bandRows(all),
+      CorpusPrep.docWinRows(all), CorpusPrep.docGlobalOverDocs(standing))
+    def sorted(d: DataFrame): Seq[Seq[Any]] =
+      d.collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+    val fullRows = sorted(full)
+    assert(fullRows == sorted(delta),
+      "delta refresh must equal the from-scratch overlay")
+
+    // non-vacuity: each intended flip actually happened in the rebuilt
+    // labels (and therefore, by the equality above, in the delta output)
+    val by = fullRows.map(r => r.head.asInstanceOf[Long] -> r).toMap
+    assert(by(20L)(1) == false, "backfill exact copy must demote standing 20")
+    assert(by(5L)(1) == true)
+    assert(by(30L)(1) == false, "backfill near-dup must demote standing 30")
+    assert(by(10L)(2) == true, "arriving eval doc must contaminate standing 10")
+    val prior = CorpusPrep.docGlobalOverDocs(standing).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(prior(20L).getBoolean(1) && prior(30L).getBoolean(1) &&
+      !prior(10L).getBoolean(2),
+      "the crafted flips must not hold before the arrivals")
+  }
 }
