@@ -155,6 +155,58 @@ object BuildScaleProbe {
       row("ingest_cadence",
         t(CorpusPrep.ingestIncrement(spark, dir,
           docs.filter(pmod(col("doc_id"), lit(10L)) === 3L)).count()))
+      // the compaction step paid INCREMENTALLY (round 12): prior overlay
+      // generation over the standing split (untimed — it is the state
+      // the last refresh left), then the delta refresh with the same
+      // fresh 10% slice as arrivals. Compare against the "docglobal"
+      // full-rebuild row above — that is the wall the delta replaces.
+      graft.Materialize.ensure(spark, "graft_docglobal", dir, 77) { p =>
+        CorpusPrep.docGlobalOverDocs(
+            docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3L))
+          .write.mode("overwrite").parquet(p)
+      }
+      val normHashes = spark.read.parquet(CorpusPrep.ensureDocBase(spark, dir))
+        .select(col("doc_id"), col("norm_hash")).distinct()
+      val bandArt = spark.read.parquet(Dedup.ensureBandsIndex(spark, dir, docsAll))
+      val winArt = spark.read.parquet(CorpusPrep.ensureDocWins(spark, dir, docsAll))
+      row("docglobal_delta", t {
+        graft.Materialize.refreshWith(spark, "graft_docglobal", dir, 77) {
+          (prior, tmpP) =>
+            CorpusPrep.deltaOverlayOver(normHashes, bandArt, winArt, prior)
+              .write.mode("overwrite").parquet(tmpP)
+        }
+      })
+      // the row above is the delta's WORST case on a clone replica: a
+      // 10% slice of clones near-dups every clone family, so the
+      // recompute set approaches the corpus. The production-typical case
+      // is textually NOVEL arrivals touching few standing clusters —
+      // measured with the same slice's ids but per-doc-unique text
+      // (arrival-side artifact rows derived inline, batch-sized; the
+      // standing sides stay the artifacts)
+      locally {
+        val novel = docs.filter(pmod(col("doc_id"), lit(10L)) === 3L)
+          .select(col("doc_id"),
+            concat_ws(" ", lit("novel arrival document number"),
+              col("doc_id"), col("doc_id") * 7919L, col("doc_id") * 104729L,
+              col("doc_id") * 1299709L, col("doc_id") + 15485863L).as("text"))
+        val keep = pmod(col("doc_id"), lit(10L)) =!= 3L
+        graft.Materialize.ensure(spark, "graft_docglobal", dir, 78) { p =>
+          CorpusPrep.docGlobalOverDocs(
+              docs.filter(keep))
+            .write.mode("overwrite").parquet(p)
+        }
+        val nh2 = normHashes.filter(keep)
+          .unionByName(CorpusPrep.normHashRows(novel))
+        val b2 = bandArt.filter(keep).unionByName(Dedup.bandRows(novel))
+        val w2 = winArt.filter(keep).unionByName(CorpusPrep.docWinRows(novel))
+        row("docglobal_delta_novel", t {
+          graft.Materialize.refreshWith(spark, "graft_docglobal", dir, 78) {
+            (prior, tmpP) =>
+              CorpusPrep.deltaOverlayOver(nh2, b2, w2, prior)
+                .write.mode("overwrite").parquet(tmpP)
+          }
+        })
+      }
 
       println(s"""{"metric":"build_scale","dir":"$dir","n_docs":${docs.count()},""" +
         s""""n_vecs":$nVec,"ncells":$ncells,"families":{${rows.mkString(",")}}}""")

@@ -305,6 +305,35 @@ object Materialize {
     p
   }
 
+  /** In-place artifact refresh from its own prior contents — the DELTA
+    * face of [[invalidate]]+[[ensure]]: `build(prior, tmpPath)` derives
+    * the artifact's NEW contents (it may read the prior generation's
+    * rows) and commits them to `tmpPath`, which is then swapped in
+    * place. Unlike [[compact]], the result is a RE-DERIVATION against
+    * the current inputs, so a fresh manifest is recorded and staleness
+    * tracks the new provenance. Same single-driver-per-warehouse swap
+    * caveat as compact. */
+  def refreshWith(spark: SparkSession, kind: String, dir: String, version: Int)
+                 (build: (DataFrame, String) => Unit): String = {
+    val p = artifactPath(spark, kind, dir, version)
+    val cur = new Path(p)
+    val fs = fsOf(spark, cur)
+    require(fs.exists(new Path(p, "_SUCCESS")),
+      s"refresh of absent artifact $p — build it with ensure() first")
+    val tmp = new Path(p + ".refreshing")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val current = listInputs(spark, dir)
+    build(spark.read.parquet(p), tmp.toString)
+    require(fs.exists(new Path(tmp, "_SUCCESS")),
+      s"refresh did not commit to $tmp")
+    fs.delete(cur, true)
+    fs.rename(tmp, cur)
+    writeManifest(spark, p, current)
+    requireNonEmpty(spark, p)
+    ensuredThisSession.add(fs.makeQualified(cur).toString)
+    p
+  }
+
   /** Artifact paths ensured in THIS JVM session — the set
     * [[gcSupersededKinds]] must never delete: a DataFrame constructed
     * over an ensured path is lazy, and deleting its files before the

@@ -565,6 +565,34 @@ object CorpusPrep {
     ensureDocGlobal(spark, dir)
   }
 
+  /** Compaction-window refresh, DELTA face — same post-state contract as
+    * [[compactionRefresh]] (the refreshed overlay equals a from-scratch
+    * overlay of the current corpus, and downstream chain stages go stale
+    * transitively because the artifact files changed) at a cost
+    * proportional to the ARRIVALS' cluster footprint instead of the
+    * corpus: [[deltaOverlayOver]] over the artifacts the per-batch
+    * cadence already maintains (docbase v2 norm hashes, the band index,
+    * the window postings) plus the prior overlay generation, swapped in
+    * place. Precondition is the cadence's own — [[ingestIncrement]] ran
+    * for every arrived batch (checked loudly: a docbase that has not
+    * labeled every current doc means a batch skipped the cadence, and a
+    * silent delta over it would miss those arrivals). */
+  def deltaOverlayRefresh(spark: SparkSession, dir: String): String = {
+    val docs = graft.Tables.documents(spark, dir)
+    val normHashes = spark.read.parquet(ensureDocBase(spark, dir))
+      .select(col("doc_id"), col("norm_hash"))
+    require(normHashes.select(col("doc_id")).distinct().count() == docs.count(),
+      s"delta overlay refresh of $dir: docbase has not labeled every " +
+        "current doc — run ingestIncrement for each arrived batch first")
+    val bands = spark.read.parquet(Dedup.ensureBandsIndex(spark, dir, docs))
+    val wins = spark.read.parquet(ensureDocWins(spark, dir, docs))
+    graft.Materialize.refreshWith(spark, "graft_docglobal", dir,
+        DocGlobalVersion) { (prior, tmp) =>
+      deltaOverlayOver(normHashes, bands, wins, prior)
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** The dedup pipeline's exact-canon grouping key, hashed (docbase v2's
     * norm_hash column — shared so the label artifact and the inline delta
     * anchor can never drift). */

@@ -172,4 +172,31 @@ class IngestCadenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       !prior(10L).getBoolean(2),
       "the crafted flips must not hold before the arrivals")
   }
+
+  test("delta overlay refresh (serving face) == the from-scratch compaction refresh") {
+    val dDir = Files.createTempDirectory("graft-cadence-delta").toString
+    val all = spark.read.parquet(s"$srcDir/documents.parquet")
+    val base = all.filter(pmod(col("doc_id"), lit(10L)) =!= 3L)
+    val batch = all.filter(pmod(col("doc_id"), lit(10L)) === 3L)
+    base.write.mode("overwrite").parquet(s"$dDir/documents.parquet")
+    // bootstrap the label pair over the standing corpus (the PRIOR
+    // overlay generation the delta will extend)
+    CorpusPrep.ensureDocBase(spark, dDir)
+    CorpusPrep.ensureDocGlobal(spark, dDir)
+    // a batch arrives; the per-batch cadence step labels + screens it
+    batch.write.mode("overwrite").parquet(s"$dDir/documents_b1.parquet")
+    CorpusPrep.ingestIncrement(spark, dDir,
+      Tables.documents(spark, dDir).filter(pmod(col("doc_id"), lit(10L)) === 3L))
+    // compaction window: the DELTA refresh must leave the artifact equal
+    // to what the full from-scratch refresh would build
+    def sortedRows(p: String): Seq[Seq[Any]] =
+      spark.read.parquet(p).collect().map(_.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[Long])
+    val delta = sortedRows(CorpusPrep.deltaOverlayRefresh(spark, dDir))
+    graft.Materialize.invalidate(spark, "graft_docglobal", dDir,
+      CorpusPrep.DocGlobalVersion)
+    val full = sortedRows(CorpusPrep.ensureDocGlobal(spark, dDir))
+    assert(delta.size == all.count() && delta == full,
+      "delta-refreshed overlay must equal the from-scratch rebuild")
+  }
 }
