@@ -152,6 +152,12 @@ object BuildScaleProbe {
       // row pre-paid its work): what an ingest pays each batch while the
       // exact overlay refresh (the docglobal row above) waits for its
       // compaction window
+      // the window postings are an ingest-time bootstrap (the bands
+      // pattern) — timed as their own family so the cadence row below
+      // measures the PER-BATCH wall, not the one-time cold build
+      row("docwins",
+        t(CorpusPrep.ensureDocWins(spark, dir, docsAll)),
+        t(CorpusPrep.appendToDocWins(spark, dir, docsBatch)))
       row("ingest_cadence",
         t(CorpusPrep.ingestIncrement(spark, dir,
           docs.filter(pmod(col("doc_id"), lit(10L)) === 3L)).count()))
