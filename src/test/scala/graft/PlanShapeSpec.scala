@@ -517,4 +517,43 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"model read not pruned to kind=$k:\n$p")
     }
   }
+
+  test("delta overlay refresh reads artifacts only — no corpus text re-scan") {
+    // The claim the delta face exists for: at 100 TB the rebuild's cost
+    // is the raw-text scans (normalize + sign + window every doc); the
+    // delta derives everything from the docbase/bands/docwins artifacts
+    // plus the prior overlay generation. Pinned at the plan level so a
+    // refactor that quietly reaches back to the documents table fails
+    // here instead of only showing up as a 100x wall.
+    import graft.operators.{CorpusPrep, Dedup}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = Tables.documents(spark, dir)
+    val nh = spark.read.parquet(CorpusPrep.ensureDocBase(spark, dir))
+      .select(col("doc_id"), col("norm_hash"))
+    val bands = spark.read.parquet(Dedup.ensureBandsIndex(spark, dir, docs))
+    val wins = spark.read.parquet(CorpusPrep.ensureDocWins(spark, dir, docs))
+    // the prior generation covers the STANDING split only, so the delta
+    // sees real arrivals — with a full-coverage prior, AQE propagates the
+    // empty arrival side through every join and the final plan collapses
+    // to the prior scan (observed: 0 artifact scans survive), which would
+    // make this pin vacuous
+    val prior = spark.read.parquet(
+      graft.Materialize.ensure(spark, "graft_docglobal_planspec", dir, 901) { p =>
+        CorpusPrep.docGlobalOverDocs(
+            docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7L))
+          .write.mode("overwrite").parquet(p)
+      })
+    val df = CorpusPrep.deltaOverlayOver(nh, bands, wins, prior)
+    df.collect()
+    // presence/absence is checked over the WHOLE plan string: the
+    // finalized AdaptiveSparkPlan prints completed stages as bare
+    // `ShuffleQueryStage n` references (subtrees only under
+    // "== Initial Plan =="), so the final-section-only convention the
+    // other pins use would see almost no scans in this 130-stage plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("documents"),
+      "delta overlay plan re-scans corpus text")
+    Seq("graft_docbase", "graft_bands", "graft_docwins", "graft_docglobal_planspec")
+      .foreach { k => assert(p.contains(k), s"expected a $k scan") }
+  }
 }
