@@ -557,7 +557,7 @@ object FuzzySearch {
   /** v2: champion rank key changed from raw id to (population DESC, id) —
     * a v1 artifact under the new oracle would silently serve the biased
     * lists. */
-  val ChampVersion = 2
+  val ChampVersion = 3 // v3: + population (the rank key) — delta-refresh merges are row-local
 
   /** Write-once champion posting index — the stop-gram-cut posting
     * relation with each surviving gram's list truncated to its
@@ -572,9 +572,11 @@ object FuzzySearch {
     * duplicate (ngram, id) occurrence rows are interchangeable — the kept
     * COUNT per id is clamp(K − #better-ranked rows, 0, multiplicity)).
     * Min-K per gram is mergeable, but the allowed set depends on global
-    * df — so NO append face: an ingest increment is staleness and ensure
-    * rebuilds (the docglobal precedent). Same ngram-clustered layout as the
-    * full index. */
+    * df — so no APPEND face: an ingest increment is staleness and ensure
+    * rebuilds (the docglobal precedent — and like docglobal since round
+    * 12, the rebuild has a DELTA face: [[deltaChampionRefresh]] recomputes
+    * only the threshold crossings and merges everything else). Same
+    * ngram-clustered layout as the full index. */
   def ensureChampionIndex(spark: SparkSession, dir: String, c: DataFrame,
                           dfCapInverse: Long, postingCap: Int = ChampPostingCap,
                           version: Int = ChampVersion): String = {
@@ -596,13 +598,76 @@ object FuzzySearch {
           org.apache.spark.sql.expressions.Window.partitionBy(col("ngram"))
             .orderBy(col("population").desc_nulls_last, col("id"))))
         .filter(col("prn") <= postingCap)
-        .select(col("ngram"), col("id"))
+        // v3 carries the rank key: a delta refresh re-ranks a merged list
+        // row-locally instead of joining the corpus back on for population
+        .select(col("ngram"), col("id"), col("population"))
       writePostingsLayout(kept, path)
     }
     // parameter sweeps (and the parity spec's deliberate K=∞ build) would
     // otherwise accumulate one full posting copy per (inv, K) pair forever
     graft.Materialize.gcSupersededKinds(spark, "graft_champost_", kind, dir)
     p
+  }
+
+  /** Champion-index DELTA refresh — the second application of the
+    * `Materialize.refreshWith` lifecycle (the docglobal precedent). The
+    * reason this artifact has no append face is that the allowed set
+    * depends on GLOBAL df: a batch moves `n` and every gram's df, so
+    * grams cross the df·inv ≤ n threshold in BOTH directions. The delta
+    * recomputes exactly those crossings and merges everything else:
+    *
+    *  - STAYED grams: global top-K == top-K(prior list ∪ batch rows).
+    *    An occurrence row ranked past K had ≥ K better-ranked rows above
+    *    it, all of which the prior list kept and an append never removes
+    *    — so a truncated row can never re-enter, and the v3 rank key
+    *    makes the merge row-local (no corpus join).
+    *  - ENTERED grams (under the risen threshold now, over it before):
+    *    absent from the prior artifact entirely; their full lists are
+    *    read from the posting index — ngram-clustered, so the read
+    *    prunes to exactly those grams — with the rank key joined from
+    *    the corpus by id (list-sized, not corpus-sized).
+    *  - LEFT grams (batch df pushed them over): dropped.
+    *
+    * Preconditions are the ingest cadence's: the posting index and the
+    * additive gram stats were appended for every arrived batch
+    * ([[allowedGramsIndexed]] folds the updated stats — the same allowed
+    * set a rebuild would derive). `batch` is the accumulated arrivals
+    * since the artifact was last built or refreshed. */
+  def deltaChampionRefresh(spark: SparkSession, dir: String, c: DataFrame,
+                           batch: DataFrame, dfCapInverse: Long,
+                           postingCap: Int = ChampPostingCap,
+                           version: Int = ChampVersion,
+                           statsVersion: Int = 1,
+                           postingsVersion: Int = 1): String = {
+    val kind = s"graft_champost_${dfCapInverse}_$postingCap"
+    val allowedNow = allowedGramsIndexed(spark, dir, c, dfCapInverse, statsVersion)
+    val postingsPath = ensurePostingsIndex(spark, dir, c, postingsVersion)
+    graft.Materialize.refreshWith(spark, kind, dir, version) { (prior, tmpP) =>
+      val priorGrams = prior.select(col("ngram")).distinct()
+      val stayed = allowedNow.join(priorGrams, "ngram")
+      val entered = allowedNow.join(priorGrams, Seq("ngram"), "left_anti")
+      // batch occurrence rows for STAYED grams only — entered grams'
+      // lists come whole from the posting index (which the cadence
+      // already appended the batch to; adding batch rows again there
+      // would double-count them)
+      val batchRows = batch.select(col("id"), col("population"),
+          explode(charNgrams(col("clean_value"), 3)).as("ngram"))
+        .join(broadcast(stayed), "ngram")
+        .select(col("ngram"), col("id"), col("population"))
+      val stayedRows = prior.join(broadcast(stayed), "ngram")
+        .select(col("ngram"), col("id"), col("population"))
+      val enteredRows = spark.read.parquet(postingsPath)
+        .join(broadcast(entered), "ngram")
+        .join(c.select(col("id"), col("population")), "id")
+        .select(col("ngram"), col("id"), col("population"))
+      val kept = stayedRows.unionByName(batchRows).unionByName(enteredRows)
+        .withColumn("prn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("ngram"))
+            .orderBy(col("population").desc_nulls_last, col("id"))))
+        .filter(col("prn") <= postingCap)
+        .select(col("ngram"), col("id"), col("population"))
+      writePostingsLayout(kept, tmpP)
+    }
   }
 
   /** The THIRD serving tier of the batch-fuzzy ladder — measured into

@@ -144,6 +144,46 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty && a == rows(rp))
   }
 
+  test("champion index: delta refresh == rebuild across stop-gram threshold crossings") {
+    // Crafted so the batch drives every crossing the delta must handle
+    // (inv = 2: allowed iff df·2 ≤ n; K = 2 so truncation bites):
+    //  - "abc" df 4 of n 7 (8 > 7, cut) → 8 ≤ 15 after the batch: ENTERS
+    //  - "xyz" df 1 (allowed) → batch adds 7: 16 > 15: LEAVES
+    //  - "mno" stays; the batch's pop-99 doc must displace the pop-50 one
+    //    in the K=2 list (the row-local merge re-ranks correctly)
+    import graft.operators.FuzzySearch
+    import spark.implicits._
+    val c0 = Seq(
+      (1L, "abc", 10L), (2L, "abc", 20L), (3L, "abc", 30L), (4L, "abc", 40L),
+      (5L, "xyz", 70L), (6L, "mno", 50L), (7L, "mno", 60L))
+      .toDF("id", "clean_value", "population")
+    val batch = (Seq((15L, "mno", 99L)) ++ (8L to 14L).map(i => (i, "xyz", i)))
+      .toDF("id", "clean_value", "population")
+    val full = c0.unionByName(batch)
+    val v = 903
+    // prior generation + the cadence's per-batch appends
+    FuzzySearch.ensurePostingsIndex(spark, dir, c0, version = v)
+    FuzzySearch.ensureGramStats(spark, dir, c0, version = v)
+    FuzzySearch.ensureChampionIndex(spark, dir, c0, dfCapInverse = 2L,
+      postingCap = 2, version = v)
+    FuzzySearch.appendToPostingsIndex(spark, dir, batch, version = v)
+    FuzzySearch.appendToGramStats(spark, dir, batch, version = v)
+    val dp = FuzzySearch.deltaChampionRefresh(spark, dir, full, batch,
+      dfCapInverse = 2L, postingCap = 2, version = v,
+      statsVersion = v, postingsVersion = v)
+    val rp = FuzzySearch.ensureChampionIndex(spark, dir, full,
+      dfCapInverse = 2L, postingCap = 2, version = v + 1)
+    def rows(p: String): Seq[(String, Long, Long)] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val d = rows(dp)
+    assert(d == rows(rp), "delta-refreshed champion index diverges from the rebuild")
+    assert(d.map(_._1).contains("abc"), "the entered gram must gain its list")
+    assert(!d.map(_._1).contains("xyz"), "the left gram must lose its list")
+    assert(d.filter(_._1 == "mno").map(_._2) == Seq(7L, 15L),
+      "the stayed gram's K=2 list must re-rank with the batch's pop-99 doc")
+  }
+
   test("indexed fuzzy search over an appended index == inline over the union corpus") {
     val (_, base, batch) = corpusParts()
     // Build at the OPERATOR's version so fuzzySearchIndexed's ensure() sees
