@@ -71,6 +71,14 @@ object BuildScaleProbe {
         t(FuzzySearch.appendToGramStats(spark, dir, cBatch)))
       row("champion",
         t(FuzzySearch.ensureChampionIndex(spark, dir, c, inv)))
+      // champion DELTA refresh (round 12): prior generation over the
+      // standing split (untimed), then the crossings-only refresh against
+      // the already-appended postings/stats — compare with the full
+      // rebuild wall in the "champion" row above
+      FuzzySearch.ensureChampionIndex(spark, dir,
+        c.filter(pmod(col("id"), lit(10L)) =!= 7L), inv, version = 903)
+      row("champion_delta", t(FuzzySearch.deltaChampionRefresh(
+        spark, dir, c, cBatch, inv, version = 903)))
       row("bands",
         t(Dedup.ensureBandsIndex(spark, dir, docsAll)),
         t(Dedup.appendToBandsIndex(spark, dir, docsBatch)))
