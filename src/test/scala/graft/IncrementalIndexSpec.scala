@@ -160,7 +160,11 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batch = (Seq((15L, "mno", 99L)) ++ (8L to 14L).map(i => (i, "xyz", i)))
       .toDF("id", "clean_value", "population")
     val full = c0.unionByName(batch)
-    val v = 903
+    // version range disjoint from every other test's: this test ensures
+    // POSTINGS at v over a crafted corpus, and a shared version would
+    // poison the real-corpus artifact a later test expects to build
+    // (exactly what v=903 did to the posting-compaction test)
+    val v = 923
     // prior generation + the cadence's per-batch appends
     FuzzySearch.ensurePostingsIndex(spark, dir, c0, version = v)
     FuzzySearch.ensureGramStats(spark, dir, c0, version = v)
