@@ -222,6 +222,37 @@ object BuildScaleProbe {
         })
       }
 
+      // the refresh DISPATCH exercised as a caller would (round 12): prior
+      // overlay generation over the standing split at the face's own
+      // version, then compactionRefreshAuto must COUNT the arrivals from
+      // the artifacts, land on the delta arm at replica scale (n over the
+      // floor, a 10% batch under the majority cut), and pay the delta's
+      // wall — the decision is recorded so a replica that dispatched
+      // wrong is visible in the probe line, not just slower
+      locally {
+        graft.Materialize.invalidate(spark, "graft_docglobal", dir,
+          CorpusPrep.DocGlobalVersion)
+        graft.Materialize.ensure(spark, "graft_docglobal", dir,
+            CorpusPrep.DocGlobalVersion) { p =>
+          CorpusPrep.docGlobalOverDocs(
+              docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3L))
+            .write.mode("overwrite").parquet(p)
+        }
+        var decision = ""
+        val wall = t { decision = CorpusPrep.compactionRefreshAuto(spark, dir)._2 }
+        rows += f""""docglobal_auto":{"build":$wall%.1f,"dispatch":"$decision"}"""
+      }
+      locally {
+        FuzzySearch.ensureChampionIndex(spark, dir,
+          c.filter(pmod(col("id"), lit(10L)) =!= 7L), inv, version = 904)
+        var decision = ""
+        val wall = t {
+          decision = FuzzySearch.championRefreshAuto(
+            spark, dir, c, cBatch, inv, version = 904)._2
+        }
+        rows += f""""champion_auto":{"build":$wall%.1f,"dispatch":"$decision"}"""
+      }
+
       println(s"""{"metric":"build_scale","dir":"$dir","n_docs":${docs.count()},""" +
         s""""n_vecs":$nVec,"ncells":$ncells,"families":{${rows.mkString(",")}}}""")
     }

@@ -82,6 +82,15 @@ object Materialize {
   def artifactPath(spark: SparkSession, kind: String, dir: String, version: Int): String =
     s"${root(spark)}/$kind/${tag(dir)}_v$version"
 
+  /** Whether the artifact has a COMMITTED prior generation — the refresh
+    * dispatchers' bootstrap test (a delta face needs a prior to carry;
+    * absent ⇒ the first build is an ensure, not a refresh). Committed
+    * means `_SUCCESS` exists, the same marker compact/refreshWith demand. */
+  def isBuilt(spark: SparkSession, kind: String, dir: String, version: Int): Boolean = {
+    val p = new Path(artifactPath(spark, kind, dir, version))
+    fsOf(spark, p).exists(new Path(p, "_SUCCESS"))
+  }
+
   private val ManifestFile = "_GRAFT_INPUTS"
 
   /** A committed artifact must contain at least one DATA file: `_SUCCESS`
@@ -333,6 +342,41 @@ object Materialize {
     ensuredThisSession.add(fs.makeQualified(cur).toString)
     p
   }
+
+  /** Corpus-size floor under which a refresh dispatches to the exact
+    * rebuild: below it the delta's fixed probe-plan overhead exceeds the
+    * whole rebuild (measured on BOTH refreshWith families — docglobal:
+    * gate 500 docs rebuild 1.3 s vs delta 3.6 s, 10× 50k docs 16.3 s vs
+    * 5.9–8.2 s; champion: 10× rebuild 2.4 s vs delta 2.0 s, 100× 8.7 s
+    * vs 1.8 s — SCALE.md §round-12). The floor sits inside the measured
+    * 500→50k bracket, conservative toward the exact rebuild, which is
+    * cheap by definition wherever the floor applies. */
+  val RefreshDeltaFloor = 10000L
+
+  /** Above this arrival fraction the delta's affected-set recompute
+    * approaches the whole corpus and it pays the rebuild's work PLUS its
+    * own probe overhead. The measured worst case (10% clone-slice
+    * arrivals whose neighborhoods touch every clone family) still wins
+    * 4.3×, so the majority cut only needs to catch onboarding-sized
+    * backfills, where delta == rebuild + overhead by construction. */
+  val RefreshArrivalMajority = 0.5
+
+  /** Pure dispatch rule for the delta-vs-rebuild refresh choice — the
+    * admission-control pattern (ivfBuildPlan, winnowPairsAuto precedents)
+    * applied to the [[refreshWith]] lifecycle itself, so a production
+    * caller refreshes without knowing their rebuild wall. Both inputs are
+    * cheap counts known before any heavy job runs (corpus size from the
+    * family's id-column or additive-stats artifact; arrivals from the
+    * caller's batch or an id anti-join against the prior generation).
+    * "ensure" = nothing arrived, so the standing artifact is current
+    * unless its input manifest says otherwise (a re-publish), which plain
+    * ensure already detects and rebuilds on. */
+  def refreshPlan(n: Long, arrivals: Long,
+                  floorDocs: Long = RefreshDeltaFloor,
+                  majority: Double = RefreshArrivalMajority): String =
+    if (arrivals == 0L) "ensure"
+    else if (n < floorDocs || arrivals.toDouble > n.toDouble * majority) "rebuild"
+    else "delta"
 
   /** Artifact paths ensured in THIS JVM session — the set
     * [[gcSupersededKinds]] must never delete: a DataFrame constructed

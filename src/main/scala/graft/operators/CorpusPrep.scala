@@ -593,6 +593,38 @@ object CorpusPrep {
     }
   }
 
+  /** Compaction-window refresh, DISPATCHED — the cadence's step-2 face a
+    * production caller uses without knowing their rebuild wall (the
+    * round-11 critique of the opt-in two-level IVF build, applied to the
+    * refresh faces round 12 introduced: a delta that must be hand-picked
+    * is a scale knob someone forgets). Counts the standing corpus and the
+    * arrivals from the artifacts the cadence already maintains — docbase
+    * ids vs the prior overlay's ids, the same precondition read the delta
+    * itself performs — picks by [[graft.Materialize.refreshPlan]], and
+    * returns the refreshed path plus the decision taken (the
+    * `ensureIvfIndexAuto` return convention). A corpus with no committed
+    * overlay yet bootstraps through plain ensure. Measured anchors for
+    * this family: gate rebuild 1.3 s vs delta 3.6 s; 10× 16.3 s vs
+    * 5.9–8.2 s; 100× 154.1 s vs 36.0/20.0 s (SCALE.md §round-12). */
+  def compactionRefreshAuto(spark: SparkSession, dir: String,
+                            floorDocs: Long = graft.Materialize.RefreshDeltaFloor,
+                            majority: Double = graft.Materialize.RefreshArrivalMajority): (String, String) = {
+    if (!graft.Materialize.isBuilt(spark, "graft_docglobal", dir, DocGlobalVersion))
+      return (ensureDocGlobal(spark, dir), "bootstrap")
+    val baseIds = spark.read.parquet(ensureDocBase(spark, dir))
+      .select(col("doc_id")).distinct()
+    val overlayIds = spark.read.parquet(
+        graft.Materialize.artifactPath(spark, "graft_docglobal", dir, DocGlobalVersion))
+      .select(col("doc_id"))
+    val n = baseIds.count()
+    val arrivals = baseIds.join(overlayIds, Seq("doc_id"), "left_anti").count()
+    graft.Materialize.refreshPlan(n, arrivals, floorDocs, majority) match {
+      case "ensure"  => (ensureDocGlobal(spark, dir), "ensure")
+      case "rebuild" => (compactionRefresh(spark, dir), "rebuild")
+      case _         => (deltaOverlayRefresh(spark, dir), "delta")
+    }
+  }
+
   /** The dedup pipeline's exact-canon grouping key, hashed (docbase v2's
     * norm_hash column — shared so the label artifact and the inline delta
     * anchor can never drift). */

@@ -670,6 +670,48 @@ object FuzzySearch {
     }
   }
 
+  /** Champion-index refresh, DISPATCHED — [[graft.Materialize.refreshPlan]]
+    * applied to the second refreshWith family, so the ingest cadence's
+    * caller never hand-picks the delta (the same posture fix the IVF
+    * build got in `ensureIvfIndexAuto`). The corpus size comes from the
+    * additive `graft_gramn` stats artifact the cadence already appends
+    * (one tiny-file fold, no corpus scan); the arrivals are the caller's
+    * accumulated batch since the last build/refresh — the delta's own
+    * input, so no extra tracking. A corpus with no committed champion
+    * artifact bootstraps through plain ensure; "ensure" (nothing arrived)
+    * also delegates there, which rebuilds only on manifest staleness.
+    * Measured anchors for this family: 10× rebuild 2.4 s vs delta 2.0 s,
+    * 100× 8.7 s vs 1.8 s (SCALE.md §round-12). */
+  def championRefreshAuto(spark: SparkSession, dir: String, c: DataFrame,
+                          batch: DataFrame, dfCapInverse: Long,
+                          postingCap: Int = ChampPostingCap,
+                          floorDocs: Long = graft.Materialize.RefreshDeltaFloor,
+                          majority: Double = graft.Materialize.RefreshArrivalMajority,
+                          version: Int = ChampVersion,
+                          statsVersion: Int = 1,
+                          postingsVersion: Int = 1): (String, String) = {
+    val kind = s"graft_champost_${dfCapInverse}_$postingCap"
+    if (!graft.Materialize.isBuilt(spark, kind, dir, version))
+      return (ensureChampionIndex(spark, dir, c, dfCapInverse, postingCap,
+        version), "bootstrap")
+    val (_, np) = ensureGramStats(spark, dir, c, statsVersion)
+    val n = spark.read.parquet(np).agg(sum(col("n")).as("n"))
+      .head().getLong(0)
+    val arrivals = batch.count()
+    graft.Materialize.refreshPlan(n, arrivals, floorDocs, majority) match {
+      case "ensure" =>
+        (ensureChampionIndex(spark, dir, c, dfCapInverse, postingCap,
+          version), "ensure")
+      case "rebuild" =>
+        graft.Materialize.invalidate(spark, kind, dir, version)
+        (ensureChampionIndex(spark, dir, c, dfCapInverse, postingCap,
+          version), "rebuild")
+      case _ =>
+        (deltaChampionRefresh(spark, dir, c, batch, dfCapInverse, postingCap,
+          version, statsVersion, postingsVersion), "delta")
+    }
+  }
+
   /** The THIRD serving tier of the batch-fuzzy ladder — measured into
     * existence by the 100× rehearsal: the relative stop-gram cut removes
     * a constant FRACTION of the Σ qcount·df candidate sum, so on a

@@ -188,6 +188,60 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the stayed gram's K=2 list must re-rank with the batch's pop-99 doc")
   }
 
+  test("champion refresh dispatch: every arm serves what a rebuild would") {
+    import graft.operators.FuzzySearch
+    import spark.implicits._
+    val c0 = Seq(
+      (1L, "abc", 10L), (2L, "abd", 20L), (3L, "abe", 30L), (4L, "abf", 40L),
+      (5L, "xyz", 70L), (6L, "mno", 50L), (7L, "mnp", 60L))
+      .toDF("id", "clean_value", "population")
+    val batch = Seq((8L, "mnq", 99L), (9L, "xya", 5L))
+      .toDF("id", "clean_value", "population")
+    val full = c0.unionByName(batch)
+    val v = 925 // crafted-corpus artifacts: own version range (see above)
+    def rows(p: String): Seq[(String, Long, Long)] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+
+    // no committed artifact → bootstrap through plain ensure
+    val (p0, d0) = FuzzySearch.championRefreshAuto(spark, dir, c0,
+      c0.limit(0), dfCapInverse = 2L, postingCap = 2,
+      version = v, statsVersion = v, postingsVersion = v)
+    assert(d0 == "bootstrap" && rows(p0).nonEmpty)
+
+    // the cadence appends the batch's postings + stats, then dispatches:
+    // n (9 docs, from the additive stats fold) is under the default
+    // floor → the exact rebuild arm, equal to a from-scratch build
+    FuzzySearch.ensurePostingsIndex(spark, dir, c0, version = v)
+    FuzzySearch.ensureGramStats(spark, dir, c0, version = v)
+    FuzzySearch.appendToPostingsIndex(spark, dir, batch, version = v)
+    FuzzySearch.appendToGramStats(spark, dir, batch, version = v)
+    val (p1, d1) = FuzzySearch.championRefreshAuto(spark, dir, full, batch,
+      dfCapInverse = 2L, postingCap = 2,
+      version = v, statsVersion = v, postingsVersion = v)
+    assert(d1 == "rebuild")
+    val rebuilt = rows(FuzzySearch.ensureChampionIndex(spark, dir, full,
+      dfCapInverse = 2L, postingCap = 2, version = v + 1))
+    assert(rows(p1) == rebuilt)
+
+    // floor forced under the corpus and a minority batch → the delta arm,
+    // still equal to the rebuild (the crossings spec's core equality,
+    // here reached through the dispatcher)
+    graft.Materialize.invalidate(spark, s"graft_champost_2_2", dir, v)
+    FuzzySearch.ensureChampionIndex(spark, dir, c0, dfCapInverse = 2L,
+      postingCap = 2, version = v)
+    val (p2, d2) = FuzzySearch.championRefreshAuto(spark, dir, full, batch,
+      dfCapInverse = 2L, postingCap = 2, floorDocs = 1L,
+      version = v, statsVersion = v, postingsVersion = v)
+    assert(d2 == "delta" && rows(p2) == rebuilt)
+
+    // nothing arrived → ensure (no rebuild of a fresh artifact)
+    val (p3, d3) = FuzzySearch.championRefreshAuto(spark, dir, full,
+      full.limit(0), dfCapInverse = 2L, postingCap = 2, floorDocs = 1L,
+      version = v, statsVersion = v, postingsVersion = v)
+    assert(d3 == "ensure" && rows(p3) == rebuilt)
+  }
+
   test("indexed fuzzy search over an appended index == inline over the union corpus") {
     val (_, base, batch) = corpusParts()
     // Build at the OPERATOR's version so fuzzySearchIndexed's ensure() sees

@@ -199,4 +199,74 @@ class IngestCadenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(delta.size == all.count() && delta == full,
       "delta-refreshed overlay must equal the from-scratch rebuild")
   }
+
+  test("refreshPlan: the pure dispatch rule's decision table") {
+    import graft.Materialize.refreshPlan
+    // nothing arrived → the standing artifact is current (ensure no-ops
+    // unless the manifest says re-publish)
+    assert(refreshPlan(n = 50000, arrivals = 0) == "ensure")
+    // under the corpus floor the delta's fixed probe overhead exceeds the
+    // whole rebuild (the measured sf0.01 anchor)
+    assert(refreshPlan(n = 500, arrivals = 50) == "rebuild")
+    // at replica scale with a minority batch the delta wins (the measured
+    // 10×/100× anchors)
+    assert(refreshPlan(n = 50000, arrivals = 5000) == "delta")
+    // an onboarding-sized backfill recomputes ~the whole corpus: delta
+    // would pay the rebuild's work plus its own probe overhead
+    assert(refreshPlan(n = 50000, arrivals = 40000) == "rebuild")
+    // boundary: exactly the majority fraction still dispatches delta
+    // (the cut is a strict >)
+    assert(refreshPlan(n = 50000, arrivals = 25000) == "delta")
+  }
+
+  test("compaction refresh dispatch: every arm serves the same artifact a rebuild would") {
+    val dDir = Files.createTempDirectory("graft-cadence-auto").toString
+    val all = spark.read.parquet(s"$srcDir/documents.parquet")
+    val base = all.filter(pmod(col("doc_id"), lit(10L)) =!= 4L)
+    val batch = all.filter(pmod(col("doc_id"), lit(10L)) === 4L)
+    base.write.mode("overwrite").parquet(s"$dDir/documents.parquet")
+
+    // no committed overlay yet → the face bootstraps through plain ensure
+    CorpusPrep.ensureDocBase(spark, dDir)
+    val (p0, d0) = CorpusPrep.compactionRefreshAuto(spark, dDir)
+    assert(d0 == "bootstrap" &&
+      spark.read.parquet(p0).count() == base.count())
+
+    // nothing arrived since → "ensure", and the artifact does not move
+    val m0 = spark.read.parquet(p0).collect().map(_.toString).sorted.toSeq
+    val (p1, d1) = CorpusPrep.compactionRefreshAuto(spark, dDir)
+    assert(d1 == "ensure" && p1 == p0 &&
+      spark.read.parquet(p1).collect().map(_.toString).sorted.toSeq == m0)
+
+    // a batch arrives through the cadence; at this corpus size (under the
+    // default floor) the dispatcher must pick the exact rebuild
+    batch.write.mode("overwrite").parquet(s"$dDir/documents_b1.parquet")
+    CorpusPrep.ingestIncrement(spark, dDir,
+      Tables.documents(spark, dDir).filter(pmod(col("doc_id"), lit(10L)) === 4L))
+    val (p2, d2) = CorpusPrep.compactionRefreshAuto(spark, dDir)
+    assert(d2 == "rebuild" && spark.read.parquet(p2).count() == all.count())
+
+    // a second arrival, floor forced under the corpus: the delta arm must
+    // fire and leave the artifact equal to the from-scratch rebuild
+    val batch2 = all.filter(pmod(col("doc_id"), lit(10L)) === 4L)
+      .withColumn("doc_id", col("doc_id") + 800000000L)
+    batch2.write.mode("overwrite").parquet(s"$dDir/documents_b2.parquet")
+    CorpusPrep.ingestIncrement(spark, dDir,
+      Tables.documents(spark, dDir).filter(col("doc_id") >= 800000000L))
+    val (p3, d3) = CorpusPrep.compactionRefreshAuto(spark, dDir, floorDocs = 1L)
+    assert(d3 == "delta")
+    def sortedRows(p: String): Seq[Seq[Any]] =
+      spark.read.parquet(p).collect().map(_.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[Long])
+    val deltaRows = sortedRows(p3)
+    graft.Materialize.invalidate(spark, "graft_docglobal", dDir,
+      CorpusPrep.DocGlobalVersion)
+    assert(deltaRows == sortedRows(CorpusPrep.ensureDocGlobal(spark, dDir)),
+      "the dispatched delta arm must equal the from-scratch rebuild")
+
+    // majority cut: a backfill larger than half the corpus rebuilds even
+    // over the floor
+    assert(graft.Materialize.refreshPlan(n = 100, arrivals = 60,
+      floorDocs = 1L) == "rebuild")
+  }
 }
