@@ -305,6 +305,11 @@ object Materialize {
     rewrite(spark.read.parquet(p), tmp.toString)
     require(fs.exists(new Path(tmp, "_SUCCESS")),
       s"rewrite did not commit to $tmp")
+    // batch-append commit markers survive the file reorganization, so a
+    // late at-least-once replay of an already-folded batch still
+    // short-circuits in appendBatch instead of re-adding its rows
+    fs.listStatus(cur).filter(_.getPath.getName.startsWith("_BATCH_"))
+      .foreach(f => fs.create(new Path(tmp, f.getPath.getName), true).close())
     fs.delete(cur, true)
     fs.rename(tmp, cur)
     // compaction reorganizes files, it does not re-derive: provenance of
@@ -340,6 +345,64 @@ object Materialize {
     writeManifest(spark, p, current)
     requireNonEmpty(spark, p)
     ensuredThisSession.add(fs.makeQualified(cur).toString)
+    p
+  }
+
+  /** Idempotent, batch-keyed variant of [[append]] for AT-LEAST-ONCE
+    * delivery — a Structured Streaming `foreachBatch` re-runs a
+    * micro-batch after a failure, and a plain append would then hold the
+    * batch's derived rows twice. A tag that COMPLETED (its `_BATCH_<tag>`
+    * commit marker exists) short-circuits to a no-op: the healthy-replay
+    * path never touches a single file, so lazy plans other code holds
+    * over the artifact (a verdict DataFrame, a running stream's static
+    * side) stay valid through the replay. Only a genuinely PARTIAL prior
+    * attempt — marker absent, tag-prefixed files possibly present from a
+    * crash — takes the repair path: the batch's rows are staged to a
+    * temp dir (a committed parquet write), the partial attempt's files
+    * are deleted, the staged data files move in under tag-prefixed
+    * names, and the marker is created LAST as the commit point. The
+    * repair can itself die midway; the next replay repairs again, so a
+    * tag always converges to exactly one copy of its rows. Nobody can be
+    * evaluating a plan over the crashed attempt's files (that JVM died),
+    * which is what makes the delete safe exactly where it can happen.
+    * (Distinct tags must mean distinct batches — the caller's contract,
+    * which `foreachBatch` batch ids satisfy.) Same existence/staleness
+    * preconditions and manifest roll-forward as [[append]]; [[compact]]
+    * folds the tag-prefixed files away like any other appended file set
+    * but carries the markers forward, so a late replay after a
+    * compaction still short-circuits instead of re-adding its rows. */
+  def appendBatch(spark: SparkSession, kind: String, dir: String, version: Int,
+                  batchTag: String)(build: String => Unit): String = {
+    require(batchTag.matches("[A-Za-z0-9_-]+"),
+      s"batch tag '$batchTag' must be filesystem-safe ([A-Za-z0-9_-]+)")
+    val p = artifactPath(spark, kind, dir, version)
+    val cur = new Path(p)
+    val fs = fsOf(spark, cur)
+    require(fs.exists(new Path(p, "_SUCCESS")),
+      s"append to absent artifact $p — build it with ensure() first")
+    val marker = new Path(cur, s"_BATCH_$batchTag")
+    if (fs.exists(marker)) return p
+    val current = listInputs(spark, dir)
+    require(readManifest(spark, p).exists(m => !staleAgainst(m, current)),
+      s"append to STALE artifact $p — a recorded input of $dir was " +
+        "modified or removed; rebuild with ensure() first")
+    val staging = new Path(p + s".batch_$batchTag")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    build(staging.toString)
+    require(fs.exists(new Path(staging, "_SUCCESS")),
+      s"batch build did not commit to $staging")
+    val prefix = s"batch-$batchTag-"
+    fs.listStatus(cur).filter(_.getPath.getName.startsWith(prefix))
+      .foreach(f => fs.delete(f.getPath, false))
+    fs.listStatus(staging)
+      .filter { f =>
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .foreach(f => fs.rename(f.getPath, new Path(cur, prefix + f.getPath.getName)))
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
+    writeManifest(spark, p, current)
     p
   }
 

@@ -94,14 +94,23 @@ object CorpusPrep {
     }
 
   /** Incremental window maintenance — exact because the derivation is
-    * row-local per doc (IncrementalIndexSpec pins append == rebuild). */
+    * row-local per doc (IncrementalIndexSpec pins append == rebuild).
+    * `batchTag` routes through the idempotent batch-keyed append for
+    * at-least-once callers (the streaming cadence face). */
   def appendToDocWins(spark: SparkSession, dir: String, batch: DataFrame,
-                      version: Int = DocWinsVersion): String =
-    graft.Materialize.append(spark, "graft_docwins", dir, version) { p =>
+                      version: Int = DocWinsVersion,
+                      batchTag: Option[String] = None): String = {
+    def write(p: String, mode: String): Unit =
       docWinRows(batch).repartition(4, col("w_hash"))
         .sortWithinPartitions(col("w_hash"))
-        .write.mode("append").parquet(p)
+        .write.mode(mode).parquet(p)
+    batchTag match {
+      case Some(t) => graft.Materialize.appendBatch(
+        spark, "graft_docwins", dir, version, t)(write(_, "overwrite"))
+      case None => graft.Materialize.append(
+        spark, "graft_docwins", dir, version)(write(_, "append"))
     }
+  }
 
   /** The screen over explicit train docs + eval window set — the core the
     * gate query and the streaming face (StreamOps.decontaminateStream)
@@ -391,10 +400,16 @@ object CorpusPrep {
     * text read. Scores use the standing frozen LM model (never a
     * retrain mid-append). */
   def appendToDocBase(spark: SparkSession, dir: String, batch: DataFrame,
-                      version: Int = DocBaseVersion): String = {
+                      version: Int = DocBaseVersion,
+                      batchTag: Option[String] = None): String = {
     val model = LmQuality.ensureModel(spark, dir)
-    graft.Materialize.append(spark, "graft_docbase", dir, version) { p =>
-      docBaseOver(spark, batch, model).write.mode("append").parquet(p)
+    def write(p: String, mode: String): Unit =
+      docBaseOver(spark, batch, model).write.mode(mode).parquet(p)
+    batchTag match {
+      case Some(t) => graft.Materialize.appendBatch(
+        spark, "graft_docbase", dir, version, t)(write(_, "overwrite"))
+      case None => graft.Materialize.append(
+        spark, "graft_docbase", dir, version)(write(_, "append"))
     }
   }
 
@@ -528,12 +543,17 @@ object CorpusPrep {
     * verdicts; the overlay stays deferred until [[compactionRefresh]].
     * Screens anti-join the batch's own ids out of the standing side, so
     * the verdict plan is correct even when evaluated after the band
-    * append below admits the batch. */
+    * append below admits the batch. An at-least-once caller (the
+    * streaming cadence face) passes `batchTag`: the three artifact
+    * appends route through `Materialize.appendBatch`, so a REPLAYED
+    * batch converges to one copy of its rows and the recomputed verdicts
+    * are exact (the screens' anti-joins make them replay-pure). */
   def ingestIncrement(spark: SparkSession, dir: String,
-                      batch: DataFrame): DataFrame = {
+                      batch: DataFrame,
+                      batchTag: Option[String] = None): DataFrame = {
     val batchDocs = batch.select(col("doc_id"), col("text"))
     val batchIds = batchDocs.select(col("doc_id"))
-    appendToDocBase(spark, dir, batch)
+    appendToDocBase(spark, dir, batch, batchTag = batchTag)
     val standingHashes = spark.read.parquet(ensureDocBase(spark, dir))
       .join(batchIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("content_hash"))
@@ -545,14 +565,14 @@ object CorpusPrep {
         .join(batchIds, Seq("doc_id"), "left_anti")
     }
     val verdict = ingestScreenOver(batchDocs, standingHashes, standingBands)
-    Dedup.appendToBandsIndex(spark, dir, batchDocs)
+    Dedup.appendToBandsIndex(spark, dir, batchDocs, batchTag = batchTag)
     // keep the window-posting artifact current too (row-local, same
     // ensure-over-standing + append-batch lifecycle as the bands): the
     // deferred overlay's delta refresh probes it for contamination
     ensureDocWins(spark, dir, graft.Tables.documents(spark, dir)
       .join(batchIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text")))
-    appendToDocWins(spark, dir, batchDocs)
+    appendToDocWins(spark, dir, batchDocs, batchTag = batchTag)
     verdict
   }
 

@@ -1875,13 +1875,20 @@ object Dedup {
     * bands(batch) (IncrementalIndexSpec pins append-then-screen ==
     * rebuild-then-screen). */
   def appendToBandsIndex(spark: SparkSession, dir: String, batch: DataFrame,
-                         version: Int = 1): String =
-    graft.Materialize.append(spark, "graft_bands", dir, version) { p =>
+                         version: Int = 1,
+                         batchTag: Option[String] = None): String = {
+    def write(p: String, mode: String): Unit =
       bandRows(batch)
         .repartition(4, col("band_hash"), col("band_idx"))
         .sortWithinPartitions(col("band_hash"), col("band_idx"))
-        .write.mode("append").parquet(p)
+        .write.mode(mode).parquet(p)
+    batchTag match {
+      case Some(t) => graft.Materialize.appendBatch(
+        spark, "graft_bands", dir, version, t)(write(_, "overwrite"))
+      case None => graft.Materialize.append(
+        spark, "graft_bands", dir, version)(write(_, "append"))
     }
+  }
 
   /** Periodic compaction back to the canonical 32-way band-clustered
     * layout. Pure file reorganization — contents unchanged. */

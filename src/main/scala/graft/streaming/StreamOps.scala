@@ -250,6 +250,46 @@ object StreamOps {
       }
       .start()
 
+  // ----------------------------------- streaming ingest cadence (full)
+
+  /** The ENTIRE per-batch ingest cadence as a streaming sink — the
+    * composition of the gate faces with the cadence's artifact appends:
+    * each micro-batch of arriving documents (full `documents` schema —
+    * it becomes a corpus file) is (1) committed to the corpus dir as
+    * `documents_stream_<tag>.parquet`, skipped when a completed prior
+    * attempt's marker exists; (2) run through
+    * `CorpusPrep.ingestIncrement` with the batch id as the idempotence
+    * tag — row-local labels, exact + near-dup screens against the
+    * standing corpus, band/window-posting admits; (3) the screen
+    * verdicts flow to `sink`. `foreachBatch` is AT-LEAST-ONCE: a
+    * replayed micro-batch re-delivers the same rows under the same
+    * batch id, the raw-file write skips on its committed marker, and
+    * the batch-keyed appends (`Materialize.appendBatch`) converge to
+    * one copy — so the corpus and every cadence artifact end
+    * EXACTLY-ONCE without a transactional sink, and the recomputed
+    * verdicts are exact because the screens anti-join the batch's own
+    * ids (replay-pure). The corpus-global overlay stays on its
+    * compaction clock: run `CorpusPrep.compactionRefreshAuto` between
+    * or after streams — nothing here touches it (IngestCadenceSpec
+    * pins the served chain stable during deferral). */
+  def ingestCadenceStream(docs: DataFrame, dir: String)
+                         (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val tag = f"s$batchId%06d"
+          val raw = new org.apache.hadoop.fs.Path(
+            s"$dir/documents_stream_$tag.parquet")
+          val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(raw, "_SUCCESS")))
+            batch.toDF().write.mode("overwrite").parquet(raw.toString)
+          sink(graft.operators.CorpusPrep.ingestIncrement(spark, dir,
+            batch.toDF(), batchTag = Some(tag)), batchId)
+        }
+      }
+      .start()
+
   // --------------------------------- streaming containment ingest screen
 
   /** Streaming face of the batch-vs-corpus containment screen: a STREAM

@@ -144,6 +144,41 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty && a == rows(rp))
   }
 
+  test("batch-keyed append: replays and orphaned partial attempts converge to one copy") {
+    import graft.operators.CorpusPrep
+    val d = Tables.documents(spark, dir)
+    val base = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val batch = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val ap = CorpusPrep.ensureDocWins(spark, dir, base, version = 931)
+    def rows(p: String): Seq[(Long, Long)] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    CorpusPrep.appendToDocWins(spark, dir, batch, version = 931,
+      batchTag = Some("b1"))
+    val once = rows(ap)
+    val rp = CorpusPrep.ensureDocWins(spark, dir, d, version = 932)
+    assert(once.nonEmpty && once == rows(rp),
+      "batch-keyed append must equal the plain rebuild")
+    // replay the same tag: at-least-once delivery must not double the rows
+    CorpusPrep.appendToDocWins(spark, dir, batch, version = 931,
+      batchTag = Some("b1"))
+    assert(rows(ap) == once, "replayed tag must converge, not double")
+    // an orphaned file from a crashed prior attempt of ANOTHER tag: the
+    // next attempt of that tag must delete it before moving its own in
+    val apPath = new org.apache.hadoop.fs.Path(ap)
+    val fs = apPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val donor = fs.listStatus(apPath)
+      .filter(_.getPath.getName.startsWith("batch-b1-")).maxBy(_.getLen)
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor.getPath, fs,
+      new org.apache.hadoop.fs.Path(apPath, "batch-b2-orphan.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(rows(ap) != once, "the planted orphan must be visible pre-retry")
+    CorpusPrep.appendToDocWins(spark, dir, batch.limit(0), version = 931,
+      batchTag = Some("b2"))
+    assert(rows(ap) == once,
+      "retrying tag b2 must clear the orphaned partial attempt's file")
+  }
+
   test("champion index: delta refresh == rebuild across stop-gram threshold crossings") {
     // Crafted so the batch drives every crossing the delta must handle
     // (inv = 2: allowed iff df·2 ≤ n; K = 2 so truncation bites):

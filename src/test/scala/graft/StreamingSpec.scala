@@ -939,4 +939,98 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buf.nonEmpty && buf.sortBy(_.mkString("|")).toList ==
       want.sortBy(_.mkString("|")).toList)
   }
+
+  test("streaming ingest cadence == the batch cadence; a replayed micro-batch converges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{CorpusPrep, Dedup}
+    val srcDir = "/root/testdata/sf0.001"
+    val prevArtDir = spark.conf.getOption("spark.graft.materialize.dir")
+    try {
+      spark.conf.set("spark.graft.materialize.dir",
+        java.nio.file.Files.createTempDirectory("graft-cadstream-art").toString)
+      val sDir = java.nio.file.Files.createTempDirectory("graft-cadstream").toString
+      val tDir = java.nio.file.Files.createTempDirectory("graft-cadtwin").toString
+      val all = spark.read.parquet(s"$srcDir/documents.parquet")
+      val base = all.filter(pmod(col("doc_id"), lit(10L)) =!= 6L)
+      val b1 = all.filter(pmod(col("doc_id"), lit(20L)) === 6L)
+      val b2 = all.filter(pmod(col("doc_id"), lit(20L)) === 16L)
+      assert(b1.count() > 0 && b2.count() > 0)
+      base.write.mode("overwrite").parquet(s"$sDir/documents.parquet")
+      base.write.mode("overwrite").parquet(s"$tDir/documents.parquet")
+      // bootstrap both corpora's standing label half (frozen LM model)
+      CorpusPrep.ensureDocBase(spark, sDir)
+      CorpusPrep.ensureDocBase(spark, tDir)
+
+      def tuples(df: DataFrame): Seq[(Long, String, String, String, Long)] =
+        df.select("doc_id", "text", "lang", "source", "n_chars").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4))).toSeq
+
+      // STREAM arm: two micro-batches through the full-cadence sink
+      val stream = MemoryStream[(Long, String, String, String, Long)]
+      val sdf = stream.toDF()
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      val seenIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = StreamOps.ingestCadenceStream(sdf, sDir) { (out, bid) =>
+        buf ++= out.collect().map(_.toSeq)
+        seenIds += bid
+      }
+      try {
+        stream.addData(tuples(b1): _*)
+        q.processAllAvailable()
+        stream.addData(tuples(b2): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // TWIN arm: the same two batches through the batch cadence
+      val twinBuf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      b1.write.mode("overwrite").parquet(s"$tDir/documents_b1.parquet")
+      twinBuf ++= CorpusPrep.ingestIncrement(spark, tDir, b1)
+        .collect().map(_.toSeq)
+      b2.write.mode("overwrite").parquet(s"$tDir/documents_b2.parquet")
+      twinBuf ++= CorpusPrep.ingestIncrement(spark, tDir, b2)
+        .collect().map(_.toSeq)
+
+      // verdict parity: the stream saw the same standing state per batch
+      assert(buf.nonEmpty && buf.sortBy(_.mkString("|")).toList ==
+        twinBuf.sortBy(_.mkString("|")).toList)
+      // corpus parity: the raw micro-batch files joined the glob corpus
+      assert(Tables.documents(spark, sDir).count() == all.count())
+      // artifact parity across all three cadence artifacts
+      def rowsAt(p: String): List[String] =
+        spark.read.parquet(p).collect().map(_.toString).toList.sorted
+      val sBase = rowsAt(CorpusPrep.ensureDocBase(spark, sDir))
+      assert(sBase == rowsAt(CorpusPrep.ensureDocBase(spark, tDir)))
+      def standing(dir: String): DataFrame =
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val sBands = rowsAt(Dedup.ensureBandsIndex(spark, sDir, standing(sDir)))
+      assert(sBands == rowsAt(Dedup.ensureBandsIndex(spark, tDir, standing(tDir))))
+      val sWins = rowsAt(CorpusPrep.ensureDocWins(spark, sDir, standing(sDir)))
+      assert(sWins == rowsAt(CorpusPrep.ensureDocWins(spark, tDir, standing(tDir))))
+
+      // REPLAY: re-deliver micro-batch 1 under its own tag (foreachBatch's
+      // at-least-once failure mode) — every artifact must converge, not
+      // double, and the recomputed verdicts must equal the originals
+      val replayVerdicts = CorpusPrep.ingestIncrement(spark, sDir, b2,
+          batchTag = Some(f"s${seenIds.last}%06d")).collect().map(_.toSeq)
+      assert(rowsAt(CorpusPrep.ensureDocBase(spark, sDir)) == sBase,
+        "replayed batch must not double the docbase labels")
+      assert(rowsAt(Dedup.ensureBandsIndex(spark, sDir, standing(sDir))) == sBands,
+        "replayed batch must not double the band rows")
+      assert(rowsAt(CorpusPrep.ensureDocWins(spark, sDir, standing(sDir))) == sWins,
+        "replayed batch must not double the window postings")
+      val b2Ids = b2.select("doc_id").collect().map(_.getLong(0)).toSet
+      val b2Verdicts = twinBuf.toList
+        .filter(r => b2Ids.contains(r.head.asInstanceOf[Long]))
+      assert(replayVerdicts.toList.sortBy(_.mkString("|")) ==
+        b2Verdicts.sortBy(_.mkString("|")))
+    } finally {
+      prevArtDir match {
+        case Some(p) => spark.conf.set("spark.graft.materialize.dir", p)
+        case None => spark.conf.unset("spark.graft.materialize.dir")
+      }
+    }
+  }
 }
