@@ -53,17 +53,25 @@ object IngestGateProbe {
     def gate(name: String, q: StreamingQuery, feeds: Seq[(Int, () => Unit)],
              consumed: () => Long): String =
       try {
-        feeds.head._2()
-        val walls = feeds.tail.map { case (n, f) =>
-          val t0 = System.nanoTime()
-          f()
-          (n, (System.nanoTime() - t0) / 1e9)
+        // a rate needs one warmup batch plus at least one timed batch —
+        // a tiny dir's arriving slice can yield 0 or 1, which is a
+        // diagnosed skip, not a crash (median of nothing / 0-div)
+        if (feeds.lengthCompare(2) < 0)
+          s""""$name":{"skipped":"arriving slice yields ${feeds.length} """ +
+            """micro-batch(es); need a warmup + >=1 timed"}"""
+        else {
+          feeds.head._2()
+          val walls = feeds.tail.map { case (n, f) =>
+            val t0 = System.nanoTime()
+            f()
+            (n, (System.nanoTime() - t0) / 1e9)
+          }
+          val docs = walls.map(_._1.toLong).sum
+          val wall = walls.map(_._2).sum
+          f""""$name":{"batches":${walls.length},"docs":$docs,""" +
+            f""""median_batch_sec":${median(walls.map(_._2))}%.2f,""" +
+            f""""docs_per_sec":${docs / wall}%.0f,"out_rows":${consumed()}}"""
         }
-        val docs = walls.map(_._1.toLong).sum
-        val wall = walls.map(_._2).sum
-        f""""$name":{"batches":${walls.length},"docs":$docs,""" +
-          f""""median_batch_sec":${median(walls.map(_._2))}%.2f,""" +
-          f""""docs_per_sec":${docs / wall}%.0f,"out_rows":${consumed()}}"""
       } finally q.stop()
 
     def batchesOf[T](rows: Seq[T]): Seq[Seq[T]] =
