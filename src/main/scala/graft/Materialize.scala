@@ -299,6 +299,20 @@ object Materialize {
     val fs = fsOf(spark, cur)
     require(fs.exists(new Path(p, "_SUCCESS")),
       s"compact of absent artifact $p — build it with ensure() first")
+    // repair BEFORE folding: a crashed appendBatch attempt leaves
+    // `batch-<tag>-` data files with no `_BATCH_<tag>` marker; folding
+    // them into the canonical layout would bake the partial batch in,
+    // and the tag's later at-least-once replay (marker still absent)
+    // would re-add the whole batch — duplicating the folded rows. The
+    // partial attempt is dropped here instead, under the same safety
+    // argument as appendBatch's own repair path: its writer JVM is dead.
+    val committedTags = fs.listStatus(cur).map(_.getPath.getName)
+      .filter(_.startsWith("_BATCH_")).map(_.stripPrefix("_BATCH_")).toSet
+    fs.listStatus(cur).filter { f =>
+      val n = f.getPath.getName
+      n.startsWith("batch-") &&
+        !committedTags.contains(n.stripPrefix("batch-").takeWhile(_ != '-'))
+    }.foreach(f => fs.delete(f.getPath, false))
     val tmp = new Path(p + ".compacting")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val manifest = readManifest(spark, p)
@@ -373,8 +387,10 @@ object Materialize {
     * compaction still short-circuits instead of re-adding its rows. */
   def appendBatch(spark: SparkSession, kind: String, dir: String, version: Int,
                   batchTag: String)(build: String => Unit): String = {
-    require(batchTag.matches("[A-Za-z0-9_-]+"),
-      s"batch tag '$batchTag' must be filesystem-safe ([A-Za-z0-9_-]+)")
+    // no '-' in tags: the `batch-<tag>-` file prefix must parse back to
+    // its tag unambiguously (compact's crashed-attempt repair relies on it)
+    require(batchTag.matches("[A-Za-z0-9_]+"),
+      s"batch tag '$batchTag' must be filesystem-safe ([A-Za-z0-9_]+)")
     val p = artifactPath(spark, kind, dir, version)
     val cur = new Path(p)
     val fs = fsOf(spark, cur)

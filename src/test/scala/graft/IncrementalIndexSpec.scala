@@ -177,6 +177,24 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       batchTag = Some("b2"))
     assert(rows(ap) == once,
       "retrying tag b2 must clear the orphaned partial attempt's file")
+    // a crashed partial attempt must not get FOLDED IN by compaction:
+    // plant another unmarked orphan, compact, and the canonical layout
+    // must hold exactly the committed rows (the orphan repaired away —
+    // folding it would duplicate the batch when its tag later replays)
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor.getPath, fs,
+      new org.apache.hadoop.fs.Path(apPath, "batch-b3-orphan.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(rows(ap) != once, "the planted orphan must be visible pre-compact")
+    graft.Materialize.compact(spark, "graft_docwins", dir, 931) { (cur, tmp) =>
+      cur.repartition(4, col("w_hash")).sortWithinPartitions(col("w_hash"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    assert(rows(ap) == once,
+      "compact must repair a crashed attempt's files away, not fold them in")
+    // the folded b1's marker was carried forward: a late replay still no-ops
+    CorpusPrep.appendToDocWins(spark, dir, batch, version = 931,
+      batchTag = Some("b1"))
+    assert(rows(ap) == once, "a late replay of a folded batch must still no-op")
   }
 
   test("champion index: delta refresh == rebuild across stop-gram threshold crossings") {
