@@ -91,6 +91,18 @@ object Materialize {
     fsOf(spark, p).exists(new Path(p, "_SUCCESS"))
   }
 
+  /** Whether the prior generation is committed AND manifest-fresh — the
+    * refresh dispatchers' precondition for their DELTA arm. A re-published
+    * input (recorded child modified or removed) makes the prior rows an
+    * invalid delta base ([[refreshWith]] rejects it), so a dispatcher
+    * seeing `false` here routes to the exact rebuild instead. */
+  def isDeltaBase(spark: SparkSession, kind: String, dir: String,
+                  version: Int): Boolean =
+    isBuilt(spark, kind, dir, version) && {
+      val p = artifactPath(spark, kind, dir, version)
+      readManifest(spark, p).exists(m => !staleAgainst(m, listInputs(spark, dir)))
+    }
+
   private val ManifestFile = "_GRAFT_INPUTS"
 
   /** A committed artifact must contain at least one DATA file: `_SUCCESS`
@@ -272,13 +284,21 @@ object Materialize {
     * single-driver-per-warehouse requirement as GC: a live lazy plan in
     * this session over the dropped path would fail — refresh at a
     * quiesced window (between micro-batches / queries). Returns true if
-    * an artifact existed and was dropped. */
+    * an artifact existed and was dropped. A FAILED drop throws: every
+    * caller is a refresh face about to ensure(), and a swallowed failure
+    * would turn the requested rebuild into silently serving the stale
+    * artifact (ensure finds the old _SUCCESS + fresh manifest and
+    * no-ops). */
   def invalidate(spark: SparkSession, kind: String, dir: String,
                  version: Int): Boolean = {
     val p = new Path(artifactPath(spark, kind, dir, version))
     val fs = fsOf(spark, p)
     ensuredThisSession.remove(fs.makeQualified(p).toString)
-    try fs.delete(p, true) catch { case _: java.io.IOException => false }
+    if (!fs.exists(p)) false
+    else if (fs.delete(p, true)) true
+    else throw new IllegalStateException(
+      s"invalidate could not drop $p — aborting so the requested " +
+        "rebuild does not silently serve the stale artifact")
   }
 
   /** Periodic compaction of an appended artifact: every [[append]] lands
@@ -339,8 +359,12 @@ object Materialize {
     * rows) and commits them to `tmpPath`, which is then swapped in
     * place. Unlike [[compact]], the result is a RE-DERIVATION against
     * the current inputs, so a fresh manifest is recorded and staleness
-    * tracks the new provenance. Same single-driver-per-warehouse swap
-    * caveat as compact. */
+    * tracks the new provenance. The PRIOR generation must itself be
+    * manifest-fresh (same check as [[append]]): a delta build carries the
+    * prior's rows forward for untouched keys, so refreshing over a
+    * re-published input would launder the staleness into a
+    * fresh-manifested artifact that ensure() then serves forever. Same
+    * single-driver-per-warehouse swap caveat as compact. */
   def refreshWith(spark: SparkSession, kind: String, dir: String, version: Int)
                  (build: (DataFrame, String) => Unit): String = {
     val p = artifactPath(spark, kind, dir, version)
@@ -348,9 +372,13 @@ object Materialize {
     val fs = fsOf(spark, cur)
     require(fs.exists(new Path(p, "_SUCCESS")),
       s"refresh of absent artifact $p — build it with ensure() first")
+    val current = listInputs(spark, dir)
+    require(readManifest(spark, p).exists(m => !staleAgainst(m, current)),
+      s"refresh of STALE artifact $p — a recorded input of $dir was " +
+        "modified or removed, so the prior rows are not a valid delta " +
+        "base; rebuild with invalidate()+ensure() instead")
     val tmp = new Path(p + ".refreshing")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    val current = listInputs(spark, dir)
     build(spark.read.parquet(p), tmp.toString)
     require(fs.exists(new Path(tmp, "_SUCCESS")),
       s"refresh did not commit to $tmp")

@@ -631,12 +631,24 @@ object CorpusPrep {
                             majority: Double = graft.Materialize.RefreshArrivalMajority): (String, String) = {
     if (!graft.Materialize.isBuilt(spark, "graft_docglobal", dir, DocGlobalVersion))
       return (ensureDocGlobal(spark, dir), "bootstrap")
+    // a re-published corpus input invalidates the prior rows as a delta
+    // base (refreshWith rejects them); route straight to the exact rebuild
+    if (!graft.Materialize.isDeltaBase(spark, "graft_docglobal", dir, DocGlobalVersion))
+      return (compactionRefresh(spark, dir), "rebuild")
     val baseIds = spark.read.parquet(ensureDocBase(spark, dir))
       .select(col("doc_id")).distinct()
     val overlayIds = spark.read.parquet(
         graft.Materialize.artifactPath(spark, "graft_docglobal", dir, DocGlobalVersion))
       .select(col("doc_id"))
     val n = baseIds.count()
+    // the delta's own cadence precondition, checked HERE too: a batch that
+    // reached the corpus dir without ingestIncrement is in neither docbase
+    // nor the overlay, so the id diff below cannot see it — without this
+    // check the dispatcher would return "ensure" as success while the
+    // served overlay permanently excludes those docs
+    require(n == graft.Tables.documents(spark, dir).count(),
+      s"compactionRefreshAuto of $dir: docbase has not labeled every " +
+        "current doc — run ingestIncrement for each arrived batch first")
     val arrivals = baseIds.join(overlayIds, Seq("doc_id"), "left_anti").count()
     graft.Materialize.refreshPlan(n, arrivals, floorDocs, majority) match {
       case "ensure"  => (ensureDocGlobal(spark, dir), "ensure")

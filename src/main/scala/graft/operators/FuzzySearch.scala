@@ -694,6 +694,13 @@ object FuzzySearch {
     if (!graft.Materialize.isBuilt(spark, kind, dir, version))
       return (ensureChampionIndex(spark, dir, c, dfCapInverse, postingCap,
         version), "bootstrap")
+    // re-published input ⇒ the prior lists are not a valid delta base
+    // (refreshWith rejects them); route straight to the exact rebuild
+    if (!graft.Materialize.isDeltaBase(spark, kind, dir, version)) {
+      graft.Materialize.invalidate(spark, kind, dir, version)
+      return (ensureChampionIndex(spark, dir, c, dfCapInverse, postingCap,
+        version), "rebuild")
+    }
     val (_, np) = ensureGramStats(spark, dir, c, statsVersion)
     val n = spark.read.parquet(np).agg(sum(col("n")).as("n"))
       .head().getLong(0)

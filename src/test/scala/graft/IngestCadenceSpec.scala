@@ -269,4 +269,48 @@ class IngestCadenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.Materialize.refreshPlan(n = 100, arrivals = 60,
       floorDocs = 1L) == "rebuild")
   }
+
+  test("re-published input: the prior is rejected as a delta base; the dispatcher rebuilds") {
+    val dDir = Files.createTempDirectory("graft-cadence-republish").toString
+    val all = spark.read.parquet(s"$srcDir/documents.parquet")
+    val base = all.filter(pmod(col("doc_id"), lit(10L)) =!= 5L)
+    base.write.mode("overwrite").parquet(s"$dDir/documents.parquet")
+    CorpusPrep.ensureDocBase(spark, dDir)
+    CorpusPrep.ensureDocGlobal(spark, dDir)
+    // re-publish: the corpus file is REWRITTEN in place with different
+    // contents — the manifest's staleness case, NOT an append. The prior
+    // overlay's rows derive from the old text; carrying them forward in
+    // a delta would launder the staleness into a fresh manifest.
+    val base2 = base
+      .withColumn("text", concat(col("text"), lit(" republished")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    base2.write.mode("overwrite").parquet(s"$dDir/documents.parquet")
+    assert(!graft.Materialize.isDeltaBase(spark, "graft_docglobal", dDir,
+      CorpusPrep.DocGlobalVersion))
+    intercept[IllegalArgumentException] {
+      CorpusPrep.deltaOverlayRefresh(spark, dDir)
+    }
+    // the dispatcher routes the same state to the exact rebuild
+    val (p, dec) = CorpusPrep.compactionRefreshAuto(spark, dDir, floorDocs = 1L)
+    assert(dec == "rebuild" && spark.read.parquet(p).count() == base.count())
+  }
+
+  test("a corpus file that skipped ingestIncrement: the dispatcher refuses loudly") {
+    val dDir = Files.createTempDirectory("graft-cadence-rogue").toString
+    val all = spark.read.parquet(s"$srcDir/documents.parquet")
+    val base = all.filter(pmod(col("doc_id"), lit(10L)) =!= 8L)
+    val rogue = all.filter(pmod(col("doc_id"), lit(10L)) === 8L)
+    base.write.mode("overwrite").parquet(s"$dDir/documents.parquet")
+    CorpusPrep.ensureDocBase(spark, dDir)
+    CorpusPrep.ensureDocGlobal(spark, dDir)
+    // the batch lands in the corpus dir but NOBODY ran the cadence step:
+    // it is in neither docbase nor the overlay, so the dispatcher's id
+    // diff cannot see it — returning "ensure" as success here would
+    // permanently exclude these docs from the served overlay
+    rogue.write.mode("overwrite").parquet(s"$dDir/documents_rogue.parquet")
+    val e = intercept[IllegalArgumentException] {
+      CorpusPrep.compactionRefreshAuto(spark, dDir, floorDocs = 1L)
+    }
+    assert(e.getMessage.contains("ingestIncrement"))
+  }
 }
