@@ -554,6 +554,13 @@ object FuzzySearch {
     * (12 of 30 allowed grams carry df > 64). */
   val ChampPostingCap = 64
 
+  /** Row budget under which [[deltaChampionRefresh]] BROADCASTS the
+    * entered grams' pruned posting slice for its rank-key join (so the
+    * corpus streams map-side instead of shuffling): (ngram, id) pairs,
+    * ~4M rows ≈ 64 MB. Σ df over the entered grams predicts the slice's
+    * size exactly before any read. */
+  val ChampEnteredBroadcastBudget = 4000000L
+
   /** v2: champion rank key changed from raw id to (population DESC, id) —
     * a v1 artifact under the new oracle would silently serve the biased
     * lists. */
@@ -625,7 +632,14 @@ object FuzzySearch {
     *    absent from the prior artifact entirely; their full lists are
     *    read from the posting index — ngram-clustered, so the read
     *    prunes to exactly those grams — with the rank key joined from
-    *    the corpus by id (list-sized, not corpus-sized).
+    *    the corpus by id. That join must not SHUFFLE the corpus (the
+    *    delta exists to avoid corpus-scale work), and the pruned slice's
+    *    exact row count is Σ df over entered grams — predictable from
+    *    the stats fold before any read (gramDf counts posting pairs), so
+    *    the slice BROADCASTS and the corpus streams map-side whenever
+    *    the predicted volume fits `enteredBroadcastBudget`; only a
+    *    threshold-storm batch (entered lists near the n/inv bound) pays
+    *    the shuffle join.
     *  - LEFT grams (batch df pushed them over): dropped.
     *
     * Preconditions are the ingest cadence's: the posting index and the
@@ -638,14 +652,23 @@ object FuzzySearch {
                            postingCap: Int = ChampPostingCap,
                            version: Int = ChampVersion,
                            statsVersion: Int = 1,
-                           postingsVersion: Int = 1): String = {
+                           postingsVersion: Int = 1,
+                           enteredBroadcastBudget: Long = ChampEnteredBroadcastBudget): String = {
     val kind = s"graft_champost_${dfCapInverse}_$postingCap"
-    val allowedNow = allowedGramsIndexed(spark, dir, c, dfCapInverse, statsVersion)
+    val (dp, np) = ensureGramStats(spark, dir, c, statsVersion)
+    val nRel = spark.read.parquet(np).agg(sum(col("n")).as("n"))
+    // the allowed set WITH its df — same fold allowedGramsIndexed serves,
+    // kept here so the entered arm's volume prediction shares its source
+    val allowedDf = spark.read.parquet(dp).groupBy(col("ngram"))
+      .agg(sum(col("df")).as("df"))
+      .crossJoin(broadcast(nRel))
+      .filter(col("df") * dfCapInverse <= col("n"))
+      .select(col("ngram"), col("df"))
     val postingsPath = ensurePostingsIndex(spark, dir, c, postingsVersion)
     graft.Materialize.refreshWith(spark, kind, dir, version) { (prior, tmpP) =>
       val priorGrams = prior.select(col("ngram")).distinct()
-      val stayed = allowedNow.join(priorGrams, "ngram")
-      val entered = allowedNow.join(priorGrams, Seq("ngram"), "left_anti")
+      val stayed = allowedDf.select(col("ngram")).join(priorGrams, "ngram")
+      val entered = allowedDf.join(priorGrams, Seq("ngram"), "left_anti")
       // batch occurrence rows for STAYED grams only — entered grams'
       // lists come whole from the posting index (which the cadence
       // already appended the batch to; adding batch rows again there
@@ -656,10 +679,19 @@ object FuzzySearch {
         .select(col("ngram"), col("id"), col("population"))
       val stayedRows = prior.join(broadcast(stayed), "ngram")
         .select(col("ngram"), col("id"), col("population"))
-      val enteredRows = spark.read.parquet(postingsPath)
-        .join(broadcast(entered), "ngram")
-        .join(c.select(col("id"), col("population")), "id")
-        .select(col("ngram"), col("id"), col("population"))
+      // Σ df over entered grams == the pruned slice's exact row count
+      // (gramDf counts posting pairs) — the admission-control read that
+      // decides whether the rank-key join can stream the corpus
+      val enteredVolume = entered
+        .agg(coalesce(sum(col("df")), lit(0L)).as("v")).head().getLong(0)
+      val pruned = spark.read.parquet(postingsPath)
+        .join(broadcast(entered.select(col("ngram"))), "ngram")
+      val enteredRows = (
+        if (enteredVolume <= enteredBroadcastBudget)
+          c.select(col("id"), col("population")).join(broadcast(pruned), "id")
+        else
+          pruned.join(c.select(col("id"), col("population")), "id")
+      ).select(col("ngram"), col("id"), col("population"))
       val kept = stayedRows.unionByName(batchRows).unionByName(enteredRows)
         .withColumn("prn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("ngram"))

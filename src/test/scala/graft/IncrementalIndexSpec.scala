@@ -239,6 +239,16 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!d.map(_._1).contains("xyz"), "the left gram must lose its list")
     assert(d.filter(_._1 == "mno").map(_._2) == Seq(7L, 15L),
       "the stayed gram's K=2 list must re-rank with the batch's pop-99 doc")
+    // threshold-storm arm: budget 0 forces the SHUFFLE rank-key join for
+    // the entered lists (the broadcast-dispatch's fallback) — identical
+    // artifact, only the physical join differs
+    FuzzySearch.ensureChampionIndex(spark, dir, c0, dfCapInverse = 2L,
+      postingCap = 2, version = 941)
+    val sp = FuzzySearch.deltaChampionRefresh(spark, dir, full, batch,
+      dfCapInverse = 2L, postingCap = 2, version = 941,
+      statsVersion = v, postingsVersion = v, enteredBroadcastBudget = 0L)
+    assert(rows(sp) == d,
+      "the shuffle-arm entered join must match the broadcast arm")
   }
 
   test("champion refresh dispatch: every arm serves what a rebuild would") {
