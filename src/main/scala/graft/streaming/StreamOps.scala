@@ -258,13 +258,15 @@ object StreamOps {
     * it becomes a corpus file) is (1) committed to the corpus dir as
     * `documents_stream_<tag>.parquet`, skipped when a completed prior
     * attempt's marker exists; (2) run through
-    * `CorpusPrep.ingestIncrement` with the batch id as the idempotence
-    * tag — row-local labels, exact + near-dup screens against the
-    * standing corpus, band/window-posting admits; (3) the screen
-    * verdicts flow to `sink`. `foreachBatch` is AT-LEAST-ONCE: a
-    * replayed micro-batch re-delivers the same rows under the same
-    * batch id, the raw-file write skips on its committed marker, and
-    * the batch-keyed appends (`Materialize.appendBatch`) converge to
+    * `CorpusPrep.ingestIncrement` with [[cadenceBatchTag]] — a
+    * CONTENT-derived idempotence tag, see there for why the engine's
+    * batch id cannot be the identity — for the row-local labels, exact +
+    * near-dup screens against the standing corpus, and band/window-
+    * posting admits; (3) the screen verdicts flow to `sink`.
+    * `foreachBatch` is AT-LEAST-ONCE: a replayed micro-batch re-delivers
+    * the same rows (⇒ the same content tag, under any batch id), the
+    * raw-file write skips on its committed marker, and the batch-keyed
+    * appends (`Materialize.appendBatch`) converge to
     * one copy — so the corpus and every cadence artifact end
     * EXACTLY-ONCE without a transactional sink, and the recomputed
     * verdicts are exact because the screens anti-join the batch's own
@@ -272,13 +274,40 @@ object StreamOps {
     * compaction clock: run `CorpusPrep.compactionRefreshAuto` between
     * or after streams — nothing here touches it (IngestCadenceSpec
     * pins the served chain stable during deferral). */
-  def ingestCadenceStream(docs: DataFrame, dir: String)
-                         (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+  /** The cadence's idempotence identity for one micro-batch: derived from
+    * the batch's CONTENT (order-independent hash over (doc_id, text),
+    * plus the row count), never from the engine's batch id. A `foreachBatch`
+    * id is only unique within one checkpoint lineage — a restarted stream
+    * on a fresh checkpoint reissues id 0, and an id-keyed tag would then
+    * silently skip a NEW batch whose id collides with a committed marker
+    * (dropping its documents with no error). Content keying gives both
+    * halves: a redelivered identical batch maps to the same tag under ANY
+    * id (replay converges), and distinct documents can never inherit a
+    * committed tag. Two batches with an identical (doc_id, text) multiset
+    * ARE the same documents, so folding them is exactly-once on content.
+    * The per-row hashes span the full Long range, so the multiset fold
+    * sums in decimal(38,0) — two xxhash64 values already overflow a Long
+    * sum under ANSI — and wraps back to 64 bits at the end (the wrap
+    * keeps the fold order-independent AND bounded). */
+  def cadenceBatchTag(batch: DataFrame): String = {
+    val r = batch
+      .agg(coalesce(sum(xxhash64(col("doc_id"), col("text"))
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("h"),
+        count(lit(1)).as("n"))
+      .head()
+    val h = r.getDecimal(0).toBigInteger
+      .mod(java.math.BigInteger.ONE.shiftLeft(64))
+    s"c${r.getLong(1)}_${h.toString(16)}"
+  }
+
+  def ingestCadenceStream(docs: DataFrame, dir: String,
+                          checkpoint: Option[String] = None)
+                         (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val tag = f"s$batchId%06d"
+          val tag = cadenceBatchTag(batch.toDF())
           val raw = new org.apache.hadoop.fs.Path(
             s"$dir/documents_stream_$tag.parquet")
           val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -288,7 +317,12 @@ object StreamOps {
             batch.toDF(), batchTag = Some(tag)), batchId)
         }
       }
-      .start()
+    // a durable checkpoint additionally keeps the SOURCE offsets across
+    // restarts (so a recovered stream resumes instead of re-reading);
+    // the artifact layer's idempotence does not depend on it
+    checkpoint.foreach(cp => w.option("checkpointLocation", cp))
+    w.start()
+  }
 
   // --------------------------------- streaming containment ingest screen
 

@@ -1011,10 +1011,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sWins == rowsAt(CorpusPrep.ensureDocWins(spark, tDir, standing(tDir))))
 
       // REPLAY: re-deliver micro-batch 1 under its own tag (foreachBatch's
-      // at-least-once failure mode) — every artifact must converge, not
-      // double, and the recomputed verdicts must equal the originals
+      // at-least-once failure mode) — the tag is CONTENT-derived, so the
+      // redelivery maps to it under any engine batch id — every artifact
+      // must converge, not double, and the recomputed verdicts must equal
+      // the originals
       val replayVerdicts = CorpusPrep.ingestIncrement(spark, sDir, b2,
-          batchTag = Some(f"s${seenIds.last}%06d")).collect().map(_.toSeq)
+          batchTag = Some(StreamOps.cadenceBatchTag(b2))).collect().map(_.toSeq)
       assert(rowsAt(CorpusPrep.ensureDocBase(spark, sDir)) == sBase,
         "replayed batch must not double the docbase labels")
       assert(rowsAt(Dedup.ensureBandsIndex(spark, sDir, standing(sDir))) == sBands,
@@ -1026,6 +1028,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter(r => b2Ids.contains(r.head.asInstanceOf[Long]))
       assert(replayVerdicts.toList.sortBy(_.mkString("|")) ==
         b2Verdicts.sortBy(_.mkString("|")))
+
+      // RESTART: a NEW query on a fresh checkpoint reissues engine batch
+      // id 0. An id-keyed tag would hand this NEW batch b1's committed
+      // marker and silently drop its documents; the content-derived tag
+      // must admit it.
+      val b3 = b2.withColumn("doc_id", col("doc_id") + lit(10000000L))
+        .withColumn("text", concat(col("text"), lit(" restart-batch")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val stream2 = MemoryStream[(Long, String, String, String, Long)]
+      val sdf2 = stream2.toDF()
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val q2 = StreamOps.ingestCadenceStream(sdf2, sDir) { (out, _) =>
+        out.collect(); ()
+      }
+      try {
+        stream2.addData(tuples(b3): _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(Tables.documents(spark, sDir).count() == all.count() + b3.count(),
+        "a restarted stream's new batch (engine id 0 again) must be admitted")
+      val b3Ids = b3.select("doc_id").collect().map(_.getLong(0)).toSet
+      val labeledIds = spark.read.parquet(CorpusPrep.ensureDocBase(spark, sDir))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(b3Ids.subsetOf(labeledIds),
+        "the restart batch's docs must be labeled in the docbase")
     } finally {
       prevArtDir match {
         case Some(p) => spark.conf.set("spark.graft.materialize.dir", p)
