@@ -79,6 +79,45 @@ object BuildScaleProbe {
         c.filter(pmod(col("id"), lit(10L)) =!= 7L), inv, version = 903)
       row("champion_delta", t(FuzzySearch.deltaChampionRefresh(
         spark, dir, c, cBatch, inv, version = 903)))
+      // the entered-arm's two physical joins (round 12): a clone batch
+      // drives no threshold crossings, so the row above never exercises
+      // the entered arm. A NOVEL-text batch grows n while standing dfs
+      // stay put, so standing grams just over the df·inv ≤ n cut ENTER
+      // the allowed set (and the batch's own digit grams enter small),
+      // and the delta re-reads those grams' whole lists from the posting
+      // index with the rank key joined back from the corpus. Σ df over
+      // the entered grams predicts that slice's row count exactly, so
+      // under the budget the slice BROADCASTS and the corpus streams
+      // map-side; the budget-0 twin pays the shuffle join on identical
+      // state — the two walls bound what the dispatch is worth.
+      locally {
+        val vv = 905
+        val standing = c.filter(pmod(col("id"), lit(10L)) =!= 7L)
+          .select(col("id"), col("clean_value"), col("population"))
+        val novel = cBatch.select(col("id"),
+          concat_ws(" ", lit("zq novel"), col("id"),
+            col("id") * 7919L % 1000000000L,
+            col("id") * 104729L % 1000000000L).as("clean_value"),
+          col("population"))
+        val full2 = standing.unionByName(novel)
+        FuzzySearch.ensureGramStats(spark, dir, standing, vv)
+        FuzzySearch.ensurePostingsIndex(spark, dir, standing, vv)
+        FuzzySearch.appendToGramStats(spark, dir, novel, vv)
+        FuzzySearch.appendToPostingsIndex(spark, dir, novel, vv)
+        val champKind =
+          s"graft_champost_${inv}_${FuzzySearch.ChampPostingCap}"
+        def arm(name: String, budget: Long): Unit = {
+          graft.Materialize.invalidate(spark, champKind, dir, vv)
+          FuzzySearch.ensureChampionIndex(spark, dir, standing, inv,
+            version = vv)
+          row(name, t(FuzzySearch.deltaChampionRefresh(spark, dir, full2,
+            novel, inv, version = vv, statsVersion = vv,
+            postingsVersion = vv, enteredBroadcastBudget = budget)))
+        }
+        arm("champion_delta_novel_bcast",
+          FuzzySearch.ChampEnteredBroadcastBudget)
+        arm("champion_delta_novel_shuffle", 0L)
+      }
       row("bands",
         t(Dedup.ensureBandsIndex(spark, dir, docsAll)),
         t(Dedup.appendToBandsIndex(spark, dir, docsBatch)))
