@@ -313,4 +313,48 @@ class IngestCadenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("ingestIncrement"))
   }
+
+  test("a cadence step that crashed between its appends converges on replay") {
+    // ingestIncrement commits THREE batch-keyed appends (docbase labels,
+    // band index, window postings). A JVM that dies after the first
+    // commit leaves the cadence half-applied; each appendBatch is
+    // idempotent per-artifact, but the COMPOUND scenario — replaying the
+    // whole step over a half-applied state — carries its own risk: the
+    // already-committed docbase rows must not leak into the screens'
+    // standing side and flag the batch as a dup of itself. Pinned
+    // against a clean twin dir: same corpus, same batch, no crash.
+    val all = spark.read.parquet(s"$srcDir/documents.parquet")
+    val baseF = pmod(col("doc_id"), lit(10L)) =!= 4L
+    val batchF = pmod(col("doc_id"), lit(10L)) === 4L
+    val tag = "p1"
+    def runCadence(partialFirst: Boolean): (String, Seq[Seq[Any]]) = {
+      val dir = Files.createTempDirectory("graft-cadence-crashrep").toString
+      all.filter(baseF).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      CorpusPrep.ensureDocBase(spark, dir)
+      all.filter(batchF).write.mode("overwrite")
+        .parquet(s"$dir/documents_b1.parquet")
+      val arrived = Tables.documents(spark, dir).filter(batchF)
+      if (partialFirst) // the "crash": only the docbase append committed
+        CorpusPrep.appendToDocBase(spark, dir, arrived, batchTag = Some(tag))
+      (dir, CorpusPrep.ingestIncrement(spark, dir, arrived,
+        batchTag = Some(tag))
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")))
+    }
+    val (crashedDir, vCrash) = runCadence(partialFirst = true)
+    val (cleanDir, vClean) = runCadence(partialFirst = false)
+    assert(vCrash == vClean,
+      "replayed verdicts must equal a clean run's — the partial attempt's " +
+        "docbase rows must not reach the screens' standing side")
+    def artRows(dir: String): Seq[Seq[Any]] = {
+      val docs = Tables.documents(spark, dir)
+      Seq(
+        spark.read.parquet(CorpusPrep.ensureDocBase(spark, dir)),
+        spark.read.parquet(Dedup.ensureBandsIndex(spark, dir, docs)),
+        spark.read.parquet(CorpusPrep.ensureDocWins(spark, dir, docs)))
+        .flatMap(_.collect().map(_.toSeq)).sortBy(_.mkString("|"))
+    }
+    assert(artRows(crashedDir) == artRows(cleanDir),
+      "crash-then-replay must leave every cadence artifact equal to a " +
+        "clean single run — no doubled labels, bands, or window postings")
+  }
 }
