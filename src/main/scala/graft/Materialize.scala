@@ -353,6 +353,57 @@ object Materialize {
     p
   }
 
+  /** Committed batches appended since the last canonical fold: the
+    * distinct tags among `batch-<tag>-` DATA files ([[compact]] folds
+    * those files into the canonical layout; the `_BATCH_` markers
+    * deliberately SURVIVE compaction for replay short-circuiting, so the
+    * marker count is lifetime-total, never pending). Uncommitted partial
+    * attempts (data files whose marker is absent) don't count — they are
+    * repair debt, not read debt that compaction is scheduled against.
+    * One driver-side listing of one artifact dir — bounded. */
+  def pendingBatches(spark: SparkSession, kind: String, dir: String,
+                     version: Int): Int = {
+    val p = new Path(artifactPath(spark, kind, dir, version))
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) 0
+    else {
+      val names = fs.listStatus(p).map(_.getPath.getName)
+      val committed = names.filter(_.startsWith("_BATCH_"))
+        .map(_.stripPrefix("_BATCH_")).toSet
+      names.filter(_.startsWith("batch-"))
+        .map(_.stripPrefix("batch-").takeWhile(_ != '-'))
+        .filter(committed).distinct.length
+    }
+  }
+
+  /** Default pending-batch budget for [[compactIfDue]]. Anchored to the
+    * measured read-degradation curve (SCALE.md §compact-cadence): reads
+    * over an appended artifact pay per-file listing/footer overhead plus
+    * the lost single-sorted-run clustering on the appended fraction —
+    * linear in pending batches — while the fold itself is one
+    * artifact-sized rewrite whose amortized cost FALLS as the window
+    * grows. The budget caps the read-side tax; it does not need to sit
+    * at a precise optimum because both curves are shallow near it. */
+  val CompactPendingMax = 16L
+
+  /** The compact-vs-defer choice as a pure rule ([[refreshPlan]]
+    * precedent, one lifecycle stage down): fold once the committed
+    * pending-batch count reaches the budget. */
+  def compactPlan(pending: Long, maxPending: Long = CompactPendingMax): Boolean =
+    pending >= maxPending
+
+  /** [[compact]] behind the dispatch: folds when [[compactPlan]] says the
+    * appended file debt is due, no-ops otherwise. Returns the artifact
+    * path and the decision string ("compact" | "defer"), the
+    * refresh-dispatcher convention — probes record the decision next to
+    * the wall so a replica that dispatched wrong is visible in the line. */
+  def compactIfDue(spark: SparkSession, kind: String, dir: String,
+                   version: Int, maxPending: Long = CompactPendingMax)
+                  (rewrite: (DataFrame, String) => Unit): (String, String) =
+    if (compactPlan(pendingBatches(spark, kind, dir, version), maxPending))
+      (compact(spark, kind, dir, version)(rewrite), "compact")
+    else (artifactPath(spark, kind, dir, version), "defer")
+
   /** In-place artifact refresh from its own prior contents — the DELTA
     * face of [[invalidate]]+[[ensure]]: `build(prior, tmpPath)` derives
     * the artifact's NEW contents (it may read the prior generation's

@@ -112,6 +112,18 @@ object CorpusPrep {
     }
   }
 
+  private def docWinsFold(cur: DataFrame, tmp: String): Unit =
+    cur.repartition(32, col("w_hash"))
+      .sortWithinPartitions(col("w_hash"))
+      .write.mode("overwrite").parquet(tmp)
+
+  /** Periodic fold of the window postings back to the 32-way
+    * w_hash-clustered canonical layout — pure file reorganization,
+    * contents unchanged. */
+  def compactDocWins(spark: SparkSession, dir: String,
+                     version: Int = DocWinsVersion): String =
+    graft.Materialize.compact(spark, "graft_docwins", dir, version)(docWinsFold)
+
   /** The screen over explicit train docs + eval window set — the core the
     * gate query and the streaming face (StreamOps.decontaminateStream)
     * share. `evalWindows` is BY-NAME: a streaming micro-batch re-reads a
@@ -413,6 +425,19 @@ object CorpusPrep {
     }
   }
 
+  private def docBaseFold(cur: DataFrame, tmp: String): Unit =
+    cur.repartition(32, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(tmp)
+
+  /** Periodic fold of the row-local labels into a doc_id-clustered
+    * layout — pure file reorganization, contents unchanged (the serving
+    * join [[docMetaIndexed]] keys on doc_id, so the fold also restores
+    * the clustering the per-batch appends dilute). */
+  def compactDocBase(spark: SparkSession, dir: String,
+                     version: Int = DocBaseVersion): String =
+    graft.Materialize.compact(spark, "graft_docbase", dir, version)(docBaseFold)
+
   def ensureDocGlobal(spark: SparkSession, dir: String,
                       version: Int = DocGlobalVersion): String =
     graft.Materialize.ensure(spark, "graft_docglobal", dir, version) { p =>
@@ -656,6 +681,28 @@ object CorpusPrep {
       case _         => (deltaOverlayRefresh(spark, dir), "delta")
     }
   }
+
+  /** The cadence's compaction CLOCK, dispatched — [[compactionRefreshAuto]]
+    * handles the overlay's content refresh; this face handles the FILE
+    * debt of the three appended artifacts the per-batch step maintains
+    * (docbase labels, band index, window postings). Every micro-batch
+    * lands one batch-file set in each, and reads pay a per-pending-batch
+    * tax (listing + footers + diluted clustering — the measured curve in
+    * SCALE.md §compact-cadence) while the fold is one artifact-sized
+    * rewrite, so each artifact folds independently once ITS committed
+    * pending count reaches the budget (`Materialize.compactPlan`). Run at
+    * the same quiesced window as the overlay refresh — the fold swaps
+    * files in place, same single-driver caveat as compact. Returns
+    * artifact kind → decision ("compact" | "defer"). */
+  def compactCadenceIfDue(spark: SparkSession, dir: String,
+                          maxPending: Long = graft.Materialize.CompactPendingMax): Map[String, String] =
+    Map(
+      "graft_docbase" -> graft.Materialize.compactIfDue(spark,
+        "graft_docbase", dir, DocBaseVersion, maxPending)(docBaseFold)._2,
+      "graft_bands" -> Dedup.compactBandsIfDue(spark, dir,
+        maxPending = maxPending)._2,
+      "graft_docwins" -> graft.Materialize.compactIfDue(spark,
+        "graft_docwins", dir, DocWinsVersion, maxPending)(docWinsFold)._2)
 
   /** The dedup pipeline's exact-canon grouping key, hashed (docbase v2's
     * norm_hash column — shared so the label artifact and the inline delta

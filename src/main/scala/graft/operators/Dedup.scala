@@ -1898,6 +1898,15 @@ object Dedup {
       (cur, tmp) => writeBandsLayout(cur, tmp)
     }
 
+  /** [[compactBandsIndex]] behind the pending-batch dispatch
+    * (`Materialize.compactIfDue`) — the cadence's compaction clock folds
+    * only when the committed pending-batch count is due, instead of
+    * unconditionally. Returns (path, "compact" | "defer"). */
+  def compactBandsIfDue(spark: SparkSession, dir: String, version: Int = 1,
+                        maxPending: Long = graft.Materialize.CompactPendingMax): (String, String) =
+    graft.Materialize.compactIfDue(spark, "graft_bands", dir, version,
+      maxPending) { (cur, tmp) => writeBandsLayout(cur, tmp) }
+
   /** Fresh read of the materialized corpus bands (ensured on first call)
     * — the standing-corpus side of the incremental screen. BY-NAME
     * consumers (StreamOps.dedupScreenStream) re-evaluate per micro-batch,

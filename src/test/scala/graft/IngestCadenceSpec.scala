@@ -357,4 +357,63 @@ class IngestCadenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "crash-then-replay must leave every cadence artifact equal to a " +
         "clean single run — no doubled labels, bands, or window postings")
   }
+
+  test("compaction clock: committed pending batches dispatch the fold; contents unchanged") {
+    val dir = Files.createTempDirectory("graft-cadence-clock").toString
+    val all = spark.read.parquet(s"$srcDir/documents.parquet")
+    all.filter(pmod(col("doc_id"), lit(4L)) =!= 0L)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    CorpusPrep.ensureDocBase(spark, dir)
+    // two batches arrive through the cadence step — each lands one
+    // batch-file set in all three appended artifacts
+    Seq(0L, 4L).zipWithIndex.foreach { case (rem, i) =>
+      all.filter(pmod(col("doc_id"), lit(8L)) === rem)
+        .write.mode("overwrite").parquet(s"$dir/documents_b$i.parquet")
+      CorpusPrep.ingestIncrement(spark, dir,
+        Tables.documents(spark, dir)
+          .filter(pmod(col("doc_id"), lit(8L)) === rem),
+        batchTag = Some(s"t$i")).count()
+    }
+    val kinds = Seq("graft_docbase" -> CorpusPrep.DocBaseVersion,
+      "graft_bands" -> 1, "graft_docwins" -> CorpusPrep.DocWinsVersion)
+    def pend(k: (String, Int)): Int =
+      graft.Materialize.pendingBatches(spark, k._1, dir, k._2)
+    def rowsOf(k: (String, Int)): Seq[String] =
+      spark.read.parquet(
+          graft.Materialize.artifactPath(spark, k._1, dir, k._2))
+        .collect().map(_.toString).toSeq.sorted
+    assert(kinds.map(pend) == Seq(2, 2, 2))
+    val before = kinds.map(rowsOf)
+    // an uncommitted partial attempt is REPAIR debt, not read debt — it
+    // must not advance the clock (and the fold repairs it away below)
+    val wp = new org.apache.hadoop.fs.Path(graft.Materialize.artifactPath(
+      spark, "graft_docwins", dir, CorpusPrep.DocWinsVersion))
+    val fs = wp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val donor = fs.listStatus(wp)
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor.getPath, fs,
+      new org.apache.hadoop.fs.Path(wp, "batch-torphan-0.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(pend(kinds(2)) == 2,
+      "an unmarked partial attempt must not advance the clock")
+    // under the budget: every artifact defers, nothing moves
+    assert(CorpusPrep.compactCadenceIfDue(spark, dir, maxPending = 3L)
+      .values.toSet == Set("defer"))
+    assert(kinds.map(pend) == Seq(2, 2, 2))
+    // at the budget: every artifact folds; contents unchanged (and the
+    // planted orphan repaired away, not folded in); the clock resets
+    assert(CorpusPrep.compactCadenceIfDue(spark, dir, maxPending = 2L)
+      .values.toSet == Set("compact"))
+    assert(kinds.map(pend) == Seq(0, 0, 0))
+    assert(kinds.map(rowsOf) == before,
+      "the fold must reorganize files, never change contents")
+    // markers survived the fold: a late replay of a folded batch still
+    // no-ops through the whole cadence step
+    CorpusPrep.ingestIncrement(spark, dir,
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(8L)) === 0L),
+      batchTag = Some("t0")).count()
+    assert(kinds.map(rowsOf) == before,
+      "a folded batch's replay must still no-op")
+  }
 }
