@@ -326,12 +326,16 @@ object Materialize {
     // would re-add the whole batch — duplicating the folded rows. The
     // partial attempt is dropped here instead, under the same safety
     // argument as appendBatch's own repair path: its writer JVM is dead.
+    // membership is marker-driven (file startsWith "batch-<tag>-" for a
+    // committed tag), never parsed out of the file name — an artifact
+    // appended by an older build whose tags contained '-' would otherwise
+    // have its COMMITTED files misread as crashed attempts and deleted
     val committedTags = fs.listStatus(cur).map(_.getPath.getName)
       .filter(_.startsWith("_BATCH_")).map(_.stripPrefix("_BATCH_")).toSet
     fs.listStatus(cur).filter { f =>
       val n = f.getPath.getName
       n.startsWith("batch-") &&
-        !committedTags.contains(n.stripPrefix("batch-").takeWhile(_ != '-'))
+        !committedTags.exists(t => n.startsWith(s"batch-$t-"))
     }.foreach(f => fs.delete(f.getPath, false))
     val tmp = new Path(p + ".compacting")
     if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -369,10 +373,11 @@ object Materialize {
     else {
       val names = fs.listStatus(p).map(_.getPath.getName)
       val committed = names.filter(_.startsWith("_BATCH_"))
-        .map(_.stripPrefix("_BATCH_")).toSet
-      names.filter(_.startsWith("batch-"))
-        .map(_.stripPrefix("batch-").takeWhile(_ != '-'))
-        .filter(committed).distinct.length
+        .map(_.stripPrefix("_BATCH_"))
+      val data = names.filter(_.startsWith("batch-"))
+      // marker-driven, like compact's repair: a tag is pending iff its
+      // own data files are still unfolded (robust to legacy '-' tags)
+      committed.count(t => data.exists(_.startsWith(s"batch-$t-")))
     }
   }
 
@@ -466,8 +471,10 @@ object Materialize {
     * compaction still short-circuits instead of re-adding its rows. */
   def appendBatch(spark: SparkSession, kind: String, dir: String, version: Int,
                   batchTag: String)(build: String => Unit): String = {
-    // no '-' in tags: the `batch-<tag>-` file prefix must parse back to
-    // its tag unambiguously (compact's crashed-attempt repair relies on it)
+    // no '-' in tags: keeps `batch-<tag>-` prefixes prefix-free across
+    // tags, so a committed tag's prefix can never also match another
+    // tag's crashed-attempt files (the repair paths match marker-driven
+    // prefixes; ambiguity would make a kept orphan possible)
     require(batchTag.matches("[A-Za-z0-9_]+"),
       s"batch tag '$batchTag' must be filesystem-safe ([A-Za-z0-9_]+)")
     val p = artifactPath(spark, kind, dir, version)

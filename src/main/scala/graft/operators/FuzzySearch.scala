@@ -534,14 +534,24 @@ object FuzzySearch {
     * call) — gram-space-bounded, so always broadcast-sized. Shared by the
     * batch operator and the streaming face. */
   def allowedGramsIndexed(spark: SparkSession, dir: String, c: DataFrame,
-                          dfCapInverse: Long, version: Int = 1): DataFrame = {
+                          dfCapInverse: Long, version: Int = 1): DataFrame =
+    allowedGramsDfIndexed(spark, dir, c, dfCapInverse, version)
+      .select(col("ngram"))
+
+  /** [[allowedGramsIndexed]] WITH each allowed gram's folded df — the
+    * ONE derivation of the artifact-served cut, so a consumer that needs
+    * the df alongside the set (the entered-arm volume prediction in
+    * [[deltaChampionRefresh]]) can never drift from the served allowed
+    * set through a second copy of the fold. */
+  def allowedGramsDfIndexed(spark: SparkSession, dir: String, c: DataFrame,
+                            dfCapInverse: Long, version: Int = 1): DataFrame = {
     val (dp, np) = ensureGramStats(spark, dir, c, version)
     val dfRel = spark.read.parquet(dp).groupBy(col("ngram"))
       .agg(sum(col("df")).as("df"))
     val nRel = spark.read.parquet(np).agg(sum(col("n")).as("n"))
     dfRel.crossJoin(broadcast(nRel))
       .filter(col("df") * dfCapInverse <= col("n"))
-      .select(col("ngram"))
+      .select(col("ngram"), col("df"))
   }
 
   // ------------------- champion-list tier (absolute posting truncation)
@@ -655,15 +665,10 @@ object FuzzySearch {
                            postingsVersion: Int = 1,
                            enteredBroadcastBudget: Long = ChampEnteredBroadcastBudget): String = {
     val kind = s"graft_champost_${dfCapInverse}_$postingCap"
-    val (dp, np) = ensureGramStats(spark, dir, c, statsVersion)
-    val nRel = spark.read.parquet(np).agg(sum(col("n")).as("n"))
-    // the allowed set WITH its df — same fold allowedGramsIndexed serves,
-    // kept here so the entered arm's volume prediction shares its source
-    val allowedDf = spark.read.parquet(dp).groupBy(col("ngram"))
-      .agg(sum(col("df")).as("df"))
-      .crossJoin(broadcast(nRel))
-      .filter(col("df") * dfCapInverse <= col("n"))
-      .select(col("ngram"), col("df"))
+    // the allowed set WITH its df — the same single fold every served
+    // cut reads, so the entered arm's volume prediction cannot drift
+    val allowedDf = allowedGramsDfIndexed(spark, dir, c, dfCapInverse,
+      statsVersion)
     val postingsPath = ensurePostingsIndex(spark, dir, c, postingsVersion)
     graft.Materialize.refreshWith(spark, kind, dir, version) { (prior, tmpP) =>
       val priorGrams = prior.select(col("ngram")).distinct()

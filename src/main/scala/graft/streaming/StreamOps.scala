@@ -275,29 +275,41 @@ object StreamOps {
     * or after streams — nothing here touches it (IngestCadenceSpec
     * pins the served chain stable during deferral). */
   /** The cadence's idempotence identity for one micro-batch: derived from
-    * the batch's CONTENT (order-independent hash over (doc_id, text),
+    * the batch's CONTENT (order-independent hash over the FULL row —
+    * every column, folded in name order so column order can't matter —
     * plus the row count), never from the engine's batch id. A `foreachBatch`
     * id is only unique within one checkpoint lineage — a restarted stream
     * on a fresh checkpoint reissues id 0, and an id-keyed tag would then
     * silently skip a NEW batch whose id collides with a committed marker
     * (dropping its documents with no error). Content keying gives both
     * halves: a redelivered identical batch maps to the same tag under ANY
-    * id (replay converges), and distinct documents can never inherit a
-    * committed tag. Two batches with an identical (doc_id, text) multiset
-    * ARE the same documents, so folding them is exactly-once on content.
-    * The per-row hashes span the full Long range, so the multiset fold
-    * sums in decimal(38,0) — two xxhash64 values already overflow a Long
-    * sum under ANSI — and wraps back to 64 bits at the end (the wrap
-    * keeps the fold order-independent AND bounded). */
-  def cadenceBatchTag(batch: DataFrame): String = {
+    * id (replay converges), and a batch differing in ANY column — a
+    * corrected lang/source backfill, not just new text — is a different
+    * batch and can never inherit a committed tag. Two batches with an
+    * identical row multiset ARE the same data, so folding them is
+    * exactly-once on content. The per-row hashes span the full Long
+    * range, so the multiset fold sums in decimal(38,0) — two xxhash64
+    * values already overflow a Long sum under ANSI — and wraps back to
+    * 64 bits at the end (the wrap keeps the fold order-independent AND
+    * bounded). The tag SCHEME is part of the artifact contract: replay
+    * convergence holds within one scheme, so quiesce a stream (let its
+    * checkpoint commit) before deploying code that changes the
+    * derivation — an in-flight batch committed under the old scheme
+    * would be re-admitted under the new one. */
+  def cadenceBatchTag(batch: DataFrame): String =
+    cadenceTagAndCount(batch)._1
+
+  /** The tag plus the row count it already folds — one aggregate job, so
+    * the stream's per-batch path needs no separate isEmpty pass. */
+  private[graft] def cadenceTagAndCount(batch: DataFrame): (String, Long) = {
     val r = batch
-      .agg(coalesce(sum(xxhash64(col("doc_id"), col("text"))
+      .agg(coalesce(sum(xxhash64(batch.columns.sorted.map(col).toSeq: _*)
           .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("h"),
         count(lit(1)).as("n"))
       .head()
     val h = r.getDecimal(0).toBigInteger
       .mod(java.math.BigInteger.ONE.shiftLeft(64))
-    s"c${r.getLong(1)}_${h.toString(16)}"
+    (s"c${r.getLong(1)}_${h.toString(16)}", r.getLong(1))
   }
 
   def ingestCadenceStream(docs: DataFrame, dir: String,
@@ -305,9 +317,12 @@ object StreamOps {
                          (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
+        // the tag aggregate already folds the row count, so it doubles
+        // as the emptiness check — one job, not an isEmpty pass plus a
+        // second full evaluation of the uncached micro-batch
+        val (tag, n) = cadenceTagAndCount(batch.toDF())
+        if (n > 0L) {
           val spark = batch.sparkSession
-          val tag = cadenceBatchTag(batch.toDF())
           val raw = new org.apache.hadoop.fs.Path(
             s"$dir/documents_stream_$tag.parquet")
           val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
