@@ -1,0 +1,186 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.GZIPInputStream
+
+/** Versioned remote fetch — the reference's CDN transport
+  * (geo_manager.py:671-763, base URL settings.py:5), the one surface that
+  * had stayed unported because it needs a network. The lifecycle SEMANTICS
+  * (version dirs extend, a re-publish invalidates transitively) were
+  * already spec-pinned against the local cache (IngestSpec); this is the
+  * missing first hop that lands the bytes.
+  *
+  * Faithful shape, hop by hop:
+  *   - `v/<version>/` URL prefix when a version is named, bare base
+  *     otherwise (get_base_url, geo_manager.py:671-675);
+  *   - two JSON dumps per version — the shape dict and the ngram search
+  *     dict — fetched with an optional `.gz` suffix and gunzipped in
+  *     memory (:697-702, :728-745);
+  *   - HTTP 200 or raise carrying the response body text (:735, :744);
+  *   - local write-through cache at `<dataDir>/geo_db/<version|current>/`,
+  *     checked by DIRECTORY existence and bypassed by `forceDbFetch`
+  *     (:706-718); the cache always stores the DECOMPRESSED json (the
+  *     reference json.dumps the parsed dict, :751-759), so a later local
+  *     load never needs to know how the bytes travelled.
+  *
+  * Spark-first split: the transport only lands files; parsing is Spark's.
+  * The dump format is a single top-level JSON OBJECT (`{ref_code:
+  * record}`), which is not line-splittable — `readShapeDict` reads it
+  * wholetext and explodes a `from_json` map, a deliberately single-task
+  * plan bounded by the dump format itself (the reference holds the same
+  * dict on one python heap). The scale path is unchanged: explode once,
+  * then materialize the canonical lat-band/z-ordered parquet (GeoIngest)
+  * and never touch the dict form again. 100 TB corpora arrive as
+  * splittable JSONL/parquet, not as this bounded bootstrap format.
+  */
+object RemoteFetch {
+
+  /** Dump file names, geo_manager.py:697-698. */
+  val SearchFileName = "geo_manager_ngram_search.json"
+  val ShapeFileName  = "geo_manager_shape.json"
+
+  /** get_base_url (geo_manager.py:671-675): `<base>/` or `<base>/v/<version>/`. */
+  def baseUrl(base: String, version: Option[String]): String = {
+    val b = base.stripSuffix("/")
+    version match {
+      case Some(v) => s"$b/v/$v/"
+      case None    => s"$b/"
+    }
+  }
+
+  private lazy val client: HttpClient =
+    HttpClient.newBuilder().followRedirects(HttpClient.Redirect.NORMAL).build()
+
+  /** One GET: 200 → body bytes (gunzipped when `compressed`), anything
+    * else → the reference's ValueError with the response text
+    * (geo_manager.py:735-736, 744-746). */
+  def fetchBytes(url: String, compressed: Boolean): Array[Byte] = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() != 200) {
+      val text = new String(resp.body(), StandardCharsets.UTF_8)
+      throw new IllegalArgumentException(s"Unable to load file url=$url reason=$text")
+    }
+    if (compressed) gunzip(resp.body()) else resp.body()
+  }
+
+  private[sources] def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** The two landed dump files of one version. */
+  final case class GeoDump(shapePath: String, searchPath: String)
+
+  /** load_data (geo_manager.py:677-763): resolve the local cache dir, load
+    * from it unless absent or forced, otherwise fetch both dumps and
+    * write-through. Returns the on-disk paths; `loadData` layers the Spark
+    * reads on top. */
+  def fetchDump(base: String, dataDir: String,
+                version: Option[String] = None,
+                forceDbFetch: Boolean = false,
+                cacheLocal: Boolean = true,
+                compressed: Boolean = false): GeoDump = {
+    val localPath = Paths.get(dataDir, "geo_db", version.getOrElse("current"))
+    // Directory-existence check, deliberately not per-file (:706) — a
+    // half-written cache dir surfaces as a read error, as in the reference.
+    if (Files.exists(localPath) && !forceDbFetch)
+      return GeoDump(
+        localPath.resolve(ShapeFileName).toString,
+        localPath.resolve(SearchFileName).toString)
+
+    val suffix = if (compressed) ".gz" else ""
+    val url    = baseUrl(base, version)
+    val search = fetchBytes(url + SearchFileName + suffix, compressed)
+    val shape  = fetchBytes(url + ShapeFileName + suffix, compressed)
+
+    // cacheLocal=false still needs files for Spark to read — land them in
+    // a throwaway dir instead of the cache tree (:748-759 only writes when
+    // cache_local).
+    val dir =
+      if (cacheLocal) { Files.createDirectories(localPath); localPath }
+      else Files.createTempDirectory("graft_remote_fetch")
+    val shapeFile  = writeFile(dir.resolve(ShapeFileName), shape)
+    val searchFile = writeFile(dir.resolve(SearchFileName), search)
+    GeoDump(shapeFile.toString, searchFile.toString)
+  }
+
+  private def writeFile(p: Path, bytes: Array[Byte]): Path = {
+    Files.write(p, bytes); p
+  }
+
+  /** Shape dict reader: `{ref_code: record}` → one row per record with the
+    * ingest-time coercions applied (GeoIngest.coerce) — the exploded rows
+    * are exactly what `GeoIngest.readJson` yields over the JSONL form, so
+    * every downstream operator is format-blind. */
+  def readShapeDict(spark: SparkSession, path: String): DataFrame = {
+    val dict = spark.read.option("wholetext", "true").text(path)
+      .select(explode(from_json(col("value"),
+        MapType(StringType, GeoIngest.rawSchema))).as(Seq("ref_code_key", "rec")))
+    GeoIngest.coerce(dict.select(col("rec.*")))
+  }
+
+  /** Search dict reader: `{ngram: [id, ...]}` → exploded posting pairs
+    * (ngram, id), multiplicity preserved — the relation shape
+    * NgramIndex.postingPairsMulti derives from a corpus, so a fetched
+    * index and a derived one are interchangeable downstream. */
+  def readSearchDict(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(explode(from_json(col("value"),
+        MapType(StringType, ArrayType(LongType)))).as(Seq("ngram", "ids")))
+      .select(col("ngram"), explode(col("ids")).as("id"))
+
+  /** The full load_data face: fetch (or cache-hit) both dumps, return the
+    * shape relation and the posting relation. */
+  final case class GeoDb(shapes: DataFrame, postings: DataFrame)
+
+  def loadData(spark: SparkSession, base: String, dataDir: String,
+               version: Option[String] = None,
+               forceDbFetch: Boolean = false,
+               cacheLocal: Boolean = true,
+               compressed: Boolean = false): GeoDb = {
+    val dump = fetchDump(base, dataDir, version, forceDbFetch, cacheLocal, compressed)
+    GeoDb(readShapeDict(spark, dump.shapePath), readSearchDict(spark, dump.searchPath))
+  }
+
+  private val GeoDbCanonicalVersion = 1
+
+  /** Versioned remote sync to the CANONICAL store: land the dump in the
+    * local cache, then materialize the z-ordered parquet keyed by the
+    * cache dir through the artifact layer — which maps the reference's
+    * whole version lifecycle onto machinery the engine already has:
+    *
+    *  - a NEW version names a new cache dir → a new artifact key → a
+    *    fresh canonical build, while older versions' artifacts stand
+    *    (the reference keeps each version's cache dir side by side);
+    *  - a RE-PUBLISH of an existing version (forceDbFetch overwrites the
+    *    cached dumps, their mtimes move) → the staleness manifest marks
+    *    the canonical artifact stale → next sync rebuilds it, and every
+    *    downstream artifact keyed on the canonical path goes stale
+    *    transitively (the IngestSpec-pinned invalidation semantics, now
+    *    reachable END TO END from the transport);
+    *  - an unchanged cache → one `_SUCCESS` probe, zero network, zero
+    *    build — the repeat-query fast path.
+    *
+    * Returns the canonical parquet path; every downstream operator reads
+    * that, never the dict form. */
+  def syncToCanonical(spark: SparkSession, base: String, dataDir: String,
+                      version: Option[String] = None,
+                      forceDbFetch: Boolean = false,
+                      compressed: Boolean = false): String = {
+    val dump = fetchDump(base, dataDir, version, forceDbFetch,
+      cacheLocal = true, compressed = compressed)
+    val cacheDir = Paths.get(dataDir, "geo_db", version.getOrElse("current")).toString
+    graft.Materialize.ensure(spark, "graft_geodb", cacheDir, GeoDbCanonicalVersion) { p =>
+      GeoIngest.materializeZOrdered(readShapeDict(spark, dump.shapePath), p, files = 4)
+    }
+  }
+}
