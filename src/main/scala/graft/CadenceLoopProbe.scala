@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The OPERATIONAL LOOP rehearsal — round 12's lifecycle machinery run
+  * COMPOSED, end to end, at replica scale, the way a production corpus
+  * would live through a day: bootstrap the standing artifacts, land
+  * several arrival batches through the cadence (raw corpus commit +
+  * row-local labels + screens + band/window appends), let the compaction
+  * CLOCK decide the folds, let the refresh DISPATCHER decide the overlay
+  * refresh, then check that the SERVED label relation in this
+  * incrementally-lived-in world is row-identical to a from-scratch world
+  * built over the same final corpus in a clean warehouse.
+  *
+  * Every piece is individually spec-pinned (IngestCadenceSpec /
+  * IncrementalIndexSpec / StreamingSpec); what only this probe exercises
+  * is the WHOLE SEQUENCE — appends, then clock-driven folds of all three
+  * artifacts, then the dispatched delta refresh OVER the folded layout —
+  * plus the walls of each phase at the 10×/100× replicas, which is the
+  * number an operator planning a production cadence actually needs.
+  *
+  *   runMain graft.CadenceLoopProbe <srcDir> ...
+  *
+  * One JSON line per dir: per-phase walls, each clock/dispatcher decision
+  * string, and the served-equality verdict (count + order-independent
+  * multiset hash of the full docbase⋈overlay relation, the
+  * cadenceTagAndCount fold — sums in decimal(38,0) because two xxhash64
+  * values can already overflow a Long under ANSI).
+  */
+object CadenceLoopProbe {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: CadenceLoopProbe <srcDir> ...")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators._
+
+    def t(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    /** (row count, multiset hash) of a relation — column order fixed by
+      * name sort, row order irrelevant. */
+    def relSig(df: DataFrame): (Long, String) = {
+      val r = df.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(df.columns.sorted.map(col).toSeq: _*)
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("h")).head()
+      (r.getLong(0), r.getDecimal(1).toBigInteger
+        .mod(java.math.BigInteger.ONE.shiftLeft(64)).toString(16))
+    }
+
+    args.foreach { src =>
+      val work = java.nio.file.Files.createTempDirectory("graft-cadence-loop").toString
+      val whA = java.nio.file.Files.createTempDirectory("graft-loop-whA").toString
+      val whB = java.nio.file.Files.createTempDirectory("graft-loop-whB").toString
+      spark.conf.set("spark.graft.materialize.dir", whA)
+
+      val srcDocs = Tables.documents(spark, src)
+      // standing corpus: 70% of the source; three 10% arrival batches
+      srcDocs.filter(pmod(col("doc_id"), lit(10L)) < 7L)
+        .write.mode("overwrite").parquet(s"$work/documents.parquet")
+
+      val tBootstrap = t {
+        val docs = Tables.documents(spark, work)
+          .select(col("doc_id"), col("text"))
+        CorpusPrep.ensureDocBase(spark, work)
+        Dedup.ensureBandsIndex(spark, work, docs)
+        CorpusPrep.ensureDocWins(spark, work, docs)
+        CorpusPrep.ensureDocGlobal(spark, work)
+      }
+
+      // three arrival batches through the cadence step (the streaming
+      // face's per-batch body: raw corpus commit under the content tag,
+      // then ingestIncrement with the same tag — StreamingSpec pins the
+      // stream wrapper's idempotence; this probe times the work)
+      val batchWalls = (7L to 9L).map { b =>
+        val batch = srcDocs.filter(pmod(col("doc_id"), lit(10L)) === b)
+        t {
+          batch.write.mode("overwrite").parquet(s"$work/documents_b$b.parquet")
+          CorpusPrep.ingestIncrement(spark, work,
+            Tables.documents(spark, work)
+              .filter(pmod(col("doc_id"), lit(10L)) === b),
+            batchTag = Some(s"loop$b")).count()
+        }
+      }
+
+      // the compaction clock at the real budget (3 < 16 → all defer),
+      // then forced (maxPending = 1 → every artifact folds)
+      val clockDefer = CorpusPrep.compactCadenceIfDue(spark, work)
+      var clockFold = Map.empty[String, String]
+      val tFold = t { clockFold = CorpusPrep.compactCadenceIfDue(spark, work, maxPending = 1L) }
+
+      // the dispatched overlay refresh OVER the folded layout
+      var refreshDec = ""
+      val tRefresh = t {
+        refreshDec = CorpusPrep.compactionRefreshAuto(spark, work)._2
+      }
+
+      // served equality: the full label relation in the lived-in world
+      // (appends + folds + delta refresh, warehouse A) vs a from-scratch
+      // world over the same final corpus (clean warehouse B)
+      val sigA = relSig(CorpusPrep.docMetaIndexed(spark, work))
+      spark.conf.set("spark.graft.materialize.dir", whB)
+      val tScratch = t { CorpusPrep.ensureDocGlobal(spark, work) }
+      val sigB = relSig(CorpusPrep.docMetaIndexed(spark, work))
+      spark.conf.set("spark.graft.materialize.dir", whA)
+
+      val batches = batchWalls.map(w => f"$w%.1f").mkString("[", ",", "]")
+      println(f"""{"metric":"cadence_loop","dir":"$src",""" +
+        f""""bootstrap":$tBootstrap%.1f,"batch_walls":$batches,""" +
+        f""""clock_at_3":"${clockDefer.values.mkString("/")}",""" +
+        f""""fold":{"wall":$tFold%.1f,"decisions":"${clockFold.values.mkString("/")}"},""" +
+        f""""refresh":{"wall":$tRefresh%.1f,"decision":"$refreshDec"},""" +
+        f""""scratch_rebuild":$tScratch%.1f,""" +
+        f""""served_equal":${sigA == sigB},""" +
+        f""""rows":${sigA._1},"sig_a":"${sigA._2}","sig_b":"${sigB._2}"}""")
+
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(whA))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(whB))
+    }
+    spark.stop()
+  }
+}

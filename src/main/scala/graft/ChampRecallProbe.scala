@@ -53,6 +53,26 @@ object ChampRecallProbe {
         f""""k_stop":$kStop,"k_champ":$kChamp,"hits":$hits,""" +
         f""""recall_vs_stopgram":$recall%.4f,""" +
         f""""stop_wall":$stopWall%.1f,"champ_wall":$champWall%.1f}""")
+      // The CAPPED instrument (RecallQueryCap = first 64 stride queries),
+      // which makes the vs-UNCUT column computable at replica scale: the
+      // qid predicate pushes below all three anchors' candidate joins, so
+      // the uncut tier-1 anchor pays 64 queries' posting volume instead
+      // of the full stride's (~1/58th of the predicted 24B-row join at
+      // 100×). This is the gate row `fuzzy_batch_champ_recall` run
+      // verbatim at the replica — same estimator, explicit query budget.
+      val t2 = System.nanoTime()
+      val capped = graft.operators.FuzzySearch
+        .batchFuzzyChampRecall(spark, dir, k, inv).head()
+      val cappedWall = (System.nanoTime() - t2) / 1e9
+      println(f"""{"metric":"champ_recall_capped","dir":"$dir",""" +
+        f""""n_queries":${capped.getAs[Long]("n_queries")},""" +
+        f""""k_total":${capped.getAs[Long]("k_total")},""" +
+        f""""hits_total":${capped.getAs[Long]("hits_total")},""" +
+        f""""recall_vs_uncut":${capped.getAs[Double]("recall")}%.4f,""" +
+        f""""k_stop":${capped.getAs[Long]("k_stop")},""" +
+        f""""hits_stop":${capped.getAs[Long]("hits_stop")},""" +
+        f""""recall_vs_stopgram":${capped.getAs[Double]("recall_vs_stopgram")}%.4f,""" +
+        f""""wall":$cappedWall%.1f}""")
     }
     spark.stop()
   }

@@ -622,13 +622,24 @@ object CorpusPrep {
     * for every arrived batch (checked loudly: a docbase that has not
     * labeled every current doc means a batch skipped the cadence, and a
     * silent delta over it would miss those arrivals). */
-  def deltaOverlayRefresh(spark: SparkSession, dir: String): String = {
+  def deltaOverlayRefresh(spark: SparkSession, dir: String): String =
+    deltaOverlayRefreshImpl(spark, dir, checkCoverage = true)
+
+  /** `checkCoverage = false` is for [[compactionRefreshAuto]] only: the
+    * dispatcher has JUST run the identical docbase-covers-every-doc
+    * require as part of deriving its arrival count, and the duplicate
+    * distinct-count job is a corpus-sized read paid per compaction window
+    * for nothing. The direct face keeps the check — it is the loud guard
+    * against a batch that skipped the cadence. */
+  private def deltaOverlayRefreshImpl(spark: SparkSession, dir: String,
+                                      checkCoverage: Boolean): String = {
     val docs = graft.Tables.documents(spark, dir)
     val normHashes = spark.read.parquet(ensureDocBase(spark, dir))
       .select(col("doc_id"), col("norm_hash"))
-    require(normHashes.select(col("doc_id")).distinct().count() == docs.count(),
-      s"delta overlay refresh of $dir: docbase has not labeled every " +
-        "current doc — run ingestIncrement for each arrived batch first")
+    if (checkCoverage)
+      require(normHashes.select(col("doc_id")).distinct().count() == docs.count(),
+        s"delta overlay refresh of $dir: docbase has not labeled every " +
+          "current doc — run ingestIncrement for each arrived batch first")
     val bands = spark.read.parquet(Dedup.ensureBandsIndex(spark, dir, docs))
     val wins = spark.read.parquet(ensureDocWins(spark, dir, docs))
     graft.Materialize.refreshWith(spark, "graft_docglobal", dir,
@@ -643,9 +654,10 @@ object CorpusPrep {
     * round-11 critique of the opt-in two-level IVF build, applied to the
     * refresh faces round 12 introduced: a delta that must be hand-picked
     * is a scale knob someone forgets). Counts the standing corpus and the
-    * arrivals from the artifacts the cadence already maintains — docbase
-    * ids vs the prior overlay's ids, the same precondition read the delta
-    * itself performs — picks by [[graft.Materialize.refreshPlan]], and
+    * arrivals from the artifacts the cadence already maintains — one
+    * docbase distinct-id count (which doubles as the cadence coverage
+    * guard) minus a footer-only count-star of the prior overlay — picks
+    * by [[graft.Materialize.refreshPlan]], and
     * returns the refreshed path plus the decision taken (the
     * `ensureIvfIndexAuto` return convention). A corpus with no committed
     * overlay yet bootstraps through plain ensure. Measured anchors for
@@ -660,25 +672,35 @@ object CorpusPrep {
     // base (refreshWith rejects them); route straight to the exact rebuild
     if (!graft.Materialize.isDeltaBase(spark, "graft_docglobal", dir, DocGlobalVersion))
       return (compactionRefresh(spark, dir), "rebuild")
-    val baseIds = spark.read.parquet(ensureDocBase(spark, dir))
-      .select(col("doc_id")).distinct()
-    val overlayIds = spark.read.parquet(
-        graft.Materialize.artifactPath(spark, "graft_docglobal", dir, DocGlobalVersion))
-      .select(col("doc_id"))
-    val n = baseIds.count()
-    // the delta's own cadence precondition, checked HERE too: a batch that
-    // reached the corpus dir without ingestIncrement is in neither docbase
-    // nor the overlay, so the id diff below cannot see it — without this
+    val n = spark.read.parquet(ensureDocBase(spark, dir))
+      .select(col("doc_id")).distinct().count()
+    // the delta's own cadence precondition, checked HERE (and only here —
+    // the delta arm below skips its duplicate): a batch that reached the
+    // corpus dir without ingestIncrement is in neither docbase nor the
+    // overlay, so the arrival count below cannot see it — without this
     // check the dispatcher would return "ensure" as success while the
     // served overlay permanently excludes those docs
     require(n == graft.Tables.documents(spark, dir).count(),
       s"compactionRefreshAuto of $dir: docbase has not labeled every " +
         "current doc — run ingestIncrement for each arrived batch first")
-    val arrivals = baseIds.join(overlayIds, Seq("doc_id"), "left_anti").count()
+    // arrivals = docs the overlay has not labeled. The isDeltaBase gate
+    // above makes count ARITHMETIC exact here, no anti-join needed: a
+    // fresh manifest means no recorded corpus child was modified or
+    // removed, so the overlay's ids (one row per doc it covered, by
+    // construction of docGlobalOver) are a SUBSET of the current ids and
+    // the uncovered count is just the difference. The overlay side is a
+    // count-star over parquet footers — no doc_id scan, no join. Residual
+    // caveat shared with the manifest itself: an edit that preserves a
+    // child's mtime is invisible (then re-path the dir or bump the
+    // version) — the previous anti-join spelling was equally blind to it.
+    val covered = spark.read.parquet(
+        graft.Materialize.artifactPath(spark, "graft_docglobal", dir, DocGlobalVersion))
+      .count()
+    val arrivals = n - covered
     graft.Materialize.refreshPlan(n, arrivals, floorDocs, majority) match {
       case "ensure"  => (ensureDocGlobal(spark, dir), "ensure")
       case "rebuild" => (compactionRefresh(spark, dir), "rebuild")
-      case _         => (deltaOverlayRefresh(spark, dir), "delta")
+      case _         => (deltaOverlayRefreshImpl(spark, dir, checkCoverage = false), "delta")
     }
   }
 

@@ -253,6 +253,16 @@ class IngestCadenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     batch2.write.mode("overwrite").parquet(s"$dDir/documents_b2.parquet")
     CorpusPrep.ingestIncrement(spark, dDir,
       Tables.documents(spark, dDir).filter(col("doc_id") >= 800000000L))
+    // the dispatcher's count-arithmetic arrival derivation (docbase
+    // distinct ids minus overlay count-star) must equal the anti-join it
+    // replaced, on live cadence state with a genuine pending arrival
+    val baseIds = spark.read.parquet(CorpusPrep.ensureDocBase(spark, dDir))
+      .select(col("doc_id")).distinct()
+    val overlay = spark.read.parquet(graft.Materialize.artifactPath(
+      spark, "graft_docglobal", dDir, CorpusPrep.DocGlobalVersion))
+    assert(baseIds.count() - overlay.count() ==
+      baseIds.join(overlay.select(col("doc_id")), Seq("doc_id"), "left_anti").count(),
+      "count arithmetic and the anti-join must agree on the arrival count")
     val (p3, d3) = CorpusPrep.compactionRefreshAuto(spark, dDir, floorDocs = 1L)
     assert(d3 == "delta")
     def sortedRows(p: String): Seq[Seq[Any]] =
