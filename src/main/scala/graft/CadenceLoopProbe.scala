@@ -104,13 +104,27 @@ object CadenceLoopProbe {
         refreshDec = CorpusPrep.compactionRefreshAuto(spark, work)._2
       }
 
-      // served equality: the full label relation in the lived-in world
+      // served equality: the label relation in the lived-in world
       // (appends + folds + delta refresh, warehouse A) vs a from-scratch
-      // world over the same final corpus (clean warehouse B)
-      val sigA = relSig(CorpusPrep.docMetaIndexed(spark, work))
+      // world over the same final corpus (clean warehouse B). The
+      // comparison SPLITS on the one deliberately-frozen input: docbase
+      // appends score lm_score against the FROZEN standing-corpus model
+      // (a retrain is a version bump, the documented lifecycle — new
+      // corpus children alone do not invalidate the model artifact),
+      // while the from-scratch world trains on the final corpus. So
+      // every column except lm_score must be row-identical — overlay
+      // labels included, THROUGH the folds and the dispatched delta —
+      // and the lm_score divergence is reported as the retrain debt a
+      // version bump would clear, not an equality failure.
+      val metaA = CorpusPrep.docMetaIndexed(spark, work)
+      val sigA = relSig(metaA.drop("lm_score"))
       spark.conf.set("spark.graft.materialize.dir", whB)
       val tScratch = t { CorpusPrep.ensureDocGlobal(spark, work) }
-      val sigB = relSig(CorpusPrep.docMetaIndexed(spark, work))
+      val metaB = CorpusPrep.docMetaIndexed(spark, work)
+      val sigB = relSig(metaB.drop("lm_score"))
+      val lmDiverged = metaA.select(col("doc_id"), col("lm_score").as("lm_a"))
+        .join(metaB.select(col("doc_id"), col("lm_score").as("lm_b")), "doc_id")
+        .filter(!(col("lm_a") <=> col("lm_b"))).count()
       spark.conf.set("spark.graft.materialize.dir", whA)
 
       val batches = batchWalls.map(w => f"$w%.1f").mkString("[", ",", "]")
@@ -121,7 +135,8 @@ object CadenceLoopProbe {
         f""""refresh":{"wall":$tRefresh%.1f,"decision":"$refreshDec"},""" +
         f""""scratch_rebuild":$tScratch%.1f,""" +
         f""""served_equal":${sigA == sigB},""" +
-        f""""rows":${sigA._1},"sig_a":"${sigA._2}","sig_b":"${sigB._2}"}""")
+        f""""rows":${sigA._1},"sig_a":"${sigA._2}","sig_b":"${sigB._2}",""" +
+        f""""lm_retrain_divergence":$lmDiverged}""")
 
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(whA))
