@@ -783,12 +783,31 @@ object CorpusPrep {
     val est = size(filter(sequence(lit(1), lit(Dedup.MinHashK)),
       i => element_at(col("a.sig"), i) === element_at(col("b.sig"), i)))
       .cast("double") / Dedup.MinHashK.toDouble
-    val affNear = fullBands.as("a").join(arrBands.as("b"),
+    // SIGNATURE-factored (round-12 continuation): the 1000× clone
+    // rehearsal caught the doc-level spelling of this join reintroducing
+    // the hot-bucket quadratic the round-9 pipeline fix removed — k
+    // clones of a doc share one signature, so pairing DOCS multiplies
+    // every bucket k×k while pairing DISTINCT SIGNATURES is
+    // clone-invariant. Both co-banding (band hashes derive from the sig)
+    // and est ≥ tau are functions of the signature pair alone, so
+    // sig-level matching marks exactly the same affected docs: a
+    // standing doc is affected iff its sig co-bands with an ARRIVAL sig
+    // at est ≥ tau (the original's a.doc_id =!= b.doc_id only excluded
+    // self-pairs, and an arrival is never its own standing doc; the
+    // sig-identical case est = 1 ≥ tau folds in what affSig below also
+    // covers — union semantics unchanged).
+    val arrSigBands = arrBands
+      .select(col("sig"), col("band_idx"), col("band_hash")).distinct()
+    val standSigBands = fullBands
+      .select(col("sig"), col("band_idx"), col("band_hash")).distinct()
+    val affNearSigs = standSigBands.as("a").join(arrSigBands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") =!= col("b.doc_id"))
+          col("a.band_hash") === col("b.band_hash"))
       .filter(est >= tau)
-      .select(col("a.doc_id")).distinct()
+      .select(col("a.sig").as("aff_sig")).distinct()
+    val affNear = fullBands.select(col("doc_id"), col("sig")).distinct()
+      .join(affNearSigs, col("sig") <=> col("aff_sig"))
+      .select(col("doc_id")).distinct()
     // null-text insurance: a sig-identical arrival groups with standing
     // docs even where its (null) band hashes cannot equi-join
     val affSig = fullBands.select(col("doc_id"), col("sig"))

@@ -104,10 +104,16 @@ object RemoteFetch {
 
     // cacheLocal=false still needs files for Spark to read — land them in
     // a throwaway dir instead of the cache tree (:748-759 only writes when
-    // cache_local).
+    // cache_local). The dir must outlive this call (Spark reads it
+    // lazily), so it is reaped at JVM exit, not here.
     val dir =
       if (cacheLocal) { Files.createDirectories(localPath); localPath }
-      else Files.createTempDirectory("graft_remote_fetch")
+      else {
+        val t = Files.createTempDirectory("graft_remote_fetch")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          org.apache.commons.io.FileUtils.deleteQuietly(t.toFile): Unit))
+        t
+      }
     val shapeFile  = writeFile(dir.resolve(ShapeFileName), shape)
     val searchFile = writeFile(dir.resolve(SearchFileName), search)
     GeoDump(shapeFile.toString, searchFile.toString)
