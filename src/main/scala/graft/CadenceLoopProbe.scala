@@ -47,14 +47,21 @@ object CadenceLoopProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     /** (row count, multiset hash) of a relation — column order fixed by
-      * name sort, row order irrelevant. */
+      * name sort, row order irrelevant. Two independently-seeded per-row
+      * hashes are summed separately and concatenated: a compensating
+      * difference that cancels in one additive fold would also have to
+      * cancel under the second seed (and preserve count), shrinking the
+      * collision surface from one 64-bit sum to count × two sums. */
     def relSig(df: DataFrame): (Long, String) = {
-      val r = df.agg(
-        count(lit(1)).as("n"),
-        coalesce(sum(xxhash64(df.columns.sorted.map(col).toSeq: _*)
-          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("h")).head()
-      (r.getLong(0), r.getDecimal(1).toBigInteger
-        .mod(java.math.BigInteger.ONE.shiftLeft(64)).toString(16))
+      val cols = df.columns.sorted.map(col).toSeq
+      def hsum(seed: org.apache.spark.sql.Column*) =
+        coalesce(sum(xxhash64(seed ++ cols: _*).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))
+      val r = df.agg(count(lit(1)).as("n"),
+        hsum().as("h1"), hsum(lit("graft-salt-2")).as("h2")).head()
+      def hex(d: java.math.BigDecimal) = d.toBigInteger
+        .mod(java.math.BigInteger.ONE.shiftLeft(64)).toString(16)
+      (r.getLong(0), hex(r.getDecimal(1)) + ":" + hex(r.getDecimal(2)))
     }
 
     args.foreach { src =>

@@ -696,6 +696,17 @@ object CorpusPrep {
     val covered = spark.read.parquet(
         graft.Materialize.artifactPath(spark, "graft_docglobal", dir, DocGlobalVersion))
       .count()
+    // The arithmetic's subset premise can be violated from OUTSIDE the
+    // cadence contract: a replayed UNTAGGED ingestIncrement (plain append,
+    // no batch marker) lands duplicate docbase/overlay rows — the distinct
+    // coverage guard above still passes, but the overlay count-star
+    // overcounts and arrivals would silently undercount (the dispatcher
+    // could return "ensure" while real arrivals stay unlabeled). Fail
+    // loudly instead of serving a wrong decision.
+    require(covered <= n,
+      s"compactionRefreshAuto of $dir: overlay has $covered rows for $n " +
+        "distinct docs — duplicated overlay rows (replayed un-tagged " +
+        "append?); run compactionRefresh to rebuild the overlay")
     val arrivals = n - covered
     graft.Materialize.refreshPlan(n, arrivals, floorDocs, majority) match {
       case "ensure"  => (ensureDocGlobal(spark, dir), "ensure")

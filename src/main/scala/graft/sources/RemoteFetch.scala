@@ -55,15 +55,25 @@ object RemoteFetch {
     }
   }
 
+  /** Transport bounds — the reference's bare `requests.get` hangs forever
+    * on a stalled remote; a framework entry point must not. Overridable
+    * via system properties for pathological networks. */
+  private def connectTimeout: java.time.Duration = java.time.Duration.ofMillis(
+    sys.props.getOrElse("graft.remote.connectTimeoutMs", "10000").toLong)
+  private def requestTimeout: java.time.Duration = java.time.Duration.ofMillis(
+    sys.props.getOrElse("graft.remote.requestTimeoutMs", "120000").toLong)
+
   private lazy val client: HttpClient =
-    HttpClient.newBuilder().followRedirects(HttpClient.Redirect.NORMAL).build()
+    HttpClient.newBuilder().followRedirects(HttpClient.Redirect.NORMAL)
+      .connectTimeout(connectTimeout).build()
 
   /** One GET: 200 → body bytes (gunzipped when `compressed`), anything
     * else → the reference's ValueError with the response text
     * (geo_manager.py:735-736, 744-746). */
   def fetchBytes(url: String, compressed: Boolean): Array[Byte] = {
     val resp = client.send(
-      HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpRequest.newBuilder(URI.create(url)).GET()
+        .timeout(requestTimeout).build(),
       HttpResponse.BodyHandlers.ofByteArray())
     if (resp.statusCode() != 200) {
       val text = new String(resp.body(), StandardCharsets.UTF_8)
@@ -90,8 +100,11 @@ object RemoteFetch {
                 cacheLocal: Boolean = true,
                 compressed: Boolean = false): GeoDump = {
     val localPath = Paths.get(dataDir, "geo_db", version.getOrElse("current"))
-    // Directory-existence check, deliberately not per-file (:706) — a
-    // half-written cache dir surfaces as a read error, as in the reference.
+    // Directory-existence check as in the reference (:706) — sound here
+    // because the cache dir is PUBLISHED atomically below (temp dir +
+    // rename), so an existing dir always holds both complete dumps; the
+    // reference's write-in-place version could leave a half-written dir
+    // this check would permanently treat as a hit.
     if (Files.exists(localPath) && !forceDbFetch)
       return GeoDump(
         localPath.resolve(ShapeFileName).toString,
@@ -102,21 +115,36 @@ object RemoteFetch {
     val search = fetchBytes(url + SearchFileName + suffix, compressed)
     val shape  = fetchBytes(url + ShapeFileName + suffix, compressed)
 
-    // cacheLocal=false still needs files for Spark to read — land them in
-    // a throwaway dir instead of the cache tree (:748-759 only writes when
-    // cache_local). The dir must outlive this call (Spark reads it
-    // lazily), so it is reaped at JVM exit, not here.
     val dir =
-      if (cacheLocal) { Files.createDirectories(localPath); localPath }
-      else {
+      if (cacheLocal) {
+        // Atomic publish: land both dumps in a same-filesystem temp
+        // sibling, then rename into place — the short-circuit above never
+        // sees a dir with fewer than both complete files. A crash mid-write
+        // leaves only an orphaned `.tmp-` sibling (a later fetch retries
+        // cleanly); a crash between delete and rename on a forced re-fetch
+        // leaves a MISS, not a poisoned hit.
+        Files.createDirectories(localPath.getParent)
+        val staging = Files.createTempDirectory(localPath.getParent, ".tmp-fetch-")
+        writeFile(staging.resolve(ShapeFileName), shape)
+        writeFile(staging.resolve(SearchFileName), search)
+        if (Files.exists(localPath))
+          org.apache.commons.io.FileUtils.deleteDirectory(localPath.toFile)
+        Files.move(staging, localPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        localPath
+      } else {
+        // cacheLocal=false still needs files for Spark to read — land them
+        // in a throwaway dir instead of the cache tree (:748-759 only
+        // writes when cache_local). The dir must outlive this call (Spark
+        // reads it lazily), so it is reaped at JVM exit, not here.
         val t = Files.createTempDirectory("graft_remote_fetch")
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
           org.apache.commons.io.FileUtils.deleteQuietly(t.toFile): Unit))
+        writeFile(t.resolve(ShapeFileName), shape)
+        writeFile(t.resolve(SearchFileName), search)
         t
       }
-    val shapeFile  = writeFile(dir.resolve(ShapeFileName), shape)
-    val searchFile = writeFile(dir.resolve(SearchFileName), search)
-    GeoDump(shapeFile.toString, searchFile.toString)
+    GeoDump(dir.resolve(ShapeFileName).toString,
+      dir.resolve(SearchFileName).toString)
   }
 
   private def writeFile(p: Path, bytes: Array[Byte]): Path = {

@@ -324,6 +324,28 @@ class IngestCadenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("ingestIncrement"))
   }
 
+  test("a duplicated overlay (replayed un-tagged append): the dispatcher refuses loudly") {
+    // The dispatcher's arrival count is ARITHMETIC (docbase distinct ids
+    // minus overlay count-star), exact only while overlay rows are unique
+    // per doc. An un-tagged ingestIncrement replay lands duplicate rows the
+    // distinct-id coverage guard cannot see — covered then OVERCOUNTS and
+    // arrivals would silently undercount. The guard must fail loudly, not
+    // return "ensure" as success.
+    val dDir = Files.createTempDirectory("graft-cadence-dupoverlay").toString
+    val all = spark.read.parquet(s"$srcDir/documents.parquet")
+    all.filter(pmod(col("doc_id"), lit(10L)) =!= 6L)
+      .write.mode("overwrite").parquet(s"$dDir/documents.parquet")
+    CorpusPrep.ensureDocBase(spark, dDir)
+    val overlayPath = CorpusPrep.ensureDocGlobal(spark, dDir)
+    // the broken state itself: overlay rows doubled for a slice of docs
+    spark.read.parquet(overlayPath).limit(5)
+      .write.mode("append").parquet(overlayPath)
+    val e = intercept[IllegalArgumentException] {
+      CorpusPrep.compactionRefreshAuto(spark, dDir, floorDocs = 1L)
+    }
+    assert(e.getMessage.contains("overlay"))
+  }
+
   test("a cadence step that crashed between its appends converges on replay") {
     // ingestIncrement commits THREE batch-keyed appends (docbase labels,
     // band index, window postings). A JVM that dies after the first
