@@ -188,6 +188,10 @@ object SparkEntry {
     // filters dict applied AFTER the 500-cap (geo_manager.py:578-580)
     "fuzzy_filtered" -> ((s, d) => FuzzySearch.fuzzySearch(s, d, P.PostalQuery, P.PostalK,
       corpusOf = FuzzySearch.zipCorpus, filters = P.FuzzyFilters)),
+    // the reference's declared-but-disabled partitioned mode (geo_manager
+    // .py:544-580, 623-641) as one windowed plan: per-country cap/dedup/
+    // top-k; its latent partition-key bug (:558) fixed — see Scaladoc
+    "fuzzy_partitioned" -> ((s, d) => FuzzySearch.fuzzySearchPartitioned(s, d, P.PostalQuery, P.PostalK)),
     "dl_topk" -> ((s, d) => dlTopK(s, d)),
     // --- shape record projections (SURVEY §2.2) ---
     "shape_display" -> ((s, d) => ShapeOps.displays(s, d)),
@@ -673,6 +677,7 @@ object SparkEntry {
     "fuzzy_indexed" -> FuzzySearch.fuzzySearchOracle(P.FuzzyQuery, P.FuzzyK),
     "fuzzy_filtered" -> FuzzySearch.fuzzySearchOracle(P.PostalQuery, P.PostalK,
       corpusSql = FuzzySearch.zipCorpusCte, filters = P.FuzzyFilters),
+    "fuzzy_partitioned" -> FuzzySearch.fuzzySearchPartitionedOracle(P.PostalQuery, P.PostalK),
     "dl_topk" -> dlTopKOracle,
     "shape_display" -> ShapeOps.displaysOracle,
     "shape_quote_location" -> ShapeOps.quoteLocationsOracle,

@@ -162,6 +162,20 @@ object FuzzySearch {
     rankCandidates(c, q, hits, numResults, cap)
   }
 
+  /** Shared scoring projection (DL distance, tversky+prefix similarity,
+    * population-ranked score) — the per-record math the global AND
+    * partitioned tails apply after their caps (one definition so the two
+    * faces can never drift). */
+  private def scoreCols(df: DataFrame, q: String): DataFrame = {
+    val qLit = lit(q)
+    df.withColumn("efs_raw", entityFuzzyScore(qLit, col("clean_value")))
+      .withColumn("distance",
+        geoDamerauLevenshtein(qLit, col("clean_value")).cast("long"))
+      .withColumn("ngram_similarity", round(col("efs_raw"), 6))
+      .withColumn("score",
+        round(geoSearchScore(qLit, col("clean_value"), col("population")), 6))
+  }
+
   /** The shared scoring tail of the pipeline: 500-cap → fetch → filters →
     * score → best-per-clean_value dedup → top-k. `filters` replicate the
     * reference's ORDER: applied to the candidate records AFTER the 500-cap
@@ -175,14 +189,7 @@ object FuzzySearch {
 
     val filterOk = filters.map { case (k, v) => col(k) === lit(v) }
       .foldLeft(lit(true))(_ && _)
-    val qLit = lit(q)
-    val scored = capped.join(c, "id").filter(filterOk)
-      .withColumn("efs_raw", entityFuzzyScore(qLit, col("clean_value")))
-      .withColumn("distance",
-        geoDamerauLevenshtein(qLit, col("clean_value")).cast("long"))
-      .withColumn("ngram_similarity", round(col("efs_raw"), 6))
-      .withColumn("score",
-        round(geoSearchScore(qLit, col("clean_value"), col("population")), 6))
+    val scored = scoreCols(capped.join(c, "id").filter(filterOk), q)
 
     // Deterministic dedup: best score (then lowest id) per clean_value —
     // replaces the reference's unspecified dict-insertion-order "last wins"
@@ -207,6 +214,115 @@ object FuzzySearch {
 
   def bestFuzzySearchOracle(query: String, threshold: Double = 0.90): String =
     s"""SELECT * FROM (${fuzzySearchOracle(query, 1)}) WHERE score >= $threshold"""
+
+  /** Partitioned-mode fuzzy search — the reference's DECLARED-BUT-DISABLED
+    * surface (geo_manager.py:623-641 asserts partitioned off; :544-580 is
+    * the dead branch: per-partition `search_dict[partition]` /
+    * `geo_shape_dict[partition]`, searched one named partition per call).
+    * Spark form (SURVEY.md §2.5): ONE plan over EVERY partition at once —
+    * the per-partition 500-cap, best-per-clean_value dedup, and top-k are
+    * `Window.partitionBy(partition)` versions of the global pipeline's
+    * steps (rank-limit windows plan map-side via WindowGroupLimit, the
+    * batchFuzzySearch shape), so a partition column costs a window key,
+    * not a per-partition job loop — at 100 TB one shuffle keyed by
+    * (data-derived) ngram and one by partition, never |partitions| jobs.
+    *
+    * FIXED DEVIATION (documented): the reference's dead branch fetches
+    * `value` (:558) and `population` (:571) through the UNPARTITIONED
+    * dict — missing the `[partition]` hop its own `clean_value` lookups
+    * take — so in partitioned mode every result would carry value=None
+    * and population=0 (the ids only key the per-partition dicts). Here
+    * every field comes from the partition-scoped record, what the code
+    * manifestly intends; the per-partition cap/dedup/top-k semantics are
+    * kept exactly.
+    *
+    * `partitions`: the reference returns [] for a partition not in
+    * `self.partitions` (:546-547) — a `Some` filter restricts the search
+    * the same way, and an unknown name yields the same empty result. */
+  def fuzzySearchPartitioned(spark: SparkSession, dir: String, query: String,
+                             numResults: Int, cap: Int = DefaultCap,
+                             corpusOf: (SparkSession, String) => DataFrame = zipCorpus,
+                             partitionCol: String = "country",
+                             partitions: Option[Seq[String]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = cleanQuery(query)
+    val qGramSet = queryTrigrams(q).distinct
+    val c0 = corpusOf(spark, dir)
+    val c = partitions.map(ps => c0.filter(col(partitionCol).isin(ps: _*)))
+      .getOrElse(c0).withColumnRenamed(partitionCol, "partition")
+    val qdf = spark.createDataFrame(qGramSet.map(Tuple1(_))).toDF("ngram")
+    val postings = c.select(col("id"), col("partition"),
+      explode(charNgrams(col("clean_value"), 3)).as("ngram"))
+    val hits = postings.join(broadcast(qdf), "ngram")
+      .groupBy(col("id"), col("partition")).agg(count(lit(1)).as("ngram_hits"))
+    // the 500-cap PER PARTITION (Counter.most_common over one partition's
+    // search_dict, geo_manager.py:551-554)
+    val capped = hits.withColumn("rn", row_number().over(
+        Window.partitionBy(col("partition"))
+          .orderBy(col("ngram_hits").desc, col("id"))))
+      .filter(col("rn") <= math.max(numResults, cap)).drop("rn")
+    val scored = scoreCols(capped.join(c, Seq("id", "partition")), q)
+    val dedup = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("partition"), col("clean_value"))
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("rn") === 1).drop("rn")
+    dedup.withColumn("rk", row_number().over(
+        Window.partitionBy(col("partition"))
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("rk") <= numResults)
+      .select(col("partition"), col("id"), col("value"), col("clean_value"),
+        col("distance"), col("ngram_similarity"), col("score"))
+      .orderBy(col("partition"), col("score").desc, col("id"))
+  }
+
+  /** DuckDB mirror of [[fuzzySearchPartitioned]] — the global oracle with
+    * every window keyed by the partition column. */
+  def fuzzySearchPartitionedOracle(query: String, numResults: Int,
+                                   cap: Int = DefaultCap,
+                                   corpusSql: String = zipCorpusCte,
+                                   partitionCol: String = "country",
+                                   partitions: Option[Seq[String]] = None): String = {
+    val q = cleanQuery(query)
+    val qGramSet = sqlList(queryTrigrams(q).distinct)
+    val qq = q.replace("'", "''")
+    val sset = OracleSql.trigramSet("clean_value")
+    val tv = OracleSql.tversky(qGramSet, sset, 0.85, 0.15)
+    val efs = s"($tv * (1.0 + CASE WHEN starts_with(clean_value, '$qq') THEN 0.15 ELSE 0.0 END))"
+    val scoreBase = if (q.matches("^[0-9]+$")) {
+      val tok = "split_part(clean_value, ' ', 1)"
+      val tvP = OracleSql.tversky(qGramSet, OracleSql.trigramSet(tok), 0.85, 0.15)
+      s"($tvP * (1.0 + CASE WHEN starts_with($tok, '$qq') THEN 0.15 ELSE 0.0 END))"
+    } else efs
+    val dl = s"least(damerau_levenshtein(split_part('$qq', ',', 1), split_part(clean_value, ',', 1)), " +
+      s"damerau_levenshtein('$qq', clean_value))"
+    val partFilter = partitions.map(ps =>
+      s"WHERE $partitionCol IN (${ps.map(p => s"'${p.replace("'", "''")}'").mkString(", ")})")
+      .getOrElse("")
+    s"""WITH corpus AS (SELECT * FROM ($corpusSql) $partFilter),
+       |cand AS (
+       |  SELECT *, len(list_filter(${OracleSql.trigrams("clean_value")}, g -> list_contains($qGramSet, g)))::BIGINT AS ngram_hits
+       |  FROM corpus),
+       |capped AS (
+       |  SELECT * FROM cand WHERE ngram_hits > 0
+       |  QUALIFY row_number() OVER (PARTITION BY $partitionCol ORDER BY ngram_hits DESC, id) <= ${math.max(numResults, cap)}),
+       |scored AS (
+       |  SELECT $partitionCol AS "partition", id, value, clean_value, population,
+       |         $efs AS efs_raw, $scoreBase AS score_base, $dl::BIGINT AS distance
+       |  FROM capped),
+       |ranked AS (
+       |  SELECT "partition", id, value, clean_value, distance,
+       |         round(efs_raw, 6) AS ngram_similarity,
+       |         round(CASE WHEN population <= 0 OR score_base <= 0.65 THEN score_base * 0.9
+       |                    ELSE score_base * 0.9 + ln(population) * 0.1 END, 6) AS score
+       |  FROM scored),
+       |dedup AS (
+       |  SELECT * FROM ranked
+       |  QUALIFY row_number() OVER (PARTITION BY "partition", clean_value ORDER BY score DESC, id) = 1)
+       |SELECT "partition", id, value, clean_value, distance, ngram_similarity, score
+       |FROM dedup
+       |QUALIFY row_number() OVER (PARTITION BY "partition" ORDER BY score DESC, id) <= $numResults
+       |ORDER BY "partition", score DESC, id""".stripMargin
+  }
 
   /** Query-table stride for the batch query (89 keeps it non-vacuous at
     * sf0.001's 200-row part table). */

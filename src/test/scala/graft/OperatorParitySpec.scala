@@ -30,6 +30,24 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inline.nonEmpty)
   }
 
+  test("partitioned fuzzy: Some restricts to named partitions; unknown yields empty") {
+    import org.apache.spark.sql.functions.col
+    // reference semantics (geo_manager.py:546-547): a partition not in
+    // self.partitions returns [] — and a named-partition search must equal
+    // the all-partitions plan's slice for that partition (same cap/dedup/
+    // top-k inside one partition either way)
+    val all = FuzzySearch.fuzzySearchPartitioned(spark, dir, "10750", 15)
+    val allRows = all.collect()
+    assert(allRows.nonEmpty)
+    val p0 = allRows.head.getAs[String]("partition")
+    val one = FuzzySearch.fuzzySearchPartitioned(spark, dir, "10750", 15,
+      partitions = Some(Seq(p0))).collect()
+    assert(one.toSeq == allRows.filter(_.getAs[String]("partition") == p0).toSeq)
+    assert(one.nonEmpty)
+    assert(FuzzySearch.fuzzySearchPartitioned(spark, dir, "10750", 15,
+      partitions = Some(Seq("ZZ"))).count() == 0)
+  }
+
   test("indexed candidate generation pushes the ngram set into the scan") {
     val plan = FuzzySearch.fuzzySearchIndexed(spark, dir, "smal widget", 20)
       .queryExecution.executedPlan.toString

@@ -45,6 +45,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("partitioned fuzzy rank-limits plan map-side (WindowGroupLimit)") {
+    // the per-partition 500-cap and top-k are rank windows; Spark must
+    // push them down as partial per-map-partition limits so no partition
+    // ships its full candidate set to one reducer
+    val p = finalPlan("fuzzy_partitioned")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("radius probe filter is pushed into the parquet scan") {
     val p = finalPlan("geo_radius_search")
     assert(p.contains("PushedFilters") && p.contains("EqualTo(c_custkey,7)"), p)
