@@ -583,6 +583,55 @@ object Materialize {
     } catch { case _: java.io.IOException => () }
   }
 
+  /** Generic retention GC for ONE (kind, input dir) artifact family —
+    * the lifecycle face [[gcSupersededKinds]] covers for parameterized
+    * KIND families, applied to the other two ways an artifact tree
+    * accumulates dead bytes:
+    *
+    *  - **superseded generations** — a `version` bump (derivation change)
+    *    re-keys the artifact path; the old `<tag>_v<N>` dirs are never
+    *    read again but were never deleted either;
+    *  - **staging debris** — a crash between a staging write and its
+    *    swap/rename leaves `.compacting` / `.refreshing` / `.batch_<tag>`
+    *    siblings; the live operations delete THEIR OWN stale staging on
+    *    retry, but debris of an operation nobody retries stays forever.
+    *
+    * Deletes, under `<root>/<kind>/`: every `<tag>_v<N>` with
+    * N < currentVersion (plus that generation's staging siblings), and
+    * the CURRENT generation's staging siblings. Never touched: the
+    * current committed artifact itself (its `_SUCCESS`, manifest,
+    * `_BATCH_` replay markers and batch files included), any NEWER
+    * version (a rolled-back binary must not eat its successor's build),
+    * other input tags, other kinds, and — same guard as
+    * [[gcSupersededKinds]] — paths ensured in THIS session, which may
+    * back not-yet-executed lazy plans. Same single-driver-per-warehouse
+    * requirement as compact/refresh: run at a quiesced window (an
+    * in-flight compact's `.compacting` dir would read as debris).
+    * Best-effort (IO errors skip the entry); returns the deleted paths. */
+  def gc(spark: SparkSession, kind: String, dir: String,
+         currentVersion: Int): Seq[String] = {
+    val kindDir = new Path(s"${root(spark)}/$kind")
+    val fs = fsOf(spark, kindDir)
+    val vpat = (java.util.regex.Pattern.quote(tag(dir)) + "_v(\\d+)([.].+)?").r
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    try fs.listStatus(kindDir).foreach { st =>
+      st.getPath.getName match {
+        case vpat(v, suffix) =>
+          val collectable =
+            if (v.toInt < currentVersion) true      // superseded generation
+            else if (v.toInt == currentVersion) suffix != null // crash debris
+            else false                              // never touch newer
+          if (collectable && !ensuredThisSession.contains(
+                fs.makeQualified(st.getPath).toString)) {
+            try if (fs.delete(st.getPath, true)) deleted += st.getPath.toString
+            catch { case _: java.io.IOException => () }
+          }
+        case _ => ()
+      }
+    } catch { case _: java.io.IOException => () }
+    deleted.toSeq
+  }
+
   /** Write-once BUCKETED table: bucket layout needs catalog metadata, but
     * the session catalog is in-memory (fresh per JVM), so "exists" has two
     * layers — if the table is registered, reuse it; if only the files

@@ -728,14 +728,24 @@ object CorpusPrep {
     * files in place, same single-driver caveat as compact. Returns
     * artifact kind → decision ("compact" | "defer"). */
   def compactCadenceIfDue(spark: SparkSession, dir: String,
-                          maxPending: Long = graft.Materialize.CompactPendingMax): Map[String, String] =
-    Map(
+                          maxPending: Long = graft.Materialize.CompactPendingMax): Map[String, String] = {
+    val decisions = Map(
       "graft_docbase" -> graft.Materialize.compactIfDue(spark,
         "graft_docbase", dir, DocBaseVersion, maxPending)(docBaseFold)._2,
       "graft_bands" -> Dedup.compactBandsIfDue(spark, dir,
         maxPending = maxPending)._2,
       "graft_docwins" -> graft.Materialize.compactIfDue(spark,
         "graft_docwins", dir, DocWinsVersion, maxPending)(docWinsFold)._2)
+    // retention sweep at the same quiesced window: superseded generations
+    // (version-bump leftovers) and crash staging debris of the artifacts
+    // this cadence owns — the fold already required the quiesced window,
+    // so GC here costs one listing per kind and no extra coordination
+    Seq("graft_docbase" -> DocBaseVersion, "graft_bands" -> 1,
+        "graft_docwins" -> DocWinsVersion,
+        "graft_docglobal" -> DocGlobalVersion)
+      .foreach { case (k, v) => graft.Materialize.gc(spark, k, dir, v) }
+    decisions
+  }
 
   /** The dedup pipeline's exact-canon grouping key, hashed (docbase v2's
     * norm_hash column — shared so the label artifact and the inline delta

@@ -219,4 +219,71 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getAs[scala.collection.Seq[Long]]("ids")
     assert(grouped == Seq(1L, 2L, 3L))
   }
+
+  test("retention gc: superseded generations and crash debris go; servable artifacts are never touched") {
+    val prevRoot = spark.conf.getOption("spark.graft.materialize.dir")
+    val gcRoot = Files.createTempDirectory("graft-gc-root").toString
+    spark.conf.set("spark.graft.materialize.dir", gcRoot)
+    try {
+      val data = Files.createTempDirectory("graft-gc-data").toString
+      spark.range(10).toDF("id").write.mode("overwrite").parquet(s"$data/t.parquet")
+      val kind = "graft_gcspec"
+      // the CURRENT generation (v2): committed, then batch-appended so it
+      // carries the full servable surface — _SUCCESS, manifest, a _BATCH_
+      // replay marker, and batch-prefixed data files
+      val p2 = Materialize.ensure(spark, kind, data, 2) { p =>
+        spark.range(10).toDF("id").write.mode("overwrite").parquet(p)
+      }
+      Materialize.appendBatch(spark, kind, data, 2, "b1") { st =>
+        spark.range(10L, 12L).toDF("id").write.mode("overwrite").parquet(st)
+      }
+      val servedBefore = spark.read.parquet(p2)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      def plant(path: String): Unit = {
+        Files.createDirectories(java.nio.file.Paths.get(path))
+        Files.writeString(java.nio.file.Paths.get(path, "junk"), "x"): Unit
+      }
+      // a prior session's superseded generation + assorted crash debris +
+      // a NEWER generation + a different input dir's artifact
+      val v1 = Materialize.artifactPath(spark, kind, data, 1)
+      val v3 = Materialize.artifactPath(spark, kind, data, 3)
+      val otherData = Files.createTempDirectory("graft-gc-other").toString
+      val foreign = Materialize.artifactPath(spark, kind, otherData, 2)
+      Seq(v1, s"$v1.compacting", s"$p2.refreshing", s"$p2.batch_dead",
+        v3, foreign).foreach(plant)
+      val deleted = Materialize.gc(spark, kind, data, currentVersion = 2)
+        .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+      assert(deleted == Set(v1, s"$v1.compacting", s"$p2.refreshing",
+        s"$p2.batch_dead"), s"unexpected GC set: $deleted")
+      // the servable surface is bit-identical: contents, replay marker,
+      // manifest-fresh append still possible
+      assert(spark.read.parquet(p2).collect().map(_.getLong(0)).sorted.toSeq
+        == servedBefore)
+      val fs = new org.apache.hadoop.fs.Path(p2)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(p2, "_BATCH_b1")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(v3, "junk")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(foreign, "junk")),
+        "a newer generation and a foreign input tag must never be collected")
+      // a folded batch's replay still no-ops after GC (marker intact)
+      Materialize.appendBatch(spark, kind, data, 2, "b1") { st =>
+        spark.range(100L, 200L).toDF("id").write.mode("overwrite").parquet(st)
+      }
+      assert(spark.read.parquet(p2).collect().map(_.getLong(0)).sorted.toSeq
+        == servedBefore)
+      // ensured-this-session guard: a generation THIS session ensured may
+      // back live lazy plans — GC must skip it even when superseded
+      val p1live = Materialize.ensure(spark, kind, data, 1) { p =>
+        spark.range(3).toDF("id").write.mode("overwrite").parquet(p)
+      }
+      val lazyPlan = spark.read.parquet(p1live).filter(col("id") >= 1L)
+      assert(Materialize.gc(spark, kind, data, currentVersion = 2).isEmpty)
+      assert(lazyPlan.count() == 2L)
+    } finally {
+      prevRoot match {
+        case Some(r) => spark.conf.set("spark.graft.materialize.dir", r)
+        case None    => spark.conf.unset("spark.graft.materialize.dir")
+      }
+    }
+  }
 }
