@@ -372,6 +372,36 @@ object SparkEntry {
         CorpusPrep.normHashRows(all), Dedup.bandRows(all),
         CorpusPrep.docWinRows(all), CorpusPrep.docGlobalOverDocs(standing))
     }),
+    // the WHOLE streaming cadence lifecycle as one auditable row: 70%
+    // standing bootstrap → three 10% arrival micro-batches through the
+    // REAL Structured Streaming cadence sink (file source, one file per
+    // trigger, AvailableNow drain) → the compaction clock folds all three
+    // appended artifacts → the dispatched overlay refresh — and the SERVED
+    // relation must hash-equal the from-scratch full-corpus overlay
+    // (docGlobalOracle), making the stream==batch equivalence visible in
+    // CORRECTNESS_r{N} itself, not only in StreamingSpec
+    "corpus_cadence_served" -> ((s, d) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-cadence-served").toString
+      val all = Tables.documents(s, d)
+      all.filter(pmod(col("doc_id"), lit(10L)) < 7L)
+        .write.mode("overwrite").parquet(s"$work/documents.parquet")
+      CorpusPrep.ensureDocBase(s, work)
+      CorpusPrep.ensureDocGlobal(s, work)
+      val incoming = s"$work/incoming"
+      Seq(7L, 8L, 9L).foreach { r =>
+        all.filter(pmod(col("doc_id"), lit(10L)) === r)
+          .coalesce(1).write.mode("append").parquet(incoming)
+      }
+      val stream = s.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", 1).parquet(incoming)
+      val q = graft.streaming.StreamOps.ingestCadenceStream(stream, work,
+        availableNow = true)((verdict, _) => { verdict.count(); () })
+      q.awaitTermination()
+      CorpusPrep.compactCadenceIfDue(s, work, maxPending = 2L)
+      val (served, _) = CorpusPrep.compactionRefreshAuto(s, work, floorDocs = 1L)
+      s.read.parquet(served).orderBy(col("doc_id"))
+    }),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     // intra-doc repetition (Gopher-style dup/top n-gram fractions)
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
@@ -751,6 +781,7 @@ object SparkEntry {
     "corpus_prep_indexed" -> CorpusPrep.corpusPrepOracle(),
     "corpus_ingest_screen" -> CorpusPrep.ingestScreenOracle,
     "corpus_overlay_delta" -> CorpusPrep.docGlobalOracle(),
+    "corpus_cadence_served" -> CorpusPrep.docGlobalOracle(),
     "text_quality" -> TextAnalysis.qualityScoreOracle,
     "text_repetition" -> TextAnalysis.repetitionOracle(),
     "text_tokens" -> TextAnalysis.tokenCountsOracle,

@@ -313,7 +313,8 @@ object StreamOps {
   }
 
   def ingestCadenceStream(docs: DataFrame, dir: String,
-                          checkpoint: Option[String] = None)
+                          checkpoint: Option[String] = None,
+                          availableNow: Boolean = false)
                          (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -336,6 +337,12 @@ object StreamOps {
     // restarts (so a recovered stream resumes instead of re-reading);
     // the artifact layer's idempotence does not depend on it
     checkpoint.foreach(cp => w.option("checkpointLocation", cp))
+    // drain-and-stop mode: process everything currently available in the
+    // source (respecting per-trigger limits like maxFilesPerTrigger, so
+    // the micro-batch boundaries are real), then terminate — the
+    // backfill / gated-row face of the otherwise continuous cadence
+    if (availableNow)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
     w.start()
   }
 
