@@ -1167,6 +1167,57 @@ object FuzzySearch {
   private val stopCostMemo =
     new scala.collection.concurrent.TrieMap[(String, String, String, String, Long), Long]
 
+  /** Champion posting caps the dispatcher may budget-size tier 3 to,
+    * DESCENDING — the largest feasible cap wins. Floor is
+    * [[ChampPostingCap]] (the always-bounded original constant).
+    * Motivated by the round-13 entity-diversity replica: at the fixed 64
+    * cap the champion tier's recall-vs-uncut measured 0.31 on a
+    * diverse-vocabulary corpus while caps of 128/256/512 measured
+    * 0.38/0.44/0.49 at the SAME wall — quality the fixed cap was leaving
+    * on the table whenever the budget had room for a deeper list. */
+  val ChampCapLadder: Seq[Int] = Seq(512, 256, 128, ChampPostingCap)
+
+  /** Tier-3 analogue of [[batchStopgramCandidateCost]]: the champion
+    * join's predicted candidate volume at EACH ladder cap — truncation
+    * keeps at most `cap` postings per allowed gram, so the volume is
+    * Σ over query grams of qcount · min(df, cap). One aggregate over the
+    * broadcast-bounded gram-stats artifacts; columns `cost_<cap>`. */
+  def batchChampCandidateCosts(spark: SparkSession, dir: String,
+                               dfCapInverse: Long): DataFrame = {
+    val c = corpus(spark, dir)
+    val (dp, np) = ensureGramStats(spark, dir, c)
+    val dfRel = spark.read.parquet(dp).groupBy(col("ngram"))
+      .agg(sum(col("df")).as("df"))
+    val nRel = spark.read.parquet(np).agg(sum(col("n")).as("n"))
+    val allowedDf = dfRel.crossJoin(broadcast(nRel))
+      .filter(col("df") * dfCapInverse <= col("n"))
+      .select(col("ngram"), col("df"))
+    val qc = batchQueries(c).select(col("qid"),
+        explode(charNgramSet(col("clean_q"), 3)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("qcount"))
+    val costs = ChampCapLadder.map(cp =>
+      coalesce(sum(col("qcount") * least(col("df"), lit(cp.toLong))), lit(0L))
+        .cast("long").as(s"cost_$cp"))
+    qc.join(broadcast(allowedDf), "ngram").agg(costs.head, costs.tail: _*)
+  }
+
+  /** The budget-sized champion cap: the largest ladder cap whose
+    * predicted volume fits, floor [[ChampPostingCap]] (whose volume bound
+    * is what makes tier 3 feasible at ANY corpus, so it never re-escapes
+    * the budget by more than the fixed-cap design already accepted). */
+  def champPostingCapFor(spark: SparkSession, dir: String,
+                         dfCapInverse: Long, budget: Long): Int = {
+    val r = batchChampCandidateCosts(spark, dir, dfCapInverse).head()
+    ChampCapLadder.find(cp => r.getAs[Long](s"cost_$cp") <= budget)
+      .getOrElse(ChampPostingCap)
+  }
+
+  /** Memo for the tier-3 cap sizing (same construction-time-action
+    * rationale as the cost memos; keys on both stats artifacts like the
+    * tier-2 memo, plus the cut parameter and the budget). */
+  private val champCapMemo =
+    new scala.collection.concurrent.TrieMap[(String, String, String, String, Long, Long), Int]
+
   /** THREE-tier dispatch (round 10 — the 100× rehearsal showed tier 2's
     * relative cut is still quadratic on a degenerate corpus): uncut
     * indexed (exact reference semantics) while the uncut volume fits the
@@ -1178,7 +1229,7 @@ object FuzzySearch {
   def batchFuzzySearchAuto(spark: SparkSession, dir: String, numResults: Int,
                            dfCapInverse: Long, cap: Int = DefaultCap,
                            budget: Long = BatchCandidateBudget,
-                           postingCap: Int = ChampPostingCap): DataFrame = {
+                           postingCap: Int = 0): DataFrame = {
     val (dp, np) = ensureGramStats(spark, dir, corpus(spark, dir))
     val fps = (dir, graft.Materialize.fingerprint(spark, dir),
       graft.Materialize.fingerprint(spark, dp))
@@ -1192,20 +1243,76 @@ object FuzzySearch {
         batchStopgramCandidateCost(spark, dir, dfCapInverse).head().getLong(0))
       if (stopPredicted <= budget)
         batchFuzzySearchStopGramIndexed(spark, dir, numResults, dfCapInverse, cap)
-      else batchFuzzySearchChampIndexed(spark, dir, numResults, dfCapInverse,
-        postingCap, cap)
+      else {
+        // postingCap = 0 (the default) means BUDGET-SIZED: take the
+        // deepest ladder cap whose predicted volume fits — all the recall
+        // the budget allows, same absolute bound discipline. An explicit
+        // cap is honored verbatim (parameter sweeps, parity pins).
+        val pc = if (postingCap > 0) postingCap
+          else champCapMemo.getOrElseUpdate(
+            (fps._1, fps._2, graft.Materialize.fingerprint(spark, np),
+              fps._3, dfCapInverse, budget),
+            champPostingCapFor(spark, dir, dfCapInverse, budget))
+        batchFuzzySearchChampIndexed(spark, dir, numResults, dfCapInverse,
+          pc, cap)
+      }
     }
   }
 
-  /** DuckDB twin of the DISPATCH: the two cost CTEs guard three UNION ALL
+  /** Tier-3 cost oracle — SQL twin of [[batchChampCandidateCosts]]: one
+    * row with the predicted champion volume at each ladder cap. */
+  def batchChampCandidateCostsOracle(dfCapInverse: Long): String = {
+    val sums = ChampCapLadder.map(cp =>
+      s"coalesce(sum(qg.qcount * least(dfr.df, $cp)), 0)::BIGINT AS cost_$cp")
+      .mkString(",\n       |       ")
+    s"""WITH corpus AS ($corpusCte),
+       |q AS (SELECT id AS qid,
+       |             ${OracleSql.clean("(substr(value, 1, 3) || substr(value, 5))")} AS clean_q
+       |      FROM corpus WHERE id % $BatchQueryMod = 0),
+       |qg AS (SELECT g AS ngram, count(*) AS qcount
+       |       FROM (SELECT qid, unnest(${OracleSql.trigramSet("clean_q")}) AS g FROM q)
+       |       GROUP BY g),
+       |dfr AS (SELECT g AS ngram, count(*) AS df
+       |        FROM (SELECT unnest(${OracleSql.trigrams("clean_value")}) AS g FROM corpus)
+       |        GROUP BY g
+       |        HAVING count(*) * $dfCapInverse <= (SELECT count(*) FROM corpus))
+       |SELECT $sums
+       |FROM qg JOIN dfr USING (ngram)""".stripMargin
+  }
+
+  /** DuckDB twin of the DISPATCH: the cost CTEs guard the UNION ALL
     * branches (each the full oracle of its plan), so the oracle selects
-    * the same branch the operator does at the gate's data scale. */
+    * the same branch — and, in tier 3, the same BUDGET-SIZED posting cap
+    * — the operator does at the gate's data scale. `postingCap = 0`
+    * (the default) mirrors the operator's auto-sizing with one guarded
+    * champion branch per ladder cap; an explicit cap emits the single
+    * fixed branch. */
   def batchFuzzySearchAutoOracle(numResults: Int, dfCapInverse: Long,
                                  cap: Int = DefaultCap,
                                  budget: Long = BatchCandidateBudget,
-                                 postingCap: Int = ChampPostingCap): String =
+                                 postingCap: Int = 0): String = {
+    val champBranches =
+      if (postingCap > 0)
+        s"""  SELECT * FROM (${batchFuzzySearchChampOracle(numResults, dfCapInverse, postingCap, cap)}) ch
+           |  WHERE (SELECT candidate_rows FROM cost) > $budget
+           |    AND (SELECT candidate_rows FROM cost2) > $budget""".stripMargin
+      else ChampCapLadder.map { cp =>
+        s"""  SELECT * FROM (${batchFuzzySearchChampOracle(numResults, dfCapInverse, cp, cap)}) ch_$cp
+           |  WHERE (SELECT candidate_rows FROM cost) > $budget
+           |    AND (SELECT candidate_rows FROM cost2) > $budget
+           |    AND (SELECT chosen_cap FROM chosen) = $cp""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+    val chosenCte =
+      if (postingCap > 0) ""
+      else {
+        val pick = ChampCapLadder.init.map(cp =>
+          s"WHEN cost_$cp <= $budget THEN $cp").mkString(" ")
+        s""",
+           |cost3 AS (${batchChampCandidateCostsOracle(dfCapInverse)}),
+           |chosen AS (SELECT CASE $pick ELSE ${ChampCapLadder.last} END AS chosen_cap FROM cost3)""".stripMargin
+      }
     s"""WITH cost AS ($batchCandidateCostOracle),
-       |cost2 AS (${batchStopgramCandidateCostOracle(dfCapInverse)})
+       |cost2 AS (${batchStopgramCandidateCostOracle(dfCapInverse)})$chosenCte
        |SELECT qid, id, value, clean_value, distance, ngram_similarity, score
        |FROM (
        |  SELECT * FROM (${batchFuzzySearchOracle(numResults, cap)}) u
@@ -1215,11 +1322,10 @@ object FuzzySearch {
        |  WHERE (SELECT candidate_rows FROM cost) > $budget
        |    AND (SELECT candidate_rows FROM cost2) <= $budget
        |  UNION ALL
-       |  SELECT * FROM (${batchFuzzySearchChampOracle(numResults, dfCapInverse, postingCap, cap)}) ch
-       |  WHERE (SELECT candidate_rows FROM cost) > $budget
-       |    AND (SELECT candidate_rows FROM cost2) > $budget
+       |$champBranches
        |) d
        |ORDER BY qid, score DESC, id""".stripMargin
+  }
 
   /** Shared scoring tail of the two batch spellings. */
   private def scoreBatch(capped: DataFrame, c: DataFrame, queries: DataFrame,

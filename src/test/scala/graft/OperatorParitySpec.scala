@@ -103,6 +103,48 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncut.nonEmpty && uncut.toSeq != cut.toSeq)
   }
 
+  test("tier-3 auto sizes the champion cap from the budget — and honors an explicit cap") {
+    import spark.implicits._
+    // sf0.001's allowed grams all carry df below the cap floor, so the
+    // ladder is degenerate there; craft a corpus whose hot-but-allowed
+    // grams (df ≈ 153: under the df·10 <= n = 2000 stop cut, between
+    // ladder caps 128 and 256) make the per-cap costs genuinely distinct
+    // — and include one stride query (id 1157 = 89·13) that carries them
+    val tmp = java.nio.file.Files
+      .createTempDirectory("fuzzy_cap_ladder").toFile.getAbsolutePath
+    (1 to 2000).map { i =>
+      val name = if (i % 13 == 0) s"zebra stripe item$i" else s"item$i plain part"
+      (i.toLong, name)
+    }.toDF("p_partkey", "p_name").write.parquet(s"$tmp/part.parquet")
+    val costs = FuzzySearch.batchChampCandidateCosts(spark, tmp, 10L).head()
+    val c64 = costs.getAs[Long]("cost_64")
+    val c512 = costs.getAs[Long]("cost_512")
+    assert(c64 > 0 && c512 > c64,
+      s"crafted corpus must have truncation-sensitive grams (64: $c64, 512: $c512)")
+    // budget admits the floor but not the deepest cap: the sized dispatch
+    // must pick the LARGEST ladder cap that fits; budget 0 floors
+    val mid = c512 - 1
+    val expectedCap = FuzzySearch.ChampCapLadder
+      .find(cp => costs.getAs[Long](s"cost_$cp") <= mid).get
+    assert(expectedCap != FuzzySearch.ChampCapLadder.head,
+      "mid budget must exclude the deepest cap or the pick is vacuous")
+    assert(FuzzySearch.champPostingCapFor(spark, tmp, 10L, mid) == expectedCap)
+    assert(FuzzySearch.champPostingCapFor(spark, tmp, 10L, 0L) ==
+      FuzzySearch.ChampPostingCap)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    // sized dispatch at the mid budget == the direct champion read at the
+    // sized cap (and != the floor-cap read: the sizing is observable)
+    assert(rows(FuzzySearch.batchFuzzySearchAuto(spark, tmp, 20, 10L,
+        budget = mid, postingCap = 0)) ==
+      rows(FuzzySearch.batchFuzzySearchChampIndexed(spark, tmp, 20, 10L,
+        expectedCap)),
+      "sized dispatch must serve the ladder cap its own estimator picked")
+    assert(rows(FuzzySearch.batchFuzzySearchAuto(spark, tmp, 20, 10L,
+        budget = 0L, postingCap = 512)) ==
+      rows(FuzzySearch.batchFuzzySearchChampIndexed(spark, tmp, 20, 10L, 512)),
+      "an explicit postingCap must bypass the sizing")
+  }
+
   test("a degenerate low-entropy corpus selects the stop-gram cut at the DEFAULT budget") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
