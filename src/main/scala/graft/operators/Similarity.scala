@@ -967,11 +967,22 @@ object Similarity {
        |  ON e.vec_id = a.a_id
        |ORDER BY k_exact""".stripMargin
 
+  /** `autoCells = true` derives the centroid count in SQL exactly as
+    * [[autoNumCentroids]] does (greatest(C_min, n // targetCellSize)) —
+    * the twin of [[ivfBucketedTopKAuto]]'s ncells policy. The fixed-count
+    * spelling and the derived one coincide at every gate corpus; the
+    * round-13 sf1 dress rehearsal caught the auto row diverging (operator
+    * probing 2 of 160 derived cells, oracle 2 of the fixed 16). */
   def ivfTopKOracle(probeId: Long, k: Int, centroidMod: Long = 25L,
-                    nprobe: Int = 2, numCentroids: Int = IvfNumCentroids): String =
+                    nprobe: Int = 2, numCentroids: Int = IvfNumCentroids,
+                    autoCells: Boolean = false): String = {
+    val cellBound =
+      if (autoCells)
+        s"$centroidMod * (SELECT greatest($IvfNumCentroids, count(*) // $IvfTargetCellSize) FROM embeddings)"
+      else s"${centroidMod * numCentroids}"
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
        |              WHERE vec_id % $centroidMod = 0
-       |                AND vec_id < ${centroidMod * numCentroids}),
+       |                AND vec_id < $cellBound),
        |ac AS (SELECT e.vec_id, c.cid,
        |              ${cosineSql("e.embedding", "c.cemb")} AS ccos
        |       FROM embeddings e CROSS JOIN cent c),
@@ -989,6 +1000,7 @@ object Similarity {
        |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN probe p
        |ORDER BY cosine_sim DESC, e.vec_id
        |LIMIT $k""".stripMargin
+  }
 
   // -------------------------------------------------------------------- PQ
 
