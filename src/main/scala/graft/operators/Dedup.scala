@@ -1055,16 +1055,31 @@ object Dedup {
        |d AS (SELECT doc_id, $toks AS tk FROM documents),
        |sset AS (SELECT doc_id, $shHash AS sh
        |         FROM (SELECT doc_id, $shingles AS shingles FROM d)),
-       |s2 AS (SELECT * FROM sset WHERE len(sh) > 0),
-       |e AS (SELECT doc_id, unnest(sh) AS s FROM s2),
-       |pia AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS ia
-       |        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-       |        GROUP BY a.doc_id, b.doc_id),
-       |sz AS (SELECT doc_id, len(sh)::BIGINT AS n FROM s2),
-       |truth AS (SELECT doc_a, doc_b FROM pia
-       |          JOIN sz za ON za.doc_id = pia.doc_a
-       |          JOIN sz zb ON zb.doc_id = pia.doc_b
-       |          WHERE ia::DOUBLE / (za.n + zb.n - ia)::DOUBLE >= $t),
+       |s2 AS MATERIALIZED (SELECT * FROM sset WHERE len(sh) > 0),
+       |e AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM s2),
+       |-- exact truth via the PPJoin prefix filter (the operator's
+       |-- recallTruthPrefixFilter spelling, same (df, s) global order and
+       |-- the same -1e-9 recall-safe slop): equal to the naive all-pairs
+       |-- count-join by the prefix-filter theorem, but the candidate join
+       |-- touches only each doc's rarest-prefix shingles — the naive
+       |-- spelling's Sigma df^2 blows DuckDB's spill at 50k docs (the
+       |-- round-13 sf1 rehearsal's second catch)
+       |sdf AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+       |rk AS (SELECT e.doc_id, e.s,
+       |              row_number() OVER (PARTITION BY e.doc_id
+       |                                 ORDER BY sdf.df, e.s) AS rank,
+       |              count(*) OVER (PARTITION BY e.doc_id) AS setsize
+       |       FROM e JOIN sdf USING (s)),
+       |pfx AS MATERIALIZED (SELECT doc_id, s FROM rk
+       |       WHERE rank <= setsize - ceil($t * setsize - 1e-9) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |truth AS (SELECT doc_a, doc_b FROM cand
+       |          JOIN s2 za ON za.doc_id = cand.doc_a
+       |          JOIN s2 zb ON zb.doc_id = cand.doc_b
+       |          WHERE len(list_intersect(za.sh, zb.sh))::DOUBLE /
+       |                (len(za.sh) + len(zb.sh)
+       |                 - len(list_intersect(za.sh, zb.sh)))::DOUBLE >= $t),
        |hit AS (SELECT count(*) AS n FROM truth JOIN pred USING (doc_a, doc_b))
        |SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
        |       (SELECT count(*) FROM pred)::BIGINT AS n_pred,
