@@ -1359,24 +1359,32 @@ object FuzzySearch {
       "damerau_levenshtein(clean_q, clean_value))"
     // Stop-gram cut (batchFuzzySearchStopGram): grams with df·inv > N are
     // excluded from hit counting — exact-integer compare, multiplicity df.
-    val stopCtes = dfCapInverse.map { inv =>
-      s"""ag AS (SELECT unnest(${OracleSql.trigrams("clean_value")}) AS g FROM corpus),
-         |stoplist AS (SELECT coalesce(list(g), []) AS sl
-         |             FROM (SELECT g FROM ag GROUP BY g
-         |                   HAVING count(*) * $inv > (SELECT count(*) FROM corpus))),
+    // Posting-join spelling (round 13): hits fold from an equi-join of
+    // corpus trigram OCCURRENCES against each query's trigram SET — an
+    // occurrence matches at most once per distinct query gram, so the
+    // count is identical to the original brute-force list_filter form,
+    // but the work is Σ qcount·df join rows instead of |Q|·|corpus|
+    // per-pair list evaluations (450 M trigram list ops at the sf1
+    // replica — the brute-force form ran for hours there; the champ
+    // oracle already used this shape).
+    val allowedCte = dfCapInverse.map { inv =>
+      s"""allowed AS (SELECT g FROM (SELECT unnest(${OracleSql.trigrams("clean_value")}) AS g FROM corpus) t
+         |            GROUP BY g
+         |            HAVING count(*) * $inv <= (SELECT count(*) FROM corpus)),
          |""".stripMargin
     }.getOrElse("")
-    val stopJoin = if (dfCapInverse.isDefined) " CROSS JOIN stoplist sg" else ""
-    val stopPred = if (dfCapInverse.isDefined) " AND NOT list_contains(sg.sl, g)" else ""
+    val allowedJoin = if (dfCapInverse.isDefined) " JOIN allowed USING (g)" else ""
     s"""WITH corpus AS ($corpusCte),
-       |${stopCtes}q AS (SELECT id AS qid,
+       |${allowedCte}q AS (SELECT id AS qid,
        |             ${OracleSql.clean("(substr(value, 1, 3) || substr(value, 5))")} AS clean_q
        |      FROM corpus WHERE id % $BatchQueryMod = 0),
-       |cand AS (
-       |  SELECT q.qid, q.clean_q, c.*,
-       |         len(list_filter(${OracleSql.trigrams("c.clean_value")},
-       |             g -> list_contains($qsetQ, g)$stopPred))::BIGINT AS ngram_hits
-       |  FROM corpus c CROSS JOIN q$stopJoin),
+       |cg AS (SELECT id, unnest(${OracleSql.trigrams("clean_value")}) AS g FROM corpus),
+       |qg AS (SELECT qid, unnest($qset) AS g FROM q),
+       |h AS (SELECT qg.qid, cg.id, count(*)::BIGINT AS ngram_hits
+       |      FROM cg$allowedJoin JOIN qg USING (g)
+       |      GROUP BY qg.qid, cg.id),
+       |cand AS (SELECT q.qid, q.clean_q, c.*, h.ngram_hits
+       |         FROM h JOIN corpus c ON c.id = h.id JOIN q ON q.qid = h.qid),
        |capped AS (
        |  SELECT * FROM cand WHERE ngram_hits > 0
        |  QUALIFY row_number() OVER (PARTITION BY qid
