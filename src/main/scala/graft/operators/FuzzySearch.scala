@@ -431,11 +431,16 @@ object FuzzySearch {
        |        substr(split_part(clean_value, ' ', 1), 1, 3) ||
        |        substr(split_part(clean_value, ' ', 1), 5) AS clean_q
        |      FROM corpus WHERE id % $ZipBatchQueryMod = 0),
-       |cand AS (
-       |  SELECT q.qid, q.clean_q, c.*,
-       |         len(list_filter(${OracleSql.trigrams("c.clean_value")},
-       |             g -> list_contains($qsetQ, g)))::BIGINT AS ngram_hits
-       |  FROM corpus c CROSS JOIN q),
+       |-- posting-join spelling (round 13, same as batchFuzzySearchOracle):
+       |-- occurrence-vs-query-gram-set equi-join folds the identical
+       |-- ngram_hits without the |Q|x|corpus| per-pair list evaluations
+       |cg AS (SELECT id, unnest(${OracleSql.trigrams("clean_value")}) AS g FROM corpus),
+       |qg AS (SELECT qid, unnest($qset) AS g FROM q),
+       |h AS (SELECT qg.qid, cg.id, count(*)::BIGINT AS ngram_hits
+       |      FROM cg JOIN qg USING (g)
+       |      GROUP BY qg.qid, cg.id),
+       |cand AS (SELECT q.qid, q.clean_q, c.*, h.ngram_hits
+       |         FROM h JOIN corpus c ON c.id = h.id JOIN q ON q.qid = h.qid),
        |capped AS (
        |  SELECT * FROM cand WHERE ngram_hits > 0
        |  QUALIFY row_number() OVER (PARTITION BY qid

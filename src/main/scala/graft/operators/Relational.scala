@@ -20,9 +20,18 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
+        // Quantities are integral doubles — their sums are exact at any
+        // order. Prices and price products are NOT: a million-row double
+        // sum is order-dependent, and at sf1 magnitudes (6e10) the ulp
+        // straddles the half-cent round boundary (q13 caught it in the
+        // round-13 dress rehearsal). Sum those in DECIMAL — per-row cast
+        // is deterministic on both engines, the decimal sum is exact, and
+        // the final double cast is one correctly-rounded conversion.
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double"), 2).as("sum_base_price"),
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,12)")).cast("double"), 2).as("sum_disc_price"),
         // Unrounded averages: quantities are integral (exact double sums)
         // and discounts sum exactly as DECIMAL — both divisions are then
         // bit-identical across engines, while round() itself diverges on
@@ -37,8 +46,8 @@ object Relational {
   val q1Oracle: String =
     """SELECT l_returnflag, l_linestatus,
       |       round(sum(l_quantity), 2) AS sum_qty,
-      |       round(sum(l_extendedprice), 2) AS sum_base_price,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |       round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 2) AS sum_base_price,
+      |       round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,12))::DOUBLE, 2) AS sum_disc_price,
       |       sum(l_quantity)::DOUBLE / count(*)::DOUBLE AS avg_qty,
       |       sum(l_discount::DECIMAL(18,2))::DOUBLE / count(*)::DOUBLE AS avg_disc,
       |       count(*) AS count_order
@@ -70,7 +79,8 @@ object Relational {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(c("c_custkey"), c("c_name"))
-      .agg(round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2).as("revenue"),
+      .agg(round(sum((l("l_extendedprice") * (lit(1.0) - l("l_discount")))
+        .cast("decimal(30,12)")).cast("double"), 2).as("revenue"),
         count(lit(1)).as("n_lineitems"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
@@ -78,7 +88,7 @@ object Relational {
 
   val q3Oracle: String =
     """SELECT c_custkey, c_name,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,12))::DOUBLE, 2) AS revenue,
       |       count(*) AS n_lineitems
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -96,15 +106,17 @@ object Relational {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(r("r_name"))
       .agg(count(lit(1)).as("n_customers"),
-        round(avg(c("c_acctbal")), 4).as("avg_acctbal"),
-        round(sum(c("c_acctbal")), 2).as("sum_acctbal"))
+        round((sum(c("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")), 4).as("avg_acctbal"),
+        round(sum(c("c_acctbal").cast("decimal(18,2)"))
+          .cast("double"), 2).as("sum_acctbal"))
       .orderBy(r("r_name"))
   }
 
   val q4Oracle: String =
     """SELECT r_name, count(*) AS n_customers,
-      |       round(avg(c_acctbal), 4) AS avg_acctbal,
-      |       round(sum(c_acctbal), 2) AS sum_acctbal
+      |       round(sum(c_acctbal::DECIMAL(18,2))::DOUBLE / count(*)::DOUBLE, 4) AS avg_acctbal,
+      |       round(sum(c_acctbal::DECIMAL(18,2))::DOUBLE, 2) AS sum_acctbal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
@@ -191,7 +203,8 @@ object Relational {
       .select(r("r_name").as("rn"), n("n_name").as("nn"), c("c_acctbal").as("bal"))
       .rollup(col("rn"), col("nn"))
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(col("bal")), 2).as("sum_acctbal"))
+        round(sum(col("bal").cast("decimal(18,2)"))
+          .cast("double"), 2).as("sum_acctbal"))
       .select(coalesce(col("rn"), lit("<all>")).as("region"),
         coalesce(col("nn"), lit("<all>")).as("nation"),
         col("n_customers"), col("sum_acctbal"))
@@ -202,7 +215,7 @@ object Relational {
     """SELECT coalesce(r_name, '<all>') AS region,
       |       coalesce(n_name, '<all>') AS nation,
       |       count(*) AS n_customers,
-      |       round(sum(c_acctbal), 2) AS sum_acctbal
+      |       round(sum(c_acctbal::DECIMAL(18,2))::DOUBLE, 2) AS sum_acctbal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
@@ -237,7 +250,8 @@ object Relational {
     Tables.orders(spark, dir)
       .cube(col("o_orderpriority"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        round(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double"), 2).as("sum_price"))
       .select(coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
         coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
         col("n_orders"), col("sum_price"))
@@ -247,7 +261,7 @@ object Relational {
     """SELECT coalesce(o_orderpriority, '<all>') AS priority,
       |       coalesce(o_orderstatus, '<all>') AS status,
       |       count(*) AS n_orders,
-      |       round(sum(o_totalprice), 2) AS sum_price
+      |       round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS sum_price
       |FROM orders
       |GROUP BY CUBE (o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
@@ -316,14 +330,15 @@ object Relational {
     // a 100 TB fact-fact join gets anyway, showing zero join-side Exchange.
     l.join(o.hint("merge"), l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(30,12)")).cast("double"), 2).as("revenue"),
         count(lit(1)).as("n_lineitems"))
       .orderBy(col("o_orderpriority"))
   }
 
   val q13Oracle: String =
     """SELECT o_orderpriority,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,12))::DOUBLE, 2) AS revenue,
       |       count(*) AS n_lineitems
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority
