@@ -391,6 +391,15 @@ object Materialize {
     * at a precise optimum because both curves are shallow near it. */
   val CompactPendingMax = 16L
 
+  /** Minimum age before [[gc]] treats a CURRENT-generation staging
+    * sibling (`.batch_*` / `.compacting` / `.refreshing`) as crash
+    * debris. Directory mtime moves while a writer is landing files, so
+    * a live in-flight write is never within the threshold of collection
+    * even if a caller runs gc concurrently (violating the documented
+    * quiesced-window contract). Superseded generations are exempt —
+    * nothing can be writing into an old version's path. */
+  val GcStagingMinAgeMs: Long = 10 * 60 * 1000L
+
   /** The compact-vs-defer choice as a pure rule ([[refreshPlan]]
     * precedent, one lifecycle stage down): fold once the committed
     * pending-batch count reaches the budget. */
@@ -614,12 +623,20 @@ object Materialize {
     val fs = fsOf(spark, kindDir)
     val vpat = (java.util.regex.Pattern.quote(tag(dir)) + "_v(\\d+)([.].+)?").r
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    val now = System.currentTimeMillis()
     try fs.listStatus(kindDir).foreach { st =>
       st.getPath.getName match {
         case vpat(v, suffix) =>
           val collectable =
             if (v.toInt < currentVersion) true      // superseded generation
-            else if (v.toInt == currentVersion) suffix != null // crash debris
+            else if (v.toInt == currentVersion)
+              // crash debris — but only once it is old enough that no
+              // in-flight writer can plausibly still own it. The contract
+              // says gc runs at a quiesced window, but the cadence calls
+              // it on EVERY tick (including defers), so a caller who
+              // violates the quiesce gets a cheap safety margin instead
+              // of a mid-write delete (round-13 advice).
+              suffix != null && now - st.getModificationTime > GcStagingMinAgeMs
             else false                              // never touch newer
           if (collectable && !ensuredThisSession.contains(
                 fs.makeQualified(st.getPath).toString)) {

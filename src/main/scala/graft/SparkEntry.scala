@@ -742,7 +742,7 @@ object SparkEntry {
     // autoCells: the auto face derives ncells from the corpus size, so
     // its oracle must too (fixed-vs-derived coincide at gate scale only —
     // the round-13 sf1 rehearsal's catch)
-    "ann_ivf_auto" -> Similarity.ivfTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe, autoCells = true),
+    "ann_ivf_auto" -> Similarity.ivfTopKAutoOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf2_assigned" ->
       Similarity.ivf2AssignedTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivf2_assign_agree" -> Similarity.ivf2AssignAgreementOracle(),

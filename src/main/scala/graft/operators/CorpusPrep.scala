@@ -740,7 +740,7 @@ object CorpusPrep {
     // (version-bump leftovers) and crash staging debris of the artifacts
     // this cadence owns — the fold already required the quiesced window,
     // so GC here costs one listing per kind and no extra coordination
-    Seq("graft_docbase" -> DocBaseVersion, "graft_bands" -> 1,
+    Seq("graft_docbase" -> DocBaseVersion, "graft_bands" -> Dedup.BandsVersion,
         "graft_docwins" -> DocWinsVersion,
         "graft_docglobal" -> DocGlobalVersion)
       .foreach { case (k, v) => graft.Materialize.gc(spark, k, dir, v) }

@@ -1874,12 +1874,19 @@ object Dedup {
       .sortWithinPartitions(col("band_hash"), col("band_idx"))
       .write.mode("overwrite").parquet(path)
 
+  /** Artifact version of the graft_bands index — referenced by the
+    * cadence GC wiring (CorpusPrep.compactCadenceIfDue) so a future bump
+    * here moves retention with it (the DocBaseVersion/DocWinsVersion
+    * pattern; a hard-coded literal there would leave GC sweeping a stale
+    * generation forever). */
+  val BandsVersion = 1
+
   /** Write-once corpus band artifact (at scale this runs at ingest): the
     * signature + LSH band derivation of the standing corpus, materialized
     * so the incremental screen probes files instead of re-deriving
     * minhash signatures per ingest batch. */
   def ensureBandsIndex(spark: SparkSession, dir: String, corpus: DataFrame,
-                       version: Int = 1): String =
+                       version: Int = BandsVersion): String =
     graft.Materialize.ensure(spark, "graft_bands", dir, version) { p =>
       writeBandsLayout(bandRows(corpus), p)
     }
@@ -1890,7 +1897,7 @@ object Dedup {
     * bands(batch) (IncrementalIndexSpec pins append-then-screen ==
     * rebuild-then-screen). */
   def appendToBandsIndex(spark: SparkSession, dir: String, batch: DataFrame,
-                         version: Int = 1,
+                         version: Int = BandsVersion,
                          batchTag: Option[String] = None): String = {
     def write(p: String, mode: String): Unit =
       bandRows(batch)
@@ -1908,7 +1915,7 @@ object Dedup {
   /** Periodic compaction back to the canonical 32-way band-clustered
     * layout. Pure file reorganization — contents unchanged. */
   def compactBandsIndex(spark: SparkSession, dir: String,
-                        version: Int = 1): String =
+                        version: Int = BandsVersion): String =
     graft.Materialize.compact(spark, "graft_bands", dir, version) {
       (cur, tmp) => writeBandsLayout(cur, tmp)
     }
@@ -1917,7 +1924,7 @@ object Dedup {
     * (`Materialize.compactIfDue`) — the cadence's compaction clock folds
     * only when the committed pending-batch count is due, instead of
     * unconditionally. Returns (path, "compact" | "defer"). */
-  def compactBandsIfDue(spark: SparkSession, dir: String, version: Int = 1,
+  def compactBandsIfDue(spark: SparkSession, dir: String, version: Int = BandsVersion,
                         maxPending: Long = graft.Materialize.CompactPendingMax): (String, String) =
     graft.Materialize.compactIfDue(spark, "graft_bands", dir, version,
       maxPending) { (cur, tmp) => writeBandsLayout(cur, tmp) }

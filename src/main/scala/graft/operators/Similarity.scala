@@ -1002,6 +1002,97 @@ object Similarity {
        |LIMIT $k""".stripMargin
   }
 
+  /** DuckDB twin of [[ivfBucketedTopKAuto]]'s FULL dispatch — the round-13
+    * lesson (an oracle must DERIVE what the operator derives) applied one
+    * rung up: `ivfTopKOracle(autoCells = true)` derives ncells but always
+    * models the flat build, while the operator dispatches to the
+    * two-level assignment once n·ncells exceeds [[IvfAssignBudget]]
+    * (~63k vectors under the n/125 cell policy) — the same
+    * scale-coincidence class the autoCells fix closed would have
+    * reappeared at the next decade. This oracle derives n, ncells,
+    * numCoarse = max(4, round(√ncells)) and nprobe1 = max(2, numCoarse/4)
+    * in SQL and guards a flat branch and a two-level branch on the SAME
+    * n·ncells ≤ budget predicate the operator evaluates
+    * ([[ivfBuildPlan]]), so the gate checks the dispatch itself at any
+    * corpus size. */
+  def ivfTopKAutoOracle(probeId: Long, k: Int, centroidMod: Long = 25L,
+                        nprobe: Int = 2,
+                        budget: Long = IvfAssignBudget): String = {
+    val coarseStride = 4L
+    s"""WITH plan AS (
+       |  SELECT n, ncells,
+       |         greatest(2, ncoarse // 4) AS np1,
+       |         $centroidMod * ncells AS cell_bound,
+       |         $centroidMod * $coarseStride * ncoarse AS coarse_bound,
+       |         (n * ncells <= $budget) AS flat
+       |  FROM (SELECT n, ncells,
+       |               greatest(4, CAST(round(sqrt(ncells::DOUBLE)) AS BIGINT)) AS ncoarse
+       |        FROM (SELECT n, greatest($IvfNumCentroids, n // $IvfTargetCellSize) AS ncells
+       |              FROM (SELECT count(*)::BIGINT AS n FROM embeddings)))),
+       |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |         WHERE vec_id % $centroidMod = 0
+       |           AND vec_id < (SELECT cell_bound FROM plan)),
+       |probe AS (SELECT embedding AS pemb FROM embeddings WHERE vec_id = $probeId),
+       |-- flat branch: exact per-vector argmax assignment (ivfTopKOracle)
+       |f_ac AS (SELECT e.vec_id, c.cid,
+       |                ${cosineSql("e.embedding", "c.cemb")} AS ccos
+       |         FROM embeddings e CROSS JOIN cent c
+       |         WHERE (SELECT flat FROM plan)),
+       |f_assign AS (SELECT vec_id, cid AS cell FROM f_ac
+       |             QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                                        ORDER BY ccos DESC, cid) = 1),
+       |f_pc AS (SELECT c.cid, ${cosineSql("c.cemb", "p.pemb")} AS pcos
+       |         FROM cent c CROSS JOIN probe p
+       |         WHERE (SELECT flat FROM plan)),
+       |f_cells AS (SELECT cid AS cell FROM f_pc ORDER BY pcos DESC, cid LIMIT $nprobe),
+       |f_cand AS (SELECT a.vec_id FROM f_assign a JOIN f_cells USING (cell)
+       |           WHERE a.vec_id <> $probeId),
+       |-- two-level branch: quantized assignment at the derived
+       |-- (numCoarse, nprobe1) plan (ivf2AssignedTopKOracle with the
+       |-- constants replaced by plan-CTE scalars)
+       |coarse AS (SELECT cid AS gid, cemb AS gemb FROM cent
+       |           WHERE cid % ${centroidMod * coarseStride} = 0
+       |             AND cid < (SELECT coarse_bound FROM plan)
+       |             AND NOT (SELECT flat FROM plan)),
+       |f2c AS (SELECT cid, gid FROM (
+       |          SELECT c.cid, g.gid,
+       |                 row_number() OVER (PARTITION BY c.cid
+       |                   ORDER BY ${cosineSql("c.cemb", "g.gemb")} DESC, g.gid) AS rn
+       |          FROM cent c CROSS JOIN coarse g)
+       |        WHERE rn = 1),
+       |pg AS (SELECT gid FROM (
+       |         SELECT gid,
+       |                row_number() OVER (
+       |                  ORDER BY ${cosineSql("gemb", "pemb")} DESC, gid) AS rn
+       |         FROM coarse CROSS JOIN probe)
+       |       WHERE rn <= (SELECT np1 FROM plan)),
+       |pc AS (SELECT cid AS cell FROM cent JOIN f2c USING (cid)
+       |       JOIN pg USING (gid) CROSS JOIN probe
+       |       ORDER BY ${cosineSql("cemb", "pemb")} DESC, cid LIMIT $nprobe),
+       |vg AS (SELECT vec_id, gid FROM (
+       |         SELECT e.vec_id, g.gid,
+       |                row_number() OVER (PARTITION BY e.vec_id
+       |                  ORDER BY ${cosineSql("e.embedding", "g.gemb")} DESC, g.gid) AS grn
+       |         FROM embeddings e CROSS JOIN coarse g)
+       |       WHERE grn <= (SELECT np1 FROM plan)),
+       |assign2 AS (SELECT vec_id, cid AS cell FROM (
+       |         SELECT v.vec_id, c.cid,
+       |                row_number() OVER (PARTITION BY v.vec_id
+       |                  ORDER BY ${cosineSql("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+       |         FROM vg v JOIN f2c f USING (gid)
+       |         JOIN cent c ON c.cid = f.cid
+       |         JOIN embeddings e ON e.vec_id = v.vec_id)
+       |       WHERE rn = 1),
+       |t_cand AS (SELECT a.vec_id FROM assign2 a JOIN pc USING (cell)
+       |           WHERE a.vec_id <> $probeId),
+       |cand AS (SELECT vec_id FROM f_cand UNION ALL SELECT vec_id FROM t_cand)
+       |SELECT e.vec_id, e.label,
+       |       round(${cosineSql("e.embedding", "p.pemb")}, 4) AS cosine_sim
+       |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN probe p
+       |ORDER BY cosine_sim DESC, e.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
   // -------------------------------------------------------------------- PQ
 
   /** Product-quantization parameters: 64-dim embeddings split into `PqM`

@@ -9,6 +9,7 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import java.util.zip.GZIPInputStream
+import scala.jdk.CollectionConverters._
 
 /** Versioned remote fetch — the reference's CDN transport
   * (geo_manager.py:671-763, base URL settings.py:5), the one surface that
@@ -124,12 +125,24 @@ object RemoteFetch {
         // cleanly); a crash between delete and rename on a forced re-fetch
         // leaves a MISS, not a poisoned hit.
         Files.createDirectories(localPath.getParent)
+        // reap orphans from crashed fetches first: each attempt creates a
+        // fresh .tmp-fetch-* dir, so without the sweep a crash-looping
+        // host accumulates one full dump copy per retry forever
+        sweepStaleStaging(localPath.getParent)
         val staging = Files.createTempDirectory(localPath.getParent, ".tmp-fetch-")
         writeFile(staging.resolve(ShapeFileName), shape)
         writeFile(staging.resolve(SearchFileName), search)
         if (Files.exists(localPath))
           org.apache.commons.io.FileUtils.deleteDirectory(localPath.toFile)
-        Files.move(staging, localPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        try Files.move(staging, localPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // two fetchers raced on the publish: the winner's dir is a
+          // complete dump of the same version — losing the rename is
+          // success, not failure; just drop our staging copy
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            org.apache.commons.io.FileUtils.deleteQuietly(staging.toFile): Unit
+        }
         localPath
       } else {
         // cacheLocal=false still needs files for Spark to read — land them
@@ -145,6 +158,27 @@ object RemoteFetch {
       }
     GeoDump(dir.resolve(ShapeFileName).toString,
       dir.resolve(SearchFileName).toString)
+  }
+
+  /** Age a `.tmp-fetch-*` staging sibling must reach before the sweep
+    * treats it as a crash orphan rather than a concurrent fetcher's
+    * in-flight write (same in-flight guard as Materialize.gc's staging
+    * margin). */
+  val StagingSweepMinAgeMs: Long = 10 * 60 * 1000L
+
+  /** Delete crash-orphaned `.tmp-fetch-*` staging dirs under the cache
+    * parent. Only dirs older than [[StagingSweepMinAgeMs]] are eligible —
+    * a racing fetcher's live staging is never collected. Best-effort. */
+  private[sources] def sweepStaleStaging(parent: Path): Unit = {
+    val now = System.currentTimeMillis()
+    try {
+      val s = Files.list(parent)
+      try s.iterator().asScala.foreach { p =>
+        if (p.getFileName.toString.startsWith(".tmp-fetch-") &&
+            now - Files.getLastModifiedTime(p).toMillis > StagingSweepMinAgeMs)
+          org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit
+      } finally s.close()
+    } catch { case _: java.io.IOException => () }
   }
 
   private def writeFile(p: Path, bytes: Array[Byte]): Path = {

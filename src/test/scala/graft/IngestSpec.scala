@@ -243,6 +243,12 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
         Files.createDirectories(java.nio.file.Paths.get(path))
         Files.writeString(java.nio.file.Paths.get(path, "junk"), "x"): Unit
       }
+      // CURRENT-generation staging debris must be older than the
+      // in-flight-write safety margin before gc will touch it
+      def backdate(path: String): Unit =
+        Files.setLastModifiedTime(java.nio.file.Paths.get(path),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - Materialize.GcStagingMinAgeMs - 60000L)): Unit
       // a prior session's superseded generation + assorted crash debris +
       // a NEWER generation + a different input dir's artifact
       val v1 = Materialize.artifactPath(spark, kind, data, 1)
@@ -251,10 +257,17 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       val foreign = Materialize.artifactPath(spark, kind, otherData, 2)
       Seq(v1, s"$v1.compacting", s"$p2.refreshing", s"$p2.batch_dead",
         v3, foreign).foreach(plant)
+      // a FRESH current-gen staging dir reads as a possibly-live write:
+      // never collected regardless of how gc is (mis)scheduled
+      val fresh = s"$p2.batch_inflight"
+      plant(fresh)
+      Seq(s"$p2.refreshing", s"$p2.batch_dead").foreach(backdate)
       val deleted = Materialize.gc(spark, kind, data, currentVersion = 2)
         .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
       assert(deleted == Set(v1, s"$v1.compacting", s"$p2.refreshing",
         s"$p2.batch_dead"), s"unexpected GC set: $deleted")
+      assert(Files.exists(java.nio.file.Paths.get(fresh, "junk")),
+        "fresh current-generation staging must survive gc (in-flight guard)")
       // the servable surface is bit-identical: contents, replay marker,
       // manifest-fresh append still possible
       assert(spark.read.parquet(p2).collect().map(_.getLong(0)).sorted.toSeq
