@@ -69,10 +69,42 @@ object ChampRecallProbe {
         f""""k_total":${capped.getAs[Long]("k_total")},""" +
         f""""hits_total":${capped.getAs[Long]("hits_total")},""" +
         f""""recall_vs_uncut":${capped.getAs[Double]("recall")}%.4f,""" +
+        f""""displaced":${capped.getAs[Long]("displaced")},""" +
+        f""""true_loss":${capped.getAs[Long]("true_loss")},""" +
+        f""""recall_effective":${capped.getAs[Double]("recall_effective")}%.4f,""" +
         f""""k_stop":${capped.getAs[Long]("k_stop")},""" +
         f""""hits_stop":${capped.getAs[Long]("hits_stop")},""" +
         f""""recall_vs_stopgram":${capped.getAs[Double]("recall_vs_stopgram")}%.4f,""" +
         f""""wall":$cappedWall%.1f}""")
+      // the DISPATCHER'S plan at the default budget (the number that IS
+      // the product's fuzzy quality where tier 3 is operative), plus a
+      // rare-count sweep at the sized cap for the SCALE.md knob table
+      val (planBands, planRare, planCap) = graft.operators.FuzzySearch
+        .champPlanFor(spark, dir, inv,
+          graft.operators.FuzzySearch.BatchCandidateBudget)
+      println(s"""{"metric":"champ_plan","dir":"$dir","bands":$planBands,"rare":$planRare,"cap":$planCap}""")
+      // sweep entries "bands:rare" at the sized cap (SCALE.md knob table)
+      val sweep = sys.env.get("SPARK_GRAFT_RARE_SWEEP")
+        .map(_.split(",").map { e =>
+          val parts = e.split(":").map(_.trim.toInt)
+          (parts(0), parts(1))
+        }.toSeq)
+        .getOrElse(Seq((planBands, planRare)))
+      sweep.foreach { case (bands, rr) =>
+        val t3 = System.nanoTime()
+        val r = graft.operators.FuzzySearch
+          .batchFuzzyChampRecall(spark, dir, k, inv, planCap,
+            rareGrams = rr, lshBands = bands).head()
+        val w = (System.nanoTime() - t3) / 1e9
+        println(f"""{"metric":"champ_recall_sized","dir":"$dir",""" +
+          f""""bands":$bands,"rare":$rr,"cap":$planCap,""" +
+          f""""recall_vs_uncut":${r.getAs[Double]("recall")}%.4f,""" +
+          f""""displaced":${r.getAs[Long]("displaced")},""" +
+          f""""true_loss":${r.getAs[Long]("true_loss")},""" +
+          f""""recall_effective":${r.getAs[Double]("recall_effective")}%.4f,""" +
+          f""""recall_vs_stopgram":${r.getAs[Double]("recall_vs_stopgram")}%.4f,""" +
+          f""""wall":$w%.1f}""")
+      }
     }
     spark.stop()
   }

@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.DamerauLevenshtein._
 import graft.functions.TextFunctions._
 import graft.oracle.OracleSql
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Auto-complete fuzzy search — the reference's flagship pipeline
@@ -508,7 +508,16 @@ object FuzzySearch {
     * stop-gram cut). */
   def batchFuzzySearchOver(queries: DataFrame, postings: DataFrame, c: DataFrame,
                            numResults: Int, cap: Int = DefaultCap,
-                           allowed: Option[DataFrame] = None): DataFrame = {
+                           allowed: Option[DataFrame] = None): DataFrame =
+    scoreBatch(capHits(indexHits(queries, postings, allowed), numResults, cap),
+      c, queries, numResults)
+
+  /** The bloom-probed index-read hit counting shared by every indexed
+    * batch face: query grams fold into a runtime bloom evaluated inside
+    * the posting scan, survivors equi-join the gram table, hits = posting
+    * rows per (qid, id). */
+  private def indexHits(queries: DataFrame, postings: DataFrame,
+                        allowed: Option[DataFrame]): DataFrame = {
     import graft.functions.SketchFunctions._
     val qGrams = queries.select(col("qid"),
       explode(charNgramSet(col("clean_q"), 3)).as("ngram"))
@@ -516,14 +525,18 @@ object FuzzySearch {
       bloomFilterAgg(xxhash64(col("ngram")), IndexBloomEstItems, IndexBloomNumBits).as("bf"))
     val indexSide = postings
       .filter(mightContain(gramBloom.scalar(), xxhash64(col("ngram"))))
-    val hits = allowed.fold(indexSide)(a => indexSide.join(broadcast(a), "ngram"))
+    allowed.fold(indexSide)(a => indexSide.join(broadcast(a), "ngram"))
       .join(qGrams, "ngram")
       .groupBy(col("qid"), col("id")).agg(count(lit(1)).as("ngram_hits"))
+  }
+
+  /** The reference's 500-candidate cap (geo_manager.py:553-555), applied
+    * per query by (ngram_hits DESC, id). */
+  private def capHits(hits: DataFrame, numResults: Int, cap: Int): DataFrame = {
     val capW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("ngram_hits").desc, col("id"))
-    val capped = hits.withColumn("crn", row_number().over(capW))
+    hits.withColumn("crn", row_number().over(capW))
       .filter(col("crn") <= math.max(numResults, cap)).drop("crn")
-    scoreBatch(capped, c, queries, numResults)
   }
 
   /** OPT-IN stop-gram mitigation for the batch candidate cliff (SCALE.md's
@@ -877,6 +890,143 @@ object FuzzySearch {
     }
   }
 
+  // ---------------- LSH candidate channel (tier-3 recall, round 14)
+
+  /** MinHash signature length of the fuzzy LSH channel (16 bands × 2
+    * rows). Operating points below the max band count read a PREFIX of
+    * the band space (`band_idx < bands`), so one artifact serves the
+    * whole ladder. */
+  val FuzzyLshHashes = 32
+  val FuzzyLshRows = 2
+  val FuzzyLshMaxBands: Int = FuzzyLshHashes / FuzzyLshRows // 16
+  val FuzzyLshVersion = 1
+
+  /** Band widths the dispatcher may size the LSH channel to, descending
+    * (0 = channel off). Catch probability at 2-row bands:
+    * 1−(1−J²)^bands — measured candidate ceilings at the round-14
+    * diversity replica: 16 bands 0.948 of the uncut top-k, 8 bands
+    * 0.759 (LshCeilingProbe; SCALE.md §fuzzy-lsh). */
+  val FuzzyLshBandLadder: Seq[Int] = Seq(FuzzyLshMaxBands, 8)
+
+  /** Trigram-set MinHash signature of a name — the [[Dedup]] permutation
+    * family over polyHashed distinct trigrams. WHY a signature channel at
+    * all (round 14): the stop-gram cut is a RESULT ceiling for every
+    * df-cut tier — at the diversity replica 38% of the uncut top-k enters
+    * only through hot grams (every pool-token gram is hot there), which
+    * no posting truncation can see at bounded cost. High-tversky results
+    * are high-gram-Jaccard, and banded MinHash concentrates exactly that
+    * evidence into O(bands) keys per query — the bounded "shares MANY
+    * hot grams" detector. */
+  private[graft] def fuzzyGramSig(v: Column): Column = {
+    val gh = array_distinct(transform(charNgrams(v, 3), g => polyHash(g)))
+    array((0 until FuzzyLshHashes).map { i =>
+      array_min(transform(gh,
+        h => (h * Dedup.permA(i) + Dedup.permB(i)) % HashMod))
+    }: _*)
+  }
+
+  /** The 16 band hashes of a signature column (band b = polyHashLongs of
+    * its 2-row slice). */
+  private[graft] def fuzzyBandArray(sig: Column): Column =
+    array((0 until FuzzyLshMaxBands).map { b =>
+      polyHashLongs(slice(sig, b * FuzzyLshRows + 1, FuzzyLshRows))
+    }: _*)
+
+  private def fuzzyLshRowsOf(names: DataFrame): DataFrame =
+    names.withColumn("sig", fuzzyGramSig(col("clean_value")))
+      .select(col("clean_value"), posexplode(fuzzyBandArray(col("sig"))))
+      .select(col("pos").as("band_idx"), col("col").as("band_hash"),
+        col("clean_value"))
+
+  private def writeFuzzyLshLayout(rows: DataFrame, path: String): Unit =
+    rows.repartition(32, col("band_idx"), col("band_hash"))
+      .sortWithinPartitions(col("band_idx"), col("band_hash"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Write-once fuzzy LSH band artifact — one row per (band_idx,
+    * band_hash, DISTINCT clean_value): the join factors through distinct
+    * names by construction (the round-12 band-bucket discipline), so a
+    * clone-heavy corpus costs storage, never join volume. */
+  def ensureFuzzyLshIndex(spark: SparkSession, dir: String, c: DataFrame,
+                          version: Int = FuzzyLshVersion): String =
+    graft.Materialize.ensure(spark, "graft_fuzzylsh", dir, version) { p =>
+      writeFuzzyLshLayout(fuzzyLshRowsOf(c.select(col("clean_value")).distinct()), p)
+    }
+
+  /** Incremental maintenance: a batch's distinct names land as new
+    * band-clustered files. A name already indexed lands a DUPLICATE row —
+    * exact anyway because the serve counts `countDistinct(band_idx)` per
+    * (qid, name), so re-announcing a band changes nothing
+    * (IncrementalIndexSpec pins append == rebuild). */
+  def appendToFuzzyLshIndex(spark: SparkSession, dir: String, batch: DataFrame,
+                            version: Int = FuzzyLshVersion,
+                            batchTag: Option[String] = None): String = {
+    def write(p: String, mode: String): Unit =
+      fuzzyLshRowsOf(batch.select(col("clean_value")).distinct())
+        .repartition(4, col("band_idx"), col("band_hash"))
+        .sortWithinPartitions(col("band_idx"), col("band_hash"))
+        .write.mode(mode).parquet(p)
+    batchTag match {
+      case Some(t) => graft.Materialize.appendBatch(
+        spark, "graft_fuzzylsh", dir, version, t)(write(_, "overwrite"))
+      case None => graft.Materialize.append(
+        spark, "graft_fuzzylsh", dir, version)(write(_, "append"))
+    }
+  }
+
+  /** LSH candidate (qid, id) pairs at `bands` bands: query band keys
+    * (|Q|·bands rows — broadcast) probe the band artifact map-side;
+    * bucket-matched names expand to their ≤ 2 REPRESENTATIVE ids. No
+    * intermediate cap: the round-14 sweep measured any per-query est/hits
+    * cap at roughly HALF the channel's candidate ceiling (candidate est
+    * values tie heavily on pool-token corpora), and none is needed —
+    * the admission control already bounds the bucket-join volume, and the
+    * rep expansion bounds the scoring tail at ≤ 2 rows per matched name
+    * EXACTLY: the per-(qid, clean_value) dedup winner in [[scoreBatch]]
+    * can only ever be the name's max-population id (score is
+    * non-decreasing in population inside the efs > 0.65 branch,
+    * (population DESC, id) picks it) or its global min id (every other
+    * branch scores all ids of the name equally and the tie-break takes
+    * the smallest id) — all other ids of the name lose the dedup no
+    * matter the query. */
+  private[graft] def lshCandidates(spark: SparkSession, dir: String,
+                                   c: DataFrame, queries: DataFrame,
+                                   bands: Int): DataFrame = {
+    val art = spark.read.parquet(ensureFuzzyLshIndex(spark, dir, c))
+      .filter(col("band_idx") < bands)
+    val qb = queries.withColumn("sig", fuzzyGramSig(col("clean_q")))
+      .select(col("qid"), posexplode(fuzzyBandArray(col("sig"))))
+      .select(col("qid"), col("pos").as("band_idx"), col("col").as("band_hash"))
+      .filter(col("band_idx") < bands)
+    val matched = art.join(broadcast(qb), Seq("band_idx", "band_hash"))
+      .select(col("qid"), col("clean_value")).distinct()
+    val byPop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("clean_value"))
+      .orderBy(col("population").desc_nulls_last, col("id"))
+    val reps = c.withColumn("prn", row_number().over(byPop))
+      .filter(col("prn") === 1).select(col("clean_value"), col("id"))
+      .unionByName(c.groupBy(col("clean_value")).agg(min(col("id")).as("id")))
+      .distinct()
+    matched.join(reps, "clean_value").select(col("qid"), col("id"))
+  }
+
+  /** Predicted LSH bucket-join volume at each ladder width — one
+    * broadcast join of the batch's band keys against the artifact,
+    * columns `lsh_<bands>`. The admission number [[champPlanFor]] feeds
+    * the ladder. */
+  def lshChannelCosts(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val art = spark.read.parquet(ensureFuzzyLshIndex(spark, dir, c))
+    val qb = batchQueries(c).withColumn("sig", fuzzyGramSig(col("clean_q")))
+      .select(col("qid"), posexplode(fuzzyBandArray(col("sig"))))
+      .select(col("pos").as("band_idx"), col("col").as("band_hash"))
+    val cols = FuzzyLshBandLadder.map(b =>
+      coalesce(sum(when(col("band_idx") < b, 1L)), lit(0L))
+        .cast("long").as(s"lsh_$b"))
+    art.join(broadcast(qb), Seq("band_idx", "band_hash"))
+      .agg(cols.head, cols.tail: _*)
+  }
+
   /** The THIRD serving tier of the batch-fuzzy ladder — measured into
     * existence by the 100× rehearsal: the relative stop-gram cut removes
     * a constant FRACTION of the Σ qcount·df candidate sum, so on a
@@ -892,24 +1042,169 @@ object FuzzySearch {
   def batchFuzzySearchChampIndexed(spark: SparkSession, dir: String,
                                    numResults: Int, dfCapInverse: Long,
                                    postingCap: Int = ChampPostingCap,
-                                   cap: Int = DefaultCap): DataFrame = {
+                                   cap: Int = DefaultCap,
+                                   rareGrams: Int = ChampRareGrams,
+                                   lshBands: Int = FuzzyLshMaxBands): DataFrame = {
     val c = corpus(spark, dir)
     val path = ensureChampionIndex(spark, dir, c, dfCapInverse, postingCap)
-    batchFuzzySearchOver(batchQueries(c), spark.read.parquet(path), c,
-      numResults, cap)
+    val champ = spark.read.parquet(path)
+    if (rareGrams <= 0 && lshBands <= 0)
+      batchFuzzySearchOver(batchQueries(c), champ, c, numResults, cap)
+    else {
+      val queries = batchQueries(c)
+      val hits =
+        if (rareGrams <= 0) indexHits(queries, champ, None)
+        else {
+          val full = spark.read.parquet(ensurePostingsIndex(spark, dir, c))
+          val allowedDf = allowedGramsDfIndexed(spark, dir, c, dfCapInverse)
+          champRareUnionHits(queries, champ, full, allowedDf, rareGrams)
+        }
+      val gramCapped = capHits(hits, numResults, cap)
+        .select(col("qid"), col("id"))
+      val cand =
+        if (lshBands <= 0) gramCapped
+        else gramCapped.unionByName(
+          lshCandidates(spark, dir, c, queries, lshBands)).distinct()
+      scoreBatch(cand, c, queries, numResults)
+    }
+  }
+
+  /** Candidate hits of the champion tier WITH the rare-gram recall floor
+    * (round 14 — the round-13 verdict's top item): per query, the
+    * [[ChampRareGrams]] rarest allowed grams (smallest folded df,
+    * tie-broken by gram) probe the FULL posting index, every other allowed
+    * gram probes its champion list. The union partitions each query's
+    * gram set, so no (qid, gram) posting row is ever counted twice and
+    * K=∞ still reproduces the stop-gram output exactly (rare side == full
+    * == champion at K=∞; OperatorParitySpec). Why this raises recall
+    * where deeper caps stopped paying: a true match shares the query's
+    * DISCRIMINATIVE grams — exactly the low-df ones — and a rare gram's
+    * full posting list is small BY SELECTION (the per-query df-rank is
+    * the PPJoin prefix-filter ordering, Dedup.scala:47 — candidates
+    * sharing any of the rarest grams are recovered at full depth, the
+    * principled floor truncation alone cannot give). Cost: Σ rare df per
+    * query — admission-controlled by the dispatcher ([[champPlanFor]]
+    * sizes R to 0 on corpora where even the rarest allowed grams are hot,
+    * preserving tier 3's absolute volume bound). Both sides ride the
+    * same runtime-bloom index reads as every other indexed batch face. */
+  private def champRareUnionHits(queries: DataFrame, champ: DataFrame,
+                                 full: DataFrame, allowedDf: DataFrame,
+                                 rareGrams: Int): DataFrame = {
+    import graft.functions.SketchFunctions._
+    val qGrams = queries.select(col("qid"),
+      explode(charNgramSet(col("clean_q"), 3)).as("ngram"))
+    val rareW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("df"), col("ngram"))
+    val flagged = qGrams.join(broadcast(allowedDf), "ngram")
+      .withColumn("rrn", row_number().over(rareW))
+    def side(postings: DataFrame, qg: DataFrame): DataFrame = {
+      val bloom = qg.agg(bloomFilterAgg(xxhash64(col("ngram")),
+        IndexBloomEstItems, IndexBloomNumBits).as("bf"))
+      postings.filter(mightContain(bloom.scalar(), xxhash64(col("ngram"))))
+        .join(qg, "ngram").select(col("qid"), col("id"))
+    }
+    val rareQg = flagged.filter(col("rrn") <= rareGrams)
+      .select(col("qid"), col("ngram"))
+    val restQg = flagged.filter(col("rrn") > rareGrams)
+      .select(col("qid"), col("ngram"))
+    side(full, rareQg)
+      .unionByName(side(champ.select(col("ngram"), col("id")), restQg))
+      .groupBy(col("qid"), col("id")).agg(count(lit(1)).as("ngram_hits"))
   }
 
   /** Mirror oracle: the posting-join spelling (the brute-force list_filter
     * form cannot express a per-gram truncation), with the same scoring
-    * tail as the batch oracle. */
+    * tail as the batch oracle. `rareGrams > 0` mirrors the rare-gram
+    * recall floor: each query's R rarest allowed grams (df asc, gram asc —
+    * the same rank the operator derives) join the FULL posting multiset,
+    * the rest join the champion lists. */
+  /** DuckDB twin of the LSH channel's signature + band derivation: per
+    * distinct corpus name (`nb`) and per query (`qb`), the
+    * [[FuzzyLshHashes]]-long trigram-set MinHash (same permutation family
+    * and polyHash as the operator) banded 2 rows per band, band_idx
+    * restricted to the operating width. */
+  private def lshSigBandCtes(lshBands: Int): String = {
+    val P = HashMod
+    def sigList(ghExpr: String): String =
+      (0 until FuzzyLshHashes).map { i =>
+        s"list_min(list_transform($ghExpr, h -> (h * ${Dedup.permA(i)} + ${Dedup.permB(i)}) % $P))"
+      }.mkString("[", ",\n           ", "]")
+    def bandUnion(src: String, key: String): String =
+      (0 until lshBands).map { b =>
+        val (m1, m2) = (s"sig[${b * FuzzyLshRows + 1}]", s"sig[${b * FuzzyLshRows + 2}]")
+        s"SELECT $key, $b AS band_idx, (($m1 * 31 + $m2) % $P) AS band_hash FROM $src"
+      }.mkString("\n  UNION ALL\n  ")
+    val ghN = s"list_distinct(list_transform(${OracleSql.trigrams("clean_value")}, g -> ${OracleSql.polyHash("g")}))"
+    val ghQ = s"list_distinct(list_transform(${OracleSql.trigrams("clean_q")}, g -> ${OracleSql.polyHash("g")}))"
+    s"""nsig AS (SELECT clean_value, ${sigList(ghN)} AS sig
+       |         FROM (SELECT DISTINCT clean_value FROM corpus)),
+       |nb AS (
+       |  ${bandUnion("nsig", "clean_value")}),
+       |qsig AS (SELECT qid, ${sigList(ghQ)} AS sig FROM q),
+       |qb AS (
+       |  ${bandUnion("qsig", "qid")})""".stripMargin
+  }
+
+  /** SQL twin of [[lshChannelCosts]]: the bucket-join row count at each
+    * ladder width, from the same distinct-name band derivation. */
+  def lshChannelCostsOracle: String = {
+    val sums = FuzzyLshBandLadder.map(b =>
+      s"coalesce(sum(CASE WHEN band_idx < $b THEN 1 END), 0)::BIGINT AS lsh_$b")
+      .mkString(",\n       |       ")
+    s"""WITH corpus AS ($corpusCte),
+       |q AS (SELECT id AS qid,
+       |             ${OracleSql.clean("(substr(value, 1, 3) || substr(value, 5))")} AS clean_q
+       |      FROM corpus WHERE id % $BatchQueryMod = 0),
+       |${lshSigBandCtes(FuzzyLshMaxBands)}
+       |SELECT $sums
+       |FROM qb JOIN nb USING (band_idx, band_hash)""".stripMargin
+  }
+
   def batchFuzzySearchChampOracle(numResults: Int, dfCapInverse: Long,
                                   postingCap: Int = ChampPostingCap,
-                                  cap: Int = DefaultCap): String = {
+                                  cap: Int = DefaultCap,
+                                  rareGrams: Int = ChampRareGrams,
+                                  lshBands: Int = FuzzyLshMaxBands): String = {
     val qset = OracleSql.trigramSet("clean_q")
     val tv = OracleSql.tversky(qset, OracleSql.trigramSet("clean_value"), 0.85, 0.15)
     val efs = s"($tv * (1.0 + CASE WHEN starts_with(clean_value, clean_q) THEN 0.15 ELSE 0.0 END))"
     val dl = "least(damerau_levenshtein(split_part(clean_q, ',', 1), split_part(clean_value, ',', 1)), " +
       "damerau_levenshtein(clean_q, clean_value))"
+    val capN = math.max(numResults, cap)
+    val hitsCte =
+      if (rareGrams <= 0)
+        s"""h AS (SELECT qg.qid, champ.id, count(*)::BIGINT AS ngram_hits
+           |      FROM champ JOIN qg USING (g) GROUP BY qg.qid, champ.id),""".stripMargin
+      else
+        s"""dfg AS (SELECT g, count(*) AS df FROM ag GROUP BY g),
+           |qd AS (SELECT qg.qid, qg.g, row_number() OVER (PARTITION BY qg.qid
+           |                             ORDER BY dfg.df, qg.g) AS rrn
+           |       FROM qg JOIN dfg USING (g) JOIN al USING (g)),
+           |h AS (SELECT qid, id, count(*)::BIGINT AS ngram_hits FROM (
+           |        SELECT qd.qid, ag.id FROM qd JOIN ag USING (g)
+           |        WHERE qd.rrn <= $rareGrams
+           |        UNION ALL
+           |        SELECT qd.qid, champ.id FROM qd JOIN champ USING (g)
+           |        WHERE qd.rrn > $rareGrams)
+           |      GROUP BY qid, id),""".stripMargin
+    val candCte =
+      if (lshBands <= 0) "cand AS (SELECT qid, id FROM gcap),"
+      else
+        s"""${lshSigBandCtes(lshBands)},
+           |lshh AS (SELECT DISTINCT qb.qid, nb.clean_value
+           |         FROM qb JOIN nb USING (band_idx, band_hash)),
+           |reps AS (SELECT clean_value, id FROM (
+           |           SELECT clean_value, id,
+           |                  row_number() OVER (PARTITION BY clean_value
+           |                    ORDER BY population DESC NULLS LAST, id) AS prn
+           |           FROM corpus) WHERE prn = 1
+           |         UNION
+           |         SELECT clean_value, min(id) AS id FROM corpus
+           |         GROUP BY clean_value),
+           |lshi AS (SELECT h.qid, r.id
+           |         FROM lshh h JOIN reps r USING (clean_value)),
+           |cand AS (SELECT qid, id FROM gcap
+           |         UNION SELECT qid, id FROM lshi),""".stripMargin
     s"""WITH corpus AS ($corpusCte),
        |ag AS (SELECT id, population, unnest(${OracleSql.trigrams("clean_value")}) AS g FROM corpus),
        |al AS (SELECT g FROM ag GROUP BY g
@@ -923,14 +1218,14 @@ object FuzzySearch {
        |             ${OracleSql.clean("(substr(value, 1, 3) || substr(value, 5))")} AS clean_q
        |      FROM corpus WHERE id % $BatchQueryMod = 0),
        |qg AS (SELECT qid, unnest($qset) AS g FROM q),
-       |h AS (SELECT qg.qid, champ.id, count(*)::BIGINT AS ngram_hits
-       |      FROM champ JOIN qg USING (g) GROUP BY qg.qid, champ.id),
-       |cand AS (SELECT q.qid, q.clean_q, c.*, h.ngram_hits
-       |         FROM h JOIN corpus c ON c.id = h.id JOIN q ON q.qid = h.qid),
-       |capped AS (
-       |  SELECT * FROM cand WHERE ngram_hits > 0
-       |  QUALIFY row_number() OVER (PARTITION BY qid
-       |                             ORDER BY ngram_hits DESC, id) <= ${math.max(numResults, cap)}),
+       |$hitsCte
+       |gcap AS (SELECT qid, id FROM h WHERE ngram_hits > 0
+       |         QUALIFY row_number() OVER (PARTITION BY qid
+       |                   ORDER BY ngram_hits DESC, id) <= $capN),
+       |$candCte
+       |capped AS (SELECT d.qid, q.clean_q, c.*
+       |           FROM cand d JOIN corpus c ON c.id = d.id
+       |           JOIN q ON q.qid = d.qid),
        |scored AS (
        |  SELECT qid, clean_q, id, value, clean_value, population,
        |         $efs AS efs_raw, $dl::BIGINT AS distance
@@ -990,30 +1285,51 @@ object FuzzySearch {
   def batchFuzzyChampRecall(spark: SparkSession, dir: String, numResults: Int,
                             dfCapInverse: Long,
                             postingCap: Int = ChampPostingCap,
-                            cap: Int = DefaultCap): DataFrame = {
+                            cap: Int = DefaultCap,
+                            rareGrams: Int = ChampRareGrams,
+                            lshBands: Int = FuzzyLshMaxBands): DataFrame = {
     val qidBound = BatchQueryMod * RecallQueryCap
     val exact = batchFuzzySearchIndexed(spark, dir, numResults, cap)
       .filter(col("qid") < qidBound)
-      .select(col("qid"), col("clean_value"))
+      .select(col("qid"), col("clean_value"), col("score"))
     val stop = batchFuzzySearchStopGramIndexed(spark, dir, numResults,
         dfCapInverse, cap)
       .filter(col("qid") < qidBound)
       .select(col("qid"), col("clean_value"))
-    val champ = batchFuzzySearchChampIndexed(spark, dir, numResults,
-        dfCapInverse, postingCap, cap)
+    val champFull = batchFuzzySearchChampIndexed(spark, dir, numResults,
+        dfCapInverse, postingCap, cap, rareGrams, lshBands)
       .filter(col("qid") < qidBound)
-      .select(col("qid"), col("clean_value"))
+    val champ = champFull.select(col("qid"), col("clean_value"))
     def hitsOf(base: DataFrame, name: String): DataFrame =
       base.join(champ, Seq("qid", "clean_value"))
         .agg(count(lit(1)).cast("long").as(name))
+    // DISPLACEMENT decomposition (round 14): with the LSH channel, tier 3
+    // escapes the tier-1 anchor's own 500-candidate hit-count cap and can
+    // return STRICTLY higher-scoring results — a missed anchor row whose
+    // score is below tier 3's per-query top-k floor was outscored, not
+    // lost. true_loss counts only anchor rows tier 3 genuinely cannot see.
+    val t3min = champFull.groupBy(col("qid")).agg(min(col("score")).as("t3_min"))
+    val lossRow = exact
+      .join(champ, Seq("qid", "clean_value"), "left_anti")
+      .join(broadcast(t3min), Seq("qid"), "left")
+      .agg(
+        coalesce(sum(when(col("t3_min").isNotNull && col("score") < col("t3_min"),
+          1L).otherwise(0L)), lit(0L)).cast("long").as("displaced"),
+        coalesce(sum(when(col("t3_min").isNull || col("score") >= col("t3_min"),
+          1L).otherwise(0L)), lit(0L)).cast("long").as("true_loss"))
     exact.agg(count(lit(1)).cast("long").as("k_total"),
         countDistinct(col("qid")).cast("long").as("n_queries"))
-      .crossJoin(broadcast(hitsOf(exact, "hits_total")))
+      .crossJoin(broadcast(hitsOf(exact.select(col("qid"), col("clean_value")),
+        "hits_total")))
       .crossJoin(broadcast(stop.agg(count(lit(1)).cast("long").as("k_stop"))))
       .crossJoin(broadcast(hitsOf(stop, "hits_stop")))
+      .crossJoin(broadcast(lossRow))
       .select(col("n_queries"), col("k_total"), col("hits_total"),
         (col("hits_total").cast("double") / col("k_total").cast("double"))
           .as("recall"),
+        col("displaced"), col("true_loss"),
+        ((col("k_total") - col("true_loss")).cast("double")
+          / col("k_total").cast("double")).as("recall_effective"),
         col("k_stop"), col("hits_stop"),
         (col("hits_stop").cast("double") / col("k_stop").cast("double"))
           .as("recall_vs_stopgram"))
@@ -1021,21 +1337,40 @@ object FuzzySearch {
 
   def batchFuzzyChampRecallOracle(numResults: Int, dfCapInverse: Long,
                                   postingCap: Int = ChampPostingCap,
-                                  cap: Int = DefaultCap): String = {
+                                  cap: Int = DefaultCap,
+                                  rareGrams: Int = ChampRareGrams,
+                                  lshBands: Int = FuzzyLshMaxBands): String = {
     val qidBound = BatchQueryMod * RecallQueryCap
-    s"""WITH ex AS MATERIALIZED (SELECT qid, clean_value FROM (${batchFuzzySearchOracle(numResults, cap)})
+    s"""WITH ex AS MATERIALIZED (SELECT qid, clean_value, score FROM (${batchFuzzySearchOracle(numResults, cap)})
        |       WHERE qid < $qidBound),
        |st AS MATERIALIZED (SELECT qid, clean_value
        |       FROM (${batchFuzzySearchOracle(numResults, cap, Some(dfCapInverse))})
        |       WHERE qid < $qidBound),
-       |ch AS MATERIALIZED (SELECT qid, clean_value
-       |       FROM (${batchFuzzySearchChampOracle(numResults, dfCapInverse, postingCap, cap)})
-       |       WHERE qid < $qidBound)
+       |chf AS MATERIALIZED (SELECT qid, clean_value, score
+       |       FROM (${batchFuzzySearchChampOracle(numResults, dfCapInverse, postingCap, cap, rareGrams, lshBands)})
+       |       WHERE qid < $qidBound),
+       |ch AS (SELECT qid, clean_value FROM chf),
+       |t3min AS (SELECT qid, min(score) AS t3_min FROM chf GROUP BY qid),
+       |miss AS (SELECT e.qid, e.score, m.t3_min
+       |         FROM ex e LEFT JOIN t3min m ON m.qid = e.qid
+       |         WHERE NOT EXISTS (SELECT 1 FROM ch
+       |                           WHERE ch.qid = e.qid
+       |                             AND ch.clean_value = e.clean_value)),
+       |loss AS (SELECT
+       |    coalesce(sum(CASE WHEN t3_min IS NOT NULL AND score < t3_min
+       |                      THEN 1 ELSE 0 END), 0)::BIGINT AS displaced,
+       |    coalesce(sum(CASE WHEN t3_min IS NULL OR score >= t3_min
+       |                      THEN 1 ELSE 0 END), 0)::BIGINT AS true_loss
+       |  FROM miss)
        |SELECT (SELECT count(DISTINCT qid) FROM ex)::BIGINT AS n_queries,
        |       (SELECT count(*) FROM ex)::BIGINT AS k_total,
        |       (SELECT count(*) FROM ex JOIN ch USING (qid, clean_value))::BIGINT AS hits_total,
        |       (SELECT count(*) FROM ex JOIN ch USING (qid, clean_value))::DOUBLE
        |         / (SELECT count(*) FROM ex)::DOUBLE AS recall,
+       |       (SELECT displaced FROM loss) AS displaced,
+       |       (SELECT true_loss FROM loss) AS true_loss,
+       |       ((SELECT count(*) FROM ex) - (SELECT true_loss FROM loss))::DOUBLE
+       |         / (SELECT count(*) FROM ex)::DOUBLE AS recall_effective,
        |       (SELECT count(*) FROM st)::BIGINT AS k_stop,
        |       (SELECT count(*) FROM st JOIN ch USING (qid, clean_value))::BIGINT AS hits_stop,
        |       (SELECT count(*) FROM st JOIN ch USING (qid, clean_value))::DOUBLE
@@ -1182,46 +1517,102 @@ object FuzzySearch {
     * on the table whenever the budget had room for a deeper list. */
   val ChampCapLadder: Seq[Int] = Seq(512, 256, 128, ChampPostingCap)
 
+  /** Default rare-gram count R of the tier-3 recall floor: each query's R
+    * rarest allowed grams probe FULL posting lists instead of champion
+    * lists ([[champRareUnionHits]]). Sized at the round-14 diversity
+    * replica sweep (see SCALE.md §champion-recall): the rare side is
+    * budget-cheap by selection (the smallest dfs the query has), and R
+    * beyond a few grams stops adding recall because the prefix-filter
+    * principle needs only the most selective grams to recover a true
+    * match. */
+  val ChampRareGrams = 3
+
+
   /** Tier-3 analogue of [[batchStopgramCandidateCost]]: the champion
-    * join's predicted candidate volume at EACH ladder cap — truncation
-    * keeps at most `cap` postings per allowed gram, so the volume is
-    * Σ over query grams of qcount · min(df, cap). One aggregate over the
-    * broadcast-bounded gram-stats artifacts; columns `cost_<cap>`. */
+    * join's predicted candidate volume, decomposed so [[champPlanFor]]
+    * can size BOTH tier-3 knobs from one aggregate — per (query, allowed
+    * gram) pair with the rare rank rrn (df asc, gram asc — the served
+    * plan's own ordering), columns:
+    *
+    *  - `cost_<cap>`   = Σ min(df, cap)              (pure truncation)
+    *  - `rare`         = Σ_{rrn ≤ R} df              (rare side, cap-free)
+    *  - `rarecut_<cap>` = Σ_{rrn ≤ R} min(df, cap)   (what rare replaces)
+    *
+    * so volume(R on, cap) = cost_cap + rare − rarecut_cap and
+    * volume(R off, cap) = cost_cap. The relation is |queries|·|q-grams|
+    * rows — bounded by the batch, never the corpus; df folds from the
+    * broadcast-bounded gram-stats artifacts. */
   def batchChampCandidateCosts(spark: SparkSession, dir: String,
                                dfCapInverse: Long): DataFrame = {
     val c = corpus(spark, dir)
-    val (dp, np) = ensureGramStats(spark, dir, c)
-    val dfRel = spark.read.parquet(dp).groupBy(col("ngram"))
-      .agg(sum(col("df")).as("df"))
-    val nRel = spark.read.parquet(np).agg(sum(col("n")).as("n"))
-    val allowedDf = dfRel.crossJoin(broadcast(nRel))
-      .filter(col("df") * dfCapInverse <= col("n"))
-      .select(col("ngram"), col("df"))
-    val qc = batchQueries(c).select(col("qid"),
+    val allowedDf = allowedGramsDfIndexed(spark, dir, c, dfCapInverse)
+    val rareW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("df"), col("ngram"))
+    val qd = batchQueries(c).select(col("qid"),
         explode(charNgramSet(col("clean_q"), 3)).as("ngram"))
-      .groupBy(col("ngram")).agg(count(lit(1)).as("qcount"))
-    val costs = ChampCapLadder.map(cp =>
-      coalesce(sum(col("qcount") * least(col("df"), lit(cp.toLong))), lit(0L))
-        .cast("long").as(s"cost_$cp"))
-    qc.join(broadcast(allowedDf), "ngram").agg(costs.head, costs.tail: _*)
+      .join(broadcast(allowedDf), "ngram")
+      .withColumn("rrn", row_number().over(rareW))
+    val rareCol = coalesce(sum(when(col("rrn") <= ChampRareGrams, col("df"))),
+      lit(0L)).cast("long").as("rare")
+    val capCols = ChampCapLadder.flatMap { cp =>
+      Seq(
+        coalesce(sum(least(col("df"), lit(cp.toLong))), lit(0L))
+          .cast("long").as(s"cost_$cp"),
+        coalesce(sum(when(col("rrn") <= ChampRareGrams,
+            least(col("df"), lit(cp.toLong)))), lit(0L))
+          .cast("long").as(s"rarecut_$cp"))
+    }
+    qd.agg(rareCol, capCols: _*)
   }
 
-  /** The budget-sized champion cap: the largest ladder cap whose
-    * predicted volume fits, floor [[ChampPostingCap]] (whose volume bound
-    * is what makes tier 3 feasible at ANY corpus, so it never re-escapes
-    * the budget by more than the fixed-cap design already accepted). */
-  def champPostingCapFor(spark: SparkSession, dir: String,
-                         dfCapInverse: Long, budget: Long): Int = {
+  /** Tier-3 OPERATING POINTS (lshBands, rareGrams, postingCap), ordered
+    * by measured result quality at the round-14 diversity replica
+    * (SCALE.md §fuzzy-lsh): the LSH channel dominates (candidate ceiling
+    * 0.948 of the uncut top-k at 16 bands, 0.759 at 8 — it is the only
+    * channel that sees hot-gram-only results past the stop cut), then the
+    * rare-gram floor (recovers the truncation loss: vs-stop-gram 0.79 →
+    * 0.98), then champion depth (marginal once the other two are on).
+    * [[champPlanFor]] serves the FIRST point whose total predicted volume
+    * fits the budget; the floor point is the round-13 absolute bound. */
+  val ChampPlanLadder: Seq[(Int, Int, Int)] = Seq(
+    (FuzzyLshMaxBands, ChampRareGrams, 512),
+    (FuzzyLshMaxBands, ChampRareGrams, ChampPostingCap),
+    (FuzzyLshMaxBands, 0, ChampPostingCap),
+    (8, ChampRareGrams, ChampPostingCap),
+    (8, 0, ChampPostingCap),
+    (0, ChampRareGrams, 512),
+    (0, ChampRareGrams, ChampPostingCap),
+    (0, 0, 512), (0, 0, 128), (0, 0, ChampPostingCap))
+
+  /** The budget-sized tier-3 plan (lshBands, rareGrams, postingCap) —
+    * round 14: one quality-ordered ladder over all three knobs, first
+    * point whose predicted TOTAL volume fits. Volume(point) =
+    * lsh_<bands> (bucket-join rows, [[lshChannelCosts]])
+    * + (rare − rarecut_<cap> when the rare floor is on)
+    * + cost_<cap> (champion lists), per the
+    * [[batchChampCandidateCosts]] decomposition. Every term is an exact
+    * row-count prediction, so on a degenerate corpus (hot rare grams,
+    * megabucket signatures) the expensive channels fail admission and
+    * the floor point keeps the round-13 absolute bound. */
+  def champPlanFor(spark: SparkSession, dir: String,
+                   dfCapInverse: Long, budget: Long): (Int, Int, Int) = {
     val r = batchChampCandidateCosts(spark, dir, dfCapInverse).head()
-    ChampCapLadder.find(cp => r.getAs[Long](s"cost_$cp") <= budget)
-      .getOrElse(ChampPostingCap)
+    val l = lshChannelCosts(spark, dir).head()
+    val rare = r.getAs[Long]("rare")
+    def vol(p: (Int, Int, Int)): Long = {
+      val (bands, rr, cp) = p
+      val lsh = if (bands > 0) l.getAs[Long](s"lsh_$bands") else 0L
+      val rarePart = if (rr > 0) rare - r.getAs[Long](s"rarecut_$cp") else 0L
+      lsh + rarePart + r.getAs[Long](s"cost_$cp")
+    }
+    ChampPlanLadder.find(p => vol(p) <= budget).getOrElse(ChampPlanLadder.last)
   }
 
-  /** Memo for the tier-3 cap sizing (same construction-time-action
+  /** Memo for the tier-3 plan sizing (same construction-time-action
     * rationale as the cost memos; keys on both stats artifacts like the
     * tier-2 memo, plus the cut parameter and the budget). */
-  private val champCapMemo =
-    new scala.collection.concurrent.TrieMap[(String, String, String, String, Long, Long), Int]
+  private val champPlanMemo =
+    new scala.collection.concurrent.TrieMap[(String, String, String, String, Long, Long), (Int, Int, Int)]
 
   /** THREE-tier dispatch (round 10 — the 100× rehearsal showed tier 2's
     * relative cut is still quadratic on a degenerate corpus): uncut
@@ -1249,40 +1640,48 @@ object FuzzySearch {
       if (stopPredicted <= budget)
         batchFuzzySearchStopGramIndexed(spark, dir, numResults, dfCapInverse, cap)
       else {
-        // postingCap = 0 (the default) means BUDGET-SIZED: take the
-        // deepest ladder cap whose predicted volume fits — all the recall
-        // the budget allows, same absolute bound discipline. An explicit
-        // cap is honored verbatim (parameter sweeps, parity pins).
-        val pc = if (postingCap > 0) postingCap
-          else champCapMemo.getOrElseUpdate(
+        // postingCap = 0 (the default) means BUDGET-SIZED: the first
+        // ChampPlanLadder point whose predicted volume fits — all the
+        // recall the budget allows, same absolute bound discipline. An
+        // explicit cap is honored verbatim with the default rare floor
+        // and LSH width (parameter sweeps, parity pins).
+        val (bands, rr, pc) =
+          if (postingCap > 0) (FuzzyLshMaxBands, ChampRareGrams, postingCap)
+          else champPlanMemo.getOrElseUpdate(
             (fps._1, fps._2, graft.Materialize.fingerprint(spark, np),
               fps._3, dfCapInverse, budget),
-            champPostingCapFor(spark, dir, dfCapInverse, budget))
+            champPlanFor(spark, dir, dfCapInverse, budget))
         batchFuzzySearchChampIndexed(spark, dir, numResults, dfCapInverse,
-          pc, cap)
+          pc, cap, rr, bands)
       }
     }
   }
 
   /** Tier-3 cost oracle — SQL twin of [[batchChampCandidateCosts]]: one
-    * row with the predicted champion volume at each ladder cap. */
+    * row with the same (cost_<cap>, rare, rarecut_<cap>) decomposition,
+    * derived per (query, allowed gram) with the identical rare rank. */
   def batchChampCandidateCostsOracle(dfCapInverse: Long): String = {
-    val sums = ChampCapLadder.map(cp =>
-      s"coalesce(sum(qg.qcount * least(dfr.df, $cp)), 0)::BIGINT AS cost_$cp")
+    val sums = (Seq(
+      s"coalesce(sum(CASE WHEN rrn <= $ChampRareGrams THEN df END), 0)::BIGINT AS rare") ++
+      ChampCapLadder.flatMap(cp => Seq(
+        s"coalesce(sum(least(df, $cp)), 0)::BIGINT AS cost_$cp",
+        s"coalesce(sum(CASE WHEN rrn <= $ChampRareGrams THEN least(df, $cp) END), 0)::BIGINT AS rarecut_$cp")))
       .mkString(",\n       |       ")
     s"""WITH corpus AS ($corpusCte),
        |q AS (SELECT id AS qid,
        |             ${OracleSql.clean("(substr(value, 1, 3) || substr(value, 5))")} AS clean_q
        |      FROM corpus WHERE id % $BatchQueryMod = 0),
-       |qg AS (SELECT g AS ngram, count(*) AS qcount
-       |       FROM (SELECT qid, unnest(${OracleSql.trigramSet("clean_q")}) AS g FROM q)
-       |       GROUP BY g),
-       |dfr AS (SELECT g AS ngram, count(*) AS df
+       |qg AS (SELECT qid, unnest(${OracleSql.trigramSet("clean_q")}) AS g FROM q),
+       |dfr AS (SELECT g, count(*) AS df
        |        FROM (SELECT unnest(${OracleSql.trigrams("clean_value")}) AS g FROM corpus)
        |        GROUP BY g
-       |        HAVING count(*) * $dfCapInverse <= (SELECT count(*) FROM corpus))
+       |        HAVING count(*) * $dfCapInverse <= (SELECT count(*) FROM corpus)),
+       |qd AS (SELECT qg.qid, qg.g, dfr.df,
+       |              row_number() OVER (PARTITION BY qg.qid
+       |                                 ORDER BY dfr.df, qg.g) AS rrn
+       |       FROM qg JOIN dfr USING (g))
        |SELECT $sums
-       |FROM qg JOIN dfr USING (ngram)""".stripMargin
+       |FROM qd""".stripMargin
   }
 
   /** DuckDB twin of the DISPATCH: the cost CTEs guard the UNION ALL
@@ -1301,20 +1700,31 @@ object FuzzySearch {
         s"""  SELECT * FROM (${batchFuzzySearchChampOracle(numResults, dfCapInverse, postingCap, cap)}) ch
            |  WHERE (SELECT candidate_rows FROM cost) > $budget
            |    AND (SELECT candidate_rows FROM cost2) > $budget""".stripMargin
-      else ChampCapLadder.map { cp =>
-        s"""  SELECT * FROM (${batchFuzzySearchChampOracle(numResults, dfCapInverse, cp, cap)}) ch_$cp
+      else ChampPlanLadder.zipWithIndex.map { case ((bands, rr, cp), i) =>
+        s"""  SELECT * FROM (${batchFuzzySearchChampOracle(numResults, dfCapInverse, cp, cap, rr, bands)}) ch_$i
            |  WHERE (SELECT candidate_rows FROM cost) > $budget
            |    AND (SELECT candidate_rows FROM cost2) > $budget
-           |    AND (SELECT chosen_cap FROM chosen) = $cp""".stripMargin
+           |    AND (SELECT pick FROM chosen) = $i""".stripMargin
       }.mkString("\n  UNION ALL\n")
     val chosenCte =
       if (postingCap > 0) ""
       else {
-        val pick = ChampCapLadder.init.map(cp =>
-          s"WHEN cost_$cp <= $budget THEN $cp").mkString(" ")
+        // the SAME ladder walk champPlanFor performs: first operating
+        // point whose total predicted volume fits the budget
+        def vol(p: (Int, Int, Int)) = {
+          val (bands, rr, cp) = p
+          val lsh = if (bands > 0) s"lsh_$bands + " else ""
+          val rarePart = if (rr > 0) s"rare - rarecut_$cp + " else ""
+          s"$lsh${rarePart}cost_$cp"
+        }
+        val pick = ChampPlanLadder.init.zipWithIndex.map { case (p, i) =>
+          s"WHEN ${vol(p)} <= $budget THEN $i"
+        }.mkString(" ")
         s""",
            |cost3 AS (${batchChampCandidateCostsOracle(dfCapInverse)}),
-           |chosen AS (SELECT CASE $pick ELSE ${ChampCapLadder.last} END AS chosen_cap FROM cost3)""".stripMargin
+           |cost4 AS ($lshChannelCostsOracle),
+           |chosen AS (SELECT CASE $pick ELSE ${ChampPlanLadder.size - 1} END AS pick
+           |           FROM cost3, cost4)""".stripMargin
       }
     s"""WITH cost AS ($batchCandidateCostOracle),
        |cost2 AS (${batchStopgramCandidateCostOracle(dfCapInverse)})$chosenCte

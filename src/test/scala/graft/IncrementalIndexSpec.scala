@@ -49,6 +49,33 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty && a == rows(rebuilt))
   }
 
+  test("fuzzy LSH bands: append-then-serve == rebuild-then-serve (dedup by countDistinct)") {
+    val (full, base, batch) = corpusParts()
+    // overlap the batch's names with the base on purpose: appends
+    // re-announce already-indexed names as duplicate band rows, and the
+    // serve's countDistinct(band_idx) must make that invisible
+    val appended = FuzzySearch.ensureFuzzyLshIndex(spark, dir, base, version = 901)
+    FuzzySearch.appendToFuzzyLshIndex(spark, dir, full, version = 901)
+    val rebuilt = FuzzySearch.ensureFuzzyLshIndex(spark, dir, full, version = 902)
+    val queries = FuzzySearch.batchQueries(full)
+    def served(version: Int): Seq[(Long, Long)] = {
+      // lshCandidates reads via ensure (memoized path) — read both
+      // artifacts through the same candidate plan by pointing the read
+      // at each version's physical path
+      val art = spark.read.parquet(if (version == 901) appended else rebuilt)
+      val qb = queries.withColumn("sig", FuzzySearch.fuzzyGramSig(col("clean_q")))
+        .select(col("qid"), posexplode(FuzzySearch.fuzzyBandArray(col("sig"))))
+        .select(col("qid"), col("pos").as("band_idx"), col("col").as("band_hash"))
+      art.join(qb, Seq("band_idx", "band_hash"))
+        .groupBy(col("qid"), col("clean_value"))
+        .agg(countDistinct(col("band_idx")).as("band_hits"))
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("band_hits")))
+        .toSeq.sorted
+    }
+    val a = served(901)
+    assert(a.nonEmpty && a == served(902))
+  }
+
   test("gram stats: append-then-fold == rebuild-then-fold (df + n additive)") {
     val (full, base, batch) = corpusParts()
     val (adf, an) = FuzzySearch.ensureGramStats(spark, dir, base, version = 901)

@@ -117,28 +117,41 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       (i.toLong, name)
     }.toDF("p_partkey", "p_name").write.parquet(s"$tmp/part.parquet")
     val costs = FuzzySearch.batchChampCandidateCosts(spark, tmp, 10L).head()
+    val lsh = FuzzySearch.lshChannelCosts(spark, tmp).head()
     val c64 = costs.getAs[Long]("cost_64")
     val c512 = costs.getAs[Long]("cost_512")
+    val rare = costs.getAs[Long]("rare")
     assert(c64 > 0 && c512 > c64,
       s"crafted corpus must have truncation-sensitive grams (64: $c64, 512: $c512)")
-    // budget admits the floor but not the deepest cap: the sized dispatch
-    // must pick the LARGEST ladder cap that fits; budget 0 floors
-    val mid = c512 - 1
-    val expectedCap = FuzzySearch.ChampCapLadder
-      .find(cp => costs.getAs[Long](s"cost_$cp") <= mid).get
-    assert(expectedCap != FuzzySearch.ChampCapLadder.head,
-      "mid budget must exclude the deepest cap or the pick is vacuous")
-    assert(FuzzySearch.champPostingCapFor(spark, tmp, 10L, mid) == expectedCap)
-    assert(FuzzySearch.champPostingCapFor(spark, tmp, 10L, 0L) ==
-      FuzzySearch.ChampPostingCap)
+    assert(rare > 0, "rare-side volume must be visible on the crafted corpus")
+    assert(lsh.getAs[Long](s"lsh_${FuzzySearch.FuzzyLshMaxBands}") > 0,
+      "LSH bucket volume must be visible on the crafted corpus")
+    // independently walk the operator's ladder with its own published
+    // cost decomposition, then pin the sizing to it at a budget that
+    // excludes the all-on point (so the pick is not vacuous)
+    def vol(p: (Int, Int, Int)): Long = {
+      val (bands, rr, cp) = p
+      (if (bands > 0) lsh.getAs[Long](s"lsh_$bands") else 0L) +
+        (if (rr > 0) rare - costs.getAs[Long](s"rarecut_$cp") else 0L) +
+        costs.getAs[Long](s"cost_$cp")
+    }
+    val mid = vol(FuzzySearch.ChampPlanLadder.head) - 1
+    val expected = FuzzySearch.ChampPlanLadder.find(p => vol(p) <= mid)
+      .getOrElse(FuzzySearch.ChampPlanLadder.last)
+    assert(expected != FuzzySearch.ChampPlanLadder.head,
+      "mid budget must exclude the all-on point or the pick is vacuous")
+    assert(FuzzySearch.champPlanFor(spark, tmp, 10L, mid) == expected)
+    assert(FuzzySearch.champPlanFor(spark, tmp, 10L, 0L) ==
+      (0, 0, FuzzySearch.ChampPostingCap),
+      "budget 0 must floor every knob")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
     // sized dispatch at the mid budget == the direct champion read at the
-    // sized cap (and != the floor-cap read: the sizing is observable)
+    // sized plan (and != the floor read: the sizing is observable)
     assert(rows(FuzzySearch.batchFuzzySearchAuto(spark, tmp, 20, 10L,
         budget = mid, postingCap = 0)) ==
       rows(FuzzySearch.batchFuzzySearchChampIndexed(spark, tmp, 20, 10L,
-        expectedCap)),
-      "sized dispatch must serve the ladder cap its own estimator picked")
+        expected._3, rareGrams = expected._2, lshBands = expected._1)),
+      "sized dispatch must serve the plan its own estimator picked")
     assert(rows(FuzzySearch.batchFuzzySearchAuto(spark, tmp, 20, 10L,
         budget = 0L, postingCap = 512)) ==
       rows(FuzzySearch.batchFuzzySearchChampIndexed(spark, tmp, 20, 10L, 512)),
@@ -271,7 +284,8 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // a posting cap no gram reaches must leave the stop-gram semantics
     // bit-identical (truncation only ever removes posting rows)
     val untruncated = rows(FuzzySearch.batchFuzzySearchChampIndexed(
-      spark, dir, SparkEntry.P.FuzzyK, inv, postingCap = Int.MaxValue))
+      spark, dir, SparkEntry.P.FuzzyK, inv, postingCap = Int.MaxValue,
+      lshBands = 0))
     val stopgram = rows(FuzzySearch.batchFuzzySearchStopGramIndexed(
       spark, dir, SparkEntry.P.FuzzyK, inv))
     assert(untruncated == stopgram,
@@ -284,11 +298,23 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // box without it can only report "untestable here", not "broken".
     val d01 = dir.replace("sf0.001", "sf0.01")
     assume(new java.io.File(d01).isDirectory, s"gate corpus $d01 absent")
-    val champ = rows(FuzzySearch.batchFuzzySearchChampIndexed(
-      spark, d01, SparkEntry.P.FuzzyK, inv))
+    // the cap's bite is a property of the champion LISTS, so pin it with
+    // the rare-gram floor off…
+    val champPure = rows(FuzzySearch.batchFuzzySearchChampIndexed(
+      spark, d01, SparkEntry.P.FuzzyK, inv, rareGrams = 0, lshBands = 0))
     val stopgram01 = rows(FuzzySearch.batchFuzzySearchStopGramIndexed(
       spark, d01, SparkEntry.P.FuzzyK, inv))
-    assert(champ != stopgram01, "gate posting cap is vacuous at sf0.01")
+    assert(champPure != stopgram01, "gate posting cap is vacuous at sf0.01")
+    // …and the floor's purpose is to win that loss back: the default
+    // rare-union result must overlap the stop-gram results at least as
+    // much as the pure truncation does (at sf0.01 it recovers ALL of it,
+    // but pin the monotone claim, not the corpus coincidence)
+    val champRare = rows(FuzzySearch.batchFuzzySearchChampIndexed(
+      spark, d01, SparkEntry.P.FuzzyK, inv, lshBands = 0))
+    val stopRows = stopgram01.toSet
+    assert(champRare.toSet.intersect(stopRows).size >
+      champPure.toSet.intersect(stopRows).size,
+      "the rare-gram floor must recover truncation-dropped results at the gate corpus")
   }
 
   test("fuzzy auto dispatch selects each of the three tiers by budget") {
@@ -310,10 +336,13 @@ class OperatorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(FuzzySearch.batchFuzzySearchAuto(spark, dir, k, inv,
       budget = (stopPred + uncutPred) / 2)) ==
       rows(FuzzySearch.batchFuzzySearchStopGramIndexed(spark, dir, k, inv)))
-    // tier 3: budget below everything
+    // tier 3: budget below everything — floors the cap AND the rare side
+    // (budget 0 admits nothing, so the served plan is the pure champion
+    // truncation at the floor cap)
     assert(rows(FuzzySearch.batchFuzzySearchAuto(spark, dir, k, inv,
       budget = 0L)) ==
-      rows(FuzzySearch.batchFuzzySearchChampIndexed(spark, dir, k, inv)))
+      rows(FuzzySearch.batchFuzzySearchChampIndexed(spark, dir, k, inv,
+        rareGrams = 0, lshBands = 0)))
   }
 
   test("containment cost prediction equals the raw candidate join row count") {
