@@ -36,6 +36,15 @@ object AnnKnobProbe {
       val np1 = math.max(2, ncoarse / 4)
       println(s"""{"metric":"ann_knob_corpus","dir":"$dir","n":$n,""" +
         s""""ncells":$ncells,"ncoarse":$ncoarse,"np1":$np1}""")
+      // the budget-sized serving plan and its end-to-end recall — the
+      // number ann_refine_recall gates at oracle scale
+      val plan = graft.operators.Similarity.annRefinePlan(n, k)
+      val ts = System.nanoTime()
+      val sized = graft.operators.Similarity
+        .ivf2PqRefineRecallSized(spark, dir, probe, k).head()
+      println(f"""{"metric":"ann_refine_sized","dir":"$dir","plan":"$plan",""" +
+        f""""recall":${sized.getAs[Double]("recall")}%.4f,""" +
+        f""""wall":${(System.nanoTime() - ts) / 1e9}%.1f}""")
       for (np <- Seq(2, 4, 8, 16); rf <- Seq(4, 16, 26)) {
         val t0 = System.nanoTime()
         val exact = graft.operators.Similarity.cosineTopK(spark, dir, probe, k)

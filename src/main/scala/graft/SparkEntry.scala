@@ -304,8 +304,8 @@ object SparkEntry {
     // coarse+refine: ADC shortlist (refine*k deep, DPP-pruned codes read)
     // re-ranked by int8-dequantized cosine point reads — the full serving
     // ladder in one plan, back in the family's exact metric
-    "ann_ivf2pq_refine" -> ((s, d) => Similarity.ivf2PqRefineTopK(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
-    "ann_refine_recall" -> ((s, d) => Similarity.ivf2PqRefineRecall(s, d, P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe)),
+    "ann_ivf2pq_refine" -> ((s, d) => Similarity.ivf2PqRefineTopKSized(s, d, P.IvfProbe, P.IvfK)),
+    "ann_refine_recall" -> ((s, d) => Similarity.ivf2PqRefineRecallSized(s, d, P.IvfProbe, P.IvfK)),
     // same semantics over the MATERIALIZED code artifact (shared oracle)
     "ann_pq_indexed" -> ((s, d) => Similarity.pqTopKIndexed(s, d, P.IvfProbe, P.IvfK)),
     // per-subspace L2 Lloyd-trained codebooks (the proper PQ trainer);
@@ -762,8 +762,8 @@ object SparkEntry {
     "ann_ivf2pq_bucketed" -> Similarity.ivf2PqTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivfpq_batch" -> Similarity.ivfPqBatchTopKOracle(P.IvfK, nprobe = P.IvfNprobe),
     "ann_ivfpq_recall" -> Similarity.ivfPqBatchRecallOracle(P.IvfK, nprobe = P.IvfNprobe),
-    "ann_ivf2pq_refine" -> Similarity.ivf2PqRefineTopKOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
-    "ann_refine_recall" -> Similarity.ivf2PqRefineRecallOracle(P.IvfProbe, P.IvfK, nprobe = P.IvfNprobe),
+    "ann_ivf2pq_refine" -> Similarity.ivf2PqRefineTopKSizedOracle(P.IvfProbe, P.IvfK),
+    "ann_refine_recall" -> Similarity.ivf2PqRefineRecallSizedOracle(P.IvfProbe, P.IvfK),
     "ann_pq_indexed" -> Similarity.pqTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_trained" -> KMeans.pqTrainedTopKOracle(P.IvfProbe, P.IvfK),
     "ann_pq_trained_recall" -> KMeans.pqTrainedRecallOracle(P.IvfK),

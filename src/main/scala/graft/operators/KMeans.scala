@@ -227,8 +227,13 @@ object KMeans {
     * training is an ingest job; queries read the tiny M×K artifact. */
   def trainedPqBooks(spark: SparkSession, dir: String, iters: Int = DefaultIters,
                      mod: Long = 25L): DataFrame = {
+    // geometry in the KIND (the graft_pqcodes convention): a books
+    // artifact trained at one (PqM, PqK) must never serve another —
+    // caught live in round 14 when the geometry changed and the stale
+    // 8-subspace books nulled every 16-subspace encode join
     val path = graft.Materialize.ensure(
-      spark, s"graft_pqbooks_i${iters}_m$mod", dir, version = 1) { p =>
+      spark, s"graft_pqbooks_i${iters}_m${mod}_m${Similarity.PqM}k${Similarity.PqK}",
+      dir, version = 1) { p =>
       val e = Tables.embeddings(spark, dir)
       (1 to iters).foldLeft(Similarity.pqCodebooks(e, mod)) { (books, _) =>
         pqUpdate(e, Similarity.pqEncode(e, books))

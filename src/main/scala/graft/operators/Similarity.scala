@@ -1097,10 +1097,20 @@ object Similarity {
 
   /** Product-quantization parameters: 64-dim embeddings split into `PqM`
     * subspaces of `PqDim` dims, each quantized against a `PqK`-codeword
-    * subspace codebook → an 8-byte code per vector. */
-  val PqM = 8
-  val PqDim = 8
-  val PqK = 16
+    * subspace codebook → a 16-byte code per vector (still 16× smaller
+    * than the raw floats). Round 14 re-geometried the quantizer from
+    * (M=8, K=16) after AnnPqQualityProbe measured the ADC ranking as the
+    * refine ladder's real bottleneck — shortlist recall at 26·k depth
+    * with ALL cells probed: (8,16) 0.68 gate / 0.64 diversity replica;
+    * (16,64) 0.98 / 1.00. Finer subspaces cut quantization error far
+    * faster than codeword count alone ((8,256) measured 0.84 at the
+    * replica — stride-sampled codebooks get noisier past ~64 codewords),
+    * and the 2× code size is unchanged asymptotics. Artifact kinds carry
+    * both parameters, so old-geometry artifacts can never serve a
+    * new-geometry read. */
+  val PqM = 16
+  val PqDim = 4
+  val PqK = 64
 
   /** Left-to-right squared-L2 fold — same operation order as the oracle's
     * `list_reduce` fold, so results are bit-identical cross-engine. */
@@ -1563,6 +1573,58 @@ object Similarity {
     * visible. Both artifacts appendable under the same frozen codebooks.
     * Zero vectors dequantize to NaN cosine → dropped (the int8 tier
     * convention). */
+  /** Per-probe row budgets of the SIZED refine ladder (round 14 — the
+    * champion-cap discipline applied to the ANN knobs). Each knob's cost
+    * is an exact row count, each budget a constant, so the derived plan
+    * is a pure function of corpus size that the oracle re-derives in SQL:
+    *
+    *  - [[AnnCentroidRowBudget]] bounds QUERY-SIDE centroid rows
+    *    (ncoarse coarse reps + the fine cells under np1 coarse groups ≈
+    *    ncells·np1/ncoarse). The round-13 fixed np1 = ncoarse/4 was the
+    *    refine ladder's REAL recall bottleneck — the knob sweep measured
+    *    recall frozen at 0.2-0.3 across every (nprobe, refine) because
+    *    the probe's true cells hid under unprobed coarse groups
+    *    (shortlist 2/10 at np1=2 vs 9/10 at np1=4, same everything
+    *    else). Under the budget, np1 prunes only when ncells actually
+    *    forces it (at gate scales the whole coarse level is probed —
+    *    honest: two-level pruning exists for corpora where C_q rows
+    *    cannot cover ncells).
+    *  - [[AnnCodeRowBudget]] bounds candidate code rows: nprobe cells ×
+    *    the n/ncells cell size.
+    *  - [[AnnRefineRowBudget]] bounds the int8 point reads: refine·k. */
+  val AnnCentroidRowBudget = 4096L
+  val AnnCodeRowBudget = 1024L
+  val AnnRefineRowBudget = 256L
+
+  /** The budget-sized refine plan (ncells, numCoarse, nprobe1, nprobe,
+    * refine) — integer-exact so [[ivf2PqRefineTopKSizedOracle]] derives
+    * the identical plan from `count(*)` in SQL. */
+  def annRefinePlan(n: Long, k: Int): (Int, Int, Int, Int, Int) = {
+    val ncells = autoNumCentroids(n)
+    val ncoarse = math.max(4, math.sqrt(ncells.toDouble).round.toInt)
+    val np1 = math.max(2L, math.min(ncoarse.toLong,
+      (AnnCentroidRowBudget - ncoarse) * ncoarse / ncells)).toInt
+    val nprobe = math.max(2L, math.min(ncells.toLong,
+      AnnCodeRowBudget * ncells / n)).toInt
+    val refine = math.max(4L, AnnRefineRowBudget / k).toInt
+    (ncells, ncoarse, np1, nprobe, refine)
+  }
+
+  /** [[ivf2PqRefineTopK]] at the budget-sized plan — the serving face of
+    * the compressed ladder (`ann_ivf2pq_refine` gates it; its oracle
+    * re-derives the plan in SQL, the ann_ivf_auto discipline one family
+    * over). */
+  def ivf2PqRefineTopKSized(spark: SparkSession, dir: String, probeId: Long,
+                            k: Int): DataFrame = {
+    val n = autoCountMemo.getOrElseUpdate(
+      (dir, graft.Materialize.fingerprint(spark, dir)),
+      Tables.embeddings(spark, dir).count())
+    val (ncells, ncoarse, np1, nprobe, refine) = annRefinePlan(n, k)
+    ivf2PqRefineTopK(spark, dir, probeId, k, nprobe = nprobe,
+      numCentroids = ncells, numCoarse = ncoarse, nprobe1 = np1,
+      refine = refine)
+  }
+
   def ivf2PqRefineTopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
                        centroidMod: Long = 25L, nprobe: Int = 2,
                        numCentroids: Int = IvfNumCentroids,
@@ -1585,6 +1647,108 @@ object Similarity {
       .orderBy(col("cosine_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** SQL twin of the SIZED two-level PQ shortlist: [[ivf2PqTopKOracle]]
+    * with every probe-side knob replaced by the plan-CTE derivation
+    * [[annRefinePlan]] performs — ncells/ncoarse/np1/nprobe from
+    * `count(*)` and the row budgets (refine·k is data-independent and
+    * stays a literal). The fixed LIMITs become QUALIFY row_number
+    * predicates against plan scalars. */
+  private def ivf2PqTopKSizedOracle(probeId: Long, k: Int,
+                                    shortDepth: Int): String = {
+    val centroidMod = 25L; val coarseStride = 4L; val mod = 25L
+    s"""WITH ${pqCtes(probeId, mod)},
+       |plan AS (
+       |  SELECT ncells, ncoarse,
+       |         greatest(2, least(ncoarse, ($AnnCentroidRowBudget - ncoarse) * ncoarse // ncells)) AS np1,
+       |         greatest(2, least(ncells, $AnnCodeRowBudget * ncells // n)) AS nprobe,
+       |         $centroidMod * ncells AS cell_bound,
+       |         ${centroidMod * coarseStride} * ncoarse AS coarse_bound
+       |  FROM (SELECT n, ncells,
+       |               greatest(4, CAST(round(sqrt(ncells::DOUBLE)) AS BIGINT)) AS ncoarse
+       |        FROM (SELECT n, greatest($IvfNumCentroids, n // $IvfTargetCellSize) AS ncells
+       |              FROM (SELECT count(*)::BIGINT AS n FROM embeddings)))),
+       |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |         WHERE vec_id % $centroidMod = 0
+       |           AND vec_id < (SELECT cell_bound FROM plan)),
+       |coarse AS (SELECT cid AS gid, cemb AS gemb FROM cent
+       |           WHERE cid % ${centroidMod * coarseStride} = 0
+       |             AND cid < (SELECT coarse_bound FROM plan)),
+       |f2c AS (SELECT cid, gid FROM (
+       |          SELECT c.cid, g.gid,
+       |                 row_number() OVER (PARTITION BY c.cid
+       |                   ORDER BY ${cosineSql("c.cemb", "g.gemb")} DESC, g.gid) AS rn
+       |          FROM cent c CROSS JOIN coarse g)
+       |        WHERE rn = 1),
+       |pg AS (SELECT gid FROM (
+       |         SELECT gid, row_number() OVER (
+       |                  ORDER BY ${cosineSql("gemb", "pemb")} DESC, gid) AS rn
+       |         FROM coarse CROSS JOIN probe)
+       |       WHERE rn <= (SELECT np1 FROM plan)),
+       |pc AS (SELECT cell FROM (
+       |         SELECT cid AS cell, row_number() OVER (
+       |                  ORDER BY ${cosineSql("cemb", "pemb")} DESC, cid) AS rn
+       |         FROM cent JOIN f2c USING (cid)
+       |         JOIN pg USING (gid) CROSS JOIN probe)
+       |       WHERE rn <= (SELECT nprobe FROM plan)),
+       |ac AS (SELECT e.vec_id, c.cid,
+       |              ${cosineSql("e.embedding", "c.cemb")} AS ccos
+       |       FROM embeddings e CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, cid AS cell FROM ac
+       |           QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                                      ORDER BY ccos DESC, cid) = 1),
+       |cand AS (SELECT a.vec_id FROM assign a JOIN pc USING (cell)
+       |         WHERE a.vec_id <> $probeId)
+       |SELECT a.vec_id, e.label, a.pq_dist
+       |FROM adc a JOIN cand USING (vec_id) JOIN embeddings e USING (vec_id)
+       |ORDER BY a.pq_dist, a.vec_id
+       |LIMIT $shortDepth""".stripMargin
+  }
+
+  /** SQL twin of [[ivf2PqRefineTopKSized]]: the sized shortlist plus the
+    * unchanged int8 re-rank tail. */
+  def ivf2PqRefineTopKSizedOracle(probeId: Long, k: Int): String = {
+    val refine = math.max(4L, AnnRefineRowBudget / k).toInt
+    val codes = int8CodesSql("e.embedding", "s.scale")
+    val cos = cosineSql("d.demb", "p.pemb")
+    s"""WITH sl AS (SELECT vec_id FROM (
+       |${ivf2PqTopKSizedOracle(probeId, k, k * refine)})),
+       |$int8ScaleCte,
+       |t AS (SELECT e.vec_id, e.label, s.scale, $codes AS codes
+       |      FROM embeddings e JOIN s USING (vec_id)),
+       |d AS (SELECT vec_id, label,
+       |             list_transform(codes, c -> c::DOUBLE * scale) AS demb
+       |      FROM t),
+       |p AS (SELECT demb AS pemb FROM d WHERE vec_id = $probeId)
+       |SELECT d.vec_id, d.label, round($cos, 4) AS cosine_sim
+       |FROM d JOIN sl USING (vec_id) CROSS JOIN p
+       |WHERE NOT isnan($cos)
+       |ORDER BY cosine_sim DESC, d.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
+  /** Recall@k of the SIZED refine path vs exact — the gated
+    * `ann_refine_recall` anchor (sized operator, sized oracle). */
+  def ivf2PqRefineRecallSized(spark: SparkSession, dir: String, probeId: Long,
+                              k: Int): DataFrame = {
+    val exact = cosineTopK(spark, dir, probeId, k).select(col("vec_id"))
+    val approx = ivf2PqRefineTopKSized(spark, dir, probeId, k)
+      .select(col("vec_id").as("a_id"))
+    exact.join(broadcast(approx), col("vec_id") === col("a_id"), "left")
+      .agg(count(lit(1)).as("k_exact"), count(col("a_id")).as("hits"))
+      .withColumn("recall",
+        col("hits").cast("double") / col("k_exact").cast("double"))
+      .orderBy(col("k_exact"))
+  }
+
+  def ivf2PqRefineRecallSizedOracle(probeId: Long, k: Int): String =
+    s"""SELECT count(*) AS k_exact, count(a.a_id) AS hits,
+       |       count(a.a_id)::DOUBLE / count(*)::DOUBLE AS recall
+       |FROM (${cosineTopKOracle(probeId, k)}) e
+       |LEFT JOIN (SELECT vec_id AS a_id FROM (
+       |  ${ivf2PqRefineTopKSizedOracle(probeId, k)})) a
+       |  ON e.vec_id = a.a_id
+       |ORDER BY k_exact""".stripMargin
 
   def ivf2PqRefineTopKOracle(probeId: Long, k: Int, centroidMod: Long = 25L,
                              nprobe: Int = 2,
