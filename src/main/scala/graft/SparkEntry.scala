@@ -192,6 +192,9 @@ object SparkEntry {
     // .py:544-580, 623-641) as one windowed plan: per-country cap/dedup/
     // top-k; its latent partition-key bug (:558) fixed — see Scaladoc
     "fuzzy_partitioned" -> ((s, d) => FuzzySearch.fuzzySearchPartitioned(s, d, P.PostalQuery, P.PostalK)),
+    // the partitioned mode SERVED from the (ngram)-clustered partitioned
+    // posting artifact (In(ngram) pushdown; same oracle as the inline form)
+    "fuzzy_partitioned_indexed" -> ((s, d) => FuzzySearch.fuzzySearchPartitionedIndexed(s, d, P.PostalQuery, P.PostalK)),
     "dl_topk" -> ((s, d) => dlTopK(s, d)),
     // --- shape record projections (SURVEY §2.2) ---
     "shape_display" -> ((s, d) => ShapeOps.displays(s, d)),
@@ -708,6 +711,7 @@ object SparkEntry {
     "fuzzy_filtered" -> FuzzySearch.fuzzySearchOracle(P.PostalQuery, P.PostalK,
       corpusSql = FuzzySearch.zipCorpusCte, filters = P.FuzzyFilters),
     "fuzzy_partitioned" -> FuzzySearch.fuzzySearchPartitionedOracle(P.PostalQuery, P.PostalK),
+    "fuzzy_partitioned_indexed" -> FuzzySearch.fuzzySearchPartitionedOracle(P.PostalQuery, P.PostalK),
     "dl_topk" -> dlTopKOracle,
     "shape_display" -> ShapeOps.displaysOracle,
     "shape_quote_location" -> ShapeOps.quoteLocationsOracle,

@@ -49,6 +49,22 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty && a == rows(rebuilt))
   }
 
+  test("partitioned postings: append-then-read == rebuild-then-read (row-local explode)") {
+    val zc = FuzzySearch.zipCorpus(spark, dir)
+    val base = zc.filter(pmod(col("id"), lit(7)) =!= 0)
+    val batch = zc.filter(pmod(col("id"), lit(7)) === 0)
+    assert(batch.count() > 0 && base.count() > 0)
+    val appended = FuzzySearch.ensurePartitionedPostingsIndex(spark, dir, base, version = 901)
+    FuzzySearch.appendToPartitionedPostingsIndex(spark, dir, batch, version = 901)
+    val rebuilt = FuzzySearch.ensurePartitionedPostingsIndex(spark, dir, zc, version = 902)
+    def rows(p: String): Seq[(String, String, Long)] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getAs[String]("ngram"), r.getAs[String]("partition"),
+          r.getAs[Long]("id"))).toSeq.sorted
+    val a = rows(appended)
+    assert(a.nonEmpty && a == rows(rebuilt))
+  }
+
   test("fuzzy LSH bands: append-then-serve == rebuild-then-serve (dedup by countDistinct)") {
     val (full, base, batch) = corpusParts()
     // overlap the batch's names with the base on purpose: appends

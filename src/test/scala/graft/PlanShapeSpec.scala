@@ -53,6 +53,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("indexed partitioned fuzzy reads the partitioned posting artifact with In(ngram) pushdown") {
+    val p = finalPlan("fuzzy_partitioned_indexed")
+    // candidate generation reads the artifact, not a corpus re-derivation
+    assert(p.contains("graft_partpost_"), p)
+    val scans = p.split("\n").filter(s =>
+      s.contains("graft_partpost_") && s.contains("PushedFilters"))
+    assert(scans.nonEmpty && scans.forall(_.contains("In(ngram")),
+      s"partitioned posting scan without the In(ngram) pushdown:\n${scans.mkString("\n")}")
+    // and keeps the map-side rank limits of the inline form
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("radius probe filter is pushed into the parquet scan") {
     val p = finalPlan("geo_radius_search")
     assert(p.contains("PushedFilters") && p.contains("EqualTo(c_custkey,7)"), p)
