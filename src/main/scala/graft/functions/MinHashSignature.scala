@@ -37,9 +37,10 @@ case class MinHashSignature(child: Expression, k: Int, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
-  // Permutation params — must match Dedup.permA/permB and the oracle.
-  private val as: Array[Long] = Array.tabulate(numHashes)(i => 1L + 7919L * (i + 1))
-  private val bs: Array[Long] = Array.tabulate(numHashes)(i => (104729L * (i + 1)) % P)
+  // Permutation params — the canonical family (MinHashSignature.permA/B),
+  // shared with the composed spellings and the oracles.
+  private val as: Array[Long] = Array.tabulate(numHashes)(MinHashSignature.permA)
+  private val bs: Array[Long] = Array.tabulate(numHashes)(MinHashSignature.permB)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
@@ -89,6 +90,33 @@ case class MinHashSignature(child: Expression, k: Int, numHashes: Int)
 }
 
 object MinHashSignature {
+  /** CANONICAL permutation-seed family h_i(x) = (x·permA(i) + permB(i))
+    * mod HashMod, shared by the minhash/simhash kernels, the composed
+    * spellings (Dedup.permA/permB delegate here), the fuzzy LSH channel,
+    * and — as embedded LITERALS — every DuckDB oracle.
+    *
+    * Round 14 replaced the original ARITHMETIC-PROGRESSION seeds
+    * (A_i = 1 + 7919·(i+1), B_i = 104729·(i+1)) after the diversity
+    * replica exposed the classic failure: consecutive "permutations"
+    * differed by a FIXED per-element step (h_{i+1}(x) − h_i(x) =
+    * 7919·x + 104729 mod P), so one element could win RUNS of signature
+    * positions — measured as banded candidate pairs with true Jaccard
+    * < 0.05 whose 32-position agreement estimate read ≥ 0.5 (pure
+    * correlation, irreducible by longer signatures). splitmix64-mixed
+    * seeds restore the pairwise independence universal hashing needs;
+    * A_i, x < HashMod keeps every product under 2^60 (no overflow in
+    * Spark Long, the codegen kernels, or DuckDB BIGINT). */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  def permA(i: Int): Long =
+    1L + java.lang.Long.remainderUnsigned(mix(i.toLong), TextFunctions.HashMod - 1L)
+  def permB(i: Int): Long =
+    java.lang.Long.remainderUnsigned(mix(i.toLong + 0x51AB1EEDL), TextFunctions.HashMod)
+
   /** Column builder: signature over the (pre-lowered) text column. */
   def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
     org.apache.spark.sql.graftshim.GraftShim.column(

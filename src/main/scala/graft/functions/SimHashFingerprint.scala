@@ -31,10 +31,11 @@ case class SimHashFingerprint(child: Expression, nBits: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
-  // Per-bit affine params — the same permutation family as minhash
-  // (Dedup.permA/permB); must match the composed form and the oracle.
-  private val as: Array[Long] = Array.tabulate(nBits)(b => 1L + 7919L * (b + 1))
-  private val bs: Array[Long] = Array.tabulate(nBits)(b => (104729L * (b + 1)) % P)
+  // Per-bit affine params — the same canonical permutation family as
+  // minhash (MinHashSignature.permA/B); must match the composed form and
+  // the oracle.
+  private val as: Array[Long] = Array.tabulate(nBits)(MinHashSignature.permA)
+  private val bs: Array[Long] = Array.tabulate(nBits)(MinHashSignature.permB)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString

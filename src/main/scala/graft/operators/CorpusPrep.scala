@@ -396,7 +396,7 @@ object CorpusPrep {
     * its first stage on BOTH artifact paths so transitive staleness
     * still flows from either half. */
   val DocBaseVersion = 2 // v2: + norm_hash (delta overlay refresh key)
-  val DocGlobalVersion = 1
+  val DocGlobalVersion = 2 // v2: splitmix minhash seeds (is_canonical embeds near-dup decisions)
 
   def ensureDocBase(spark: SparkSession, dir: String,
                     version: Int = DocBaseVersion): String = {

