@@ -34,10 +34,10 @@ import org.apache.spark.sql.functions._
   */
 object DiversityReplica {
 
-  private def h(cols: Column*): Column = xxhash64(cols: _*)
+  private[graft] def h(cols: Column*): Column = xxhash64(cols: _*)
 
   /** element_at over a literal vocabulary, indexed by keyed hash. */
-  private def pick(vocab: Seq[String], key: Column): Column =
+  private[graft] def pick(vocab: Seq[String], key: Column): Column =
     element_at(array(vocab.map(lit): _*),
       (pmod(key, lit(vocab.size.toLong)) + 1L).cast("int"))
 

@@ -407,7 +407,7 @@ class IngestCadenceSpec extends AnyFunSuite with BeforeAndAfterAll {
         batchTag = Some(s"t$i")).count()
     }
     val kinds = Seq("graft_docbase" -> CorpusPrep.DocBaseVersion,
-      "graft_bands" -> 1, "graft_docwins" -> CorpusPrep.DocWinsVersion)
+      "graft_bands" -> graft.operators.Dedup.BandsVersion, "graft_docwins" -> CorpusPrep.DocWinsVersion)
     def pend(k: (String, Int)): Int =
       graft.Materialize.pendingBatches(spark, k._1, dir, k._2)
     def rowsOf(k: (String, Int)): Seq[String] =
