@@ -101,24 +101,32 @@ object CadenceCrashProbe {
         .coalesce(1).write.mode("append").parquet(incoming)
     }
 
+    // each run's wall is reported beside its verdict: the *_complete walls
+    // after a kill ARE the recovery costs (appendBatch repair scan + batch
+    // replay; refreshWith tmp rebuild) a deployment plans restart time by
+    def timed(r: => ChildRun): (ChildRun, Double) = {
+      val t0 = System.nanoTime()
+      val run = r
+      (run, (System.nanoTime() - t0) / 1e9)
+    }
     val runs = Seq(
       // mid-append: batch 1's artifact appends are in flight when SIGKILL
       // lands (aimed 1.2 s past batch 0's completion marker)
       ("drain_kill_mid_batch1",
-        spawn(dataDir, incoming, artDir, "drain",
-          Some(("GRAFT_CADENCE_BATCH_DONE 0", 1200L)))),
+        timed(spawn(dataDir, incoming, artDir, "drain",
+          Some(("GRAFT_CADENCE_BATCH_DONE 0", 1200L))))),
       // between appends: SIGKILL the instant batch 1's replay commits,
       // i.e. at batch 2's very start
       ("drain_kill_after_batch1",
-        spawn(dataDir, incoming, artDir, "drain",
-          Some(("GRAFT_CADENCE_BATCH_DONE 1", 0L)))),
-      ("drain_complete", spawn(dataDir, incoming, artDir, "drain")),
+        timed(spawn(dataDir, incoming, artDir, "drain",
+          Some(("GRAFT_CADENCE_BATCH_DONE 1", 0L))))),
+      ("drain_complete", timed(spawn(dataDir, incoming, artDir, "drain"))),
       // mid-refresh: the fold committed, the dispatched overlay refresh's
       // tmp-build/swap is in flight when SIGKILL lands
       ("finalize_kill_mid_refresh",
-        spawn(dataDir, incoming, artDir, "finalize",
-          Some(("GRAFT_CADENCE_FOLDED", 300L)))),
-      ("finalize_complete", spawn(dataDir, incoming, artDir, "finalize")))
+        timed(spawn(dataDir, incoming, artDir, "finalize",
+          Some(("GRAFT_CADENCE_FOLDED", 300L))))),
+      ("finalize_complete", timed(spawn(dataDir, incoming, artDir, "finalize"))))
 
     // from-scratch world: the same full corpus as one bootstrap, its own
     // artifact namespace (artifactPath keys on the data dir)
@@ -132,8 +140,8 @@ object CadenceCrashProbe {
     val nServed = served.count()
     val nAll = all.count()
 
-    runs.map { case (name, r) =>
-      name -> s"exit=${r.exit} killFired=${r.killFired} markers=[${r.markers.mkString("; ")}]"
+    runs.map { case (name, (r, wall)) =>
+      name -> f"exit=${r.exit} killFired=${r.killFired} wall=$wall%.1fs markers=[${r.markers.mkString("; ")}]"
     } ++ Seq(
       "served_rows" -> s"$nServed (corpus $nAll)",
       "served_vs_fresh_multiset_diff" -> diff.toString,
