@@ -70,17 +70,24 @@ object CorpusPrep {
     * row's own text, so the relation is appendable (wins(corpus ∪ batch)
     * == wins(corpus) ∪ wins(batch)) and a later corpus-global pass can
     * ask "which standing docs contain these windows" as an artifact
-    * probe instead of a full corpus text re-scan. Hashed (64-bit
-    * polyHash) rather than the window string — the same hash-equality
-    * contract as the exact ingest screen's content_hash probe — and
-    * w_hash-clustered so a broadcast window probe prunes files. */
+    * probe instead of a full corpus text re-scan. Hashed (xxhash64, the
+    * full 64-bit space) rather than the window string, so an equality
+    * probe IS window equality at any feasible corpus scale. v1 hashed
+    * with polyHash mod 1e9+7 — a ~10^9 space that at the 50k-doc sf1
+    * rehearsal collided often enough to falsely "contaminate" 13× more
+    * docs than the string-join truth (791 hash-marked vs 58 true; the
+    * round-14 diversity-gate catch). Identity-bearing hash joins need
+    * the 64-bit space; the mod-1e9 polyHash remains only where the
+    * VALUE is the mirrored contract (manifest checksums) or where
+    * collisions merely perturb an approximation both sides compute
+    * identically (minhash shingles, simhash tokens). */
   private[graft] def docWinRows(docs: DataFrame, win: Int = ContamWin): DataFrame =
     docs.select(col("doc_id"), explode(graft.functions.TextFunctions.tokenWindows(
         graft.functions.TextFunctions.tokens(lower(col("text"))), win)).as("w"))
-      .select(col("doc_id"), graft.functions.TextFunctions.polyHash(col("w")).as("w_hash"))
+      .select(col("doc_id"), xxhash64(col("w")).as("w_hash"))
       .distinct()
 
-  val DocWinsVersion = 1
+  val DocWinsVersion = 2 // v2: xxhash64 window identity (v1: polyHash mod 1e9+7)
 
   /** Write-once window-posting artifact over an explicit corpus slice
     * (the bands-index pattern: the cadence builds it over the standing
@@ -332,11 +339,16 @@ object CorpusPrep {
       size(regexp_extract_all(lower(col("text")),
         lit(TextAnalysis.BpePattern), lit(0))).cast("long").as("n_pieces"),
       graft.functions.TextFunctions.polyHash(col("text")).as("content_hash"),
-      // the dedup pipeline's exact-canon grouping key, hashed (v2):
-      // lets the delta overlay refresh find an arrival's exact-dup
-      // group from the label artifact alone, no corpus text re-scan
-      // (same 64-bit polyHash-equality contract the exact ingest
-      // screen already rests on)
+      // the exact ingest screen's probe key (v3): xxhash64 of the raw
+      // text, so hash equality IS text equality at feasible scale.
+      // Distinct from content_hash, whose mod-1e9 polyHash VALUE is the
+      // mirrored manifest-checksum contract and must stay as-is.
+      xxhash64(col("text")).as("screen_hash"),
+      // the dedup pipeline's exact-canon grouping key, hashed (v3 —
+      // xxhash64): lets the delta overlay refresh find an arrival's
+      // exact-dup group from the label artifact alone, no corpus text
+      // re-scan, and agree with the full pipeline's norm-STRING groups
+      // collision-free
       normHashCol.as("norm_hash"))
     val lm = LmQuality.scoreAgainstModel(d, model)
       .select(col("doc_id"), col("lm_score"))
@@ -345,7 +357,8 @@ object CorpusPrep {
       .join(lm, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("lang_pred"),
         col("quality_score"), col("q_q"),
-        col("n_tok"), col("n_pieces"), col("content_hash"), col("norm_hash"),
+        col("n_tok"), col("n_pieces"), col("content_hash"),
+        col("screen_hash"), col("norm_hash"),
         coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
   }
 
@@ -395,8 +408,9 @@ object CorpusPrep {
     * Consumers read the JOIN ([[docMetaIndexed]]); the e2e chain keys
     * its first stage on BOTH artifact paths so transitive staleness
     * still flows from either half. */
-  val DocBaseVersion = 2 // v2: + norm_hash (delta overlay refresh key)
-  val DocGlobalVersion = 2 // v2: splitmix minhash seeds (is_canonical embeds near-dup decisions)
+  val DocBaseVersion = 3 // v3: xxhash64 screen_hash/norm_hash (v2: polyHash norm_hash)
+  val DocGlobalVersion = 3 // v3: xxhash64 delta identity joins (contaminated/is_canonical
+                           //     embed w_hash/norm_hash decisions); v2: splitmix minhash seeds
 
   def ensureDocBase(spark: SparkSession, dir: String,
                     version: Int = DocBaseVersion): String = {
@@ -523,7 +537,7 @@ object CorpusPrep {
 
   /** Screen core over explicit relations — shared by the gate row (inline
     * anchor derivations) and [[ingestIncrement]] (artifact reads). Exact
-    * screen: the batch's raw-text polyHash probed against the standing
+    * screen: the batch's raw-text xxhash64 probed against the standing
     * content hashes — the standing side is scanned once under a broadcast
     * of the batch-sized probe, never shuffled. Near screen: the bloom-
     * pruned LSH band probe ([[Dedup.incrementalNearDupsOver]]).
@@ -533,9 +547,9 @@ object CorpusPrep {
       standingHashes: DataFrame, standingBands: => DataFrame): DataFrame = {
     val near = Dedup.incrementalNearDupsOver(batchDocs, standingBands)
     val batchHashes = batchDocs.select(col("doc_id"),
-      graft.functions.TextFunctions.polyHash(col("text")).as("h"))
+      xxhash64(col("text")).as("h"))
     val hashMatches = standingHashes
-      .select(col("content_hash").as("h"), col("doc_id").as("sid"))
+      .select(col("screen_hash").as("h"), col("doc_id").as("sid"))
       .join(broadcast(batchHashes.select(col("doc_id"), col("h"))), "h")
       .groupBy(col("doc_id")).agg(min(col("sid")).as("exact_dup_of"))
     near.join(hashMatches, Seq("doc_id"), "left")
@@ -558,7 +572,7 @@ object CorpusPrep {
       .select(col("doc_id"), col("text"))
     ingestScreenOver(batch,
       standing.select(col("doc_id"),
-        graft.functions.TextFunctions.polyHash(col("text")).as("content_hash")),
+        xxhash64(col("text")).as("screen_hash")),
       Dedup.bandRows(standing))
   }
 
@@ -581,7 +595,7 @@ object CorpusPrep {
     appendToDocBase(spark, dir, batch, batchTag = batchTag)
     val standingHashes = spark.read.parquet(ensureDocBase(spark, dir))
       .join(batchIds, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("content_hash"))
+      .select(col("doc_id"), col("screen_hash"))
     def standingBands = {
       val standing = graft.Tables.documents(spark, dir)
         .join(batchIds, Seq("doc_id"), "left_anti")
@@ -747,13 +761,15 @@ object CorpusPrep {
     decisions
   }
 
-  /** The dedup pipeline's exact-canon grouping key, hashed (docbase v2's
+  /** The dedup pipeline's exact-canon grouping key, hashed (docbase v3's
     * norm_hash column — shared so the label artifact and the inline delta
-    * anchor can never drift). */
+    * anchor can never drift). xxhash64 so the delta's hash-keyed groups
+    * equal the full pipeline's norm-STRING groups collision-free (the
+    * mod-1e9 polyHash space expects a false merge per ~50k² pairs —
+    * the round-14 w_hash catch, one rung over). */
   private[graft] def normHashCol: org.apache.spark.sql.Column =
-    graft.functions.TextFunctions.polyHash(
-      array_join(graft.functions.TextFunctions.tokens(
-        graft.functions.TextFunctions.cleanEntity(col("text"))), " "))
+    xxhash64(array_join(graft.functions.TextFunctions.tokens(
+      graft.functions.TextFunctions.cleanEntity(col("text"))), " "))
 
   private[graft] def normHashRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), normHashCol.as("norm_hash"))
@@ -946,10 +962,13 @@ object CorpusPrep {
   }
 
   /** Brute-force oracle for [[ingestScreen]]: near-dup partners from the
-    * signature CTEs (the dedup_incremental oracle), exact dups by raw-text
-    * polyHash equality against the standing split. */
+    * signature CTEs (the dedup_incremental oracle), exact dups by raw-TEXT
+    * equality against the standing split — the truth the engine's
+    * xxhash64 screen-probe key stands in for (hash equality is text
+    * equality at any feasible corpus scale in the 64-bit space; the
+    * previous polyHash-mod-1e9 mirror was gate-consistent but both sides
+    * would falsely merge ~1 pair per 50k² docs). */
   def ingestScreenOracle: String = {
-    val ph = graft.oracle.OracleSql.polyHash("text")
     s"""WITH ${Dedup.minhashBandCtes},
        |ba AS (SELECT * FROM bands WHERE doc_id % ${Dedup.IncMod} = ${Dedup.IncRem}),
        |co AS (SELECT * FROM bands WHERE doc_id % ${Dedup.IncMod} <> ${Dedup.IncRem}),
@@ -960,12 +979,12 @@ object CorpusPrep {
        |              i -> a.sig[i] = b.sig[i]))::DOUBLE / ${Dedup.MinHashK}.0 >= ${Dedup.IncEstThreshold}),
        |g AS (SELECT doc_id, count(*)::BIGINT AS n_partners, min(partner) AS dup_of
        |      FROM p GROUP BY doc_id),
-       |ibh AS (SELECT doc_id, ($ph) AS h FROM documents
+       |ibh AS (SELECT doc_id, text FROM documents
        |       WHERE doc_id % ${Dedup.IncMod} = ${Dedup.IncRem}),
-       |ish AS (SELECT doc_id, ($ph) AS h FROM documents
+       |ish AS (SELECT doc_id, text FROM documents
        |       WHERE doc_id % ${Dedup.IncMod} <> ${Dedup.IncRem}),
        |ex AS (SELECT ibh.doc_id, min(ish.doc_id) AS exact_dup_of
-       |       FROM ibh LEFT JOIN ish ON ibh.h = ish.h GROUP BY ibh.doc_id)
+       |       FROM ibh LEFT JOIN ish ON ibh.text = ish.text GROUP BY ibh.doc_id)
        |SELECT d.doc_id,
        |       ex.exact_dup_of IS NOT NULL AS is_exact_dup,
        |       g.dup_of IS NOT NULL AS is_near_dup,
