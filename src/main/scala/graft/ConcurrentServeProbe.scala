@@ -69,8 +69,7 @@ object ConcurrentServeProbe {
     val tasks = reqs.map { r =>
       new Callable[(String, Double)] {
         def call(): (String, Double) = {
-          if (fair) spark.sparkContext.setLocalProperty(
-            "spark.scheduler.pool", "serve-" + Thread.currentThread().getId)
+          if (fair) graft.plans.ServingPools.claim(spark)
           val t = System.nanoTime()
           r.run(spark).collect()
           (r.family, (System.nanoTime() - t) / 1e9)

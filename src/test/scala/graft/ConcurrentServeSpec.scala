@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+import scala.jdk.CollectionConverters._
+
+/** Pins the concurrent-serving configuration the round-14 rehearsal
+  * measured (SCALE.md §concurrent-serve): a shared session under
+  * `spark.scheduler.mode=FAIR` with ONE POOL PER REQUEST THREAD
+  * ([[graft.plans.ServingPools]]). Two things are pinned:
+  *
+  *  1. the configuration actually takes — the context schedules FAIR
+  *     and each claiming thread lands in its own root-pool child (the
+  *     degenerate all-in-default-pool FAIR is exactly what this guards
+  *     against: it is internally FIFO and re-introduces head-of-line
+  *     blocking);
+  *  2. results under concurrency equal the sequential results — the
+  *     serving faces share broadcast variables, artifact reads, and
+  *     codegen caches across threads, and a correctness race there
+  *     would be invisible to every sequential gate.
+  */
+class ConcurrentServeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.scheduler.mode", "FAIR")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .appName("concurrent-serve-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("FAIR mode takes and each serving thread claims a distinct pool") {
+    assert(spark.sparkContext.getSchedulingMode.toString == "FAIR",
+      "serving session must schedule FAIR (a reused FIFO context would " +
+        "silently drop the whole configuration)")
+    val pool = Executors.newFixedThreadPool(4)
+    val claimed = pool.invokeAll(
+      (0 until 4).map(_ => new Callable[String] {
+        def call(): String = {
+          val p = graft.plans.ServingPools.claim(spark)
+          // submit a real job so the pool materializes in the scheduler
+          spark.range(100).filter("id % 7 = 0").count()
+          p
+        }
+      }).asJava).asScala.map(_.get()).toSet
+    pool.shutdown(); pool.awaitTermination(60, TimeUnit.SECONDS)
+    assert(claimed.size == 4, s"expected 4 distinct pools, got $claimed")
+    val live = spark.sparkContext.getAllPools.map(_.name).toSet
+    assert(claimed.subsetOf(live),
+      s"claimed pools $claimed not all registered in scheduler pools $live")
+  }
+
+  test("concurrent mixed serving requests equal their sequential results") {
+    val reqs: Seq[(String, () => Seq[String])] = Seq(
+      ("fuzzy", () => operators.FuzzySearch
+        .fuzzySearchIndexed(spark, dir, "smal widget", 5)
+        .collect().map(_.toString).toSeq),
+      ("radius", () => operators.RadiusSearch
+        .radiusLatLngSearchIndexed(spark, dir, 34.0, -118.0, 500.0)
+        .collect().map(_.toString).toSeq),
+      ("ann", () => operators.Similarity
+        .ivf2PqRefineTopKSized(spark, dir, 1L, 5)
+        .collect().map(_.toString).toSeq),
+      ("bm25", () => operators.Retrieval
+        .bm25TopK(spark, dir, Seq("the", "spark"), 5)
+        .collect().map(_.toString).toSeq))
+    // sequential anchors (also pay the artifact ensures once)
+    val anchors = reqs.map { case (f, run) => f -> run() }.toMap
+    val pool = Executors.newFixedThreadPool(8)
+    val results = pool.invokeAll(
+      (0 until 2).flatMap(_ => reqs).map { case (f, run) =>
+        new Callable[(String, Seq[String])] {
+          def call(): (String, Seq[String]) = {
+            graft.plans.ServingPools.claim(spark)
+            (f, run())
+          }
+        }
+      }.asJava).asScala.map(_.get())
+    pool.shutdown(); pool.awaitTermination(120, TimeUnit.SECONDS)
+    results.foreach { case (f, rows) =>
+      assert(rows == anchors(f), s"$f diverged under concurrency")
+    }
+  }
+}
