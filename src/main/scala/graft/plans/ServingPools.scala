@@ -20,11 +20,24 @@ import org.apache.spark.sql.SparkSession
   * starves); a deployment wanting weighted tiers declares them via
   * `spark.scheduler.allocation.file` without code changes. */
 object ServingPools {
-  /** Claim a per-thread FAIR pool for the calling request thread;
-    * returns the pool name (idempotent per thread). No-op semantics
-    * under FIFO mode: the property is set but FIFO ignores pools. */
+  /** Bound on the registered-pool set. Spark's FAIR scheduler registers
+    * every newly named pool in `rootPool` PERMANENTLY — `release` clears
+    * only the thread-local property, never deregisters — so raw
+    * per-thread-id pool names under thread churn (a cached/per-request
+    * executor) would grow the scheduler's pool registry without bound in
+    * a long-lived serving session. Thread ids therefore hash into a
+    * fixed slot space: at most [[PoolSlots]] pools ever register, and two
+    * live threads sharing a slot degrade only THAT slot to FIFO between
+    * the two of them (round-robin across slots — the property the
+    * round-14 measurement priced — is preserved). Sized 2× the measured
+    * n=32 serving config so collisions are rare at the measured load. */
+  val PoolSlots = 64
+
+  /** Claim a FAIR pool slot for the calling request thread; returns the
+    * pool name (stable per thread). No-op semantics under FIFO mode: the
+    * property is set but FIFO ignores pools. */
   def claim(spark: SparkSession): String = {
-    val pool = "serve-" + Thread.currentThread().getId
+    val pool = "serve-" + (Thread.currentThread().getId % PoolSlots)
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
     pool
   }

@@ -26,7 +26,15 @@ class ConcurrentServeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val dir = "/root/testdata/sf0.001"
 
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = {
+    // an earlier suite in this forked JVM may have left a FIFO context
+    // running; getOrCreate would reuse it and silently drop the FAIR
+    // config below, failing test 1 order-dependently — start clean
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
     .master("local[8]")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.ui.enabled", "false")
@@ -35,6 +43,7 @@ class ConcurrentServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .appName("concurrent-serve-spec")
     .getOrCreate()
+  }
 
   override def afterAll(): Unit = spark.stop()
 
@@ -43,17 +52,25 @@ class ConcurrentServeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "serving session must schedule FAIR (a reused FIFO context would " +
         "silently drop the whole configuration)")
     val pool = Executors.newFixedThreadPool(4)
-    val claimed = pool.invokeAll(
-      (0 until 4).map(_ => new Callable[String] {
-        def call(): String = {
+    val claims = pool.invokeAll(
+      (0 until 4).map(_ => new Callable[(Long, String)] {
+        def call(): (Long, String) = {
           val p = graft.plans.ServingPools.claim(spark)
           // submit a real job so the pool materializes in the scheduler
           spark.range(100).filter("id % 7 = 0").count()
-          p
+          (Thread.currentThread().getId, p)
         }
-      }).asJava).asScala.map(_.get()).toSet
+      }).asJava).asScala.map(_.get())
     pool.shutdown(); pool.awaitTermination(60, TimeUnit.SECONDS)
-    assert(claimed.size == 4, s"expected 4 distinct pools, got $claimed")
+    // slot hashing (bounded pool registry): each thread's pool is exactly
+    // its id's slot, and distinct slots get distinct pools
+    claims.foreach { case (tid, p) =>
+      assert(p == "serve-" + (tid % graft.plans.ServingPools.PoolSlots),
+        s"thread $tid claimed unexpected pool $p")
+    }
+    val claimed = claims.map(_._2).toSet
+    assert(claimed.size == claims.map(_._1 % graft.plans.ServingPools.PoolSlots).toSet.size,
+      s"distinct slots must claim distinct pools, got $claims")
     val live = spark.sparkContext.getAllPools.map(_.name).toSet
     assert(claimed.subsetOf(live),
       s"claimed pools $claimed not all registered in scheduler pools $live")
