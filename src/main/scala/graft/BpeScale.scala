@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** BPE vocabulary-scale demonstration (NOT a driver surface): trains
@@ -42,11 +41,7 @@ object BpeScale {
       val kinds = Seq(s"graft_bpe${fam}_s0", s"graft_bpe${fam}_pc0") ++
         (1 to maxRounds).flatMap(t => Seq(s"graft_bpe${fam}_b$t",
           s"graft_bpe${fam}_s$t", s"graft_bpe${fam}_pc$t"))
-      kinds.foreach { k =>
-        val p = new Path(Materialize.artifactPath(spark, k, dir, 3))
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
+      kinds.foreach(k => Materialize.purge(spark, k, dir, 3))
       val t0 = System.nanoTime()
       val (rounds, merges, stats) =
         graft.operators.BpeTrainer.bpeTrainAtScale(spark, dir, target, maxRounds, n)

@@ -133,7 +133,7 @@ object CadenceCrashProbe {
     all.write.mode("overwrite").parquet(s"$freshDir/documents.parquet")
     val fresh = spark.read.parquet(
       graft.operators.CorpusPrep.ensureDocGlobal(spark, freshDir))
-    val served = spark.read.parquet(graft.Materialize.artifactPath(spark,
+    val served = spark.read.parquet(graft.Materialize.servingPath(spark,
       "graft_docglobal", dataDir, graft.operators.CorpusPrep.DocGlobalVersion))
     val diff = served.unionByName(fresh).groupBy(served.columns.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") =!= 2L).count()

@@ -630,7 +630,7 @@ object CorpusPrep {
     * transitively because the artifact files changed) at a cost
     * proportional to the ARRIVALS' cluster footprint instead of the
     * corpus: [[deltaOverlayOver]] over the artifacts the per-batch
-    * cadence already maintains (docbase v2 norm hashes, the band index,
+    * cadence already maintains (docbase v3 norm hashes, the band index,
     * the window postings) plus the prior overlay generation, swapped in
     * place. Precondition is the cadence's own — [[ingestIncrement]] ran
     * for every arrived batch (checked loudly: a docbase that has not
@@ -708,7 +708,7 @@ object CorpusPrep {
     // child's mtime is invisible (then re-path the dir or bump the
     // version) — the previous anti-join spelling was equally blind to it.
     val covered = spark.read.parquet(
-        graft.Materialize.artifactPath(spark, "graft_docglobal", dir, DocGlobalVersion))
+        graft.Materialize.servingPath(spark, "graft_docglobal", dir, DocGlobalVersion))
       .count()
     // The arithmetic's subset premise can be violated from OUTSIDE the
     // cadence contract: a replayed UNTAGGED ingestIncrement (plain append,

@@ -416,16 +416,20 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val appended = FuzzySearch.ensurePostingsIndex(spark, dir, base, version = 903)
     FuzzySearch.appendToPostingsIndex(spark, dir, batch, version = 903)
     val before = parquetFiles(appended)
-    FuzzySearch.compactPostingsIndex(spark, dir, version = 903)
+    // compaction commits a NEW generation (the appended one keeps serving
+    // in-flight readers until gc) — the canonical layout is at its path
+    val compacted = FuzzySearch.compactPostingsIndex(spark, dir, version = 903)
     val rebuilt = FuzzySearch.ensurePostingsIndex(spark, dir, full, version = 904)
     def rows(p: String): Seq[(String, Long)] =
       spark.read.parquet(p).collect()
         .map(r => (r.getAs[String]("ngram"), r.getAs[Long]("id"))).toSeq.sorted
     // canonical = one 32-way clustered run (empty hash partitions write no
     // file); the appended artifact carried extra per-batch file sets
-    val after = parquetFiles(appended)
+    assert(compacted != appended,
+      "compaction must commit a new generation, not swap in place")
+    val after = parquetFiles(compacted)
     assert(after <= 32 && after < before, s"before=$before after=$after")
-    val a = rows(appended)
+    val a = rows(compacted)
     assert(a.nonEmpty && a == rows(rebuilt))
   }
 
@@ -435,8 +439,8 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       Similarity.IvfNumCentroids, version = 903)
     Similarity.appendToIvfIndex(spark, dir, batch, cent, 25L,
       Similarity.IvfNumCentroids, version = 903)
-    Similarity.compactIvfIndex(spark, dir, 25L, Similarity.IvfNumCentroids,
-      version = 903)
+    val compacted = Similarity.compactIvfIndex(spark, dir, 25L,
+      Similarity.IvfNumCentroids, version = 903)
     val rebuilt = Similarity.ensureIvfIndex(spark, dir, e, cent, 25L,
       Similarity.IvfNumCentroids, version = 904)
     def rows(p: String): Seq[(Long, Long)] =
@@ -444,9 +448,9 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select(col("vec_id"), col("cell").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     // still a cell-partitioned layout (directories, not flat files)
-    assert(new java.io.File(appended).listFiles()
+    assert(new java.io.File(compacted).listFiles()
       .exists(f => f.isDirectory && f.getName.startsWith("cell=")))
-    val a = rows(appended)
+    val a = rows(compacted)
     assert(a.nonEmpty && a == rows(rebuilt))
   }
 
@@ -705,7 +709,8 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(p1).count() == 2)
 
     // a MODIFIED recorded child marks the artifact stale: append refuses,
-    // ensure drops and rebuilds at the SAME key
+    // ensure rebuilds under the SAME key — as a NEW generation (the stale
+    // one keeps serving in-flight readers until gc's grace window)
     Thread.sleep(1100) // mtime granularity is a second on some filesystems
     Seq((1L, "uno")).toDF("id", "v")
       .write.mode("overwrite").parquet(s"$data/t.parquet")
@@ -713,7 +718,9 @@ class IncrementalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       Materialize.append(spark, "graft_mf_test", data, 1)(_ => ())
     }
     val p3 = Materialize.ensure(spark, "graft_mf_test", data, 1)(build("v3"))
-    assert(p3 == p1 && builds == 2 && content(p3) == "v3")
+    assert(p3 != p1 && builds == 2 && content(p3) == "v3")
+    assert(Materialize.servingPath(spark, "graft_mf_test", data, 1) == p3,
+      "new resolutions must serve the rebuilt generation")
     assert(spark.read.parquet(p3).count() == 1, "stale artifact fully replaced")
   }
 }

@@ -97,7 +97,7 @@ class IngestCadenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stable — arrivals are not yet admitted and the manifest equals the
     // bootstrap manifest bit for bit
     assert(spark.read.parquet(
-      graft.Materialize.artifactPath(spark, "graft_docglobal", dataDir,
+      graft.Materialize.servingPath(spark, "graft_docglobal", dataDir,
         CorpusPrep.DocGlobalVersion)).count() == baseN,
       "deferred overlay must still cover exactly the standing corpus")
     assert(manifestRows(Pipeline.corpusE2e(spark, dataDir)) == m0,
@@ -258,7 +258,7 @@ class IngestCadenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // replaced, on live cadence state with a genuine pending arrival
     val baseIds = spark.read.parquet(CorpusPrep.ensureDocBase(spark, dDir))
       .select(col("doc_id")).distinct()
-    val overlay = spark.read.parquet(graft.Materialize.artifactPath(
+    val overlay = spark.read.parquet(graft.Materialize.servingPath(
       spark, "graft_docglobal", dDir, CorpusPrep.DocGlobalVersion))
     assert(baseIds.count() - overlay.count() ==
       baseIds.join(overlay.select(col("doc_id")), Seq("doc_id"), "left_anti").count(),
@@ -412,13 +412,13 @@ class IngestCadenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.Materialize.pendingBatches(spark, k._1, dir, k._2)
     def rowsOf(k: (String, Int)): Seq[String] =
       spark.read.parquet(
-          graft.Materialize.artifactPath(spark, k._1, dir, k._2))
+          graft.Materialize.servingPath(spark, k._1, dir, k._2))
         .collect().map(_.toString).toSeq.sorted
     assert(kinds.map(pend) == Seq(2, 2, 2))
     val before = kinds.map(rowsOf)
     // an uncommitted partial attempt is REPAIR debt, not read debt — it
     // must not advance the clock (and the fold repairs it away below)
-    val wp = new org.apache.hadoop.fs.Path(graft.Materialize.artifactPath(
+    val wp = new org.apache.hadoop.fs.Path(graft.Materialize.servingPath(
       spark, "graft_docwins", dir, CorpusPrep.DocWinsVersion))
     val fs = wp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val donor = fs.listStatus(wp)

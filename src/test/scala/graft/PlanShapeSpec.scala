@@ -493,11 +493,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val shards = Pipeline.ensureCorpusE2e(spark, dir) // chain built (or cached)
     val base = CorpusPrep.ensureDocBase(spark, dir)
     val global = CorpusPrep.ensureDocGlobal(spark, dir)
-    val clean = Materialize.artifactPath(spark, "graft_e2eclean",
+    val clean = Materialize.servingPath(spark, "graft_e2eclean",
       s"$base|$global", Pipeline.E2eVersion)
-    val lmcut = Materialize.artifactPath(spark, "graft_e2elmcut", clean, Pipeline.E2eVersion)
-    val budget = Materialize.artifactPath(spark, "graft_e2ebudget", lmcut, Pipeline.E2eVersion)
-    val pack = Materialize.artifactPath(spark, "graft_e2epack", budget, Pipeline.E2eVersion)
+    val lmcut = Materialize.servingPath(spark, "graft_e2elmcut", clean, Pipeline.E2eVersion)
+    val budget = Materialize.servingPath(spark, "graft_e2ebudget", lmcut, Pipeline.E2eVersion)
+    val pack = Materialize.servingPath(spark, "graft_e2epack", budget, Pipeline.E2eVersion)
     // stage -> (df, allowed upstream artifact kinds). A stage may scan its
     // upstream artifact more than once (the budget stage's prefix-sum
     // derives shard sums + total from the same relation; the lm cut's

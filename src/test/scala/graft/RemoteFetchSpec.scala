@@ -191,12 +191,17 @@ class RemoteFetchSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       // Re-publish of "current": forceDbFetch overwrites the cached dumps,
       // the staleness manifest sees the moved children, the canonical
-      // artifact rebuilds — the IngestSpec invalidation semantics reached
-      // from the transport itself.
+      // artifact rebuilds — as a NEW GENERATION (round 15: the stale one
+      // keeps serving in-flight readers until gc), so the rebuild shows
+      // as a fresh returned path, not a moved marker.
       Thread.sleep(1100) // mtime granularity can be a full second
-      RemoteFetch.syncToCanonical(spark, base, dir, forceDbFetch = true)
-      assert(Files.getLastModifiedTime(marker) != mtime,
-        "a re-published version must rebuild the canonical artifact")
+      val canon2 = RemoteFetch.syncToCanonical(spark, base, dir, forceDbFetch = true)
+      assert(canon2 != canon,
+        "a re-published version must rebuild the canonical artifact as a new generation")
+      assert(spark.read.parquet(canon2).select("id")
+        .collect().map(_.getLong(0)).toSet == Set(89L, 90L))
+      assert(Files.getLastModifiedTime(marker) == mtime,
+        "the superseded generation must be left untouched for in-flight readers")
 
       // A NAMED version lands beside it under its own artifact key.
       val v2 = RemoteFetch.syncToCanonical(spark, base, dir, version = Some("2024.1"))

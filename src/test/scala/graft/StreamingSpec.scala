@@ -741,9 +741,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batchDocs = c.filter(pmod(col("id"), lit(7)) === 0)
     val baseDocs = c.filter(pmod(col("id"), lit(7)) =!= 0)
     // drop any artifact a previous run left (it would carry the append)
-    val stale = new org.apache.hadoop.fs.Path(
-      graft.Materialize.artifactPath(spark, "graft_postings", dir, 905))
-    stale.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(stale, true)
+    graft.Materialize.purge(spark, "graft_postings", dir, 905)
     val path = FuzzySearch.ensurePostingsIndex(spark, dir, baseDocs, version = 905)
     // target: an appended-batch doc that is its name group's WINNER under
     // the dedup order (score desc ⇒ highest population for an exact-match
@@ -789,9 +787,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val base = d.filter(pmod(col("doc_id"), lit(3)) =!= 1)
     val inc = d.filter(pmod(col("doc_id"), lit(3)) === 1)
     // drop any artifact a previous run left (it would carry the append)
-    val stale = new org.apache.hadoop.fs.Path(
-      graft.Materialize.artifactPath(spark, "graft_dsirmodel", dir, 905))
-    stale.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(stale, true)
+    graft.Materialize.purge(spark, "graft_dsirmodel", dir, 905)
     val path = Dsir.ensureModel(spark, dir, base, version = 905)
     val probe = d.filter(col("doc_id") === 2L).select(col("doc_id"), col("text"))
     val probeRow = probe.collect().map(r => (r.getLong(0), r.getString(1))).head
