@@ -31,7 +31,7 @@ package graft
   * tree. */
 object ArtifactParams {
   import graft.functions.MinHashSignature
-  import graft.operators.{CorpusPrep, Dedup, FuzzySearch}
+  import graft.operators.{CorpusPrep, Dedup, FuzzySearch, KMeans, Similarity}
 
   final case class Family(kind: String, version: Int,
                           params: Seq[(String, String)]) {
@@ -80,5 +80,17 @@ object ArtifactParams {
       "docwins_version" -> CorpusPrep.DocWinsVersion.toString,
       "bands_version" -> Dedup.BandsVersion.toString,
       "minhash_k" -> Dedup.MinHashK.toString,
-      "perm_family" -> permSample)))
+      "perm_family" -> permSample)),
+    // trained codebooks: iters/mod/ncells live in the kind, but the Lloyd
+    // quantization scale and the mean convention (spherical unit-normalized)
+    // are invisible — exactly the class the correlated-seed labels bug
+    // exploited. The trained-assigned codes artifact couples to the
+    // training version the same invisible way.
+    Family("graft_kmeans", KMeans.TrainedCentroidsVersion, Seq(
+      "quant_scale" -> KMeans.QuantScale.toString,
+      "mean" -> "spherical-unit-normalized")),
+    Family("graft_ivfpq_t", 1, Seq(
+      "kmeans_version" -> KMeans.TrainedCentroidsVersion.toString,
+      "quant_scale" -> KMeans.QuantScale.toString,
+      "train_iters" -> Similarity.AnnTrainIters.toString)))
 }

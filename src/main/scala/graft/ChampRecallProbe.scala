@@ -83,6 +83,18 @@ object ChampRecallProbe {
         .champPlanFor(spark, dir, inv,
           graft.operators.FuzzySearch.BatchCandidateBudget)
       println(s"""{"metric":"champ_plan","dir":"$dir","bands":$planBands,"rare":$planRare,"cap":$planCap}""")
+      // the raw admission terms, so ladder-point changes can be sized on
+      // paper before they are shipped (volume = lsh_b + rarePart + cost_c)
+      val lshCosts = graft.operators.FuzzySearch.lshChannelCosts(spark, dir).head()
+      val champCosts = graft.operators.FuzzySearch
+        .batchChampCandidateCosts(spark, dir, inv).head()
+      val lshJson = graft.operators.FuzzySearch.FuzzyLshBandLadder
+        .map(b => s""""lsh_$b":${lshCosts.getAs[Long](s"lsh_$b")}""").mkString(",")
+      val capJson = graft.operators.FuzzySearch.ChampCapLadder
+        .map(c => s""""cost_$c":${champCosts.getAs[Long](s"cost_$c")},""" +
+          s""""rarecut_$c":${champCosts.getAs[Long](s"rarecut_$c")}""").mkString(",")
+      println(s"""{"metric":"champ_costs","dir":"$dir",$lshJson,""" +
+        s""""rare":${champCosts.getAs[Long]("rare")},$capJson}""")
       // sweep entries "bands:rare" at the sized cap (SCALE.md knob table)
       val sweep = sys.env.get("SPARK_GRAFT_RARE_SWEEP")
         .map(_.split(",").map { e =>

@@ -779,7 +779,7 @@ object CorpusPrep {
     * prior overlay unchanged, from ARTIFACT-SHAPED inputs alone (no
     * corpus text re-scan):
     *
-    *  - `normHashes` (doc_id, norm_hash)              — docbase v2 columns
+    *  - `normHashes` (doc_id, norm_hash)              — docbase v3 columns
     *  - `fullBands`  (doc_id, sig, band_idx, band_hash) — the band artifact
     *  - `docWins`    (doc_id, w_hash)                  — the window postings
     *  - `priorOverlay` (doc_id, is_canonical, contaminated) — the deferred

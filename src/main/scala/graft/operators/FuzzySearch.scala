@@ -986,8 +986,12 @@ object FuzzySearch {
     * (0 = channel off). Catch probability at 2-row bands:
     * 1−(1−J²)^bands — measured candidate ceilings at the round-14
     * diversity replica: 16 bands 0.948 of the uncut top-k, 8 bands
-    * 0.759 (LshCeilingProbe; SCALE.md §fuzzy-lsh). */
-  val FuzzyLshBandLadder: Seq[Int] = Seq(FuzzyLshMaxBands, 8)
+    * 0.759 (LshCeilingProbe; SCALE.md §fuzzy-lsh). Round 15 added the
+    * 12/10 intermediate widths: end-to-end effective recall at sfdiv1
+    * steps 0.9766 / 0.9680 / 0.9594 / 0.9328 down the 16/12/10/8 ladder
+    * while bucket volume steps 1.0 / 0.77 / 0.65 / 0.51 — one knob
+    * notch per budget notch instead of a half-channel cliff. */
+  val FuzzyLshBandLadder: Seq[Int] = Seq(FuzzyLshMaxBands, 12, 10, 8)
 
   /** Trigram-set MinHash signature of a name — the [[Dedup]] permutation
     * family over polyHashed distinct trigrams. WHY a signature channel at
@@ -1659,6 +1663,16 @@ object FuzzySearch {
     (FuzzyLshMaxBands, ChampRareGrams, 512),
     (FuzzyLshMaxBands, ChampRareGrams, ChampPostingCap),
     (FuzzyLshMaxBands, 0, ChampPostingCap),
+    // round 15: intermediate LSH widths — the sfdiv1 sweep measured
+    // effective recall 0.9680 at (12,0,64) and 0.9594 at (10,0,64) vs
+    // 0.9328 at (8,0,64), with lsh_12/lsh_10 bucket volume at 0.77/0.65
+    // of lsh_16 (SCALE.md §champ-recall-r15) — budgets that cannot
+    // afford the full 16-band channel degrade by one band step, not
+    // half the channel
+    (12, ChampRareGrams, ChampPostingCap),
+    (12, 0, ChampPostingCap),
+    (10, ChampRareGrams, ChampPostingCap),
+    (10, 0, ChampPostingCap),
     (8, ChampRareGrams, ChampPostingCap),
     (8, 0, ChampPostingCap),
     (0, ChampRareGrams, 512),

@@ -99,11 +99,17 @@ object KMeans {
   /** The trained codebook after `iters` Lloyd iterations — materialized
     * write-once (training is an ingest-time job; queries read the tiny
     * C-row artifact instead of re-running the iterations). */
+  /** v2: spherical (unit-normalized) centroid means since round 4. The
+    * quantization scale and mean convention are content-determining but
+    * invisible in the kind — ArtifactParams golden-pins them against
+    * this version (the round-15 tripwire). */
+  val TrainedCentroidsVersion = 2
+
   def trainedCentroids(spark: SparkSession, dir: String, iters: Int = DefaultIters,
                        mod: Long = 25L, numCentroids: Int = Similarity.IvfNumCentroids): DataFrame = {
-    // version 2: spherical (unit-normalized) centroid means since round 4
     val path = graft.Materialize.ensure(
-      spark, s"graft_kmeans_i${iters}_m${mod}_c$numCentroids", dir, version = 2) { p =>
+      spark, s"graft_kmeans_i${iters}_m${mod}_c$numCentroids", dir,
+      version = TrainedCentroidsVersion) { p =>
       val e = Tables.embeddings(spark, dir)
       (1 to iters).foldLeft(seeds(e, mod, numCentroids)) {
         (cent, _) => toCodebook(update(assign(e, cent)))
@@ -335,12 +341,18 @@ object KMeans {
 
   /** CTE chain `cent0, a1, x1, u1, cent1, …, cent$iters` reproducing the
     * training fold in DuckDB; embed before the final SELECT. */
-  def trainCtes(iters: Int, mod: Long, numCentroids: Int): String = {
+  def trainCtes(iters: Int, mod: Long, numCentroids: Int): String =
+    trainCtesBound(iters, mod, (mod * numCentroids).toString)
+
+  /** [[trainCtes]] with the seed-id bound as a SQL expression instead of
+    * a literal — for oracles whose codebook size derives from a plan CTE
+    * (the sized refine ladder: ncells from count(*)). */
+  def trainCtesBound(iters: Int, mod: Long, boundSql: String): String = {
     val cent0 =
       s"""cent0 AS (SELECT vec_id AS cid,
          |            list_transform(embedding, x -> x::DOUBLE) AS cemb
          |          FROM embeddings
-         |          WHERE vec_id % $mod = 0 AND vec_id < ${mod * numCentroids})""".stripMargin
+         |          WHERE vec_id % $mod = 0 AND vec_id < ($boundSql))""".stripMargin
     val steps = (1 to iters).map { t =>
       val cos = Similarity.cosineSql("e.embedding", "c.cemb")
       s"""a$t AS (SELECT e.vec_id, c.cid AS cell

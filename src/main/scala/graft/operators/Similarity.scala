@@ -1590,11 +1590,20 @@ object Similarity {
     *    honest: two-level pruning exists for corpora where C_q rows
     *    cannot cover ncells).
     *  - [[AnnCodeRowBudget]] bounds candidate code rows: nprobe cells ×
-    *    the n/ncells cell size.
-    *  - [[AnnRefineRowBudget]] bounds the int8 point reads: refine·k. */
+    *    the n/ncells cell size. Round 15: recalibrated 1024 → 8192 on the
+    *    measured diversity-replica coverage curve (AnnDivProbe, 64-probe
+    *    stride mean — the r14 single-probe 0.80 was one lucky probe):
+    *    1024 rows bought coverage 0.42, and each doubling of nprobe adds
+    *    ~0.15 until the knee at 64 probes (0.90 sample / 0.95 trained
+    *    centroids). 8192 16-byte codes = 128 KB per query — still flat
+    *    in N under the ncells ∝ N cell policy, and two decades under
+    *    the int8 tier it shortlists for.
+    *  - [[AnnRefineRowBudget]] bounds the int8 point reads: refine·k
+    *    (512: at the 8× candidate pool the 256-row shortlist left a
+    *    measured 0.02 ADC-ordering loss on the table). */
   val AnnCentroidRowBudget = 4096L
-  val AnnCodeRowBudget = 1024L
-  val AnnRefineRowBudget = 256L
+  val AnnCodeRowBudget = 8192L
+  val AnnRefineRowBudget = 512L
 
   /** The budget-sized refine plan (ncells, numCoarse, nprobe1, nprobe,
     * refine) — integer-exact so [[ivf2PqRefineTopKSizedOracle]] derives
@@ -1610,19 +1619,96 @@ object Similarity {
     (ncells, ncoarse, np1, nprobe, refine)
   }
 
-  /** [[ivf2PqRefineTopK]] at the budget-sized plan — the serving face of
-    * the compressed ladder (`ann_ivf2pq_refine` gates it; its oracle
-    * re-derives the plan in SQL, the ann_ivf_auto discipline one family
-    * over). */
+  /** Lloyd iteration count of the SIZED ladder's fine codebook. */
+  val AnnTrainIters = 2
+
+  /** [[ivf2ProbeCells]] over a TRAINED (array<double>) codebook — the
+    * same coarse→fine selection with the double cosine kernel, matching
+    * the oracle's all-double arithmetic (the KMeans.assign convention:
+    * quantized means are exact decimals, so rank order is engine-exact
+    * only if neither side narrows to float). */
+  private[graft] def ivf2ProbeCellsD(fine: DataFrame, probe: DataFrame,
+                                     centroidMod: Long, coarseStride: Long,
+                                     numCoarse: Int, nprobe1: Int,
+                                     nprobe: Int): DataFrame = {
+    val cosD = graft.functions.VectorFunctions.cosineDF _
+    val coarse = coarseReps(fine, centroidMod, coarseStride, numCoarse)
+    val f2c = KMeans.assign(
+        fine.select(col("cid").as("vec_id"), col("cemb").as("embedding")),
+        coarse.select(col("gid").as("cid"), col("gemb").as("cemb")))
+      .select(col("vec_id").as("cid"), col("cell").as("gid"))
+    val probeGroups = coarse.crossJoin(broadcast(probe))
+      .select(col("gid"), cosD(col("gemb"), col("pemb")).as("gc"))
+      .orderBy(col("gc").desc, col("gid")).limit(nprobe1)
+      .select(col("gid"))
+    fine.join(broadcast(f2c), "cid")
+      .join(broadcast(probeGroups), "gid")
+      .crossJoin(broadcast(probe))
+      .select(col("cid"), cosD(col("cemb"), col("pemb")).as("pc"))
+      .orderBy(col("pc").desc, col("cid")).limit(nprobe)
+      .select(col("cid").as("cell"))
+  }
+
+  /** The cell-partitioned codes artifact ASSIGNED BY the trained fine
+    * codebook — [[ensureIvfPqCodes]] with KMeans.assign in place of the
+    * sample-centroid flat assignment. Own kind: a trained-assigned build
+    * must never serve the sample-assigned read (the parameter-blind-kind
+    * class); iters/mod/ncells and the PQ geometry all live in the kind. */
+  def ensureIvfPqCodesTrained(spark: SparkSession, dir: String, e: DataFrame,
+                              fine: DataFrame, books: DataFrame,
+                              mod: Long, numCentroids: Int,
+                              version: Int = 1): String =
+    graft.Materialize.ensure(
+      spark,
+      s"graft_ivfpq_t${AnnTrainIters}_m${mod}_c${numCentroids}_m${PqM}k$PqK",
+      dir, version) { p =>
+      pqCodesWide(e, books).join(KMeans.assign(e, fine)
+          .select(col("vec_id"), col("cell")), "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(p)
+    }
+
+  /** The budget-sized serving face of the compressed ladder
+    * (`ann_ivf2pq_refine` gates it; its oracle re-derives the plan AND
+    * the Lloyd training in SQL, the ann_ivf_auto discipline one family
+    * over). Round 15: the fine codebook is TRAINED (2 Lloyd iterations,
+    * KMeans.trainedCentroids) — the diversity replica is the first
+    * corpus with real cluster structure, and the measured coverage gap
+    * between the id-stride sample and the trained codebook is ~0.05
+    * recall at every nprobe (AnnDivProbe; SCALE.md §ann-div-recall).
+    * Sample PQ books stay: trained books measured ZERO recall change
+    * twice (the ladder is coverage-bound, and the int8 re-rank absorbs
+    * ADC ordering noise). */
   def ivf2PqRefineTopKSized(spark: SparkSession, dir: String, probeId: Long,
                             k: Int): DataFrame = {
     val n = autoCountMemo.getOrElseUpdate(
       (dir, graft.Materialize.fingerprint(spark, dir)),
       Tables.embeddings(spark, dir).count())
     val (ncells, ncoarse, np1, nprobe, refine) = annRefinePlan(n, k)
-    ivf2PqRefineTopK(spark, dir, probeId, k, nprobe = nprobe,
-      numCentroids = ncells, numCoarse = ncoarse, nprobe1 = np1,
-      refine = refine)
+    val e = Tables.embeddings(spark, dir)
+    val fine = KMeans.trainedCentroids(spark, dir, iters = AnnTrainIters,
+      numCentroids = ncells)
+    val books = pqCodebooks(e, 25L)
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>").as("pemb"))
+    val probeCells = ivf2ProbeCellsD(fine, probe, 25L, 4L, ncoarse, np1, nprobe)
+    val path = ensureIvfPqCodesTrained(spark, dir, e, fine, books, 25L, ncells)
+    val codes = spark.read.parquet(path)
+      .join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+    val shortlist = adcScore(codes, books, e, probe, k * refine)
+      .select(col("vec_id"))
+    val t = int8CodesOf(spark, dir)
+      .withColumn("demb", transform(col("codes"), c => c.cast("double") * col("scale")))
+    val pInt8 = t.filter(col("vec_id") === probeId).select(col("demb").as("qemb"))
+    t.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(pInt8))
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.VectorFunctions.cosineDF(col("demb"), col("qemb")), 4)
+          .as("cosine_sim"))
+      .filter(!isnan(col("cosine_sim")))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(k)
   }
 
   def ivf2PqRefineTopK(spark: SparkSession, dir: String, probeId: Long, k: Int,
@@ -1668,9 +1754,9 @@ object Similarity {
        |               greatest(4, CAST(round(sqrt(ncells::DOUBLE)) AS BIGINT)) AS ncoarse
        |        FROM (SELECT n, greatest($IvfNumCentroids, n // $IvfTargetCellSize) AS ncells
        |              FROM (SELECT count(*)::BIGINT AS n FROM embeddings)))),
-       |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-       |         WHERE vec_id % $centroidMod = 0
-       |           AND vec_id < (SELECT cell_bound FROM plan)),
+       |${KMeans.trainCtesBound(AnnTrainIters, centroidMod,
+            "SELECT cell_bound FROM plan")},
+       |cent AS (SELECT cid, cemb FROM cent$AnnTrainIters),
        |coarse AS (SELECT cid AS gid, cemb AS gemb FROM cent
        |           WHERE cid % ${centroidMod * coarseStride} = 0
        |             AND cid < (SELECT coarse_bound FROM plan)),

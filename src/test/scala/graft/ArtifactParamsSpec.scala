@@ -30,7 +30,9 @@ class ArtifactParamsSpec extends AnyFunSuite {
     ("graft_labels", 2, "bands_version=3;minhash_k=32;bands=8;shingle_words=3;perm_family=893357628/649024612,493524570/973333486,323194151/322486345"),
     ("graft_docbase", 3, "identity_hash=xxhash64"),
     ("graft_docwins", 2, "identity_hash=xxhash64"),
-    ("graft_docglobal", 3, "identity_hash=xxhash64;docbase_version=3;docwins_version=2;bands_version=3;minhash_k=32;perm_family=893357628/649024612,493524570/973333486,323194151/322486345"))
+    ("graft_docglobal", 3, "identity_hash=xxhash64;docbase_version=3;docwins_version=2;bands_version=3;minhash_k=32;perm_family=893357628/649024612,493524570/973333486,323194151/322486345"),
+    ("graft_kmeans", 2, "quant_scale=1000000;mean=spherical-unit-normalized"),
+    ("graft_ivfpq_t", 1, "kmeans_version=2;quant_scale=1000000;train_iters=2"))
 
   test("every version-keyed family's parameters match the fingerprint its version was pinned at") {
     val goldenByKind = golden.map(g => g._1 -> g).toMap
