@@ -41,6 +41,43 @@ object DiversityReplica {
     element_at(array(vocab.map(lit): _*),
       (pmod(key, lit(vocab.size.toLong)) + 1L).cast("int"))
 
+  /** The k-fold diverse documents relation (replica 0 verbatim, every
+    * replica >= 1 a re-drawn token sequence keyed by (orig, rep)) — the
+    * one transform shared by [[build]]'s single-file gate layout and
+    * [[buildDocs]]'s distributed decade-scale layout, so the two emit
+    * bit-identical values. */
+  private def diverseDocs(spark: SparkSession, src: String, k: Int): DataFrame = {
+    val reps = spark.range(k).select(col("id").as("rep"))
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docToks = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .distinct().orderBy(col("tok")).collect().map(_.getString(0)).toSeq
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val dSeed = col("doc_id") * lit(1000033L) + col("rep")
+    val synthText = array_join(transform(
+      sequence(lit(1), size(split(col("text"), " "))),
+      i => pick(docToks, h(dSeed, i))), " ")
+    docs.crossJoin(reps)
+      .withColumn("text",
+        when(col("rep") === 0L, col("text")).otherwise(synthText))
+      .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc)
+      .withColumn("n_chars", length(col("text")))
+      .drop("rep")
+  }
+
+  /** Documents-only diverse replica with a DISTRIBUTED write — the
+    * operational-loop rehearsal input at decade scales (CadenceLoopProbe
+    * reads only the documents table), where `writeSingle`'s
+    * one-partition file would serialize a multi-GB write through a
+    * single thread. Values are bit-identical to [[build]]'s documents
+    * table at the same k. */
+  def buildDocs(spark: SparkSession, src: String, k: Int, dest: String): Unit = {
+    require(src != dest, s"DiversityReplica: dest must differ from src ($src)")
+    require(k >= 2, "k must be >= 2 (replica 0 is the verbatim source)")
+    diverseDocs(spark, src, k)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+  }
+
   def build(spark: SparkSession, src: String, k: Int, dest: String): Unit = {
     require(src != dest, s"DiversityReplica: dest must differ from src ($src)")
     require(k >= 2, "k must be >= 2 (replica 0 is the verbatim source)")
@@ -75,21 +112,7 @@ object DiversityReplica {
     writeSingle(partOut, s"$dest/part.parquet")
 
     // ---- documents: re-drawn token sequences at the source length ----
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    val docToks = docs.select(explode(split(col("text"), " ")).as("tok"))
-      .distinct().orderBy(col("tok")).collect().map(_.getString(0)).toSeq
-    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
-    val dSeed = col("doc_id") * lit(1000033L) + col("rep")
-    val synthText = array_join(transform(
-      sequence(lit(1), size(split(col("text"), " "))),
-      i => pick(docToks, h(dSeed, i))), " ")
-    val docsOut = docs.crossJoin(reps)
-      .withColumn("text",
-        when(col("rep") === 0L, col("text")).otherwise(synthText))
-      .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc)
-      .withColumn("n_chars", length(col("text")))
-      .drop("rep")
-    writeSingle(docsOut, s"$dest/documents.parquet")
+    writeSingle(diverseDocs(spark, src, k), s"$dest/documents.parquet")
 
     // ---- embeddings: hash-noise around the real cluster structure ----
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
@@ -154,23 +177,31 @@ object DiversityReplica {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val spec = "(.+)\\*(\\d+)=(.+)".r
+    val docsSpec = "docs:(.+)\\*(\\d+)=(.+)".r
     val instruments = Seq("fuzzy_batch_champ_recall",
       "dedup_winnow_champ_recall", "dedup_minhash_recall",
       "ann_ivf_recall", "ann_int8_recall", "ann_pq_recall")
-    args.foreach { a =>
-      val dir = a match {
-        case spec(s, kk, d) => build(spark, s, kk.toInt, d); d
-        case d => d
-      }
-      val nNames = spark.read.parquet(s"$dir/part.parquet")
-        .select(countDistinct(col("p_name"))).head().getLong(0)
-      println(s"""{"metric":"diversity_replica","dir":"$dir","distinct_names":$nNames}""")
-      instruments.foreach { name =>
-        val t0 = System.nanoTime()
-        val rows = SparkEntry.queries(name)(spark, dir).toJSON.collect()
-        val wall = (System.nanoTime() - t0) / 1e9
-        println(f"""{"metric":"diversity_recall","row":"$name","wall":$wall%.1f,"result":[${rows.mkString(",")}]}""")
-      }
+    args.foreach {
+      case docsSpec(s, kk, d) =>
+        // documents-only build for the loop rehearsal: no part table at
+        // dest, so there is no name count or recall instrument to run
+        buildDocs(spark, s, kk.toInt, d)
+        val n = spark.read.parquet(s"$d/documents.parquet").count()
+        println(s"""{"metric":"diversity_docs_replica","dir":"$d","docs":$n}""")
+      case a =>
+        val dir = a match {
+          case spec(s, kk, d) => build(spark, s, kk.toInt, d); d
+          case d => d
+        }
+        val nNames = spark.read.parquet(s"$dir/part.parquet")
+          .select(countDistinct(col("p_name"))).head().getLong(0)
+        println(s"""{"metric":"diversity_replica","dir":"$dir","distinct_names":$nNames}""")
+        instruments.foreach { name =>
+          val t0 = System.nanoTime()
+          val rows = SparkEntry.queries(name)(spark, dir).toJSON.collect()
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(f"""{"metric":"diversity_recall","row":"$name","wall":$wall%.1f,"result":[${rows.mkString(",")}]}""")
+        }
     }
     spark.stop()
   }
