@@ -39,6 +39,13 @@ object CadenceLoopProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The composed loop runs hundreds of jobs in one JVM; shuffle files
+      // of completed jobs are reclaimed only when ContextCleaner sees
+      // their references GC'd, and a 16 GiB heap can go an hour without
+      // a full GC while /tmp accumulates the whole run's shuffle bytes
+      // (measured: 47 GiB at the diverse 1000x replica — more than the
+      // warehouses themselves). Spark's own knob for exactly this:
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators._
