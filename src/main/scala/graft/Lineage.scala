@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared lineage-cut helper (hoisted from BpeTrainer round 15 — the
+  * optimization round's fan-out medicine). A DataFrame consumed by many
+  * downstream branches re-expands its WHOLE logical subtree per consumer:
+  * Catalyst re-analyzes a multiplicatively growing tree (the
+  * dedup_transitive lesson; corpus_overlay_delta's pre-cut plan printed
+  * 27k lines / 1.8k Exchange references) and the executed plan re-computes
+  * the subtree per reference. Cutting at the fan-out point materializes the
+  * rows once (executor block storage) and every consumer reads the
+  * materialized leaf.
+  *
+  * Only SMALL relations should be cut — batch-bounded, vocabulary-sized, or
+  * affected-set-sized; never a corpus-sized input (at 100 TB that copy is a
+  * full rewrite; callers cut the decision rows, not the payload — the
+  * optimization guide's "shuffle keys, not payloads" rule applied to
+  * caching).
+  *
+  * `localCheckpoint` (executor block storage) by default — cheapest, and
+  * correct wherever executors are stable. Set
+  * `spark.graft.reliableCheckpoint=true` (with
+  * `sparkContext.setCheckpointDir` pointed at durable storage) to switch
+  * every cut to reliable `.checkpoint()`, so a preempted executor cannot
+  * kill a long run by taking the only copy with it. Plan shape downstream
+  * is identical either way (both are materialized leaves). */
+object Lineage {
+  private[graft] def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.reliableCheckpoint")
+          .contains("true")) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
+  /** The LAZY sibling: `persist(MEMORY_AND_DISK)`. Downstream consumers
+    * share one computation via the cache, but the logical subtree stays in
+    * the plan (CacheManager swaps in the InMemoryRelation at optimization
+    * time, printing the cached child plan) — so plan-shape pins and
+    * EXPLAIN keep seeing the real scans, unlike [[cut]]'s opaque RDD leaf.
+    * Prefer this inside OPERATORS (pinned, explained); prefer [[cut]] in
+    * iterative folds where re-ANALYSIS of a multiplicatively growing tree
+    * is itself the cost. Same small-relation-only rule as [[cut]]. Bench
+    * clears the cache between repetitions, so nothing is carried across
+    * timed runs. */
+  private[graft] def share(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+}

@@ -72,10 +72,7 @@ object BpeTrainer {
     * kill a multi-hour training run by taking a round's only copy of the
     * symbol relation with it. The plan shape downstream is identical either
     * way (both are materialized leaves); BpeSpec pins result parity. */
-  private[graft] def lineageCut(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.getOption("spark.graft.reliableCheckpoint")
-          .contains("true")) df.checkpoint(true)
-    else df.localCheckpoint(true)
+  private[graft] def lineageCut(df: DataFrame): DataFrame = graft.Lineage.cut(df)
 
   /** Total merge budget of the gate training. */
   val BpeMerges = 64

@@ -812,8 +812,15 @@ object CorpusPrep {
                                       evalMod: Long = EvalMod): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tau = Dedup.PipelineEstThreshold
-    val arrivalIds = normHashes.select(col("doc_id"))
-      .join(priorOverlay.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // Fan-out lineage cuts (round 15): arrivalIds / recompute / the
+    // restricted group relation each feed 3-5 downstream branches; left
+    // lazy, every consumer re-expands (and re-computes) the whole upstream
+    // subtree — the pre-cut plan printed 27k lines with 1.8k Exchange
+    // references and re-derived the band inputs dozens of times. All cut
+    // relations are ARRIVAL- or AFFECTED-SET-sized (never corpus-sized),
+    // so the materialized copy is batch-bounded at 100 TB too.
+    val arrivalIds = graft.Lineage.share(normHashes.select(col("doc_id"))
+      .join(priorOverlay.select(col("doc_id")), Seq("doc_id"), "left_anti"))
 
     // ---- canonicality: who can an arrival touch?
     val arrBands = fullBands.join(arrivalIds, "doc_id")
@@ -854,7 +861,8 @@ object CorpusPrep {
       .select(col("norm_hash")).distinct()
     val affExact = normHashes.join(arrNorms, "norm_hash")
       .select(col("doc_id")).distinct()
-    val recompute = affNear.union(affSig).union(affExact).union(arrivalIds).distinct()
+    val recompute = graft.Lineage.share(
+      affNear.union(affSig).union(affExact).union(arrivalIds).distinct())
 
     // ---- exact canon over the touched norm groups (label-artifact probe)
     val rNorms = normHashes.join(recompute, "doc_id").select(col("norm_hash")).distinct()
@@ -875,8 +883,8 @@ object CorpusPrep {
         col("f.band_idx") <=> col("k.band_idx") &&
           col("f.band_hash") <=> col("k.band_hash"))
       .select(col("f.doc_id").as("doc_id"), col("f.sig").as("sig"))
-    val withG = relBands.withColumn("gmin",
-      min(col("doc_id")).over(Window.partitionBy(col("sig"))))
+    val withG = graft.Lineage.share(relBands.withColumn("gmin",
+      min(col("doc_id")).over(Window.partitionBy(col("sig")))))
     val groups = withG.groupBy(col("gmin")).agg(first(col("sig")).as("sig"))
     val bandsD = groups.select(col("gmin"), col("sig"),
         posexplode(array((0 until Dedup.Bands).map { b =>
@@ -884,8 +892,11 @@ object CorpusPrep {
             slice(col("sig"), b * Dedup.RowsPerBand + 1, Dedup.RowsPerBand))
         }: _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+    // self-joined below (a x b) — without the cut both join sides
+    // re-expand the groups/window subtree
+    val bandsDCut = graft.Lineage.share(bandsD)
     val rGmins = withG.join(recompute, "doc_id").select(col("gmin")).distinct()
-    val epm = bandsD.join(rGmins, "gmin").as("a").join(bandsD.as("b"),
+    val epm = bandsDCut.join(rGmins, "gmin").as("a").join(bandsDCut.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.gmin") =!= col("b.gmin"))

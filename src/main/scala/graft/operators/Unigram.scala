@@ -20,14 +20,15 @@ import org.apache.spark.sql.functions._
   * at lm_score / dsir_weights: cross-engine bit-parity beats libm logs).
   *
   * Scale shape: the DP runs over the DISTINCT-WORD relation (vocabulary-
-  * sized, NOT corpus-sized) as [[KCap]] chained layer steps — each one
-  * equi-join + one hash aggregate over a relation bounded by
-  * words × len × MaxPieceLen. The layer fold is written single-consumer
-  * (settled rows freeze inside the join condition) so the lazy plan stays
-  * LINEAR in KCap — no per-layer checkpoint, no 2^K lineage tree, and no
-  * eager action at registry-construction time. Encoding the corpus is
-  * then the bpeEncode shape: explode doc words, join the per-word result,
-  * one aggregate. */
+  * sized, NOT corpus-sized), and since round 15 it is PER-WORD-LOCAL: the
+  * scored cuts of one word collect into an array column and the DP is a
+  * whole-stage-codegen `aggregate` fold over positions — one shuffle
+  * (the collect_list groupBy), versus the previous KCap chained
+  * join+aggregate layers (~26 exchanges and a per-layer re-expansion of
+  * the scored-cuts subtree). Per-row state is len+1 structs, bounded by
+  * the longest word, so executor memory is independent of corpus size.
+  * Encoding the corpus is then the bpeEncode shape: explode doc words,
+  * join the per-word result, one aggregate. */
 object Unigram {
 
   /** Longest candidate piece. */
@@ -62,12 +63,13 @@ object Unigram {
 
   /** (piece, c): corpus occurrence counts (positions × word counts) after
     * the MinCount cut; single chars always kept. */
-  private[graft] def vocabOf(spark: SparkSession, dir: String): DataFrame = {
-    val words = wordCounts(spark, dir)
+  private[graft] def vocabOf(spark: SparkSession, dir: String): DataFrame =
+    vocabOver(wordCounts(spark, dir))
+
+  private def vocabOver(words: DataFrame): DataFrame =
     cuts(words).join(words, "word")
       .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
       .filter(col("c") >= MinCount || length(col("piece")) === 1)
-  }
 
   /** The gate row: top-[[VocabTopV]] vocabulary by (count desc, piece).
     * The cut is `orderBy.limit` (TakeOrderedAndProject — per-partition
@@ -100,53 +102,62 @@ object Unigram {
     * each layer consumes the previous exactly once). Unsettled rows with
     * no extension drop out of the fold. */
   private[graft] def encodeTable(spark: SparkSession, dir: String): DataFrame = {
-    val words = wordCounts(spark, dir)
-    val vocab = vocabOf(spark, dir)
-    val ee = cuts(words).join(vocab, "piece")
+    // r15 optimization: the DP is PER-WORD-LOCAL — the KCap-layer
+    // join+aggregate fold (12 shuffled joins + 12 hash aggregates, and a
+    // lazy plan that re-expanded the scored-cuts subtree per layer: 360
+    // Exchange references in the formatted plan) is replaced by ONE
+    // collect_list per word and a whole-stage-codegen array fold
+    // (`aggregate`/`transform`/`filter` built-ins — no UDF). Equivalence
+    // is the classic unit-edge shortest-path argument, already pinned by
+    // OperatorParitySpec's brute-force twin: every minimal-piece path has
+    // position-wise minimal-piece prefixes (a non-minimal prefix would
+    // shorten the whole path), so the layered exactly-k state and the
+    // per-position lexicographic (min pieces, then max score) state agree
+    // at the word boundary; the oracle keeps the layered CTE spelling and
+    // gates the parity. The shuffle debt drops from ~26 exchanges to 4,
+    // and the fold's state (len+1 structs per DISTINCT word) is
+    // vocabulary-sized, never corpus-sized.
+    val words = graft.Lineage.share(wordCounts(spark, dir))
+    val vocab = vocabOver(words)
+    val pieces = cuts(words).join(vocab, "piece")
       .select(col("word"), col("i"), col("j"), col("c"))
-    val wl = words.select(col("word"), length(col("word")).cast("long").as("len"))
-    val kBig = (KCap + 1).toLong
+    val perWord = pieces.groupBy(col("word"))
+      .agg(collect_list(struct(col("i"), col("j"), col("c"))).as("ps"))
+      .withColumn("len", length(col("word")).cast("long"))
 
-    // min(struct(kd-or-big, -v)) per (word, j): settled rows sort by
-    // earliest kd then max v; unsettled (big) rows reduce to max v.
-    def settle(rows: DataFrame): DataFrame =
-      rows.groupBy(col("word"), col("len"), col("j"))
-        .agg(min(struct(coalesce(col("kd"), lit(kBig)).as("kx"),
-          (-col("v")).as("negv"))).as("s"))
-        .select(col("word"), col("len"), col("j"),
-          (-col("s.negv")).as("v"),
-          when(col("s.kx") === kBig, lit(null).cast("long"))
-            .otherwise(col("s.kx")).as("kd"))
-
-    val d1 = settle(ee.filter(col("i") === 0L).join(wl, "word")
-      .select(col("word"), col("len"), col("j"), col("c").as("v"),
-        when(col("j") === col("len"), lit(1L)).cast("long").as("kd")))
-
-    val dK = (2 to KCap).foldLeft(d1) { (dp, k) =>
-      val ext = ee.select(col("word").as("w2"), col("i"), col("j").as("j2"),
-        col("c"))
-      val joined = dp.join(ext,
-        dp("word") === ext("w2") && ext("i") === dp("j") && dp("kd").isNull,
-        "left")
-      settle(joined
-        .filter(col("kd").isNotNull || col("j2").isNotNull)
-        .select(col("word"), col("len"),
-          coalesce(col("j2"), col("j")).as("j"),
-          when(col("j2").isNotNull, dp("v") + col("c")).otherwise(dp("v")).as("v"),
-          when(col("kd").isNotNull, col("kd"))
-            .otherwise(when(col("j2") === col("len"), lit(k.toLong))).as("kd")))
-    }
-
-    val solved = dK.filter(col("j") === col("len") && col("kd").isNotNull)
-      .select(col("word"), col("kd").as("n_pieces"), col("v").as("score"))
-    // all-singles fallback: per-position single-char counts
-    val singles = cuts(words).filter(col("j") === col("i") + 1L)
-      .join(vocab, "piece")
-      .groupBy(col("word"))
-      .agg(count(lit(1)).as("n_pieces"), sum(col("c")).as("score"))
-    val fallback = singles.join(solved.select(col("word")), Seq("word"),
-      "left_anti")
-    solved.unionByName(fallback)
+    // best (k = fewest pieces, v = max total frequency among k-piece
+    // segmentations) covering chars (0, j], as a 1-based DP array fold;
+    // min(struct(k, -v)) is the lexicographic objective, matching the
+    // layered settle()'s min(struct(kd, -v)).
+    def ent(acc: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      element_at(acc, (i + 1L).cast("int"))
+    val best = aggregate(
+      sequence(lit(1L), col("len")),
+      array(struct(lit(0L).as("k"), lit(0L).as("v"))),
+      (acc, j) => {
+        val cand = filter(col("ps"), p =>
+          p.getField("j") === j && ent(acc, p.getField("i")).isNotNull)
+        val m = array_min(transform(cand, p => struct(
+          (ent(acc, p.getField("i")).getField("k") + 1L).as("k"),
+          (-(ent(acc, p.getField("i")).getField("v") + p.getField("c"))).as("negv"))))
+        concat(acc, array(when(m.isNotNull,
+          struct(m.getField("k").as("k"), (-m.getField("negv")).as("v")))))
+      },
+      acc => ent(acc, col("len")))
+    // all-singles fallback (single chars are always vocabulary members, so
+    // the sum ranges over exactly `len` pieces — the layered fold's
+    // left-anti fallback row)
+    val singlesScore = aggregate(
+      filter(col("ps"), p => p.getField("j") === p.getField("i") + 1L),
+      lit(0L), (s, p) => s + p.getField("c"))
+    perWord
+      .withColumn("best", best)
+      .select(col("word"), col("len"), col("ps"),
+        (col("best").isNotNull && col("best.k") <= KCap.toLong).as("ok"),
+        col("best.k").as("bk"), col("best.v").as("bv"))
+      .select(col("word"),
+        when(col("ok"), col("bk")).otherwise(col("len")).as("n_pieces"),
+        when(col("ok"), col("bv")).otherwise(singlesScore).as("score"))
   }
 
   /** The encode join both batch faces and the streaming ingest gate
