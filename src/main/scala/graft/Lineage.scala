@@ -26,10 +26,30 @@ import org.apache.spark.sql.DataFrame
   * kill a long run by taking the only copy with it. Plan shape downstream
   * is identical either way (both are materialized leaves). */
 object Lineage {
-  private[graft] def cut(df: DataFrame): DataFrame =
+  /** Pre-cut plan strings recorded when `spark.graft.lineage.capturePlans`
+    * is true — the plan-pin escape hatch: a cut replaces its subtree with
+    * an opaque RDD leaf in every DOWNSTREAM plan, so a spec that pins
+    * "this computation reads artifact X, never raw text" must assert over
+    * the final plan PLUS these captured cut-point plans (PlanShapeSpec's
+    * delta-overlay pin). Off by default: production pays nothing. */
+  private[graft] val capturedPlans =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private[graft] def cut(df: DataFrame): DataFrame = {
+    if (df.sparkSession.conf.getOption("spark.graft.lineage.capturePlans")
+          .contains("true"))
+      // physical plan: its scan nodes print the artifact file locations
+      // the pin asserts on (logical Relation nodes print no path)
+      capturedPlans.add(df.queryExecution.sparkPlan.toString)
     if (df.sparkSession.conf.getOption("spark.graft.reliableCheckpoint")
           .contains("true")) df.checkpoint(true)
+    // EAGER (measured r16): lazy localCheckpoint was tried and lost —
+    // under AQE, `.rdd` materializes every shuffle stage at construction
+    // anyway, and the unmaterialized final stage is then race-recomputed
+    // by concurrent consumers inside the first job (probe: op-cut phase
+    // 2.9 s eager vs 4.3 s lazy).
     else df.localCheckpoint(true)
+  }
 
   /** The LAZY sibling: `persist(MEMORY_AND_DISK)`. Downstream consumers
     * share one computation via the cache, but the logical subtree stays in

@@ -102,8 +102,19 @@ object TextFunctions {
   /** Token `win`-gram windows of a token-array column, one space-joined
     * string per window; fewer than `win` tokens → empty array. The ONE
     * window derivation decontamination and repetition both use — a fix
-    * here and in OracleSql.tokenWindows cannot drift per-operator. */
+    * here and in OracleSql.tokenWindows cannot drift per-operator.
+    * NATIVE codegen kernel (TokenWindowsExpr, r16) — the composed twin
+    * below is kept for the FunctionsSpec bit-parity pin. The coalesce
+    * mirrors the composed form's null-ARRAY fallthrough: `when(size(null)
+    * >= win, …).otherwise(empty)` yields an empty array for a null token
+    * array (null text), and the null-intolerant kernel alone would yield
+    * NULL. */
   def tokenWindows(tk: Column, win: Int): Column =
+    coalesce(TokenWindowsExpr.tokenWindowsF(tk, win),
+      array().cast("array<string>"))
+
+  /** Composed-HOF reference implementation (interpreted; spec-only). */
+  def tokenWindowsComposed(tk: Column, win: Int): Column =
     when(size(tk) >= win,
       transform(sequence(lit(0), size(tk) - win),
         i => array_join(slice(tk, i + lit(1), lit(win)), " ")))

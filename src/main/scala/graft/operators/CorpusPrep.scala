@@ -812,18 +812,29 @@ object CorpusPrep {
                                       evalMod: Long = EvalMod): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tau = Dedup.PipelineEstThreshold
-    // Fan-out lineage cuts (round 15): arrivalIds / recompute / the
-    // restricted group relation each feed 3-5 downstream branches; left
-    // lazy, every consumer re-expands (and re-computes) the whole upstream
-    // subtree — the pre-cut plan printed 27k lines with 1.8k Exchange
-    // references and re-derived the band inputs dozens of times. All cut
+    // Fan-out lineage CUTS (round 16; round 15 used share/persist):
+    // arrivalIds / recompute / the restricted group relation each feed
+    // 3-7 downstream branches; left lazy, every consumer re-expands (and
+    // re-analyzes) the whole upstream subtree — the r15 persist kept the
+    // computation shared but the LOGICAL tree still multiplied per
+    // reference (the r15 plan printed 8.5k lines / 1249 Exchange refs and
+    // the query anti-scaled 0.44 at 8-vs-32 cores: driver-side
+    // analysis + per-reference task fan-out, guide §2.1/§2.4). cut
+    // (localCheckpoint) truncates the tree to an RDD leaf, so every
+    // consumer plans over a materialized batch-bounded relation. All cut
     // relations are ARRIVAL- or AFFECTED-SET-sized (never corpus-sized),
-    // so the materialized copy is batch-bounded at 100 TB too.
-    val arrivalIds = graft.Lineage.share(normHashes.select(col("doc_id"))
+    // so the materialized copy is batch-bounded at 100 TB too — and the
+    // explicit broadcast() hints below keep every corpus-sized artifact
+    // scan (bands, norm hashes, window postings, prior overlay) on the
+    // STREAM side of its join: the probe side broadcasts, the artifact is
+    // never shuffled (guide §3.1; a cut leaf has no size stats, so
+    // auto-broadcast would not fire on its own).
+    val arrivalIds = graft.Lineage.cut(normHashes.select(col("doc_id"))
       .join(priorOverlay.select(col("doc_id")), Seq("doc_id"), "left_anti"))
 
     // ---- canonicality: who can an arrival touch?
-    val arrBands = fullBands.join(arrivalIds, "doc_id")
+    val arrBands = graft.Lineage.cut(
+      fullBands.join(broadcast(arrivalIds), "doc_id"))
     val est = size(filter(sequence(lit(1), lit(Dedup.MinHashK)),
       i => element_at(col("a.sig"), i) === element_at(col("b.sig"), i)))
       .cast("double") / Dedup.MinHashK.toDouble
@@ -844,32 +855,34 @@ object CorpusPrep {
       .select(col("sig"), col("band_idx"), col("band_hash")).distinct()
     val standSigBands = fullBands
       .select(col("sig"), col("band_idx"), col("band_hash")).distinct()
-    val affNearSigs = standSigBands.as("a").join(arrSigBands.as("b"),
+    val affNearSigs = standSigBands.as("a").join(broadcast(arrSigBands.as("b")),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash"))
       .filter(est >= tau)
       .select(col("a.sig").as("aff_sig")).distinct()
     val affNear = fullBands.select(col("doc_id"), col("sig")).distinct()
-      .join(affNearSigs, col("sig") <=> col("aff_sig"))
+      .join(broadcast(affNearSigs), col("sig") <=> col("aff_sig"))
       .select(col("doc_id")).distinct()
     // null-text insurance: a sig-identical arrival groups with standing
     // docs even where its (null) band hashes cannot equi-join
     val affSig = fullBands.select(col("doc_id"), col("sig"))
-      .join(arrBands.select(col("sig").as("s2")).distinct(), col("sig") <=> col("s2"))
+      .join(broadcast(arrBands.select(col("sig").as("s2")).distinct()),
+        col("sig") <=> col("s2"))
       .select(col("doc_id")).distinct()
-    val arrNorms = normHashes.join(arrivalIds, "doc_id")
+    val arrNorms = normHashes.join(broadcast(arrivalIds), "doc_id")
       .select(col("norm_hash")).distinct()
-    val affExact = normHashes.join(arrNorms, "norm_hash")
+    val affExact = normHashes.join(broadcast(arrNorms), "norm_hash")
       .select(col("doc_id")).distinct()
-    val recompute = graft.Lineage.share(
+    val recompute = graft.Lineage.cut(
       affNear.union(affSig).union(affExact).union(arrivalIds).distinct())
 
     // ---- exact canon over the touched norm groups (label-artifact probe)
-    val rNorms = normHashes.join(recompute, "doc_id").select(col("norm_hash")).distinct()
-    val exactCanon = normHashes.join(rNorms, "norm_hash")
+    val rNorms = normHashes.join(broadcast(recompute), "doc_id")
+      .select(col("norm_hash")).distinct()
+    val exactCanon = normHashes.join(broadcast(rNorms), "norm_hash")
       .groupBy(col("norm_hash")).agg(min(col("doc_id")).as("exact_canon"))
-    val rExact = normHashes.join(recompute, "doc_id")
-      .join(exactCanon, "norm_hash")
+    val rExact = normHashes.join(broadcast(recompute), "doc_id")
+      .join(broadcast(exactCanon), "norm_hash")
       .select(col("doc_id"), col("exact_canon"))
 
     // ---- near canon with FULL-corpus group structure, restricted to the
@@ -877,13 +890,13 @@ object CorpusPrep {
     //      shares one of these keys, and all its rows with that key
     //      survive the cut — so gmin/epm over the restriction equal the
     //      full pipeline's values for every recompute group)
-    val rKeys = fullBands.join(recompute, "doc_id")
+    val rKeys = fullBands.join(broadcast(recompute), "doc_id")
       .select(col("band_idx"), col("band_hash")).distinct()
-    val relBands = fullBands.as("f").join(rKeys.as("k"),
+    val relBands = fullBands.as("f").join(broadcast(rKeys.as("k")),
         col("f.band_idx") <=> col("k.band_idx") &&
           col("f.band_hash") <=> col("k.band_hash"))
       .select(col("f.doc_id").as("doc_id"), col("f.sig").as("sig"))
-    val withG = graft.Lineage.share(relBands.withColumn("gmin",
+    val withG = graft.Lineage.cut(relBands.withColumn("gmin",
       min(col("doc_id")).over(Window.partitionBy(col("sig")))))
     val groups = withG.groupBy(col("gmin")).agg(first(col("sig")).as("sig"))
     val bandsD = groups.select(col("gmin"), col("sig"),
@@ -894,23 +907,25 @@ object CorpusPrep {
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
     // self-joined below (a x b) — without the cut both join sides
     // re-expand the groups/window subtree
-    val bandsDCut = graft.Lineage.share(bandsD)
-    val rGmins = withG.join(recompute, "doc_id").select(col("gmin")).distinct()
-    val epm = bandsDCut.join(rGmins, "gmin").as("a").join(bandsDCut.as("b"),
+    val bandsDCut = graft.Lineage.cut(bandsD)
+    val rGmins = withG.join(broadcast(recompute), "doc_id")
+      .select(col("gmin")).distinct()
+    val epm = broadcast(bandsDCut.join(broadcast(rGmins), "gmin")).as("a")
+      .join(bandsDCut.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.gmin") =!= col("b.gmin"))
       .filter(est >= tau)
       .groupBy(col("a.gmin").as("gmin")).agg(min(col("b.gmin")).as("epm"))
     val rNear = withG.select(col("doc_id"), col("gmin")).distinct()
-      .join(recompute, "doc_id")
-      .join(epm, Seq("gmin"), "left")
+      .join(broadcast(recompute), "doc_id")
+      .join(broadcast(epm), Seq("gmin"), "left")
       .select(col("doc_id"),
         when(col("doc_id") === col("gmin"),
           when(col("epm") < col("doc_id"), col("epm")))
           .otherwise(least(col("gmin"), coalesce(col("epm"), col("gmin"))))
           .as("near_canon"))
-    val recCanon = rExact.join(rNear, "doc_id")
+    val recCanon = rExact.join(broadcast(rNear), "doc_id")
       .select(col("doc_id"),
         (least(col("doc_id"), col("exact_canon"),
           coalesce(col("near_canon"), col("doc_id"))) === col("doc_id"))
@@ -920,29 +935,38 @@ object CorpusPrep {
     //      only on an arriving eval doc's windows; arrivals screen vs the
     //      full eval window set (both sides from the window postings)
     def isEval = pmod(col("doc_id"), lit(evalMod)) === 0
-    val arrEvalWins = docWins.join(arrivalIds, "doc_id").filter(isEval)
+    val arrEvalWins = docWins.join(broadcast(arrivalIds), "doc_id").filter(isEval)
       .select(col("w_hash")).distinct()
-    val newlyContam = docWins.join(broadcast(arrEvalWins), "w_hash")
-      .filter(!isEval).select(col("doc_id")).distinct()
+    val newlyContam = graft.Lineage.cut(
+      docWins.join(broadcast(arrEvalWins), "w_hash")
+        .filter(!isEval).select(col("doc_id")).distinct())
     val evalWinsAll = docWins.filter(isEval).select(col("w_hash")).distinct()
-    val arrContam = docWins.join(arrivalIds, "doc_id").filter(!isEval)
-      .join(broadcast(evalWinsAll), "w_hash")
+    // the ARRIVAL windows broadcast (batch-bounded); the full eval window
+    // set stays on the stream side — the r15 spelling broadcast
+    // evalWinsAll, a relation that grows with the corpus' eval split
+    val arrContam = evalWinsAll.join(broadcast(
+        docWins.join(broadcast(arrivalIds), "doc_id").filter(!isEval)), "w_hash")
       .select(col("doc_id")).distinct()
 
     // ---- assemble: prior rows carried for every untouched doc
-    val kept = priorOverlay.join(recompute, Seq("doc_id"), "left_anti")
-      .join(newlyContam.withColumn("nc", lit(true)), Seq("doc_id"), "left")
+    val kept = priorOverlay.join(broadcast(recompute), Seq("doc_id"), "left_anti")
+      .join(broadcast(newlyContam.withColumn("nc", lit(true))), Seq("doc_id"), "left")
       .select(col("doc_id"), col("is_canonical"),
         (col("contaminated") || coalesce(col("nc"), lit(false))).as("contaminated"))
+    // prior contamination for recompute docs: probe the prior overlay with
+    // the broadcast recompute set (inner), then left-join the batch-sized
+    // result back — same rows as the r15 left join against the whole
+    // prior, without shuffling the corpus-sized prior by doc_id
+    val recPc = priorOverlay.select(col("doc_id"), col("contaminated").as("pc"))
+      .join(broadcast(recompute), "doc_id")
     val recContam = recompute
-      .join(priorOverlay.select(col("doc_id"), col("contaminated").as("pc")),
-        Seq("doc_id"), "left")
-      .join(newlyContam.withColumn("nc", lit(true)), Seq("doc_id"), "left")
-      .join(arrContam.withColumn("ac", lit(true)), Seq("doc_id"), "left")
+      .join(broadcast(recPc), Seq("doc_id"), "left")
+      .join(broadcast(newlyContam.withColumn("nc", lit(true))), Seq("doc_id"), "left")
+      .join(broadcast(arrContam.withColumn("ac", lit(true))), Seq("doc_id"), "left")
       .select(col("doc_id"),
         (coalesce(col("pc"), lit(false)) || coalesce(col("nc"), lit(false)) ||
           coalesce(col("ac"), lit(false))).as("contaminated"))
-    recCanon.join(recContam, "doc_id")
+    recCanon.join(broadcast(recContam), "doc_id")
       .select(col("doc_id"), col("is_canonical"), col("contaminated"))
       .union(kept)
       .orderBy(col("doc_id"))

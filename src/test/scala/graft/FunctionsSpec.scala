@@ -62,6 +62,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(eval1(charNgrams(lit("abc"), 3)).asInstanceOf[scala.collection.Seq[String]].toList == Seq("abc"))
   }
 
+  test("native tokenWindows == composed twin, bit-exact (r16 kernel)") {
+    import org.apache.spark.sql.functions.{split, expr}
+    val cases = Seq(
+      "a b c d e f g h i j",            // > win tokens
+      "a b c d e f g h",                // exactly win tokens (win=8)
+      "a b c",                          // fewer than win
+      "",                               // empty text
+      "one",                            // single token
+      ("tok " * 40).trim,               // repeated tokens
+      "café 日本 x y z w v u t s")      // non-ASCII
+    Seq(2, 8).foreach { win =>
+      cases.foreach { s =>
+        val tk = tokens(lit(s))
+        val native = eval1(tokenWindows(tk, win))
+          .asInstanceOf[scala.collection.Seq[String]].toList
+        val composed = eval1(tokenWindowsComposed(tk, win))
+          .asInstanceOf[scala.collection.Seq[String]].toList
+        assert(native == composed, s"tokenWindows('$s', $win)")
+      }
+      // null token array (null text) → empty array on both spellings
+      val nullTk = split(expr("cast(null as string)"), " ")
+      assert(eval1(tokenWindows(nullTk, win))
+        .asInstanceOf[scala.collection.Seq[String]].toList == Nil)
+      assert(eval1(tokenWindowsComposed(nullTk, win))
+        .asInstanceOf[scala.collection.Seq[String]].toList == Nil)
+    }
+  }
+
   test("native polyHash == composed twin, bit-exact (incl. non-ASCII)") {
     val cases = Seq("", "a", "Z", "hello world", "smal widget",
       "the quick brown fox jumps over the lazy dog 0123456789",

@@ -563,14 +563,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
             docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7L))
           .write.mode("overwrite").parquet(p)
       })
-    val df = CorpusPrep.deltaOverlayOver(nh, bands, wins, prior)
+    // r16: the operator cuts lineage at its fan-out points (localCheckpoint
+    // — the cut subtrees become opaque RDD leaves in the final plan), so
+    // the pin asserts over the final plan PLUS the captured cut-point
+    // plans: together they cover every scan the computation performs
+    spark.conf.set("spark.graft.lineage.capturePlans", "true")
+    Lineage.capturedPlans.clear()
+    val df = try CorpusPrep.deltaOverlayOver(nh, bands, wins, prior)
+      finally spark.conf.unset("spark.graft.lineage.capturePlans")
     df.collect()
     // presence/absence is checked over the WHOLE plan string: the
     // finalized AdaptiveSparkPlan prints completed stages as bare
     // `ShuffleQueryStage n` references (subtrees only under
     // "== Initial Plan =="), so the final-section-only convention the
     // other pins use would see almost no scans in this 130-stage plan
-    val p = df.queryExecution.executedPlan.toString
+    val p = df.queryExecution.executedPlan.toString + "\n" +
+      Lineage.capturedPlans.toArray.mkString("\n")
     assert(!p.contains("documents"),
       "delta overlay plan re-scans corpus text")
     Seq("graft_docbase", "graft_bands", "graft_docwins", "graft_docglobal_planspec")
