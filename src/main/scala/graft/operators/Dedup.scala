@@ -1755,19 +1755,17 @@ object Dedup {
   def winnowChampRecall(spark: SparkSession, dir: String, dfCapInverse: Long,
                         perFpCap: Int = WinnowPerFpCap): DataFrame = {
     val d = Tables.documents(spark, dir)
-    // Lineage cuts (r16): champ is probed by BOTH hit joins and each
-    // anchor feeds a count agg + a hit join — left lazy, every leg
-    // re-executes its whole winnow pipeline (text scan, fingerprint
-    // windows, pair self-join; the r15 bench billed this instrument
-    // 3.3 s). Each cut holds only the instrument's own pair result set.
-    val exact = graft.Lineage.cut(
-      winnowPairsOver(d).select(col("doc_a"), col("doc_b")))
-    val capped = graft.Lineage.cut(
-      winnowPairsCappedOver(d, dfCapInverse)
-        .select(col("doc_a"), col("doc_b")))
-    val champ = graft.Lineage.cut(
-      winnowPairsChampOver(d, dfCapInverse, perFpCap)
-        .select(col("doc_a"), col("doc_b")))
+    // NO lineage share/cut on the anchor legs (r16 A/B, the
+    // batchFuzzyChampRecall finding): inline, the three winnow anchors
+    // share their selection subtree at the physical level via AQE
+    // ReuseExchange inside the one assembled plan; persist/cut split them
+    // into separate query executions and DOUBLED the instrument
+    // (7.8 s shared / 7.1 s cut vs 3.4 s inline at sf0.1 local[32]).
+    val exact = winnowPairsOver(d).select(col("doc_a"), col("doc_b"))
+    val capped = winnowPairsCappedOver(d, dfCapInverse)
+      .select(col("doc_a"), col("doc_b"))
+    val champ = winnowPairsChampOver(d, dfCapInverse, perFpCap)
+      .select(col("doc_a"), col("doc_b"))
     def hitsOf(base: DataFrame, name: String): DataFrame =
       base.join(champ, Seq("doc_a", "doc_b"))
         .agg(count(lit(1)).cast("long").as(name))

@@ -1374,25 +1374,22 @@ object FuzzySearch {
                             rareGrams: Int = ChampRareGrams,
                             lshBands: Int = FuzzyLshMaxBands): DataFrame = {
     val qidBound = BatchQueryMod * RecallQueryCap
-    // Lineage cuts (r16): each anchor result set is consumed by 2-4
-    // downstream legs (hit joins, loss decomposition, count aggs) — left
-    // lazy, every leg re-EXECUTES the whole anchor pipeline (the r15
-    // bench billed this instrument 5.8 s for three ~1-2 s anchors). All
-    // three are RecallQueryCap-bounded top-k result sets (≤ 64 queries ×
-    // numResults rows), so the materialized copy is tiny at any corpus.
-    val exact = graft.Lineage.cut(
-      batchFuzzySearchIndexed(spark, dir, numResults, cap)
-        .filter(col("qid") < qidBound)
-        .select(col("qid"), col("clean_value"), col("score")))
-    val stop = graft.Lineage.cut(
-      batchFuzzySearchStopGramIndexed(spark, dir, numResults,
-          dfCapInverse, cap)
-        .filter(col("qid") < qidBound)
-        .select(col("qid"), col("clean_value")))
-    val champFull = graft.Lineage.cut(
-      batchFuzzySearchChampIndexed(spark, dir, numResults,
-          dfCapInverse, postingCap, cap, rareGrams, lshBands)
-        .filter(col("qid") < qidBound))
+    // NO lineage share/cut on the anchor legs (r16 A/B): inline, the
+    // duplicated legs dedupe at the PHYSICAL level — AQE ReuseExchange
+    // matches the anchors' canonicalized exchanges across legs inside the
+    // one assembled plan — while persist (13.6 s) and eager cut (12.2 s)
+    // both split the anchors into separate query executions that cannot
+    // reuse each other's exchanges (inline: 5.8 s at sf0.1 local[32]).
+    val exact = batchFuzzySearchIndexed(spark, dir, numResults, cap)
+      .filter(col("qid") < qidBound)
+      .select(col("qid"), col("clean_value"), col("score"))
+    val stop = batchFuzzySearchStopGramIndexed(spark, dir, numResults,
+        dfCapInverse, cap)
+      .filter(col("qid") < qidBound)
+      .select(col("qid"), col("clean_value"))
+    val champFull = batchFuzzySearchChampIndexed(spark, dir, numResults,
+        dfCapInverse, postingCap, cap, rareGrams, lshBands)
+      .filter(col("qid") < qidBound)
     val champ = champFull.select(col("qid"), col("clean_value"))
     def hitsOf(base: DataFrame, name: String): DataFrame =
       base.join(champ, Seq("qid", "clean_value"))
