@@ -833,8 +833,10 @@ object CorpusPrep {
       .join(priorOverlay.select(col("doc_id")), Seq("doc_id"), "left_anti"))
 
     // ---- canonicality: who can an arrival touch?
-    val arrBands = graft.Lineage.cut(
-      fullBands.join(broadcast(arrivalIds), "doc_id"))
+    // (not cut: 2 consumers, each one broadcast-probe over the bands
+    // leaf — recomputing twice inside one job is cheaper than an eager
+    // materialization job, measured r16)
+    val arrBands = fullBands.join(broadcast(arrivalIds), "doc_id")
     val est = size(filter(sequence(lit(1), lit(Dedup.MinHashK)),
       i => element_at(col("a.sig"), i) === element_at(col("b.sig"), i)))
       .cast("double") / Dedup.MinHashK.toDouble
@@ -937,9 +939,10 @@ object CorpusPrep {
     def isEval = pmod(col("doc_id"), lit(evalMod)) === 0
     val arrEvalWins = docWins.join(broadcast(arrivalIds), "doc_id").filter(isEval)
       .select(col("w_hash")).distinct()
-    val newlyContam = graft.Lineage.cut(
-      docWins.join(broadcast(arrEvalWins), "w_hash")
-        .filter(!isEval).select(col("doc_id")).distinct())
+    // (not cut: 2 consumers, each one broadcast-probe over the postings
+    // leaf — same trade as arrBands)
+    val newlyContam = docWins.join(broadcast(arrEvalWins), "w_hash")
+      .filter(!isEval).select(col("doc_id")).distinct()
     val evalWinsAll = docWins.filter(isEval).select(col("w_hash")).distinct()
     // the ARRIVAL windows broadcast (batch-bounded); the full eval window
     // set stays on the stream side — the r15 spelling broadcast
