@@ -812,6 +812,7 @@ object CorpusPrep {
                                       evalMod: Long = EvalMod): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tau = Dedup.PipelineEstThreshold
+    val est = Dedup.sigEst(col("a.sig"), col("b.sig"))
     // Fan-out lineage CUTS (round 16; round 15 used share/persist):
     // arrivalIds / recompute / the restricted group relation each feed
     // 3-7 downstream branches; left lazy, every consumer re-expands (and
@@ -837,9 +838,6 @@ object CorpusPrep {
     // leaf — recomputing twice inside one job is cheaper than an eager
     // materialization job, measured r16)
     val arrBands = fullBands.join(broadcast(arrivalIds), "doc_id")
-    val est = size(filter(sequence(lit(1), lit(Dedup.MinHashK)),
-      i => element_at(col("a.sig"), i) === element_at(col("b.sig"), i)))
-      .cast("double") / Dedup.MinHashK.toDouble
     // SIGNATURE-factored (round-12 continuation): the 1000× clone
     // rehearsal caught the doc-level spelling of this join reintroducing
     // the hot-bucket quadratic the round-9 pipeline fix removed — k

@@ -551,6 +551,24 @@ object Dedup {
     * est_jaccard is computed before the dedup so `distinct` runs on narrow
     * (doc_a, doc_b, est) rows instead of dragging two 16-long signature
     * arrays through the shuffle. */
+  /** est-Jaccard of two signature columns — fraction of agreeing
+    * positions, via the native [[graft.functions.SigAgreeExpr]] kernel
+    * (r16; the composed `size(filter(sequence(1,K), …))` HOF form it
+    * replaces ran k interpreted lambda calls PER CANDIDATE PAIR inside
+    * every band-bucket join — guide §4, the tokenWindows precedent).
+    * DedupSpec pins bit-parity against the composed twin. */
+  private[graft] def sigEst(a: org.apache.spark.sql.Column,
+                            b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.SigAgreeExpr.sigAgreeF(a, b, MinHashK)
+      .cast("double") / MinHashK.toDouble
+
+  /** Composed-HOF reference implementation (interpreted; spec-only). */
+  private[graft] def sigEstComposed(a: org.apache.spark.sql.Column,
+                                    b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(filter(sequence(lit(1), lit(MinHashK)),
+      i => element_at(a, i) === element_at(b, i)))
+      .cast("double") / MinHashK.toDouble
+
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(spark, dir)
     val bands = sigs.select(col("doc_id"), col("sig"),
@@ -559,9 +577,7 @@ object Dedup {
         }: _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
       .repartition(col("band_idx"), col("band_hash"))
-    val est = size(filter(sequence(lit(1), lit(MinHashK)),
-      i => element_at(col("a.sig"), i) === element_at(col("b.sig"), i)))
-      .cast("double") / MinHashK.toDouble
+    val est = sigEst(col("a.sig"), col("b.sig"))
     bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -716,9 +732,7 @@ object Dedup {
         }: _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
       .repartition(col("band_idx"), col("band_hash"))
-    val est = size(filter(sequence(lit(1), lit(MinHashK)),
-      i => element_at(col("a.sig"), i) === element_at(col("b.sig"), i)))
-      .cast("double") / MinHashK.toDouble
+    val est = sigEst(col("a.sig"), col("b.sig"))
     val epm = bandsD.as("a").join(bandsD.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -2004,9 +2018,7 @@ object Dedup {
     val bloom = batch.agg(
       bloomFilterAgg(bandKey, IncBloomItems, IncBloomBits).as("bf"))
     val corpusPruned = corpusBands.filter(mightContain(bloom.scalar(), bandKey))
-    val est = size(filter(sequence(lit(1), lit(MinHashK)),
-      i => element_at(col("a.sig"), i) === element_at(col("b.sig"), i)))
-      .cast("double") / MinHashK.toDouble
+    val est = sigEst(col("a.sig"), col("b.sig"))
     val partners = batch.as("a").join(corpusPruned.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash"))

@@ -76,6 +76,20 @@ class VectorKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff == 0)
   }
 
+  test("sig-agreement est kernel matches the composed HOF, every pair (r16)") {
+    // all bucket-sharing pairs of real signatures, plus the null-element
+    // edge (empty-shingle docs yield null signature positions)
+    val sigs = Dedup.minhashSignatures(spark, Sf)
+    val pairs = sigs.as("a").join(sigs.as("b"),
+      col("a.doc_id") < col("b.doc_id") &&
+        pmod(col("a.doc_id"), lit(13L)) === pmod(col("b.doc_id"), lit(13L)))
+    val diff = pairs.select(
+        Dedup.sigEst(col("a.sig"), col("b.sig")).as("fast"),
+        Dedup.sigEstComposed(col("a.sig"), col("b.sig")).as("slow"))
+      .filter(!(col("fast") <=> col("slow"))).count()
+    assert(diff == 0)
+  }
+
   test("shingle-hash set expression matches the composed pipeline") {
     import graft.functions.TextFunctions._
     val d = Tables.documents(spark, Sf)
