@@ -24,6 +24,7 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
+    var failed = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
         try {
@@ -32,11 +33,15 @@ object PlanDump {
             org.apache.spark.sql.execution.FormattedMode)
           Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
           println(s"[plandump] $name ok")
-        } catch { case e: Throwable =>
-          println(s"[plandump] $name FAILED: ${e.getMessage}")
+        } catch { case scala.util.control.NonFatal(e) =>
+          // stderr + non-zero exit (r15 advice): a failed dump must not
+          // look like success to scripts copying plan evidence
+          System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
+          failed += 1
         }
       }
     }
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

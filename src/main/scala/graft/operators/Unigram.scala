@@ -117,7 +117,13 @@ object Unigram {
     // gates the parity. The shuffle debt drops from ~26 exchanges to 4,
     // and the fold's state (len+1 structs per DISTINCT word) is
     // vocabulary-sized, never corpus-sized.
-    val words = graft.Lineage.share(wordCounts(spark, dir))
+    // cut, not share (r16; r15 persisted): same exactly-once materialization
+    // for the two consumers (vocab, cuts), but the localCheckpoint RDD is
+    // ContextCleaner-collected when the plan is dropped — the r15 persist
+    // was never unpersisted, pinning the cached word counts for the
+    // session's lifetime in a serving JVM (r15 advice item). The relation
+    // is vocabulary-sized either way.
+    val words = graft.Lineage.cut(wordCounts(spark, dir))
     val vocab = vocabOver(words)
     val pieces = cuts(words).join(vocab, "piece")
       .select(col("word"), col("i"), col("j"), col("c"))
@@ -129,8 +135,13 @@ object Unigram {
     // segmentations) covering chars (0, j], as a 1-based DP array fold;
     // min(struct(k, -v)) is the lexicographic objective, matching the
     // layered settle()'s min(struct(kd, -v)).
+    // try_element_at, not element_at (r16 — r15 advice item): a piece with
+    // p.j > current j can have p.i beyond the current acc length, and the
+    // composed predicate only stayed in bounds through &&'s evaluation
+    // order; try_element_at returns null out of bounds under ANSI instead
+    // of throwing, so correctness no longer depends on conjunct order.
     def ent(acc: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
-      element_at(acc, (i + 1L).cast("int"))
+      try_element_at(acc, (i + 1L).cast("int"))
     val best = aggregate(
       sequence(lit(1L), col("len")),
       array(struct(lit(0L).as("k"), lit(0L).as("v"))),
