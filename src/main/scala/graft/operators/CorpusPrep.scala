@@ -592,8 +592,31 @@ object CorpusPrep {
                       batchTag: Option[String] = None): DataFrame = {
     val batchDocs = batch.select(col("doc_id"), col("text"))
     val batchIds = batchDocs.select(col("doc_id"))
-    appendToDocBase(spark, dir, batch, batchTag = batchTag)
-    val standingHashes = spark.read.parquet(ensureDocBase(spark, dir))
+    // The three artifact maintenances (docbase labels, band index, window
+    // postings) each derive from the batch text alone and land in their
+    // own artifact (per-artifact lock; appendBatch stages whole files and
+    // renames them in) — three independent chains, so they run as
+    // CONCURRENT job submissions and their fixed per-job costs overlap
+    // instead of summing; the cadence pays this wall once per arriving
+    // batch (r16, guide §5). Ordering is safe across chains because an
+    // ADDED documents file does not stale a manifest (staleness is
+    // modified/removed recorded inputs only) and each chain keeps its own
+    // ensure-then-append order. The docbase read path resolves through
+    // servingPath (no build): if the docbase is absent the append's loud
+    // bootstrap refusal still reaches the caller via the awaited future.
+    val fDocBase = scala.concurrent.Future(
+      appendToDocBase(spark, dir, batch, batchTag = batchTag))(ingestChainPool)
+    // window-posting chain (row-local, same ensure-over-standing +
+    // append-batch lifecycle as the bands): the deferred overlay's delta
+    // refresh probes it for contamination
+    val fDocWins = scala.concurrent.Future {
+      ensureDocWins(spark, dir, graft.Tables.documents(spark, dir)
+        .join(batchIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text")))
+      appendToDocWins(spark, dir, batchDocs, batchTag = batchTag)
+    }(ingestChainPool)
+    val standingHashes = spark.read.parquet(graft.Materialize.servingPath(
+        spark, "graft_docbase", dir, DocBaseVersion))
       .join(batchIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("screen_hash"))
     def standingBands = {
@@ -605,15 +628,29 @@ object CorpusPrep {
     }
     val verdict = ingestScreenOver(batchDocs, standingHashes, standingBands)
     Dedup.appendToBandsIndex(spark, dir, batchDocs, batchTag = batchTag)
-    // keep the window-posting artifact current too (row-local, same
-    // ensure-over-standing + append-batch lifecycle as the bands): the
-    // deferred overlay's delta refresh probes it for contamination
-    ensureDocWins(spark, dir, graft.Tables.documents(spark, dir)
-      .join(batchIds, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("text")))
-    appendToDocWins(spark, dir, batchDocs, batchTag = batchTag)
+    // join the concurrent chains before returning: the verdict is only
+    // EVALUATED by the caller, so every read it embeds (docbase files,
+    // bands) sees the settled artifact directories — the same
+    // anti-join-the-batch-ids argument the sequential spelling relied on
+    scala.concurrent.Await.result(fDocBase,
+      scala.concurrent.duration.Duration.Inf)
+    scala.concurrent.Await.result(fDocWins,
+      scala.concurrent.duration.Duration.Inf)
     verdict
   }
+
+  /** Two daemon threads for [[ingestIncrement]]'s concurrent artifact
+    * chains (the third chain runs on the caller's thread). Job
+    * submission from multiple threads against one SparkSession is the
+    * supported concurrency face (the FAIR serving pools precedent). */
+  private lazy val ingestChainPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(2,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-ingest-chain")
+          t.setDaemon(true)
+          t
+        }))
 
   /** Compaction-window refresh (cadence step 2): pay the exact
     * corpus-global pass. The rebuilt overlay's artifact files change, so
