@@ -402,8 +402,7 @@ object SparkEntry {
       val all = Tables.documents(s, d)
       all.filter(pmod(col("doc_id"), lit(10L)) < 7L)
         .write.mode("overwrite").parquet(s"$work/documents.parquet")
-      CorpusPrep.ensureDocBase(s, work)
-      CorpusPrep.ensureDocGlobal(s, work)
+      CorpusPrep.bootstrapStanding(s, work)
       val incoming = s"$work/incoming"
       Seq(7L, 8L, 9L).foreach { r =>
         all.filter(pmod(col("doc_id"), lit(10L)) === r)

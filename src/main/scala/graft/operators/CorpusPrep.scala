@@ -639,6 +639,22 @@ object CorpusPrep {
     verdict
   }
 
+  /** Bootstrap the standing-corpus artifacts concurrently: docbase (row
+    * -local labels) and docglobal (dedup canonicality + contamination)
+    * are independent derivations of the same documents relation landing
+    * in separate artifacts, so their ensure builds overlap instead of
+    * summing (r16, guide §5 — the [[ingestIncrement]] chain argument
+    * applied to the cadence's step-0). Both ensures are idempotent
+    * file-checks when already built. */
+  def bootstrapStanding(spark: SparkSession, dir: String): Unit = {
+    val fBase = scala.concurrent.Future(
+      ensureDocBase(spark, dir))(ingestChainPool)
+    ensureDocGlobal(spark, dir)
+    scala.concurrent.Await.result(fBase,
+      scala.concurrent.duration.Duration.Inf)
+    ()
+  }
+
   /** Two daemon threads for [[ingestIncrement]]'s concurrent artifact
     * chains (the third chain runs on the caller's thread). Job
     * submission from multiple threads against one SparkSession is the
