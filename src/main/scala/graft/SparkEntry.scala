@@ -382,11 +382,15 @@ object SparkEntry {
       // materialized leaf — the exact shape of the artifact read the
       // production face performs, so the timing stays honest (the cut
       // runs inside the timed region).
-      CorpusPrep.deltaOverlayOver(
-        Lineage.cut(CorpusPrep.normHashRows(all)),
-        Lineage.cut(Dedup.bandRows(all)),
-        Lineage.cut(CorpusPrep.docWinRows(all)),
-        Lineage.cut(CorpusPrep.docGlobalOverDocs(standing)))
+      // the four inputs are independent derivations — cut them
+      // CONCURRENTLY (r16): the materializations overlap instead of
+      // summing, exactly as the production face's artifact ensures do
+      val Seq(nh, br, dw, dg) = Lineage.cutAll(
+        CorpusPrep.normHashRows(all),
+        Dedup.bandRows(all),
+        CorpusPrep.docWinRows(all),
+        CorpusPrep.docGlobalOverDocs(standing))
+      CorpusPrep.deltaOverlayOver(nh, br, dw, dg)
     }),
     // the WHOLE streaming cadence lifecycle as one auditable row: 70%
     // standing bootstrap → three 10% arrival micro-batches through the
